@@ -1,38 +1,1324 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 is registered here as a named query
+(``inv_<section>_<name>``) with a DuckDB oracle twin. The implementations
+live in ``market_data_pipeline_spark/``; this module only wires them to the
+driver's testdata tables and keeps the Spark/SQL column names aligned
+(the driver hashes values under sorted column names).
+
+Conventions:
+- computed doubles are ``round(x, 4)`` (6 for ratios in [-1, 1]) on BOTH
+  sides so cross-engine float noise can't flip the hash;
+- every top-k has a unique-key tiebreak so the row set is deterministic;
+- queries with no SQL-expressible twin (EMA recursion, SimHash bit math,
+  LSH with engine-side plane constants) are registered without an oracle →
+  the driver records the weaker rows-only check, and pytest carries a
+  pandas/numpy oracle instead (tests/).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import (
+    min_periods,
+    safe_div,
+    series_window,
+)
+from market_data_pipeline_spark.functions.parsing import (
+    PARSE_FINANCIAL_SQL,
+    parse_financial_value,
+)
+from market_data_pipeline_spark.operators import (
+    breadth,
+    cleaning,
+    dedup,
+    fundamentals,
+    indicators,
+    quality,
+    relational,
+    screeners,
+    similarity,
+    text,
+)
+from market_data_pipeline_spark.session import tune_existing
+from market_data_pipeline_spark.sources.tables import (
+    BARS_SQL,
+    SERIES_SQL,
+    bars_from_events,
+    load_table,
+    series_from_events,
+)
+from market_data_pipeline_spark.streaming import jobs as streaming_jobs
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's full daily path (pipeline.py:277-306) as one
+    lazy plan — clean → indicator chain (SMA/RSI/Bollinger/EMA/MACD) →
+    composite buy/sell signal per symbol (technical_screener.py:143-203)."""
+    tune_existing(spark)
+    bars = bars_from_events(spark, SF0001)
+    w = series_window(time_col="d")
+    enriched = indicators.add_sma(bars, periods=(10, 20), w=w)
+    enriched = indicators.add_rsi(enriched, period=14, w=w)
+    enriched = indicators.add_bollinger(enriched, w=w)
+    enriched = indicators.add_volume_metrics(enriched, w=w)
+    enriched = indicators.add_ema_macd(enriched, spans=(12, 26), time_col="d")
+    signal = screeners.composite_signal(enriched, time_col="d", w=w)
+    return signal.select(
+        "symbol", "d", "close", "rsi", "score", "overall_signal", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared wiring helpers
+# ---------------------------------------------------------------------------
+
+
+def _series(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return series_from_events(spark, sf)
+
+
+def _bars(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return bars_from_events(spark, sf)
+
+
+def _with_series_indicators(bars: DataFrame) -> DataFrame:
+    w = series_window(time_col="d")
+    df = indicators.add_sma(bars, periods=(10, 20), w=w)
+    df = indicators.add_rsi(df, period=14, w=w)
+    df = indicators.add_volume_metrics(df, w=w)
+    return df
+
+
+_WIN = "PARTITION BY symbol ORDER BY time"
+_WIND = "PARTITION BY symbol ORDER BY d"
+
+
+# ---------------------------------------------------------------------------
+# queries — P* cleaning / projections
+# ---------------------------------------------------------------------------
+
+
+def q_p1_series_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    return _series(spark, sf)
+
+
+SQL_P1 = f"WITH {SERIES_SQL} SELECT event_id, symbol, time, close FROM series"
+
+
+def q_p4_dedupe_keep_last(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.functions.helpers import keep_last_dedupe
+
+    return keep_last_dedupe(_series(spark, sf), ["symbol", "time"], "event_id")
+
+
+SQL_P4 = f"""
+WITH {SERIES_SQL},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, time ORDER BY event_id DESC) AS rn
+  FROM series
+)
+SELECT event_id, symbol, time, close FROM ranked WHERE rn = 1
+"""
+
+
+def q_p5_props_cast(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.upper(F.trim(F.col("event_type"))).alias("etype"),
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int").alias("k"),
+        F.col("value").cast("double").alias("value_d"),
+    )
+
+
+SQL_P5 = """
+SELECT event_id,
+       upper(trim(event_type)) AS etype,
+       try_cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k,
+       CAST(value AS DOUBLE) AS value_d
+FROM events
+"""
+
+
+def q_p7_symbol_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        F.upper(F.trim(F.col("source"))).alias("symbol")
+    )
+    return cleaning.validate_symbols(d).select("symbol")
+
+
+SQL_P7 = """
+SELECT DISTINCT upper(trim(source)) AS symbol
+FROM documents
+WHERE regexp_matches(upper(trim(source)), '^[A-Z0-9]{3,5}$')
+"""
+
+
+def q_p8_exchange_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 0)
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+SQL_P8 = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 0
+"""
+
+
+def q_p11_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    from market_data_pipeline_spark.operators.universe import drop_etf_prefixes
+
+    return drop_etf_prefixes(p.select(F.col("p_name").alias("symbol"), "p_partkey"))
+
+
+SQL_P11 = """
+SELECT p_name AS symbol, p_partkey FROM part
+WHERE NOT regexp_matches(p_name, '^(VF|FUE|E1VF|SSV)')
+"""
+
+
+def q_p13_criteria_screen(spark: SparkSession, sf: str) -> DataFrame:
+    df = _with_series_indicators(_bars(spark, sf))
+    crit = {"rsi": {"op": "lt", "value": 60}, "close": {"op": "gt", "col": "ma_10"}}
+    out = screeners.screen(df, crit, time_col="d")
+    return out.select("symbol", "d", F.round("rsi", 4).alias("rsi"), "close")
+
+
+# oracle composed below (shares the indicator CTE)
+
+
+# ---------------------------------------------------------------------------
+# queries — W* windows on the tick series
+# ---------------------------------------------------------------------------
+
+
+def q_w1_sma(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    w = series_window()
+    df = indicators.add_sma(s, periods=(10, 20), w=w)
+    return df.select(
+        "symbol",
+        "time",
+        "close",
+        F.round("ma_10", 4).alias("ma_10"),
+        F.round("ma_20", 4).alias("ma_20"),
+    )
+
+
+SQL_W1 = f"""
+WITH {SERIES_SQL}
+SELECT symbol, time, close,
+  round(CASE WHEN count(close) OVER w10 >= 10 THEN avg(close) OVER w10 END, 4) AS ma_10,
+  round(CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END, 4) AS ma_20
+FROM series
+WINDOW w10 AS ({_WIN} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       w20 AS ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_w3_rsi(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    df = indicators.add_rsi(s, period=14, w=series_window())
+    return df.select("symbol", "time", F.round("rsi", 4).alias("rsi"), "rsi_signal")
+
+
+SQL_W3 = f"""
+WITH {SERIES_SQL},
+d AS (
+  SELECT symbol, time, close,
+         close - lag(close) OVER ({_WIN}) AS delta
+  FROM series
+),
+g AS (
+  SELECT symbol, time,
+    CASE WHEN count(delta) OVER w >= 14
+         THEN avg(CASE WHEN delta IS NULL THEN NULL ELSE greatest(delta, 0) END) OVER w END AS avg_gain,
+    CASE WHEN count(delta) OVER w >= 14
+         THEN avg(CASE WHEN delta IS NULL THEN NULL ELSE greatest(-delta, 0) END) OVER w END AS avg_loss
+  FROM d
+  WINDOW w AS ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT symbol, time,
+         100 - 100 / (1 + avg_gain / nullif(avg_loss, 0)) AS rsi
+  FROM g
+)
+SELECT symbol, time, round(rsi, 4) AS rsi,
+       CASE WHEN rsi > 70 THEN 'overbought'
+            WHEN rsi < 30 THEN 'oversold'
+            ELSE 'neutral' END AS rsi_signal
+FROM r
+"""
+
+
+def q_w5_bollinger(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    df = indicators.add_bollinger(s, w=series_window())
+    return df.select(
+        "symbol",
+        "time",
+        F.round("bb_middle", 4).alias("bb_middle"),
+        F.round("bb_upper", 4).alias("bb_upper"),
+        F.round("bb_lower", 4).alias("bb_lower"),
+        F.round("bb_width", 4).alias("bb_width"),
+        F.round("bb_position", 4).alias("bb_position"),
+    )
+
+
+SQL_W5 = f"""
+WITH {SERIES_SQL},
+b AS (
+  SELECT symbol, time, close,
+    CASE WHEN count(close) OVER w >= 20 THEN avg(close) OVER w END AS mid,
+    CASE WHEN count(close) OVER w >= 20 THEN stddev_samp(close) OVER w END AS sd
+  FROM series
+  WINDOW w AS ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, time,
+  round(mid, 4) AS bb_middle,
+  round(mid + 2.0 * sd, 4) AS bb_upper,
+  round(mid - 2.0 * sd, 4) AS bb_lower,
+  round(((mid + 2.0 * sd) - (mid - 2.0 * sd)) / nullif(mid, 0), 4) AS bb_width,
+  round(least(greatest((close - (mid - 2.0 * sd)) / nullif((mid + 2.0 * sd) - (mid - 2.0 * sd), 0), 0.0), 1.0), 4) AS bb_position
+FROM b
+"""
+
+
+def q_w8_returns_momentum(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    df = indicators.add_returns_momentum(s, w=series_window(), horizons=(5, 21))
+    return df.select(
+        "symbol",
+        "time",
+        F.round("daily_return_pct", 6).alias("ret_pct"),
+        F.round("daily_return_abs", 4).alias("ret_abs"),
+        F.round("cumulative_return", 6).alias("cum_ret"),
+        F.round("momentum_5", 6).alias("momentum_5"),
+        F.round("momentum_1m", 6).alias("momentum_1m"),
+    )
+
+
+SQL_W8 = f"""
+WITH {SERIES_SQL},
+r AS (
+  SELECT symbol, time, close,
+    close / nullif(lag(close, 1) OVER ({_WIN}), 0) - 1 AS ret,
+    close - lag(close, 1) OVER ({_WIN}) AS ret_abs,
+    close / nullif(lag(close, 5) OVER ({_WIN}), 0) - 1 AS m5,
+    close / nullif(lag(close, 21) OVER ({_WIN}), 0) - 1 AS m21
+  FROM series
+)
+SELECT symbol, time,
+  round(ret, 6) AS ret_pct,
+  round(ret_abs, 4) AS ret_abs,
+  round(exp(sum(ln(1 + coalesce(ret, 0))) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1, 6) AS cum_ret,
+  round(m5, 6) AS momentum_5,
+  round(m21, 6) AS momentum_1m
+FROM r
+"""
+
+
+def q_w9_ytd(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    df = indicators.add_ytd_momentum(s, current_year=2024)
+    return df.select("symbol", "time", F.round("momentum_ytd", 6).alias("momentum_ytd"))
+
+
+SQL_W9 = f"""
+WITH {SERIES_SQL}
+SELECT symbol, time,
+  CASE WHEN year(time) = 2024 THEN
+    round(close / nullif(first_value(close) OVER (PARTITION BY symbol, year(time) ORDER BY time), 0) - 1, 6)
+  END AS momentum_ytd
+FROM series
+"""
+
+
+def q_w10_dist_ma(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    w = series_window()
+    df = indicators.add_sma(s, periods=(20,), w=w)
+    df = indicators.add_dist_ma(df, periods=(20,))
+    return df.select("symbol", "time", F.round("dist_ma_20", 6).alias("dist_ma_20"))
+
+
+SQL_W10 = f"""
+WITH {SERIES_SQL},
+m AS (
+  SELECT symbol, time, close,
+    CASE WHEN count(close) OVER w >= 20 THEN avg(close) OVER w END AS ma
+  FROM series
+  WINDOW w AS ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, time, round((close - ma) / nullif(ma, 0), 6) AS dist_ma_20
+FROM m
+"""
+
+
+def q_w17_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    # punch deterministic holes (error events), then forward-fill per user
+    holed = e.select(
+        "event_id",
+        F.col("user_id").alias("symbol"),
+        F.col("ts").alias("time"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    w = series_window()
+    from market_data_pipeline_spark.functions.helpers import ffill
+
+    return holed.withColumn("v_filled", ffill("v", w)).select(
+        "symbol", "time", "v", "v_filled"
+    )
+
+
+SQL_W17 = """
+WITH holed AS (
+  SELECT event_id, user_id AS symbol, ts AS time,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+)
+SELECT symbol, time, v,
+  last_value(v IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM holed
+"""
+
+
+def q_w15_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    df = indicators.add_rsi(s, period=14, w=series_window())
+    out = screeners.scan_divergence(df, indicator="rsi", lookback=14, w=series_window())
+    return out.select("symbol", "time", "close", F.round("rsi", 4).alias("rsi"), "divergence")
+
+
+SQL_W15 = f"""
+WITH {SERIES_SQL},
+d AS (
+  SELECT symbol, time, close,
+         close - lag(close) OVER ({_WIN}) AS delta
+  FROM series
+),
+g AS (
+  SELECT symbol, time, close,
+    CASE WHEN count(delta) OVER w >= 14
+         THEN avg(CASE WHEN delta IS NULL THEN NULL ELSE greatest(delta, 0) END) OVER w END AS avg_gain,
+    CASE WHEN count(delta) OVER w >= 14
+         THEN avg(CASE WHEN delta IS NULL THEN NULL ELSE greatest(-delta, 0) END) OVER w END AS avg_loss
+  FROM d
+  WINDOW w AS ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT symbol, time, close,
+         100 - 100 / (1 + avg_gain / nullif(avg_loss, 0)) AS rsi
+  FROM g
+),
+dv AS (
+  SELECT symbol, time, close, rsi,
+    close - lag(close, 14) OVER ({_WIN}) AS price_d,
+    rsi - lag(rsi, 14) OVER ({_WIN}) AS ind_d
+  FROM r
+)
+SELECT symbol, time, close, round(rsi, 4) AS rsi,
+  CASE WHEN price_d > 0 AND ind_d < 0 THEN 'regular'
+       WHEN price_d < 0 AND ind_d > 0 THEN 'hidden' END AS divergence
+FROM dv
+WHERE (price_d > 0 AND ind_d < 0) OR (price_d < 0 AND ind_d > 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — bars & market analytics
+# ---------------------------------------------------------------------------
+
+
+def q_bars_ohlcv(spark: SparkSession, sf: str) -> DataFrame:
+    return _bars(spark, sf)
+
+
+SQL_BARS = f"WITH {BARS_SQL} SELECT * FROM bars"
+
+
+def q_w6_atr(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    df = indicators.add_atr(b, period=10, w=series_window(time_col="d"))
+    return df.select(
+        "symbol",
+        "d",
+        F.round("atr", 4).alias("atr"),
+        F.round("close_std", 4).alias("close_std"),
+        F.round("volatility_ratio", 6).alias("volatility_ratio"),
+    )
+
+
+SQL_W6 = f"""
+WITH {BARS_SQL},
+t AS (
+  SELECT symbol, d, close,
+    greatest(high - low,
+             abs(high - lag(close) OVER ({_WIND})),
+             abs(low - lag(close) OVER ({_WIND}))) AS tr
+  FROM bars
+),
+a AS (
+  SELECT symbol, d, close,
+    CASE WHEN count(tr) OVER w >= 10 THEN avg(tr) OVER w END AS atr,
+    CASE WHEN count(close) OVER w >= 10 THEN stddev_samp(close) OVER w END AS close_std
+  FROM t
+  WINDOW w AS ({_WIND} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, d, round(atr, 4) AS atr, round(close_std, 4) AS close_std,
+       round(atr / nullif(close, 0), 6) AS volatility_ratio
+FROM a
+"""
+
+
+def q_w7_volume_obv(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    df = indicators.add_volume_metrics(b, w=series_window(time_col="d"))
+    return df.select(
+        "symbol",
+        "d",
+        F.round("vol_sma_10", 4).alias("vol_sma_10"),
+        F.round("volume_ratio", 6).alias("volume_ratio"),
+        F.round("obv", 4).alias("obv"),
+        F.round("volume_price_trend", 4).alias("volume_price_trend"),
+    )
+
+
+SQL_W7 = f"""
+WITH {BARS_SQL},
+v AS (
+  SELECT symbol, d, volume,
+    CASE WHEN count(volume) OVER w10 >= 10 THEN avg(volume) OVER w10 END AS vol_sma_10,
+    CASE WHEN count(volume) OVER w20 >= 20 THEN avg(volume) OVER w20 END AS vol_sma_20,
+    close - lag(close) OVER ({_WIND}) AS delta
+  FROM bars
+  WINDOW w10 AS ({_WIND} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         w20 AS ({_WIND} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, d,
+  round(vol_sma_10, 4) AS vol_sma_10,
+  round(volume / nullif(vol_sma_20, 0), 6) AS volume_ratio,
+  round(sum(CASE WHEN delta IS NULL THEN 0.0
+                 WHEN delta > 0 THEN volume
+                 WHEN delta < 0 THEN -volume
+                 ELSE 0.0 END)
+        OVER (PARTITION BY symbol ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS obv,
+  round(volume * delta, 4) AS volume_price_trend
+FROM v
+"""
+
+
+def q_w11_support_resistance(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    df = indicators.add_support_resistance(b, lookback=10, w=series_window(time_col="d"))
+    return df.select("symbol", "d", "resistance", "support")
+
+
+SQL_W11 = f"""
+WITH {BARS_SQL}
+SELECT symbol, d,
+  CASE WHEN count(high) OVER w >= 10 THEN max(high) OVER w END AS resistance,
+  CASE WHEN count(low) OVER w >= 10 THEN min(low) OVER w END AS support
+FROM bars
+WINDOW w AS ({_WIND} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_w16_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    out = breadth.series_correlation(b, 0, 1, window=10)
+    return out.select("d", "close_1", "close_2", "rolling_corr")
+
+
+SQL_W16 = f"""
+WITH {BARS_SQL},
+a AS (SELECT d, close AS close_1 FROM bars WHERE symbol = 0),
+b2 AS (SELECT d, close AS close_2 FROM bars WHERE symbol = 1),
+j AS (SELECT a.d, close_1, close_2 FROM a JOIN b2 ON a.d = b2.d)
+SELECT d, close_1, close_2,
+  CASE WHEN count(*) OVER w >= 10 THEN round(corr(close_1, close_2) OVER w, 4) END AS rolling_corr
+FROM j
+WINDOW w AS (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_w18_densify(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    out = cleaning.densify_calendar(b, date_col="d", key_cols=("symbol",), zero_fill=("volume", "n_trades"))
+    return out.select("symbol", "d", "close", "volume", "n_trades")
+
+
+SQL_W18 = f"""
+WITH {BARS_SQL},
+span AS (SELECT symbol, min(d) AS min_d, max(d) AS max_d FROM bars GROUP BY symbol),
+cal AS (
+  SELECT symbol,
+         CAST(unnest(generate_series(CAST(min_d AS TIMESTAMP), CAST(max_d AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+)
+SELECT cal.symbol, cal.d, bars.close,
+       coalesce(bars.volume, 0.0) AS volume,
+       coalesce(bars.n_trades, 0) AS n_trades
+FROM cal LEFT JOIN bars ON cal.symbol = bars.symbol AND cal.d = bars.d
+"""
+
+
+def q_a1_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    return breadth.derive_breadth(_bars(spark, sf))
+
+
+SQL_A1 = f"""
+WITH {BARS_SQL},
+delta AS (
+  SELECT d, close - lag(close) OVER ({_WIND}) AS dl, close, high, low
+  FROM bars
+),
+agg AS (
+  SELECT d,
+    CAST(sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+    CAST(sum(CASE WHEN dl < 0 THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+    CAST(sum(CASE WHEN dl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+    CAST(sum(CASE WHEN close >= high THEN 1 ELSE 0 END) AS BIGINT) AS new_highs,
+    CAST(sum(CASE WHEN close <= low THEN 1 ELSE 0 END) AS BIGINT) AS new_lows
+  FROM delta GROUP BY d
+)
+SELECT d, advancers, decliners, unchanged, new_highs, new_lows,
+  CAST(advancers + decliners + unchanged AS BIGINT) AS total_issues,
+  least(greatest((advancers - decliners) * 100.0 / nullif(advancers + decliners + unchanged, 0), -100.0), 100.0) AS breadth_percent,
+  round(CASE WHEN decliners = 0 THEN 0.0 ELSE CAST(advancers AS DOUBLE) / decliners END, 4) AS adv_dec_ratio
+FROM agg
+"""
+
+
+def q_a2_market_health(spark: SparkSession, sf: str) -> DataFrame:
+    return breadth.market_health(breadth.derive_breadth(_bars(spark, sf)), lookback=20)
+
+
+SQL_A2 = f"""
+WITH {BARS_SQL},
+delta AS (
+  SELECT d, close - lag(close) OVER ({_WIND}) AS dl, close, high, low
+  FROM bars
+),
+agg AS (
+  SELECT d,
+    CAST(sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+    CAST(sum(CASE WHEN dl < 0 THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+    CAST(sum(CASE WHEN dl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+    CAST(sum(CASE WHEN close >= high THEN 1 ELSE 0 END) AS BIGINT) AS new_highs,
+    CAST(sum(CASE WHEN close <= low THEN 1 ELSE 0 END) AS BIGINT) AS new_lows
+  FROM delta GROUP BY d
+),
+br AS (
+  SELECT *,
+    least(greatest((advancers - decliners) * 100.0 / nullif(advancers + decliners + unchanged, 0), -100.0), 100.0) AS breadth_percent
+  FROM agg
+),
+tail AS (
+  SELECT * FROM (SELECT br.*, row_number() OVER (ORDER BY d DESC) AS rn FROM br) WHERE rn <= 20
+),
+h AS (
+  SELECT round(avg(breadth_percent), 4) AS avg_breadth,
+         round(CAST(sum(advancers) AS DOUBLE) / nullif(sum(decliners), 0), 4) AS adv_dec,
+         round(CAST(sum(new_highs) AS DOUBLE) / nullif(sum(new_lows), 0), 4) AS nh_nl,
+         count(*) AS n_days
+  FROM tail
+)
+SELECT avg_breadth, adv_dec, nh_nl, n_days,
+  CASE WHEN avg_breadth > 10 THEN 'healthy'
+       WHEN avg_breadth < -10 THEN 'weak'
+       ELSE 'mixed' END AS health
+FROM h
+"""
+
+
+def q_w19_regime(spark: SparkSession, sf: str) -> DataFrame:
+    out = breadth.market_regime(breadth.derive_breadth(_bars(spark, sf)))
+    return out.select("d", F.round("breadth_percent", 4).alias("breadth_percent"), "regime")
+
+
+SQL_W19 = f"""
+WITH {BARS_SQL},
+delta AS (
+  SELECT d, close - lag(close) OVER ({_WIND}) AS dl FROM bars
+),
+agg AS (
+  SELECT d,
+    CAST(sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+    CAST(sum(CASE WHEN dl < 0 THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+    CAST(sum(CASE WHEN dl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+  FROM delta GROUP BY d
+),
+br AS (
+  SELECT d,
+    least(greatest((advancers - decliners) * 100.0 / nullif(advancers + decliners + unchanged, 0), -100.0), 100.0) AS breadth_percent
+  FROM agg
+),
+latest AS (
+  SELECT * FROM (SELECT br.*, row_number() OVER (ORDER BY d DESC) AS rn FROM br WHERE breadth_percent IS NOT NULL) WHERE rn = 1
+)
+SELECT d, round(breadth_percent, 4) AS breadth_percent,
+  CASE WHEN breadth_percent >= 70 THEN 'strong_bullish'
+       WHEN breadth_percent >= 40 THEN 'bullish'
+       WHEN breadth_percent >= 20 THEN 'neutral'
+       WHEN breadth_percent >= 0 THEN 'bearish'
+       ELSE 'strong_bearish' END AS regime
+FROM latest
+"""
+
+
+def q_o5_top_movers(spark: SparkSession, sf: str) -> DataFrame:
+    return breadth.top_movers(_bars(spark, sf), n=5)
+
+
+SQL_O5 = f"""
+WITH {BARS_SQL},
+r AS (
+  SELECT symbol, d,
+    round(close / nullif(lag(close) OVER ({_WIND}), 0) - 1, 6) AS daily_ret
+  FROM bars
+),
+ranked AS (
+  SELECT symbol, d, daily_ret,
+    row_number() OVER (PARTITION BY d ORDER BY daily_ret DESC, symbol) AS gain_rank,
+    row_number() OVER (PARTITION BY d ORDER BY daily_ret ASC, symbol) AS lose_rank
+  FROM r WHERE daily_ret IS NOT NULL
+)
+SELECT d, symbol, daily_ret,
+  CASE WHEN gain_rank <= 5 THEN 'top' ELSE 'bottom' END AS side
+FROM ranked
+WHERE gain_rank <= 5 OR lose_rank <= 5
+"""
+
+
+def q_a13_weekly_return(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    w = Window.partitionBy("symbol").orderBy(F.col("d").desc())
+    tail = b.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5)
+    return (
+        tail.groupBy("symbol")
+        .agg(
+            F.round(
+                safe_div(F.max_by("close", "d"), F.min_by("close", "d")) - 1, 6
+            ).alias("weekly_return"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+SQL_A13 = f"""
+WITH {BARS_SQL},
+tail AS (
+  SELECT * FROM (
+    SELECT bars.*, row_number() OVER ({_WIND.replace("ORDER BY d", "ORDER BY d DESC")}) AS rn FROM bars
+  ) WHERE rn <= 5
+)
+SELECT symbol,
+  round(arg_max(close, d) / nullif(arg_min(close, d), 0) - 1, 6) AS weekly_return,
+  count(*) AS n_days
+FROM tail GROUP BY symbol
+"""
+
+
+def q_a6a8_quality(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    return quality.quality_report(s)
+
+
+SQL_QUALITY = f"""
+WITH {SERIES_SQL},
+agg AS (
+  SELECT symbol,
+    count(*) AS n_rows,
+    count(DISTINCT CAST(time AS DATE)) AS n_days,
+    min(CAST(time AS DATE)) AS first_day,
+    max(CAST(time AS DATE)) AS last_day,
+    max(time) AS freshness,
+    count(*) - count(DISTINCT time) AS dup_times,
+    CAST(sum(CASE WHEN close < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_close,
+    CAST(sum(CASE WHEN close = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_close
+  FROM series GROUP BY symbol
+),
+b AS (
+  SELECT *,
+    date_diff('day', first_day, last_day) + 1 AS span,
+    isodow(first_day) - 1 AS sdow
+  FROM agg
+),
+c AS (
+  SELECT *,
+    CAST((span // 7) * 5
+      + greatest(0, least(span % 7, 5 - sdow))
+      + greatest(0, (span % 7) - (7 - sdow)) AS BIGINT) AS expected_bdays
+  FROM b
+)
+SELECT symbol, n_rows, n_days, first_day, last_day, freshness, dup_times, neg_close, zero_close,
+  expected_bdays,
+  CAST(greatest(0, expected_bdays - n_days) AS BIGINT) AS missing_days,
+  greatest(100.0 - 10.0 * (
+      (CASE WHEN greatest(0, expected_bdays - n_days) > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN dup_times > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN neg_close > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN zero_close > 0 THEN 1 ELSE 0 END)), 0.0) AS quality_score
+FROM c
+"""
+
+
+# oracle for P13 (needs indicators on bars)
+SQL_P13 = f"""
+WITH {BARS_SQL},
+d AS (
+  SELECT symbol, d, close,
+    close - lag(close) OVER ({_WIND}) AS delta,
+    CASE WHEN count(close) OVER w10 >= 10 THEN avg(close) OVER w10 END AS ma_10
+  FROM bars
+  WINDOW w10 AS ({_WIND} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT symbol, d, close, ma_10,
+    CASE WHEN count(delta) OVER w >= 14
+         THEN avg(CASE WHEN delta IS NULL THEN NULL ELSE greatest(delta, 0) END) OVER w END AS avg_gain,
+    CASE WHEN count(delta) OVER w >= 14
+         THEN avg(CASE WHEN delta IS NULL THEN NULL ELSE greatest(-delta, 0) END) OVER w END AS avg_loss
+  FROM d
+  WINDOW w AS ({_WIND} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT symbol, d, close, ma_10,
+         100 - 100 / (1 + avg_gain / nullif(avg_loss, 0)) AS rsi
+  FROM g
+),
+latest AS (
+  SELECT * FROM (SELECT r.*, row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn FROM r) WHERE rn = 1
+)
+SELECT symbol, d, round(rsi, 4) AS rsi, close
+FROM latest
+WHERE rsi < 60 AND close > ma_10
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — relational layer (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.pricing_summary(spark, sf)
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q5_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.revenue_by_nation(spark, sf)
+
+
+SQL_Q5 = """
+SELECT r_name, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.top_orders_by_revenue(spark, sf, n=10)
+
+
+SQL_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_j_anti(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.customers_without_orders(spark, sf)
+
+
+SQL_J_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_j_semi(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.customers_with_orders(spark, sf)
+
+
+SQL_J_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_j2_brand_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.part_supplier_lookup(spark, sf)
+
+
+SQL_J2 = """
+SELECT p_brand, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_o4_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.top_k_per_group(spark, sf, k=3)
+
+
+SQL_O4 = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+def q_u_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.segment_set_ops(spark, sf)
+
+
+SQL_U = """
+WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+bld AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT c_nationkey, 'union' AS set_op FROM (SELECT DISTINCT c_nationkey FROM (SELECT * FROM auto UNION ALL SELECT * FROM bld))
+UNION ALL
+SELECT c_nationkey, 'intersect' AS set_op FROM (SELECT c_nationkey FROM auto INTERSECT SELECT c_nationkey FROM bld)
+UNION ALL
+SELECT c_nationkey, 'except' AS set_op FROM (SELECT DISTINCT c_nationkey FROM (SELECT c_nationkey FROM auto EXCEPT ALL SELECT c_nationkey FROM bld))
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.rollup_revenue(spark, sf)
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.cube_counts(spark, sf)
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.pivot_status_by_segment(spark, sf)
+
+
+SQL_PIVOT = """
+SELECT c_mktsegment,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_a5_segment_counts(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_A5 = "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment"
+
+
+def q_a9_sector_median(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    c = load_table(spark, sf, "customer")
+    out = fundamentals.sector_median_comparison(c, "c_nationkey", ("c_acctbal",))
+    return out.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round("med_c_acctbal", 4).alias("med_acctbal"),
+        F.col("rel_c_acctbal").alias("rel_acctbal"),
+    )
+
+
+SQL_A9 = """
+WITH med AS (
+  SELECT c_nationkey, median(c_acctbal) AS med_acctbal FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, customer.c_nationkey, c_acctbal,
+  round(med_acctbal, 4) AS med_acctbal,
+  round((c_acctbal - med_acctbal) / nullif(abs(med_acctbal), 0), 4) AS rel_acctbal
+FROM customer JOIN med ON customer.c_nationkey = med.c_nationkey
+"""
+
+
+def q_a10_dcf(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    o = load_table(spark, sf, "orders").withColumn(
+        "__ord", F.struct("o_orderdate", "o_orderkey")
+    )
+    return fundamentals.dcf_fair_value(
+        o, key_col="o_custkey", period_col="__ord", cf_col="o_totalprice"
+    ).select("o_custkey", "n_periods", "fair_value")
+
+
+SQL_A10 = """
+WITH pv AS (
+  SELECT o_custkey,
+    o_totalprice / power(1.1, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)) AS term
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey, round(sum(term), 2) AS pv_sum, count(*) AS n_periods FROM pv GROUP BY o_custkey
+)
+SELECT o_custkey, n_periods, CASE WHEN n_periods >= 3 THEN pv_sum END AS fair_value FROM agg
+"""
+
+
+def q_a11_fundamental_score(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    c = load_table(spark, sf, "customer")
+    seg_avg = c.groupBy("c_mktsegment").agg(
+        F.avg(F.col("c_acctbal") / 10000.0).alias("sector_avg_roe"),
+        F.avg(F.col("c_acctbal") / 20000.0).alias("sector_avg_margin"),
+    )
+    metrics = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") / 10000.0).alias("roe"),
+        (F.abs(F.col("c_acctbal")) / 5000.0).alias("debt_to_equity"),
+        (F.col("c_acctbal") / 2000.0).alias("current_ratio"),
+        ((F.col("c_acctbal") - 5000.0) / 10000.0).alias("revenue_growth"),
+        (F.col("c_acctbal") / 20000.0).alias("gross_margin"),
+    ).join(F.broadcast(seg_avg), "c_mktsegment")
+    out = fundamentals.fundamental_score(metrics)
+    return out.select("c_custkey", "score", "recommendation")
+
+
+SQL_A11 = """
+WITH seg AS (
+  SELECT c_mktsegment,
+    avg(c_acctbal / 10000.0) AS sector_avg_roe,
+    avg(c_acctbal / 20000.0) AS sector_avg_margin
+  FROM customer GROUP BY c_mktsegment
+),
+m AS (
+  SELECT c_custkey,
+    c_acctbal / 10000.0 AS roe,
+    abs(c_acctbal) / 5000.0 AS debt_to_equity,
+    c_acctbal / 2000.0 AS current_ratio,
+    (c_acctbal - 5000.0) / 10000.0 AS revenue_growth,
+    c_acctbal / 20000.0 AS gross_margin,
+    sector_avg_roe, sector_avg_margin
+  FROM customer JOIN seg ON customer.c_mktsegment = seg.c_mktsegment
+)
+SELECT c_custkey,
+  (CASE WHEN roe > sector_avg_roe THEN 1 ELSE 0 END
+ + CASE WHEN debt_to_equity < 1.0 THEN 1 ELSE 0 END
+ + CASE WHEN current_ratio > 1.5 THEN 1 ELSE 0 END
+ + CASE WHEN revenue_growth > 0.1 THEN 1 ELSE 0 END
+ + CASE WHEN gross_margin > sector_avg_margin THEN 1 ELSE 0 END) AS score,
+  CASE WHEN (CASE WHEN roe > sector_avg_roe THEN 1 ELSE 0 END
+ + CASE WHEN debt_to_equity < 1.0 THEN 1 ELSE 0 END
+ + CASE WHEN current_ratio > 1.5 THEN 1 ELSE 0 END
+ + CASE WHEN revenue_growth > 0.1 THEN 1 ELSE 0 END
+ + CASE WHEN gross_margin > sector_avg_margin THEN 1 ELSE 0 END) >= 4 THEN 'buy' ELSE 'hold' END AS recommendation
+FROM m
+"""
+
+
+def q_a12_red_flags(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    b = _bars(spark, sf).withColumn("flow", F.round(F.col("close") - F.col("open"), 4))
+    return fundamentals.red_flags(
+        b, key_col="symbol", period_col="d", revenue_col="volume", cf_col="flow"
+    ).select("symbol", "n_periods", "neg_cf_periods", "monotone_decline", "cf_red_flag")
+
+
+SQL_A12 = f"""
+WITH {BARS_SQL},
+f AS (
+  SELECT symbol, d, volume, round(close - open, 4) AS flow,
+    CASE WHEN volume < lag(volume) OVER ({_WIND}) THEN 1 ELSE 0 END
+      + CASE WHEN lag(volume) OVER ({_WIND}) IS NULL THEN NULL ELSE 0 END AS decl,
+    row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn
+  FROM bars
+),
+agg AS (
+  SELECT symbol,
+    count(*) AS n_periods,
+    CAST(sum(CASE WHEN rn <= 4 AND decl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS recent_declines,
+    CAST(sum(CASE WHEN flow < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_cf_periods
+  FROM f GROUP BY symbol
+)
+SELECT symbol, n_periods, neg_cf_periods,
+  (n_periods >= 5 AND recent_declines = 4) AS monotone_decline,
+  (neg_cf_periods >= 3) AS cf_red_flag
+FROM agg
+"""
+
+
+def q_s_viet_parse(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    raw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, F.concat(F.col("l_quantity").cast("string"), F.lit("%")))
+        .when(F.col("l_linenumber") == 2, F.concat(F.col("l_quantity").cast("string"), F.lit(" tỷ")))
+        .when(F.col("l_linenumber") == 3, F.concat(F.col("l_quantity").cast("string"), F.lit(" triệu")))
+        .when(F.col("l_linenumber") == 4, F.concat(F.col("l_quantity").cast("string"), F.lit(" tr")))
+        .when(F.col("l_linenumber") == 5, F.lit("n/a"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("raw"),
+    )
+    return raw.withColumn("parsed", F.round(parse_financial_value(F.col("raw")), 6)).select(
+        "l_orderkey", "l_linenumber", "raw", "parsed"
+    )
+
+
+SQL_VIET = f"""
+WITH raw AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN l_linenumber = 1 THEN CAST(l_quantity AS VARCHAR) || '%'
+         WHEN l_linenumber = 2 THEN CAST(l_quantity AS VARCHAR) || ' tỷ'
+         WHEN l_linenumber = 3 THEN CAST(l_quantity AS VARCHAR) || ' triệu'
+         WHEN l_linenumber = 4 THEN CAST(l_quantity AS VARCHAR) || ' tr'
+         WHEN l_linenumber = 5 THEN 'n/a'
+         ELSE CAST(l_quantity AS VARCHAR) END AS raw
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, raw, round({PARSE_FINANCIAL_SQL.format(c="raw")}, 6) AS parsed
+FROM raw
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — rows-only (no SQL twin): EMA/MACD, composite signal, breakout
+# ---------------------------------------------------------------------------
+
+
+def q_w2_ema_macd(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    out = indicators.add_ema_macd(s, spans=(12, 26))
+    return out.select(
+        "symbol",
+        "time",
+        F.round("ema_12", 4).alias("ema_12"),
+        F.round("ema_26", 4).alias("ema_26"),
+        F.round("macd", 4).alias("macd"),
+        F.round("macd_signal", 4).alias("macd_signal"),
+        F.round("macd_hist", 4).alias("macd_hist"),
+    )
+
+
+def q_w14_composite_signal(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    w = series_window(time_col="d")
+    df = indicators.add_sma(b, periods=(10, 20), w=w)
+    df = indicators.add_rsi(df, period=14, w=w)
+    df = indicators.add_volume_metrics(df, w=w)
+    df = indicators.add_ema_macd(df, spans=(12, 26), time_col="d")
+    out = screeners.composite_signal(df, time_col="d", w=w)
+    return out.select(
+        "symbol", "d", "close", "score", "overall_signal",
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
+def q_w12_breakout(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    w = series_window(time_col="d")
+    df = indicators.add_sma(b, periods=(10, 20), w=w)
+    df = indicators.add_volume_metrics(df, w=w)
+    out = screeners.detect_breakout(df, ma_period=10, w=w)
+    return out.select("symbol", "d", "close", F.col("is_breakout").cast("boolean").alias("is_breakout"))
+
+
+SQL_W12 = f"""
+WITH {BARS_SQL},
+m AS (
+  SELECT symbol, d, close, volume,
+    CASE WHEN count(close) OVER w10 >= 10 THEN avg(close) OVER w10 END AS ma_10,
+    CASE WHEN count(volume) OVER w20 >= 20 THEN avg(volume) OVER w20 END AS vol_sma_20,
+    lag(close) OVER ({_WIND}) AS prev_close
+  FROM bars
+  WINDOW w10 AS ({_WIND} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         w20 AS ({_WIND} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+m2 AS (
+  SELECT symbol, d, close, volume, ma_10, vol_sma_20, prev_close,
+    lag(ma_10) OVER ({_WIND}) AS prev_ma,
+    row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn
+  FROM m
+)
+SELECT symbol, d, close,
+  (close > ma_10 AND prev_close <= prev_ma AND volume > 1.5 * vol_sma_20) AS is_breakout
+FROM m2 WHERE rn = 1
+"""
+
+
+def q_w13_trend(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    w = series_window(time_col="d")
+    df = indicators.add_sma(b, periods=(10, 20), w=w)
+    out = screeners.check_trend(df, w=w, fast="ma_10", slow="ma_20")
+    return out.select(
+        "symbol", "d", "trend",
+        F.round("confidence", 4).alias("confidence"),
+        "higher_highs", "lower_lows",
+    )
+
+
+SQL_W13 = f"""
+WITH {BARS_SQL},
+m AS (
+  SELECT symbol, d, close, high, low,
+    CASE WHEN count(close) OVER w10 >= 10 THEN avg(close) OVER w10 END AS ma_10,
+    CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS ma_20
+  FROM bars
+  WINDOW w10 AS ({_WIND} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         w20 AS ({_WIND} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT symbol, d, close, high, low, ma_10, ma_20,
+    ma_10 - lag(ma_10) OVER ({_WIND}) AS s50,
+    ma_20 - lag(ma_20) OVER ({_WIND}) AS s200,
+    (high > lag(high, 1) OVER ({_WIND}) AND lag(high, 1) OVER ({_WIND}) > lag(high, 2) OVER ({_WIND})) AS hi_mono,
+    (low < lag(low, 1) OVER ({_WIND}) AND lag(low, 1) OVER ({_WIND}) < lag(low, 2) OVER ({_WIND})) AS lo_mono,
+    row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn
+  FROM m
+)
+SELECT symbol, d,
+  CASE WHEN close > ma_10 AND ma_10 > ma_20 AND s50 > 0 AND s200 > 0 THEN 'uptrend'
+       WHEN close < ma_10 AND ma_10 < ma_20 AND s50 < 0 AND s200 < 0 THEN 'downtrend'
+       ELSE 'sideways' END AS trend,
+  round(least(abs(coalesce(s50, 0) + coalesce(s200, 0)), 1.0), 4) AS confidence,
+  coalesce(hi_mono, FALSE) AS higher_highs,
+  coalesce(lo_mono, FALSE) AS lower_lows
+FROM s WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # cleaning / projections / filters
+    "inv_p1_series_normalize": (q_p1_series_normalize, SQL_P1),
+    "inv_p4_dedupe_keep_last": (q_p4_dedupe_keep_last, SQL_P4),
+    "inv_p5_props_cast": (q_p5_props_cast, SQL_P5),
+    "inv_p7_symbol_filter": (q_p7_symbol_filter, SQL_P7),
+    "inv_p8_exchange_predicate": (q_p8_exchange_predicate, SQL_P8),
+    "inv_p11_prefix_filter": (q_p11_prefix_filter, SQL_P11),
+    "inv_p13_criteria_screen": (q_p13_criteria_screen, SQL_P13),
+    # windows on the tick series
+    "inv_w1_sma": (q_w1_sma, SQL_W1),
+    "inv_w3_rsi": (q_w3_rsi, SQL_W3),
+    "inv_w5_bollinger": (q_w5_bollinger, SQL_W5),
+    "inv_w8_returns_momentum": (q_w8_returns_momentum, SQL_W8),
+    "inv_w9_ytd": (q_w9_ytd, SQL_W9),
+    "inv_w10_dist_ma": (q_w10_dist_ma, SQL_W10),
+    "inv_w15_divergence": (q_w15_divergence, SQL_W15),
+    "inv_w17_ffill": (q_w17_ffill, SQL_W17),
+    # bars + market analytics
+    "inv_s1_bars_ohlcv": (q_bars_ohlcv, SQL_BARS),
+    "inv_w6_atr": (q_w6_atr, SQL_W6),
+    "inv_w7_volume_obv": (q_w7_volume_obv, SQL_W7),
+    "inv_w11_support_resistance": (q_w11_support_resistance, SQL_W11),
+    "inv_w12_breakout": (q_w12_breakout, SQL_W12),
+    "inv_w13_trend": (q_w13_trend, SQL_W13),
+    "inv_w16_rolling_corr": (q_w16_rolling_corr, SQL_W16),
+    "inv_w18_densify": (q_w18_densify, SQL_W18),
+    "inv_a1_breadth": (q_a1_breadth, SQL_A1),
+    "inv_a2_market_health": (q_a2_market_health, SQL_A2),
+    "inv_w19_regime": (q_w19_regime, SQL_W19),
+    "inv_o5_top_movers": (q_o5_top_movers, SQL_O5),
+    "inv_a13_weekly_return": (q_a13_weekly_return, SQL_A13),
+    "inv_a6a8_quality": (q_a6a8_quality, SQL_QUALITY),
+    # relational layer
+    "inv_q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "inv_q5_revenue_by_nation": (q_q5_revenue_by_nation, SQL_Q5),
+    "inv_q3_top_orders": (q_q3_top_orders, SQL_Q3),
+    "inv_j_anti_no_orders": (q_j_anti, SQL_J_ANTI),
+    "inv_j_semi_with_orders": (q_j_semi, SQL_J_SEMI),
+    "inv_j2_brand_lookup": (q_j2_brand_lookup, SQL_J2),
+    "inv_o4_topk_per_group": (q_o4_topk_per_group, SQL_O4),
+    "inv_u_set_ops": (q_u_set_ops, SQL_U),
+    "inv_rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
+    "inv_cube_counts": (q_cube_counts, SQL_CUBE),
+    "inv_pivot_status": (q_pivot_status, SQL_PIVOT),
+    "inv_a5_segment_counts": (q_a5_segment_counts, SQL_A5),
+    # fundamentals
+    "inv_a9_sector_median": (q_a9_sector_median, SQL_A9),
+    "inv_a10_dcf": (q_a10_dcf, SQL_A10),
+    "inv_a11_fundamental_score": (q_a11_fundamental_score, SQL_A11),
+    "inv_a12_red_flags": (q_a12_red_flags, SQL_A12),
+    "inv_s_viet_parse": (q_s_viet_parse, SQL_VIET),
+    # rows-only (EMA recursion is not SQL-expressible; pytest carries the
+    # pandas oracle — tests/test_indicators.py)
+    "inv_w2_ema_macd": (q_w2_ema_macd, None),
+    "inv_w14_composite_signal": (q_w14_composite_signal, None),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,250 @@
+"""Deduplication operators over ``documents``: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+North-star operators (BASELINE.json). Scale design:
+- exact dedup = one hash-groupBy on the md5 fingerprint (shuffle on a short
+  key, map-side partial counts).
+- MinHash/LSH avoids the O(n²) pairwise explosion: shingle → K salted min
+  hashes → band → bucket-join; only same-bucket pairs are compared. The hash
+  is the *lexicographic min of md5(salt‖shingle)* — numerically identical to
+  a 128-bit integer MinHash and reproducible in any engine (the oracle runs
+  the same construction in SQL).
+- n-gram Jaccard is the verification step on candidate pairs only.
+- SimHash gives a single 64-bit signature whose Hamming distance bounds
+  cosine similarity of the token sets — here via pandas UDF (bit math), with
+  a pytest oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from market_data_pipeline_spark.operators.text import normalized
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: split → sliding join.
+
+    Narrow ops only (explode is per-row); the dedup pipeline's single shuffle
+    happens later at the band/bucket groupBy.
+    """
+    toks = F.split(normalized(F.col(text_col)), " ")
+    # shingle i = tokens[i..i+n-1], for i in 0..size-n
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(normalized text); emit groups with >1 doc,
+    keeping min doc_id as the canonical survivor."""
+    h = F.md5(normalized(F.col(text_col)))
+    return (
+        df.withColumn("fingerprint", h)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The applied form: one surviving row per distinct normalized text
+    (min doc_id wins — deterministic, unlike dropDuplicates)."""
+    h = F.md5(normalized(F.col(text_col)))
+    keep = (
+        df.withColumn("fingerprint", h)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return keep.join(df, id_col, "inner").select(id_col, "fingerprint")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 12, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc: for seed k, sig_k = min(md5(k‖shingle)).
+
+    Lexicographic min over md5 hex == numeric min over the 128-bit hash —
+    a true MinHash family, engine-portable. One explode + one groupBy(doc).
+    """
+    sh = shingles(df, text_col, shingle_n, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (rows = num_hashes/bands),
+    bucket on md5(band contents), self-join buckets, emit ordered pairs.
+
+    The banding turns near-dup search from O(n²) into a groupBy on bucket
+    keys — the 100 TB path. Bucket skew (a viral shingle set) is handled by
+    AQE skew-join splitting.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """n-gram Jaccard similarity. With ``candidates`` (doc_a, doc_b) this
+    verifies only LSH survivors (the scale path); without, it computes all
+    same-shingle pairs — correct for small corpora / the oracle check.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets.
+    """
+    sh = shingles(df, text_col, shingle_n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    common = (
+        a.join(
+            b,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("doc_a"), F.col(f"sb.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash 64-bit signature per document via Arrow-vectorized pandas UDF.
+
+    Token hashes come from Python's stable md5; each bit position accumulates
+    ±1 per token and the sign becomes the signature bit. Bit math has no
+    native columnar expression — this is the documented pandas-UDF slow path
+    (still one scan, no shuffle).
+    """
+    import hashlib
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        mask = (1 << bits) - 1
+        for t in texts:
+            toks = (t or "").lower().split()
+            acc = [0] * bits
+            for tok in set(toks):
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            sig = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    sig |= 1 << i
+            # wrap to signed 64-bit for Spark LongType
+            sig &= mask
+            if sig >= 1 << (bits - 1):
+                sig -= 1 << bits
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Banding on 16-bit chunks
+    (pigeonhole: ≤3 differing chunks guaranteed when distance ≤ max_hamming
+    over 4 chunks) keeps it join-based rather than all-pairs."""
+    sig = simhash_signatures(df, text_col, id_col)
+    chunks = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+        )
+        for i in range(4)
+    ]
+    keyed = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunks)).alias("c")
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.v").alias("v"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

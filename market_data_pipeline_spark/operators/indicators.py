@@ -1,0 +1,237 @@
+"""Technical indicators over a long (symbol, time, close, ...) series.
+
+Reference parity: /root/reference/src/transformers/technical_indicators.py —
+eight chained per-symbol pandas passes (SMA, EMA, RSI, MACD, Bollinger, ATR,
+volume, momentum; /root/reference/src/pipeline.py:296-306). Here each is a
+window expression over ONE shared ``Window.partitionBy(symbol).orderBy(time)``
+so the whole chain is a single shuffle + single window stage in the physical
+plan, however many indicators stack.
+
+Every rolling op carries pandas' ``min_periods=N`` null-prefix semantics via
+``min_periods`` (SURVEY.md §7.3). EMA/MACD are the one genuinely non-native
+pair (recursive ewm) — Arrow-vectorized ``applyInPandas`` per symbol, which at
+scale is an embarrassingly-parallel per-key pass with no extra shuffle beyond
+the one the chain already pays.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import (
+    clip,
+    cumprod1p_minus1,
+    min_periods,
+    rolling,
+    safe_div,
+    series_window,
+)
+
+
+def add_sma(df: DataFrame, periods=(10, 20, 50, 200), col="close", w: WindowSpec | None = None) -> DataFrame:
+    """W1 — simple moving averages (technical_indicators.py:17-42)."""
+    w = w or series_window()
+    for p in periods:
+        df = df.withColumn(f"ma_{p}", min_periods(F.avg(col), F.col(col), w, p))
+    return df
+
+
+def add_rsi(df: DataFrame, period: int = 14, col="close", w: WindowSpec | None = None) -> DataFrame:
+    """W3 — RSI(14) + signal label (technical_indicators.py:62-81).
+
+    delta = diff; gain = clip(delta, 0, ∞); loss = −clip(delta, −∞, 0);
+    rsi = 100 − 100/(1+avg_gain/avg_loss); ÷0 → null;
+    label: >70 overbought, <30 oversold, else neutral.
+    """
+    w = w or series_window()
+    delta = F.col(col) - F.lag(col, 1).over(w)
+    df = df.withColumn("__delta", delta)
+    # greatest() skips nulls (→ 0); pandas clip keeps NaN NaN, so guard
+    # explicitly to preserve the reference's mean-over-13-values head rows.
+    gain = F.when(F.col("__delta").isNotNull(), F.greatest(F.col("__delta"), F.lit(0.0)))
+    loss = F.when(F.col("__delta").isNotNull(), F.greatest(-F.col("__delta"), F.lit(0.0)))
+    avg_gain = min_periods(F.avg(gain), F.col("__delta"), w, period)
+    avg_loss = min_periods(F.avg(loss), F.col("__delta"), w, period)
+    rs = safe_div(avg_gain, avg_loss)
+    df = df.withColumn("rsi", F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs))
+    df = df.withColumn(
+        "rsi_signal",
+        F.when(F.col("rsi") > 70, "overbought")
+        .when(F.col("rsi") < 30, "oversold")
+        .otherwise("neutral"),
+    )
+    return df.drop("__delta")
+
+
+def add_bollinger(df: DataFrame, period: int = 20, num_std: float = 2.0, col="close", w: WindowSpec | None = None) -> DataFrame:
+    """W5 — Bollinger bands (technical_indicators.py:104-134)."""
+    w = w or series_window()
+    mid = min_periods(F.avg(col), F.col(col), w, period)
+    sd = min_periods(F.stddev_samp(col), F.col(col), w, period)
+    df = (
+        df.withColumn("bb_middle", mid)
+        .withColumn("__bb_sd", sd)
+        .withColumn("bb_upper", F.col("bb_middle") + num_std * F.col("__bb_sd"))
+        .withColumn("bb_lower", F.col("bb_middle") - num_std * F.col("__bb_sd"))
+        .withColumn(
+            "bb_width",
+            safe_div(F.col("bb_upper") - F.col("bb_lower"), F.col("bb_middle")),
+        )
+        .withColumn(
+            "bb_position",
+            clip(
+                safe_div(F.col(col) - F.col("bb_lower"), F.col("bb_upper") - F.col("bb_lower")),
+                0.0,
+                1.0,
+            ),
+        )
+    )
+    return df.drop("__bb_sd")
+
+
+def add_atr(df: DataFrame, period: int = 20, w: WindowSpec | None = None) -> DataFrame:
+    """W6 — ATR + volatility ratio (technical_indicators.py:136-158).
+
+    Needs high/low/close columns (daily bars). TR is the join-free 3-way max
+    (J5): greatest(h−l, |h−prev_c|, |l−prev_c|).
+    """
+    w = w or series_window(time_col="d")
+    prev_c = F.lag("close", 1).over(w)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_c),
+        F.abs(F.col("low") - prev_c),
+    )
+    df = df.withColumn("__tr", tr)
+    df = df.withColumn("atr", min_periods(F.avg(F.col("__tr")), F.col("__tr"), w, period))
+    df = df.withColumn(
+        "close_std", min_periods(F.stddev_samp("close"), F.col("close"), w, period)
+    )
+    df = df.withColumn("volatility_ratio", safe_div(F.col("atr"), F.col("close")))
+    return df.drop("__tr")
+
+
+def add_volume_metrics(df: DataFrame, vol_col="volume", close_col="close", w: WindowSpec | None = None) -> DataFrame:
+    """W7 — volume SMAs, ratio, OBV, volume-price trend
+    (technical_indicators.py:160-173). OBV = running Σ sign(Δclose)·volume."""
+    w = w or series_window(time_col="d")
+    wall = w.rowsBetween(Window.unboundedPreceding, 0)
+    delta = F.col(close_col) - F.lag(close_col, 1).over(w)
+    df = (
+        df.withColumn("vol_sma_10", min_periods(F.avg(vol_col), F.col(vol_col), w, 10))
+        .withColumn("vol_sma_20", min_periods(F.avg(vol_col), F.col(vol_col), w, 20))
+        .withColumn("volume_ratio", safe_div(F.col(vol_col), F.col("vol_sma_20")))
+        .withColumn("__dir", F.when(delta.isNull(), F.lit(0.0)).otherwise(F.signum(delta)))
+        .withColumn("obv", F.sum(F.col("__dir") * F.col(vol_col)).over(wall))
+        .withColumn("volume_price_trend", F.col(vol_col) * delta)
+    )
+    return df.drop("__dir")
+
+
+def add_returns_momentum(df: DataFrame, col="close", w: WindowSpec | None = None, horizons=(21, 63, 126)) -> DataFrame:
+    """W8 — returns, cumulative return, momentum (technical_indicators.py:175-197).
+
+    cumulative_return uses the exact log-space cumprod rewrite (helper);
+    momentum_k = close/close.shift(k) − 1, null when the series is shorter.
+    """
+    w = w or series_window()
+    prev = F.lag(col, 1).over(w)
+    df = (
+        df.withColumn("daily_return_pct", safe_div(F.col(col), prev) - 1)
+        .withColumn("daily_return_abs", F.col(col) - prev)
+        .withColumn(
+            "cumulative_return",
+            cumprod1p_minus1(F.coalesce(F.col("daily_return_pct"), F.lit(0.0)), w),
+        )
+    )
+    names = {21: "momentum_1m", 63: "momentum_3m", 126: "momentum_6m"}
+    for k in horizons:
+        df = df.withColumn(
+            names.get(k, f"momentum_{k}"), safe_div(F.col(col), F.lag(col, k).over(w)) - 1
+        )
+    return df
+
+
+def add_ytd_momentum(df: DataFrame, current_year: int, col="close", symbol_col="symbol", time_col="time") -> DataFrame:
+    """W9 — YTD momentum (technical_indicators.py:198, 212-233).
+
+    close / first_close_of_current_year − 1; null for rows outside the year.
+    ``current_year`` is a parameter, not wall-clock, so results are
+    deterministic (SURVEY.md §7.3).
+    """
+    wy = Window.partitionBy(symbol_col, F.year(time_col)).orderBy(time_col)
+    first_close = F.first(col).over(wy)
+    return df.withColumn(
+        "momentum_ytd",
+        F.when(
+            F.year(time_col) == current_year, safe_div(F.col(col), first_close) - 1
+        ),
+    )
+
+
+def add_dist_ma(df: DataFrame, periods=(10, 20, 50, 200), col="close") -> DataFrame:
+    """W10 — distance to each moving average (technical_indicators.py:199-202)."""
+    for p in periods:
+        ma = F.col(f"ma_{p}")
+        df = df.withColumn(f"dist_ma_{p}", safe_div(F.col(col) - ma, ma))
+    return df
+
+
+def add_support_resistance(df: DataFrame, lookback: int = 10, w: WindowSpec | None = None) -> DataFrame:
+    """W11 — rolling support/resistance levels (technical_screener.py:50-70)."""
+    w = w or series_window(time_col="d")
+    df = df.withColumn(
+        "resistance", min_periods(F.max("high"), F.col("high"), w, lookback)
+    )
+    df = df.withColumn("support", min_periods(F.min("low"), F.col("low"), w, lookback))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# EMA / MACD — the one genuinely custom operator (SURVEY.md §7.2).
+# ---------------------------------------------------------------------------
+
+def add_ema_macd(
+    df: DataFrame,
+    spans=(12, 26),
+    macd: tuple[int, int, int] = (12, 26, 9),
+    col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+) -> DataFrame:
+    """W2/W4 — EMA(span, adjust=False, min_periods=span) and MACD(12,26,9).
+
+    pandas semantics (technical_indicators.py:44-60, 83-102): EMA_t =
+    α·c_t + (1−α)·EMA_{t−1}, α = 2/(span+1), seeded with the first value and
+    nulled until ``span`` observations. The recursion has no Spark window
+    aggregate; implemented as grouped-map ``applyInPandas`` — per-symbol
+    pandas ``ewm`` on Arrow batches. At 100 TB: one shuffle on symbol (shared
+    with the indicator chain), then embarrassingly parallel; symbol
+    cardinality ≫ cores so no skew concern, and each group is one symbol's
+    series (~500 rows in the reference workload), far below executor memory.
+    """
+    fast, slow, signal = macd
+    out_fields = df.schema.fields
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+    for s in spans:
+        schema_parts.append(f"ema_{s} double")
+    schema_parts += ["macd double", "macd_signal double", "macd_hist double"]
+    out_schema = ", ".join(schema_parts)
+
+    def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        c = pdf[col]
+        for s in spans:
+            pdf[f"ema_{s}"] = c.ewm(span=s, adjust=False, min_periods=s).mean()
+        ema_fast = c.ewm(span=fast, adjust=False, min_periods=fast).mean()
+        ema_slow = c.ewm(span=slow, adjust=False, min_periods=slow).mean()
+        line = ema_fast - ema_slow
+        pdf["macd"] = line
+        pdf["macd_signal"] = line.ewm(span=signal, adjust=False, min_periods=signal).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(symbol_col).applyInPandas(per_symbol, schema=out_schema)

@@ -1,0 +1,60 @@
+"""Data-quality validation: the reference's ``--mode validate`` as ONE
+aggregate job.
+
+Reference parity: /root/reference/src/pipeline.py:377-406 — business-day
+completeness, duplicate timestamps, negative closes, zero-volume bars,
+freshness, and a 0-100 quality score. The reference runs five separate pandas
+passes per symbol; here it is a single groupBy(symbol).agg() — one shuffle,
+map-side partials, scan-bound at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import clip
+
+
+def quality_report(df: DataFrame, symbol_col="symbol", time_col="time", close_col="close") -> DataFrame:
+    """Per-symbol quality metrics + score.
+
+    quality_score = max(0, 100 − 10·issues) (pipeline.py:400) where an issue
+    is each check with a nonzero count; business-day completeness compares
+    distinct observed dates with the Mon-Fri count in [min,max]
+    (pipeline.py:385-390) computed via a datediff expression instead of a
+    generated calendar — no extra join.
+    """
+    d = F.to_date(time_col)
+    agg = df.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(d).alias("n_days"),
+        F.min(d).alias("first_day"),
+        F.max(d).alias("last_day"),
+        F.max(time_col).alias("freshness"),
+        (F.count(F.lit(1)) - F.countDistinct(time_col)).alias("dup_times"),
+        F.sum(F.when(F.col(close_col) < 0, 1).otherwise(0)).alias("neg_close"),
+        F.sum(F.when(F.col(close_col) == 0, 1).otherwise(0)).alias("zero_close"),
+    )
+    # Mon-Fri business days in [first_day, last_day]: full weeks contribute 5
+    # each; the remainder is resolved from the start weekday. weekday(): 0=Mon.
+    span = F.datediff(F.col("last_day"), F.col("first_day")) + 1
+    full_weeks = F.floor(span / 7)
+    rem = span % 7
+    start_dow = F.weekday(F.col("first_day"))
+    rem_bus = F.greatest(F.lit(0), F.least(rem, F.lit(5) - start_dow)) + F.greatest(
+        F.lit(0), rem - (F.lit(7) - start_dow)
+    )
+    agg = agg.withColumn("expected_bdays", (full_weeks * 5 + rem_bus).cast("long"))
+    agg = agg.withColumn(
+        "missing_days", F.greatest(F.lit(0), F.col("expected_bdays") - F.col("n_days")).cast("long")
+    )
+    issues = (
+        F.when(F.col("missing_days") > 0, 1).otherwise(0)
+        + F.when(F.col("dup_times") > 0, 1).otherwise(0)
+        + F.when(F.col("neg_close") > 0, 1).otherwise(0)
+        + F.when(F.col("zero_close") > 0, 1).otherwise(0)
+    )
+    return agg.withColumn(
+        "quality_score", clip(F.lit(100.0) - 10.0 * issues, 0.0, None)
+    )

@@ -1,0 +1,221 @@
+"""Screeners & signals: breakout/trend/divergence detection, the composite
+signal, and the criteria-DSL predicate compiler.
+
+Reference parity: /root/reference/src/analyzers/technical_screener.py.
+The reference evaluates each screen on ONE symbol's frame inside a Python
+loop; here every screen is a set-oriented plan over the long series — the
+"latest row per symbol" idiom is a row_number window, and the per-symbol loop
+disappears into partition parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from market_data_pipeline_spark.functions.helpers import min_periods, safe_div, series_window
+
+
+def last_row_per_symbol(df: DataFrame, symbol_col="symbol", time_col="time", *tiebreak: str) -> DataFrame:
+    """The reference's ``df.iloc[-1]`` per symbol
+    (technical_screener.py:151-158) as a single window pass."""
+    order = [F.col(time_col).desc()] + [F.col(t).desc() for t in tiebreak]
+    w = Window.partitionBy(symbol_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def detect_breakout(df: DataFrame, ma_period: int = 20, vol_mult: float = 1.5, w: WindowSpec | None = None) -> DataFrame:
+    """W12 — breakout scan (technical_screener.py:18-48): latest row where
+    close crosses above MA while volume exceeds vol_mult × its 20-bar SMA.
+
+    Expects ``ma_{p}`` and ``vol_sma_20`` columns (indicators upstream).
+    Emits one row per symbol with a boolean ``is_breakout``.
+    """
+    w = w or series_window(time_col="d")
+    ma = F.col(f"ma_{ma_period}")
+    df = df.withColumn("__prev_close", F.lag("close", 1).over(w)).withColumn(
+        "__prev_ma", F.lag(f"ma_{ma_period}", 1).over(w)
+    )
+    latest = last_row_per_symbol(df, time_col="d")
+    return latest.withColumn(
+        "is_breakout",
+        (F.col("close") > ma)
+        & (F.col("__prev_close") <= F.col("__prev_ma"))
+        & (F.col("volume") > vol_mult * F.col("vol_sma_20")),
+    ).drop("__prev_close", "__prev_ma")
+
+
+def check_trend(df: DataFrame, w: WindowSpec | None = None, fast: str = "ma_50", slow: str = "ma_200") -> DataFrame:
+    """W13 — trend check (technical_screener.py:72-104): MA50/MA200 ordering +
+    one-step slopes; monotone last-3 highs/lows; confidence = clip(|Σslopes|,0,1).
+
+    ``fast``/``slow`` parameterize the MA pair so short test series (30 bars)
+    can exercise the same logic with ma_10/ma_20."""
+    w = w or series_window(time_col="d")
+    slope50 = F.col(fast) - F.lag(fast, 1).over(w)
+    slope200 = F.col(slow) - F.lag(slow, 1).over(w)
+    hi_mono = (F.col("high") > F.lag("high", 1).over(w)) & (
+        F.lag("high", 1).over(w) > F.lag("high", 2).over(w)
+    )
+    lo_mono = (F.col("low") < F.lag("low", 1).over(w)) & (
+        F.lag("low", 1).over(w) < F.lag("low", 2).over(w)
+    )
+    df = (
+        df.withColumn("__s50", slope50)
+        .withColumn("__s200", slope200)
+        .withColumn("__hi_mono", hi_mono)
+        .withColumn("__lo_mono", lo_mono)
+    )
+    latest = last_row_per_symbol(df, time_col="d")
+    trend = (
+        F.when(
+            (F.col("close") > F.col(fast))
+            & (F.col(fast) > F.col(slow))
+            & (F.col("__s50") > 0)
+            & (F.col("__s200") > 0),
+            "uptrend",
+        )
+        .when(
+            (F.col("close") < F.col(fast))
+            & (F.col(fast) < F.col(slow))
+            & (F.col("__s50") < 0)
+            & (F.col("__s200") < 0),
+            "downtrend",
+        )
+        .otherwise("sideways")
+    )
+    conf = F.least(F.abs(F.coalesce(F.col("__s50"), F.lit(0.0)) + F.coalesce(F.col("__s200"), F.lit(0.0))), F.lit(1.0))
+    return (
+        latest.withColumn("trend", trend)
+        .withColumn("confidence", conf)
+        .withColumn("higher_highs", F.coalesce(F.col("__hi_mono"), F.lit(False)))
+        .withColumn("lower_lows", F.coalesce(F.col("__lo_mono"), F.lit(False)))
+        .drop("__s50", "__s200", "__hi_mono", "__lo_mono")
+    )
+
+
+def scan_divergence(df: DataFrame, indicator: str = "rsi", lookback: int = 14, w: WindowSpec | None = None) -> DataFrame:
+    """W15 — divergence scan (technical_screener.py:106-141): price trend vs
+    indicator trend over a sliding ``lookback`` window; emits event rows.
+
+    regular = price up, indicator down; hidden = price down, indicator up.
+    """
+    w = w or series_window()
+    price_d = F.col("close") - F.lag("close", lookback).over(w)
+    ind_d = F.col(indicator) - F.lag(indicator, lookback).over(w)
+    kind = (
+        F.when((price_d > 0) & (ind_d < 0), "regular")
+        .when((price_d < 0) & (ind_d > 0), "hidden")
+    )
+    return (
+        df.withColumn("divergence", kind)
+        .filter(F.col("divergence").isNotNull())
+        .select("symbol", "time", "close", F.col(indicator), "divergence")
+    )
+
+
+def composite_signal(df: DataFrame, time_col: str = "time", w: WindowSpec | None = None) -> DataFrame:
+    """W14 — the composite buy/sell signal (technical_screener.py:143-203).
+
+    Latest-row scoring: RSI<30 → +2, RSI>70 → −2; close crossing MA20 up/down
+    ±2; MACD crossing its signal ±2; volume above its SMA20 +1. overall buy if
+    score>1, sell if score<−1; confidence = min(1, |score|/6). ``breakdown``
+    is a map column mirroring the reference's nested dict.
+
+    Expects rsi / ma_20 / macd / macd_signal / vol columns upstream.
+    """
+    w = w or series_window(time_col=time_col)
+    df = (
+        df.withColumn("__prev_close", F.lag("close", 1).over(w))
+        .withColumn("__prev_ma20", F.lag("ma_20", 1).over(w))
+        .withColumn("__prev_macd", F.lag("macd", 1).over(w))
+        .withColumn("__prev_sig", F.lag("macd_signal", 1).over(w))
+    )
+    latest = last_row_per_symbol(df, time_col=time_col)
+
+    rsi_score = (
+        F.when(F.col("rsi") < 30, 2).when(F.col("rsi") > 70, -2).otherwise(0)
+    )
+    ma_score = (
+        F.when(
+            (F.col("close") > F.col("ma_20")) & (F.col("__prev_close") <= F.col("__prev_ma20")), 2
+        )
+        .when(
+            (F.col("close") < F.col("ma_20")) & (F.col("__prev_close") >= F.col("__prev_ma20")), -2
+        )
+        .otherwise(0)
+    )
+    macd_score = (
+        F.when(
+            (F.col("macd") > F.col("macd_signal")) & (F.col("__prev_macd") <= F.col("__prev_sig")), 2
+        )
+        .when(
+            (F.col("macd") < F.col("macd_signal")) & (F.col("__prev_macd") >= F.col("__prev_sig")), -2
+        )
+        .otherwise(0)
+    )
+    vol_score = F.when(F.col("volume") > F.col("vol_sma_20"), 1).otherwise(0)
+
+    latest = (
+        latest.withColumn("rsi_score", rsi_score)
+        .withColumn("ma_breakout", ma_score)
+        .withColumn("macd_cross", macd_score)
+        .withColumn("volume_score", vol_score)
+        .withColumn(
+            "score",
+            F.col("rsi_score") + F.col("ma_breakout") + F.col("macd_cross") + F.col("volume_score"),
+        )
+        .withColumn(
+            "overall_signal",
+            F.when(F.col("score") > 1, "buy").when(F.col("score") < -1, "sell").otherwise("neutral"),
+        )
+        .withColumn("confidence", F.least(F.lit(1.0), F.abs(F.col("score")) / 6.0))
+        .withColumn(
+            "breakdown",
+            F.create_map(
+                F.lit("rsi"), F.col("rsi_score"),
+                F.lit("ma_breakout"), F.col("ma_breakout"),
+                F.lit("macd_cross"), F.col("macd_cross"),
+                F.lit("volume"), F.col("volume_score"),
+            ),
+        )
+    )
+    return latest.drop("__prev_close", "__prev_ma20", "__prev_macd", "__prev_sig")
+
+
+# ---------------------------------------------------------------------------
+# P13 — criteria-DSL predicate compiler (technical_screener.py:205-251):
+# build a Column expression from {'col'|'value', 'op'} dicts — a compiler,
+# not a UDF; the resulting predicate is pushed through Catalyst like any
+# hand-written filter.
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    "lt": lambda a, b: a < b,
+    "gt": lambda a, b: a > b,
+    "lte": lambda a, b: a <= b,
+    "gte": lambda a, b: a >= b,
+    "eq": lambda a, b: a == b,
+}
+
+
+def compile_criteria(criteria: dict[str, dict]) -> Column:
+    """``{'rsi': {'op': 'lt', 'value': 30}, 'close': {'op': 'gt', 'col':
+    'ma_20'}}`` → a single AND-ed Column predicate."""
+    pred = F.lit(True)
+    for col_name, spec in criteria.items():
+        op = _OPS[spec["op"]]
+        rhs = F.col(spec["col"]) if "col" in spec else F.lit(spec["value"])
+        pred = pred & op(F.col(col_name), rhs)
+    return pred
+
+
+def screen(df: DataFrame, criteria: dict[str, dict], time_col: str = "time") -> DataFrame:
+    """Apply the criteria DSL to the latest row per symbol — the reference's
+    ``screen_symbols`` loop (technical_screener.py:205-251) as one plan."""
+    return last_row_per_symbol(df, time_col=time_col).filter(compile_criteria(criteria))

@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+North-star operators (BASELINE.json):
+- brute-force cosine top-k — the exactness baseline, expressed with
+  higher-order functions (``zip_with`` + ``aggregate``) so the dot products
+  run JVM-side inside codegen, not in Python;
+- LSH-bucketed ANN (random-hyperplane signs) — the 100 TB path: candidates
+  meet only inside matching buckets;
+- centroid/IVF-style routing: assign vectors to the nearest of K pivots,
+  probe only the query's pivot cell.
+
+At scale the query side is small (broadcast) and the corpus side streams —
+exactly the asymmetric shape Spark joins like.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize once so cosine becomes a plain dot product downstream —
+    the standard corpus-side preprocessing at scale."""
+    n = _norm(F.col(vec_col).cast("array<double>"))
+    return df.withColumn(
+        "unit_vec",
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / n),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set, cross
+    join against the corpus, rank per query. The cross join is
+    |queries|×|corpus| — linear in corpus size for a fixed query batch, which
+    is the honest exact-search cost; ANN below cuts it."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, no numpy RNG state
+    dependence) — same planes on every executor and in tests."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x40000000 - 1.0)  # uniform-ish in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int = 64, n_planes: int = 12, vec_col: str = "embedding", seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH signature: bit i = sign(v·plane_i). Planes are
+    literal arrays folded into the plan (broadcast by construction)."""
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(_dot(v, p) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn("lsh_bucket", sig)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: equi-join on the LSH bucket, rank within bucket matches.
+    Probes one bucket (multi-probe = union of neighbor buckets, omitted for
+    clarity). Recall is checked against brute force in tests."""
+    from pyspark.sql import Window
+
+    cb = lsh_bucket(corpus, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        "lsh_bucket",
+    )
+    qb = lsh_bucket(queries, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        "lsh_bucket",
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "lsh_bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rk")
+    )
+
+
+def ivf_assign(df: DataFrame, n_cells: int = 16, dim: int = 64, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-style cell routing: assign each vector to the nearest of K
+    deterministic pivots (here: hyperplane-derived pseudo-centroids). The
+    partitioning layer of an IVF index — at 100 TB you write the corpus
+    partitioned by cell and prune scans to probed cells."""
+    pivots = _hyperplanes(dim, n_cells, seed=13)
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            _dot(v, F.array(*[F.lit(x) for x in p]))
+            for p in pivots
+        ]
+    )
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return df.select(F.col(id_col), v.alias("vec"), best.cast("int").alias("cell"))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95, vec_col: str = "embedding", id_col: str = "vec_id", n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then the
+    exact cosine filter. The dedup counterpart of ann_topk."""
+    b = lsh_bucket(df, dim, n_planes, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "lsh_bucket"
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            "cos_sim",
+        )
+    )

@@ -1,0 +1,146 @@
+"""Batch sources: parquet table loaders and the canonical market-series views.
+
+Reference parity: the reference fetches one pandas frame per symbol over HTTP
+(/root/reference/src/extractors/price_extractor.py:70-106) and stores
+file-per-symbol parquet (/root/reference/src/pipeline.py:308-313). The Spark
+re-expression is a single long, columnar table per entity; "per-symbol" becomes
+a partition key. At 100 TB this is the difference between 1.7k tiny files with
+driver-side loops and a partition-pruned columnar scan.
+
+The driver's testdata (TESTDATA.md) stands in for the market feeds:
+``events(user_id, ts, value)`` plays the tick stream (user_id ≙ symbol,
+ts ≙ time, value ≙ price) and daily OHLCV bars are *derived* from it — the
+same role the vnstock OHLCV endpoint plays for the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Columnar parquet scan: Catalyst pushes
+    filters and prunes columns into this reader (check ``PushedFilters`` /
+    ``ReadSchema`` in ``.explain``).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    read as raw long; we truncate to microseconds with integer division —
+    exactly what DuckDB's µs-precision TIMESTAMP does on the same file, so
+    both engines see identical values. (Float division would round, not
+    truncate, and can flip a ...999 ns value to the next microsecond.)
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(path)
+
+
+def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tick-level price series: (event_id, symbol, time, close).
+
+    Mirrors the reference's cleaned OHLCV contract
+    (/root/reference/src/extractors/price_extractor.py:87-106): required
+    columns present, nulls dropped, canonical names. ``event_id`` is kept as
+    the deterministic ingest-order tiebreaker that pandas' positional
+    ``keep='last'`` dedupe needs in a distributed setting (SURVEY.md §4.3).
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id"),
+            F.col("user_id").alias("symbol"),
+            F.col("ts").alias("time"),
+            F.col("value").alias("close"),
+        )
+        .filter(F.col("time").isNotNull() & F.col("close").isNotNull())
+    )
+
+
+def bars_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV bars derived from the tick stream.
+
+    open/close use ``min_by``/``max_by`` on the timestamp — deterministic
+    because ``ts`` is unique per symbol (keep-last dedupe runs upstream
+    otherwise). One shuffle on (symbol, d); every downstream indicator window
+    partitioned by symbol reuses compatible partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("user_id").alias("symbol"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.round(F.sum("value"), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+# Shared DuckDB-oracle CTE texts (kept beside the builders so the SQL twin and
+# the DataFrame program evolve together; __spark_entry__.oracle_sql composes
+# them).
+SERIES_SQL = """
+series AS (
+  SELECT event_id, user_id AS symbol, ts AS time, value AS close
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+""".strip()
+
+BARS_SQL = """
+bars AS (
+  SELECT user_id AS symbol,
+         CAST(ts AS DATE) AS d,
+         arg_min(value, ts) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, ts) AS close,
+         round(sum(value), 4) AS volume,
+         count(*) AS n_trades
+  FROM events
+  GROUP BY 1, 2
+)
+""".strip()
+
+
+def bars_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily market-wide bars from the relational fact table: lineitem rows
+    aggregated per ship-date play the 'index-level' series role
+    (FIXTURES.md §B). Pure shuffle-agg; partial aggregation (map-side combine)
+    makes this scan-bound at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("turnover"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.max("l_extendedprice").alias("high"),
+            F.min("l_extendedprice").alias("low"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )

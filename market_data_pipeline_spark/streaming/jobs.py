@@ -1,0 +1,116 @@
+"""Structured Streaming surface.
+
+The reference fakes streaming with a 60 s TTL cache
+(/root/reference/src/extractors/price_extractor.py:16-136) and an 18:00
+sleep-loop scheduler (/root/reference/scripts/daily_update.py:57-104).
+The Spark-native replacements (SURVEY.md §2.9):
+
+- TTL cache        → micro-batch trigger(processingTime='60 seconds')
+- keep-last dedupe → withWatermark + dropDuplicates on (symbol, time)
+- daily loop       → trigger(availableNow=True) incremental batch
+- plus the windows the reference never had: tumbling / sliding / session.
+
+Streaming queries are verified by driving the same parquet data through the
+stream (memory sink, processAllAvailable) and comparing against the batch
+plan — Structured Streaming guarantees the same answer for the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. Schema pinned (streaming
+    readers never infer); pathGlobFilter scopes the directory scan to the
+    events table."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows per event_type: count + sum(value).
+    Watermark bounds state; late rows beyond it are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("event_type"),
+            F.col("n"),
+            F.col("total_value"),
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The keep-last-cache semantics as a stream: drop duplicate
+    (user_id, ts) within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "ts"])
+
+
+def session_windows_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization (batch form): gaps-and-islands — a new session starts
+    when the gap from the previous event exceeds ``gap_minutes``. The batch
+    twin of streaming ``session_window`` (same boundaries), oracle-checkable
+    in SQL. One shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag("ts", 1).over(w).cast("long")
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    by_session = (
+        events.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+    return by_session
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """True streaming session windows via ``session_window`` — state merges
+    as events arrive; watermark closes sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming plan to completion on the available files and return
+    the materialized result — the local verification harness for the
+    streaming surface (a real deployment writes to Kafka/Delta instead)."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

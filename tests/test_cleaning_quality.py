@@ -1,0 +1,87 @@
+"""Cleaning kernel + quality aggregate contracts (reference semantics:
+data_cleaner.py, data_validator.py, pipeline.py:377-406)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import (
+    keep_last_dedupe,
+    require_columns,
+    snake_case_columns,
+)
+from market_data_pipeline_spark.operators import cleaning, quality
+from market_data_pipeline_spark.sources.tables import series_from_events
+
+
+def test_keep_last_dedupe_keeps_highest_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10, 1.0),
+            (2, "A", 10, 2.0),  # same (symbol, time), later ingest — must win
+            (3, "A", 11, 3.0),
+        ],
+        "event_id long, symbol string, time long, close double",
+    )
+    out = keep_last_dedupe(df, ["symbol", "time"], "event_id").collect()
+    got = {(r.symbol, r.time): r.close for r in out}
+    assert got == {("A", 10): 2.0, ("A", 11): 3.0}
+
+
+def test_snake_case_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["  Close Price ", "Volume(K)"])
+    assert snake_case_columns(df).columns == ["close_price", "volume_k"]
+
+
+def test_require_columns_raises(spark):
+    df = spark.createDataFrame([(1,)], ["time"])
+    with pytest.raises(ValueError, match="missing required columns"):
+        require_columns(df, ["time", "close"])
+
+
+def test_validate_symbols_format_and_dedupe(spark):
+    df = spark.createDataFrame(
+        [(" vnm ",), ("VNM",), ("toolong123",), ("ab",), ("HPG",)], ["symbol"]
+    )
+    out = {r.symbol for r in cleaning.validate_symbols(df).collect()}
+    assert out == {"VNM", "HPG"}
+
+
+def test_densify_fills_gaps(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", datetime.date(2024, 1, 1), 1.0, 5.0),
+            ("A", datetime.date(2024, 1, 4), 2.0, 6.0),
+        ],
+        "symbol string, d date, close double, volume double",
+    )
+    out = cleaning.densify_calendar(df, zero_fill=("volume",)).orderBy("d").collect()
+    assert [r.d.day for r in out] == [1, 2, 3, 4]
+    assert [r.volume for r in out] == [5.0, 0.0, 0.0, 6.0]
+    assert out[1].close is None
+
+
+def test_quality_report_shapes(spark, sf_dir):
+    s = series_from_events(spark, sf_dir)
+    rep = quality.quality_report(s)
+    rows = rep.collect()
+    assert len(rows) == s.select("symbol").distinct().count()
+    for r in rows:
+        assert 0 <= r.quality_score <= 100
+        assert r.dup_times == 0  # synthetic events have unique (symbol, ts)
+        assert r.expected_bdays >= r.n_days - 10  # sanity: formula in range
+
+
+def test_quality_business_day_formula(spark):
+    # 2024-01-01 (Mon) .. 2024-01-14 (Sun) = exactly 10 business days
+    rows = [
+        ("A", datetime.datetime(2024, 1, 1), 1.0),
+        ("A", datetime.datetime(2024, 1, 14), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, time timestamp, close double")
+    r = quality.quality_report(df).collect()[0]
+    assert r.expected_bdays == 10

@@ -1,0 +1,108 @@
+"""Indicator correctness against independent pandas oracles — mirrors the
+reference's column math (technical_indicators.py) recomputed with pandas on
+the same data, per SURVEY.md §5."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import series_window
+from market_data_pipeline_spark.operators import indicators
+from market_data_pipeline_spark.sources.tables import series_from_events
+
+
+@pytest.fixture(scope="module")
+def series_pdf(spark, sf_dir):
+    return (
+        series_from_events(spark, sf_dir)
+        .orderBy("symbol", "time")
+        .toPandas()
+    )
+
+
+def test_sma_matches_pandas(spark, sf_dir, series_pdf):
+    out = (
+        indicators.add_sma(series_from_events(spark, sf_dir), periods=(10,), w=series_window())
+        .orderBy("symbol", "time")
+        .toPandas()
+    )
+    expected = series_pdf.groupby("symbol")["close"].transform(
+        lambda s: s.rolling(10, min_periods=10).mean()
+    )
+    pd.testing.assert_series_equal(
+        out["ma_10"], expected.rename("ma_10"), check_exact=False, rtol=1e-9
+    )
+
+
+def test_ema_macd_matches_pandas_ewm(spark, sf_dir, series_pdf):
+    out = (
+        indicators.add_ema_macd(series_from_events(spark, sf_dir), spans=(12, 26))
+        .orderBy("symbol", "time")
+        .toPandas()
+    )
+    g = series_pdf.groupby("symbol")["close"]
+    exp12 = g.transform(lambda s: s.ewm(span=12, adjust=False, min_periods=12).mean())
+    exp26 = g.transform(lambda s: s.ewm(span=26, adjust=False, min_periods=26).mean())
+    macd = exp12 - exp26
+    sig = (
+        pd.DataFrame({"symbol": series_pdf["symbol"], "macd": macd})
+        .groupby("symbol")["macd"]
+        .transform(lambda s: s.ewm(span=9, adjust=False, min_periods=9).mean())
+    )
+    pd.testing.assert_series_equal(out["ema_12"], exp12.rename("ema_12"), rtol=1e-9)
+    pd.testing.assert_series_equal(out["ema_26"], exp26.rename("ema_26"), rtol=1e-9)
+    pd.testing.assert_series_equal(out["macd"], macd.rename("macd"), rtol=1e-9)
+    pd.testing.assert_series_equal(out["macd_signal"], sig.rename("macd_signal"), rtol=1e-9)
+
+
+def test_rsi_matches_pandas(spark, sf_dir, series_pdf):
+    out = (
+        indicators.add_rsi(series_from_events(spark, sf_dir), period=14, w=series_window())
+        .orderBy("symbol", "time")
+        .toPandas()
+    )
+
+    def rsi(s: pd.Series) -> pd.Series:
+        delta = s.diff()
+        gain = delta.clip(lower=0)
+        loss = -delta.clip(upper=0)
+        ag = gain.rolling(14, min_periods=14).mean()
+        al = loss.rolling(14, min_periods=14).mean()
+        rs = ag / al.replace({0: None})
+        return 100 - 100 / (1 + rs)
+
+    expected = series_pdf.groupby("symbol")["close"].transform(rsi).astype("float64")
+    pd.testing.assert_series_equal(out["rsi"], expected.rename("rsi"), rtol=1e-9)
+
+
+def test_cumulative_return_matches_pandas(spark, sf_dir, series_pdf):
+    out = (
+        indicators.add_returns_momentum(
+            series_from_events(spark, sf_dir), w=series_window(), horizons=()
+        )
+        .orderBy("symbol", "time")
+        .toPandas()
+    )
+    expected = series_pdf.groupby("symbol")["close"].transform(
+        lambda s: (1 + s.pct_change().fillna(0)).cumprod() - 1
+    )
+    pd.testing.assert_series_equal(
+        out["cumulative_return"], expected.rename("cumulative_return"), rtol=1e-7
+    )
+
+
+def test_min_periods_null_prefix(spark, sf_dir):
+    out = (
+        indicators.add_sma(series_from_events(spark, sf_dir), periods=(20,), w=series_window())
+        .groupBy("symbol")
+        .agg(
+            F.sum(F.when(F.col("ma_20").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["n_null"] == min(19, r["n"]), "first 19 rows per symbol must be null"
