@@ -1316,6 +1316,450 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 }
 
 
+
+
+# ---------------------------------------------------------------------------
+# queries — text analysis over documents (north-star)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of text.normalized(); DuckDB regexp_replace needs the 'g' flag
+# (Spark replaces all matches by default).
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def q_t_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return text.add_token_stats(d).select(
+        "doc_id", "n_tokens", "n_chars_norm", "bpe_token_est", "avg_token_len"
+    )
+
+
+SQL_T_TOKENS = f"""
+WITH n AS (SELECT doc_id, text, {_NORM_SQL} AS nt FROM documents)
+SELECT doc_id,
+  len(string_split(nt, ' ')) AS n_tokens,
+  length(nt) AS n_chars_norm,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_est,
+  round((length(nt) - len(string_split(nt, ' ')) + 1) / CAST(len(string_split(nt, ' ')) AS DOUBLE), 4) AS avg_token_len
+FROM n
+"""
+
+
+def q_t_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return text.add_quality_score(d).select(
+        "doc_id", "punct_ratio", "stopword_hits", "stopword_ratio",
+        F.round("len_score", 6).alias("len_score"), "quality_score",
+    )
+
+
+def _stop_hits_sql() -> str:
+    terms = [
+        f"CAST((length(nt) - length(regexp_replace(nt, '\\b{w}\\b', '', 'g'))) / {len(w)} AS BIGINT)"
+        for w in text.STOPWORDS
+    ]
+    return " + ".join(terms)
+
+
+SQL_T_QUALITY = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+s AS (
+  SELECT doc_id, nt,
+    length(regexp_replace(nt, '[^.,;:!?]', '', 'g')) AS punct,
+    len(string_split(nt, ' ')) AS n_tok,
+    {_stop_hits_sql()} AS stop_hits
+  FROM n
+),
+r AS (
+  SELECT doc_id,
+    round(punct / CAST(greatest(length(nt), 1) AS DOUBLE), 6) AS punct_ratio,
+    stop_hits AS stopword_hits,
+    round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS stopword_ratio,
+    least(length(nt) / 500.0, 1.0) AS len_score
+  FROM s
+)
+SELECT doc_id, punct_ratio, stopword_hits, stopword_ratio,
+  round(len_score, 6) AS len_score,
+  round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+FROM r
+"""
+
+
+def q_t_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return text.add_lang_id(d).select("doc_id", "lang", "lang_pred", "lang_evidence")
+
+
+SQL_T_LANG = f"""
+WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
+e AS (
+  SELECT doc_id, lang,
+    ((length(nt) - length(regexp_replace(nt, '\\bthe\\b', '', 'g'))) / 3
+   + (length(nt) - length(regexp_replace(nt, '\\band\\b', '', 'g'))) / 3)
+    / CAST(greatest(len(string_split(nt, ' ')), 1) AS DOUBLE) AS evidence
+  FROM n
+)
+SELECT doc_id, lang,
+  CASE WHEN evidence > 0.02 THEN 'en' ELSE 'other' END AS lang_pred,
+  round(evidence, 6) AS lang_evidence
+FROM e
+"""
+
+
+def q_t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return text.add_fingerprint(d).select("doc_id", "fingerprint", "fingerprint16")
+
+
+SQL_T_FP = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents)
+SELECT doc_id, md5(nt) AS fingerprint, substring(md5(nt), 1, 16) AS fingerprint16
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — deduplication (north-star)
+# ---------------------------------------------------------------------------
+
+
+def q_d_exact_dups(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.exact_duplicates(d)
+
+
+SQL_D_EXACT = f"""
+WITH n AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM n GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+def q_d_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.dedup_exact_keep_first(d)
+
+
+SQL_D_KEEP_FIRST = f"""
+WITH n AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+SELECT min(doc_id) AS doc_id, fingerprint FROM n GROUP BY fingerprint
+"""
+
+# shared shingle CTE (3-gram word shingles over normalized text)
+_SHINGLE_SQL = f"""
+norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+)
+""".strip()
+
+
+def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
+
+
+def _minhash_sig_sql(num_hashes: int = 12) -> str:
+    cols = ", ".join(
+        f"min(md5('{k}|' || shingle)) AS mh_{k}" for k in range(num_hashes)
+    )
+    return f"sig AS (SELECT doc_id, {cols} FROM sh GROUP BY doc_id)"
+
+
+def _band_sql(num_hashes: int = 12, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig"
+        )
+    return "buckets AS (" + " UNION ALL ".join(parts) + ")"
+
+
+SQL_D_MINHASH = f"""
+WITH {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_d_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.05)
+
+
+SQL_D_JACCARD = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+  round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05
+"""
+
+
+def q_d_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# queries — similarity search over embeddings (north-star)
+# ---------------------------------------------------------------------------
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(e, q, k=5)
+
+
+SQL_SIM_BF = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+c AS (SELECT vec_id AS corpus_id, v AS cv FROM e),
+scored AS (
+  SELECT query_id, corpus_id,
+    round(list_dot_product(qv, cv)
+          / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) AS cos_sim
+  FROM c, q WHERE query_id <> corpus_id
+)
+SELECT query_id, corpus_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def _plane_literal_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _lsh_bucket_sql(n_planes: int, seed: int = 7, dim: int = 64) -> str:
+    from market_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    terms = [
+        f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_hyperplanes(dim, n_planes, seed))
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_sim_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk(e, q, k=5, n_planes=8)
+
+
+SQL_SIM_ANN = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(8)} AS lsh_bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, lsh_bucket FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS corpus_id, v AS cv, lsh_bucket FROM b),
+scored AS (
+  SELECT query_id, corpus_id,
+    round(list_dot_product(qv, cv)
+          / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) AS cos_sim
+  FROM c JOIN q USING (lsh_bucket)
+  WHERE query_id <> corpus_id
+)
+SELECT query_id, corpus_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def q_sim_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.embedding_near_dups(e, threshold=0.25, n_planes=6)
+
+
+SQL_SIM_NEAR = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(6)} AS lsh_bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+    round(list_dot_product(a.v, b2.v)
+          / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v)), 0), 6) AS cos_sim
+  FROM b a JOIN b b2 ON a.lsh_bucket = b2.lsh_bucket AND a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.25
+"""
+
+
+def q_sim_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivf_assign(e, n_cells=16).select("vec_id", "cell")
+
+
+def _ivf_sims_sql(n_cells: int = 16, dim: int = 64) -> str:
+    from market_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    pivots = _hyperplanes(dim, n_cells, seed=13)
+    dots = ", ".join(f"list_dot_product(v, {_plane_literal_sql(p)})" for p in pivots)
+    return f"[{dots}]"
+
+
+SQL_SIM_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, {_ivf_sims_sql()} AS sims FROM e)
+SELECT vec_id, CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cell FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — streaming surface (driven to completion on the test files)
+# ---------------------------------------------------------------------------
+
+
+def q_st_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf)
+    agg = streaming_jobs.tumbling_window_agg(ev, width="1 hour")
+    return streaming_jobs.run_stream_to_memory(spark, agg, "tumbling")
+
+
+SQL_ST_TUMBLING = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_st_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf)
+    agg = streaming_jobs.sliding_window_agg(ev, width="2 hours", slide="1 hour")
+    return streaming_jobs.run_stream_to_memory(spark, agg, "sliding")
+
+
+SQL_ST_SLIDING = """
+WITH wins AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type FROM events
+)
+SELECT win_start, event_type, count(*) AS n FROM wins GROUP BY 1, 2
+"""
+
+
+def q_st_session_batch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return streaming_jobs.session_windows_batch(ev, gap_minutes=30)
+
+
+SQL_ST_SESSION = """
+WITH s AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s2 AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM s
+)
+SELECT user_id, session_id,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM s2 GROUP BY user_id, session_id
+"""
+
+
+def q_st_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf)
+    out = streaming_jobs.streaming_dedup(ev).select("event_id", "user_id", "ts", "value")
+    return streaming_jobs.run_stream_to_memory(spark, out, "st_dedup", output_mode="append")
+
+
+SQL_ST_DEDUP = """
+SELECT event_id, user_id, ts, value FROM (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — multimodal plumbing (rows-only; decode is a documented stub)
+# ---------------------------------------------------------------------------
+
+
+def q_m_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.documents_as_media(d)
+    return multimodal.extract_media_features(media)
+
+
+def q_m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.documents_as_media(d)
+    return multimodal.frame_sample_stub(media, every_n=10)
+
+
+SQL_M_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) / 100 AS INTEGER) + 1 AS n_frames
+  FROM documents
+)
+SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_no FROM m
+"""
+
+
+_REGISTRY.update(
+    {
+        # text analysis
+        "inv_t_token_stats": (q_t_token_stats, SQL_T_TOKENS),
+        "inv_t_quality_score": (q_t_quality_score, SQL_T_QUALITY),
+        "inv_t_lang_id": (q_t_lang_id, SQL_T_LANG),
+        "inv_t_fingerprint": (q_t_fingerprint, SQL_T_FP),
+        # dedup
+        "inv_d_exact_dups": (q_d_exact_dups, SQL_D_EXACT),
+        "inv_d_dedup_keep_first": (q_d_dedup_keep_first, SQL_D_KEEP_FIRST),
+        "inv_d_minhash_lsh": (q_d_minhash_lsh, SQL_D_MINHASH),
+        "inv_d_ngram_jaccard": (q_d_ngram_jaccard, SQL_D_JACCARD),
+        "inv_d_simhash_pairs": (q_d_simhash_pairs, None),
+        # similarity
+        "inv_sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BF),
+        "inv_sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN),
+        "inv_sim_near_dups": (q_sim_near_dups, SQL_SIM_NEAR),
+        "inv_sim_ivf_assign": (q_sim_ivf_assign, SQL_SIM_IVF),
+        # streaming
+        "inv_st_tumbling": (q_st_tumbling, SQL_ST_TUMBLING),
+        "inv_st_sliding": (q_st_sliding, SQL_ST_SLIDING),
+        "inv_st_session_batch": (q_st_session_batch, SQL_ST_SESSION),
+        "inv_st_dedup": (q_st_dedup, SQL_ST_DEDUP),
+        # multimodal plumbing
+        "inv_m_media_features": (q_m_media_features, None),
+        "inv_m_frame_sample": (q_m_frame_sample, SQL_M_FRAMES),
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 

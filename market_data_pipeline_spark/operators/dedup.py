@@ -33,8 +33,11 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "d
     happens later at the band/bucket groupBy.
     """
     toks = F.split(normalized(F.col(text_col)), " ")
-    # shingle i = tokens[i..i+n-1], for i in 0..size-n
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    # shingle i = tokens[i..i+n-1], for i in 0..size-n; sequence() DESCENDS
+    # when start > stop, so short docs need an explicit empty-array guard
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )

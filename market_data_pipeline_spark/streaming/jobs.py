@@ -24,12 +24,14 @@ from pyspark.sql import functions as F
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. Schema pinned (streaming
     readers never infer); pathGlobFilter scopes the directory scan to the
-    events table."""
+    events table. The ns→µs timestamp rebuild mirrors sources.load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
 
 
@@ -101,16 +103,23 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark:
     )
 
 
+_MEM_SINK_SEQ = [0]
+
+
 def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming plan to completion on the available files and return
     the materialized result — the local verification harness for the
-    streaming surface (a real deployment writes to Kafka/Delta instead)."""
+    streaming surface (a real deployment writes to Kafka/Delta instead).
+    Sink table names are unique-ified so repeated runs in one session don't
+    collide."""
+    _MEM_SINK_SEQ[0] += 1
+    qname = f"{name}_{_MEM_SINK_SEQ[0]}"
     q = (
         streaming_df.writeStream.outputMode(output_mode)
         .format("memory")
-        .queryName(name)
+        .queryName(qname)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(qname)

@@ -1,0 +1,76 @@
+"""Streaming surface: the stream result on a finite file set must equal the
+batch plan on the same data. Multimodal: feature extraction over binary
+payloads via mapInPandas."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import multimodal
+from market_data_pipeline_spark.sources.tables import load_table
+from market_data_pipeline_spark.streaming import jobs
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    ev = jobs.stream_events(spark, sf_dir)
+    streamed = jobs.run_stream_to_memory(
+        spark, jobs.tumbling_window_agg(ev, width="1 hour"), "t_tumble"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_dedup_passthrough_on_unique_keys(spark, sf_dir):
+    ev = jobs.stream_events(spark, sf_dir)
+    out = jobs.run_stream_to_memory(
+        spark,
+        jobs.streaming_dedup(ev).select("event_id"),
+        "t_dedup",
+        output_mode="append",
+    )
+    n_stream = out.count()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n_stream == n_batch  # (user_id, ts) unique in the synthetic data
+
+
+def test_session_batch_boundaries(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (1, base + dt.timedelta(minutes=50), 3.0),  # 40 min gap → new session
+        (2, base, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = jobs.session_windows_batch(df, gap_minutes=30).collect()
+    sessions = {(r.user_id, r.session_id): r.n_events for r in out}
+    assert sessions == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_media_features_oracle(spark):
+    df = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    media = multimodal.documents_as_media(df)
+    feats = multimodal.extract_media_features(media).collect()[0]
+    raw = b"abc"
+    assert feats.media_id == 7
+    assert feats.n_bytes == 3
+    assert abs(feats.byte_mean - sum(raw) / 3) < 1e-9
+    assert feats.head_hash == hashlib.md5(raw[:64]).hexdigest()
+
+
+def test_resize_stub_rewrites_meta(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    media = multimodal.resize_stub(multimodal.documents_as_media(df))
+    m = media.collect()[0].meta
+    assert (m.width, m.height) == (224, 224)
+    assert m.n_bytes == 5
