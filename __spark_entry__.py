@@ -68,11 +68,13 @@ def entry(spark: SparkSession) -> DataFrame:
     tune_existing(spark)
     bars = bars_from_events(spark, SF0001)
     w = series_window(time_col="d")
-    enriched = indicators.add_sma(bars, periods=(10, 20), w=w)
+    # EMA (the one Arrow/pandas hop) runs FIRST on the narrow bars so every
+    # native window op lands in one post-shuffle window stage after it.
+    enriched = indicators.add_ema_macd(bars, spans=(12, 26), time_col="d")
+    enriched = indicators.add_sma(enriched, periods=(10, 20), w=w)
     enriched = indicators.add_rsi(enriched, period=14, w=w)
     enriched = indicators.add_bollinger(enriched, w=w)
     enriched = indicators.add_volume_metrics(enriched, w=w)
-    enriched = indicators.add_ema_macd(enriched, spans=(12, 26), time_col="d")
     signal = screeners.composite_signal(enriched, time_col="d", w=w)
     return signal.select(
         "symbol", "d", "close", "rsi", "score", "overall_signal", "confidence"
@@ -1168,10 +1170,12 @@ def q_w2_ema_macd(spark: SparkSession, sf: str) -> DataFrame:
 def q_w14_composite_signal(spark: SparkSession, sf: str) -> DataFrame:
     b = _bars(spark, sf)
     w = series_window(time_col="d")
-    df = indicators.add_sma(b, periods=(10, 20), w=w)
+    # EMA first (narrow Arrow payload), then all native windows share one
+    # symbol-partitioned window stage — 3 exchanges total instead of 4.
+    df = indicators.add_ema_macd(b, spans=(12, 26), time_col="d")
+    df = indicators.add_sma(df, periods=(10, 20), w=w)
     df = indicators.add_rsi(df, period=14, w=w)
     df = indicators.add_volume_metrics(df, w=w)
-    df = indicators.add_ema_macd(df, spans=(12, 26), time_col="d")
     out = screeners.composite_signal(df, time_col="d", w=w)
     return out.select(
         "symbol", "d", "close", "score", "overall_signal",

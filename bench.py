@@ -7,8 +7,6 @@ Each query executes to completion through the noop sink (full plan runs,
 nothing collected to the driver — the honest distributed cost).
 """
 
-from __future__ import annotations
-
 import json
 import os
 import re
@@ -43,8 +41,20 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + file metadata cache once with the cheapest query
+    # warm the JVM + file metadata cache once with the cheapest query, and
+    # the Arrow/Python UDF workers (long-lived in a real deployment) with a
+    # 1-row pandas-UDF round-trip so no query pays one-time startup cost
     qs["inv_q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    spark.range(32).repartition(32).select(_warm(F.col("id").cast("double"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

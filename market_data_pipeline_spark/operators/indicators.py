@@ -201,17 +201,23 @@ def add_ema_macd(
     col: str = "close",
     symbol_col: str = "symbol",
     time_col: str = "time",
+    buckets: int = 64,
 ) -> DataFrame:
     """W2/W4 — EMA(span, adjust=False, min_periods=span) and MACD(12,26,9).
 
     pandas semantics (technical_indicators.py:44-60, 83-102): EMA_t =
     α·c_t + (1−α)·EMA_{t−1}, α = 2/(span+1), seeded with the first value and
     nulled until ``span`` observations. The recursion has no Spark window
-    aggregate; implemented as grouped-map ``applyInPandas`` — per-symbol
-    pandas ``ewm`` on Arrow batches. At 100 TB: one shuffle on symbol (shared
-    with the indicator chain), then embarrassingly parallel; symbol
-    cardinality ≫ cores so no skew concern, and each group is one symbol's
-    series (~500 rows in the reference workload), far below executor memory.
+    aggregate, so this is the one Arrow/pandas operator in the chain.
+
+    Scale design: per-symbol ``applyInPandas`` pays ~10 ms of pandas overhead
+    PER GROUP — at 1500 symbols that is 15 s of serial Python for milliseconds
+    of math. Instead symbols are hash-bucketed (whole symbol ↦ one bucket, so
+    series never split) and each call processes a whole bucket with Cython
+    ``groupby().ewm()`` — per-call overhead is amortized over ~n_symbols/64
+    series. One shuffle on the bucket key; bucket count bounds peak pandas
+    memory per task (bucket ≈ data_size/buckets) and xxhash64 spreads symbols
+    evenly, so no skew. Raise ``buckets`` with cluster size at 100 TB.
     """
     fast, slow, signal = macd
     out_fields = df.schema.fields
@@ -221,17 +227,26 @@ def add_ema_macd(
     schema_parts += ["macd double", "macd_signal double", "macd_hist double"]
     out_schema = ", ".join(schema_parts)
 
-    def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time_col)
-        c = pdf[col]
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([symbol_col, time_col], kind="mergesort").reset_index(drop=True)
+        g = pdf.groupby(symbol_col, sort=False)
         for s in spans:
-            pdf[f"ema_{s}"] = c.ewm(span=s, adjust=False, min_periods=s).mean()
-        ema_fast = c.ewm(span=fast, adjust=False, min_periods=fast).mean()
-        ema_slow = c.ewm(span=slow, adjust=False, min_periods=slow).mean()
-        line = ema_fast - ema_slow
-        pdf["macd"] = line
-        pdf["macd_signal"] = line.ewm(span=signal, adjust=False, min_periods=signal).mean()
+            pdf[f"ema_{s}"] = (
+                g[col].ewm(span=s, adjust=False, min_periods=s).mean().to_numpy()
+            )
+        ema_fast = g[col].ewm(span=fast, adjust=False, min_periods=fast).mean().to_numpy()
+        ema_slow = g[col].ewm(span=slow, adjust=False, min_periods=slow).mean().to_numpy()
+        pdf["macd"] = ema_fast - ema_slow
+        pdf["macd_signal"] = (
+            pdf.groupby(symbol_col, sort=False)["macd"]
+            .ewm(span=signal, adjust=False, min_periods=signal)
+            .mean()
+            .to_numpy()
+        )
         pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
-        return pdf
+        return pdf.drop(columns="__bucket")
 
-    return df.groupBy(symbol_col).applyInPandas(per_symbol, schema=out_schema)
+    bucketed = df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(symbol_col)), F.lit(buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(per_bucket, schema=out_schema)
