@@ -1764,6 +1764,415 @@ _REGISTRY.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# queries — coverage round 2: J1, as-of join, anomaly/correlation extensions,
+# W20 summary, A3/A14 counts, O3/O6/O9 top-k + sorts, P9/P12 universe filters,
+# S7 sorted scan
+# ---------------------------------------------------------------------------
+
+
+def q_j1_time_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 — inner equi-join of two symbols' closes on date
+    (breadth_analyzer.py:104-109)."""
+    b = _bars(spark, sf)
+    a = b.filter(F.col("symbol") == 1).select("d", F.col("close").alias("close_1"))
+    c = b.filter(F.col("symbol") == 2).select("d", F.col("close").alias("close_2"))
+    return a.join(c, "d", "inner").select(
+        "d", F.round("close_1", 4).alias("close_1"), F.round("close_2", 4).alias("close_2")
+    )
+
+
+SQL_J1 = f"""
+WITH {BARS_SQL}
+SELECT a.d, round(a.close, 4) AS close_1, round(b.close, 4) AS close_2
+FROM bars a JOIN bars b ON a.d = b.d
+WHERE a.symbol = 1 AND b.symbol = 2
+"""
+
+
+def q_asof_join_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join extension: each tick gains the latest daily bar close
+    at-or-before its timestamp (union + per-key window ffill — no range join)."""
+    from market_data_pipeline_spark.operators import asof
+
+    s = _series(spark, sf).drop("event_id")
+    b = _bars(spark, sf).select(
+        "symbol", F.col("d").cast("timestamp").alias("bar_ts"), F.col("d").alias("bar_d"), F.col("close").alias("bar_close")
+    )
+    out = asof.asof_join(s, b, key="symbol", left_time="time", right_time="bar_ts", payload=["bar_d", "bar_close"])
+    return out.select(
+        "symbol", "time",
+        F.round("close", 4).alias("close"),
+        "bar_d",
+        F.round("bar_close", 4).alias("bar_close"),
+    )
+
+
+SQL_ASOF = f"""
+WITH {BARS_SQL},
+ev AS (
+  SELECT user_id AS symbol, ts AS time, value AS close FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+marks AS (SELECT symbol, CAST(d AS TIMESTAMP) AS bar_ts, d AS bar_d, close AS bar_close FROM bars)
+SELECT e.symbol, e.time, round(e.close, 4) AS close, m.bar_d, round(m.bar_close, 4) AS bar_close
+FROM ev e ASOF LEFT JOIN marks m ON e.symbol = m.symbol AND e.time >= m.bar_ts
+"""
+
+
+def q_x_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Anomaly-detector extension surface (reference placeholder
+    src/analyzers/anomaly_detector.py): rolling z-score outliers."""
+    from market_data_pipeline_spark.operators import anomaly
+
+    b = _bars(spark, sf)
+    w = series_window(time_col="d")
+    return anomaly.zscore_anomalies(b, col="close", window=20, threshold=2.5, w=w).select(
+        "symbol", "d", F.round("close", 4).alias("close"), "zscore"
+    )
+
+
+SQL_ANOMALY = f"""
+WITH {BARS_SQL},
+z AS (
+  SELECT symbol, d, close,
+    CASE WHEN count(close) OVER w >= 20
+         THEN round((close - avg(close) OVER w) / nullif(stddev_samp(close) OVER w, 0), 4)
+    END AS zscore
+  FROM bars
+  WINDOW w AS ({_WIND} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, d, round(close, 4) AS close, zscore FROM z WHERE abs(zscore) > 2.5
+"""
+
+
+def q_x_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation-analyzer extension surface (reference placeholder
+    src/analyzers/correlation_analyzer.py): pairwise return correlations of
+    the 10 most-traded symbols."""
+    return breadth.correlation_matrix(_bars(spark, sf), top_n=10)
+
+
+SQL_CORR_MATRIX = f"""
+WITH {BARS_SQL},
+top AS (
+  SELECT symbol FROM (
+    SELECT symbol, sum(volume) AS v FROM bars GROUP BY symbol
+  ) ORDER BY v DESC, symbol LIMIT 10
+),
+rets AS (
+  SELECT symbol, d, close / nullif(lag(close) OVER ({_WIND}), 0) - 1 AS ret
+  FROM bars WHERE symbol IN (SELECT symbol FROM top)
+),
+r AS (SELECT * FROM rets WHERE ret IS NOT NULL)
+SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+  round(corr(a.ret, b.ret), 4) AS corr, count(*) AS n_days
+FROM r a JOIN r b ON a.d = b.d AND a.symbol < b.symbol
+GROUP BY 1, 2
+"""
+
+
+def q_w20_market_summary(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    return breadth.market_summary(b, breadth.derive_breadth(b))
+
+
+SQL_W20 = f"""
+WITH {BARS_SQL},
+delta AS (
+  SELECT symbol, d, close - lag(close) OVER ({_WIND}) AS dl, close
+  FROM bars
+),
+bagg AS (
+  SELECT d,
+    CAST(sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+    CAST(sum(CASE WHEN dl < 0 THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+    CAST(sum(CASE WHEN dl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+  FROM delta GROUP BY d
+),
+bp AS (
+  SELECT d,
+    least(greatest((advancers - decliners) * 100.0 / nullif(advancers + decliners + unchanged, 0), -100.0), 100.0) AS breadth_percent
+  FROM bagg
+),
+lb AS (
+  SELECT d, round(breadth_percent, 4) AS breadth_percent,
+    round(least(greatest(50.0 + (breadth_percent - 50.0) / 2.0, 0.0), 100.0), 4) AS sentiment
+  FROM bp WHERE breadth_percent IS NOT NULL
+  ORDER BY d DESC LIMIT 1
+),
+ma AS (
+  SELECT symbol, d, close,
+    CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS ma20,
+    CASE WHEN count(close) OVER w50 >= 50 THEN avg(close) OVER w50 END AS ma50,
+    row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn
+  FROM bars
+  WINDOW w20 AS ({_WIND} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w50 AS ({_WIND} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+),
+counts AS (
+  SELECT count(*) AS total_symbols,
+    CAST(sum(CASE WHEN close > ma20 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_ma20,
+    CAST(sum(CASE WHEN close > ma50 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_ma50
+  FROM ma WHERE rn = 1
+)
+SELECT lb.d, lb.breadth_percent, lb.sentiment,
+       counts.total_symbols, counts.n_above_ma20, counts.n_above_ma50
+FROM lb CROSS JOIN counts
+"""
+
+
+def q_a3_signal_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 — recommendation counts (report_generator.py:307-313) over the
+    latest RSI signal label per symbol."""
+    b = _bars(spark, sf)
+    w = series_window(time_col="d")
+    df = indicators.add_rsi(b, period=14, w=w)
+    latest = screeners.last_row_per_symbol(df, time_col="d")
+    return latest.groupBy("rsi_signal").agg(F.count(F.lit(1)).alias("n_symbols"))
+
+
+SQL_A3 = f"""
+WITH {BARS_SQL},
+delta AS (
+  SELECT symbol, d,
+    close - lag(close) OVER ({_WIND}) AS dl
+  FROM bars
+),
+g AS (
+  SELECT symbol, d,
+    CASE WHEN dl IS NOT NULL THEN greatest(dl, 0.0) END AS gain,
+    CASE WHEN dl IS NOT NULL THEN greatest(-dl, 0.0) END AS loss,
+    dl
+  FROM delta
+),
+r AS (
+  SELECT symbol, d,
+    CASE WHEN count(dl) OVER w >= 14 THEN avg(gain) OVER w END AS ag,
+    CASE WHEN count(dl) OVER w >= 14 THEN avg(loss) OVER w END AS al,
+    row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn
+  FROM g
+  WINDOW w AS ({_WIND} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT symbol,
+    100.0 - 100.0 / (1.0 + ag / nullif(al, 0)) AS rsi
+  FROM r WHERE rn = 1
+)
+SELECT CASE WHEN rsi > 70 THEN 'overbought'
+            WHEN rsi < 30 THEN 'oversold'
+            ELSE 'neutral' END AS rsi_signal,
+  count(*) AS n_symbols
+FROM s GROUP BY 1
+"""
+
+
+def q_a14_run_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A14/A4 — run-summary counts (pipeline.py:259-275): status ↦ count +
+    share, on the orders control column."""
+    o = load_table(spark, sf, "orders")
+    total = Window.partitionBy()
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pct", F.round(F.col("n") * 100.0 / F.sum("n").over(total), 4))
+    )
+
+
+SQL_A14 = """
+SELECT o_orderstatus, count(*) AS n,
+  round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_o3_leading_sectors(spark: SparkSession, sf: str) -> DataFrame:
+    """O3 — leading sectors: top-10 nation groups by revenue, desc
+    (breadth_extractor.py:218, breadth_analyzer.py:89-90)."""
+    tune_existing(spark)
+    rev = relational.revenue_by_nation(spark, sf)
+    return rev.orderBy(F.col("revenue").desc(), F.col("n_name")).limit(10)
+
+
+SQL_O3 = """
+WITH rev AS (
+  SELECT r_name, n_name,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    count(*) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT * FROM rev ORDER BY revenue DESC, n_name LIMIT 10
+"""
+
+
+def q_o6_weekly_topbottom(spark: SparkSession, sf: str) -> DataFrame:
+    """O6 — weekly top/bottom-5 by return with None-last ordering
+    (report_generator.py:264-269)."""
+    b = _bars(spark, sf)
+    w = Window.partitionBy("symbol").orderBy(F.col("d").desc())
+    tail = b.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5)
+    wk = tail.groupBy("symbol").agg(
+        F.round(safe_div(F.max_by("close", "d"), F.min_by("close", "d")) - 1, 6).alias("weekly_return")
+    )
+    top_w = Window.orderBy(F.col("weekly_return").desc_nulls_last(), F.col("symbol"))
+    bot_w = Window.orderBy(F.col("weekly_return").asc_nulls_last(), F.col("symbol"))
+    return (
+        wk.withColumn("top_rank", F.row_number().over(top_w))
+        .withColumn("bot_rank", F.row_number().over(bot_w))
+        .filter((F.col("top_rank") <= 5) | (F.col("bot_rank") <= 5))
+        .withColumn("side", F.when(F.col("top_rank") <= 5, "top").otherwise("bottom"))
+        .select("symbol", "weekly_return", "side")
+    )
+
+
+SQL_O6 = f"""
+WITH {BARS_SQL},
+tail AS (
+  SELECT * FROM (
+    SELECT bars.*, row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn FROM bars
+  ) WHERE rn <= 5
+),
+wk AS (
+  SELECT symbol,
+    round(arg_max(close, d) / nullif(arg_min(close, d), 0) - 1, 6) AS weekly_return
+  FROM tail GROUP BY symbol
+),
+ranked AS (
+  SELECT symbol, weekly_return,
+    row_number() OVER (ORDER BY weekly_return DESC NULLS LAST, symbol) AS top_rank,
+    row_number() OVER (ORDER BY weekly_return ASC NULLS LAST, symbol) AS bot_rank
+  FROM wk
+)
+SELECT symbol, weekly_return,
+  CASE WHEN top_rank <= 5 THEN 'top' ELSE 'bottom' END AS side
+FROM ranked WHERE top_rank <= 5 OR bot_rank <= 5
+"""
+
+
+def q_s7_recent_events(spark: SparkSession, sf: str) -> DataFrame:
+    """S7/O2/O8 — sorted-desc scan with a cap (dividends pattern:
+    fundamental_extractor.py:328-343)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.orderBy(F.col("ts").desc(), F.col("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+SQL_S7 = """
+SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
+FROM events ORDER BY ts DESC, event_id LIMIT 100
+"""
+
+
+# synthesized listing dimension for the universe filters (customer plays the
+# listing; exchange/status derived deterministically from the key)
+def _listing(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    exchange = (
+        F.when(F.col("c_custkey") % 3 == 0, "HSX")
+        .when(F.col("c_custkey") % 3 == 1, "HNX")
+        .otherwise("UPCOM")
+    )
+    status = (
+        F.when(F.col("c_custkey") % 7 == 0, "Delisted")
+        .when(F.col("c_custkey") % 7 == 1, "Suspended trading")
+        .when(F.col("c_custkey") % 7 == 2, F.lit(None).cast("string"))
+        .otherwise("Active")
+    )
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("symbol"),
+        exchange.alias("exchange"),
+        status.alias("status"),
+        F.col("c_acctbal").alias("avg_value"),
+    )
+
+
+_LISTING_SQL = """
+listing AS (
+  SELECT c_custkey AS id, c_name AS symbol,
+    CASE WHEN c_custkey % 3 = 0 THEN 'HSX'
+         WHEN c_custkey % 3 = 1 THEN 'HNX'
+         ELSE 'UPCOM' END AS exchange,
+    CASE WHEN c_custkey % 7 = 0 THEN 'Delisted'
+         WHEN c_custkey % 7 = 1 THEN 'Suspended trading'
+         WHEN c_custkey % 7 = 2 THEN NULL
+         ELSE 'Active' END AS status,
+    c_acctbal AS avg_value
+  FROM customer
+)
+""".strip()
+
+
+def q_p9_scope_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import universe
+
+    return universe.scope_filter(_listing(spark, sf), scope="hsx_hnx").select(
+        "id", "symbol", "exchange"
+    )
+
+
+SQL_P9 = f"""
+WITH {_LISTING_SQL}
+SELECT id, symbol, exchange FROM listing WHERE exchange IN ('HSX', 'HNX')
+"""
+
+
+def q_p12_inactive_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import universe
+
+    return universe.drop_inactive(_listing(spark, sf)).select("id", "symbol", "status")
+
+
+SQL_P12 = f"""
+WITH {_LISTING_SQL}
+SELECT id, symbol, status FROM listing
+WHERE status IS NULL
+   OR NOT regexp_matches(lower(status), 'delist|inactive|suspended|halt|stop')
+"""
+
+
+def q_o9_distinct_symbols(spark: SparkSession, sf: str) -> DataFrame:
+    """O9/U4 — alphabetical distinct universe (market_scanner.py:79)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.upper(F.trim(F.col("source"))).alias("symbol"))
+        .distinct()
+        .orderBy("symbol")
+    )
+
+
+SQL_O9 = """
+SELECT DISTINCT upper(trim(source)) AS symbol FROM documents ORDER BY symbol
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_j1_time_join": (q_j1_time_join, SQL_J1),
+        "inv_asof_join_bars": (q_asof_join_bars, SQL_ASOF),
+        "inv_x_anomaly_zscore": (q_x_anomaly_zscore, SQL_ANOMALY),
+        "inv_x_corr_matrix": (q_x_corr_matrix, SQL_CORR_MATRIX),
+        "inv_w20_market_summary": (q_w20_market_summary, SQL_W20),
+        "inv_a3_signal_counts": (q_a3_signal_counts, SQL_A3),
+        "inv_a14_run_summary": (q_a14_run_summary, SQL_A14),
+        "inv_o3_leading_sectors": (q_o3_leading_sectors, SQL_O3),
+        "inv_o6_weekly_topbottom": (q_o6_weekly_topbottom, SQL_O6),
+        "inv_s7_recent_events": (q_s7_recent_events, SQL_S7),
+        "inv_p9_scope_filter": (q_p9_scope_filter, SQL_P9),
+        "inv_p12_inactive_filter": (q_p12_inactive_filter, SQL_P12),
+        "inv_o9_distinct_symbols": (q_o9_distinct_symbols, SQL_O9),
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 

@@ -111,6 +111,100 @@ def series_correlation(bars: DataFrame, sym_a, sym_b, window: int = 20, date_col
     )
 
 
+def market_summary(bars: DataFrame, breadth: DataFrame, date_col: str = "d") -> DataFrame:
+    """W20 — one-row market summary (breadth_analyzer.py:116-145): latest
+    breadth row, counts of symbols above their MA20/MA50, and
+    sentiment = 50 + (breadth_percent − 50)/2 clipped [0, 100].
+
+    Two tiny 1-row frames cross-joined at the end; everything upstream is the
+    shared symbol-window stage + a groupBy — no driver-side collection.
+    """
+    w = series_window(time_col=date_col)
+    ma20 = F.when(
+        F.count("close").over(w.rowsBetween(-19, 0)) >= 20,
+        F.avg("close").over(w.rowsBetween(-19, 0)),
+    )
+    ma50 = F.when(
+        F.count("close").over(w.rowsBetween(-49, 0)) >= 50,
+        F.avg("close").over(w.rowsBetween(-49, 0)),
+    )
+    enriched = bars.withColumn("__ma20", ma20).withColumn("__ma50", ma50)
+    latest = (
+        enriched.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("symbol").orderBy(F.col(date_col).desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    counts = latest.agg(
+        F.count(F.lit(1)).alias("total_symbols"),
+        F.sum(F.when(F.col("close") > F.col("__ma20"), 1).otherwise(0)).alias("n_above_ma20"),
+        F.sum(F.when(F.col("close") > F.col("__ma50"), 1).otherwise(0)).alias("n_above_ma50"),
+    )
+    bw = Window.orderBy(F.col(date_col).desc())
+    latest_breadth = (
+        breadth.filter(F.col("breadth_percent").isNotNull())
+        .withColumn("__rn", F.row_number().over(bw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(date_col),
+            F.round("breadth_percent", 4).alias("breadth_percent"),
+            F.round(
+                F.least(
+                    F.greatest(
+                        F.lit(50.0) + (F.col("breadth_percent") - 50.0) / 2.0,
+                        F.lit(0.0),
+                    ),
+                    F.lit(100.0),
+                ),
+                4,
+            ).alias("sentiment"),
+        )
+    )
+    return latest_breadth.crossJoin(counts)
+
+
+def correlation_matrix(
+    bars: DataFrame, top_n: int = 10, date_col: str = "d"
+) -> DataFrame:
+    """Pairwise return-correlation matrix over the ``top_n`` most-traded
+    symbols — fills the reference's declared extension surface
+    /root/reference/src/analyzers/correlation_analyzer.py (0-byte placeholder).
+
+    Scale design: the O(n²) pair explosion is capped by the top-N selection
+    (a tiny broadcast list), the self-join is date-aligned on that subset
+    only, and corr() is one shuffle-agg per pair. For all-pairs at scale,
+    raise top_n and let AQE size the shuffle.
+    """
+    top = (
+        bars.groupBy("symbol")
+        .agg(F.sum("volume").alias("__v"))
+        .orderBy(F.col("__v").desc(), F.col("symbol"))
+        .limit(top_n)
+        .select("symbol")
+    )
+    w = series_window(time_col=date_col)
+    rets = (
+        bars.join(F.broadcast(top), "symbol", "left_semi")
+        .withColumn("ret", safe_div(F.col("close"), F.lag("close", 1).over(w)) - 1)
+        .filter(F.col("ret").isNotNull())
+        .select("symbol", date_col, "ret")
+    )
+    a = rets.select(F.col("symbol").alias("sym_a"), F.col(date_col).alias("__d"), F.col("ret").alias("ret_a"))
+    b = rets.select(F.col("symbol").alias("sym_b"), F.col(date_col).alias("__d"), F.col("ret").alias("ret_b"))
+    return (
+        a.join(b, "__d")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.round(F.corr("ret_a", "ret_b"), 4).alias("corr"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 def top_movers(bars: DataFrame, on_date=None, n: int = 5, date_col: str = "d") -> DataFrame:
     """O5 — top/bottom-N by daily return (breadth_analyzer.py:139-140), with a
     deterministic symbol tiebreak so top-k is stable under distribution."""

@@ -45,15 +45,22 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # Partial-aggregate lineitem by orderkey BELOW the join (agg pushdown
+    # Catalyst won't do): the join then sees |orders| rows, not |lineitem| —
+    # a 4× input cut here, ~4–7× on real TPC-H data.
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_per_order.join(o, li_per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.sum("__n").alias("n_items"),
         )
     )
 
@@ -62,10 +69,13 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str, n: int = 10) -> Data
     """TPC-H Q3 shape — join + agg + deterministic top-N."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    agg = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    # Aggregate per orderkey BEFORE the join: orderkey is the join key, so
+    # the post-join group-by collapses to a 1:1 join + projection.
+    li_per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    agg = li_per_order.join(o, "o_orderkey").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "revenue"
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(n)
 
