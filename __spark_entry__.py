@@ -2154,8 +2154,64 @@ SELECT DISTINCT upper(trim(source)) AS symbol FROM documents ORDER BY symbol
 """
 
 
+def q_st_session_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """True streaming session windows (native session_window + watermark);
+    same session boundaries as the batch gaps-and-islands twin."""
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf)
+    agg = streaming_jobs.session_window_stream(ev, gap="30 minutes")
+    return streaming_jobs.run_stream_to_memory(spark, agg, "session_stream")
+
+
+SQL_ST_SESSION_STREAM = """
+WITH s AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s2 AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s2 GROUP BY user_id, sid
+"""
+
+
+def q_st_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState running totals; the
+    final emission per key equals the batch aggregate."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf)
+    out = streaming_jobs.run_stream_to_memory(
+        spark, stateful.running_totals(ev), "stateful_totals", output_mode="update"
+    )
+    # cumulative count strictly increases per emission: the max-n row is final
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+
+
+SQL_ST_STATEFUL = """
+SELECT user_id,
+  count(value) AS n_events,
+  round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_st_session_stream": (q_st_session_stream, SQL_ST_SESSION_STREAM),
+        "inv_st_stateful_totals": (q_st_stateful_totals, SQL_ST_STATEFUL),
         "inv_j1_time_join": (q_j1_time_join, SQL_J1),
         "inv_asof_join_bars": (q_asof_join_bars, SQL_ASOF),
         "inv_x_anomaly_zscore": (q_x_anomaly_zscore, SQL_ANOMALY),

@@ -74,3 +74,33 @@ def test_resize_stub_rewrites_meta(spark):
     m = media.collect()[0].meta
     assert (m.width, m.height) == (224, 224)
     assert m.n_bytes == 5
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState final emissions == batch groupBy aggregate."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.sources.tables import load_table
+    from market_data_pipeline_spark.streaming import stateful
+
+    ev = jobs.stream_events(spark, sf_dir)
+    out = jobs.run_stream_to_memory(
+        spark, stateful.running_totals(ev), "stateful_t", output_mode="update"
+    )
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.tv)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    }
+    assert final == batch
