@@ -2208,8 +2208,147 @@ FROM events GROUP BY user_id
 """
 
 
+def q_p14_signal_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """P14 — signal-bucket filters over a MapType breakdown column
+    (report_generator.py:73-79): the filters genuinely read map elements."""
+    b = _bars(spark, sf)
+    w = series_window(time_col="d")
+    df = indicators.add_sma(b, periods=(10, 20), w=w)
+    df = indicators.add_rsi(df, period=14, w=w)
+    df = indicators.add_volume_metrics(df, w=w)
+    df = df.withColumn("__prev_close", F.lag("close", 1).over(w)).withColumn(
+        "__prev_ma20", F.lag("ma_20", 1).over(w)
+    )
+    latest = screeners.last_row_per_symbol(df, time_col="d")
+    rsi_score = F.when(F.col("rsi") < 30, 2).when(F.col("rsi") > 70, -2).otherwise(0)
+    ma_score = F.when(
+        (F.col("close") > F.col("ma_20")) & (F.col("__prev_close") <= F.col("__prev_ma20")), 2
+    ).otherwise(0)
+    vol_score = F.when(F.col("volume") > F.col("vol_sma_20"), 1).otherwise(0)
+    sig = latest.withColumn(
+        "breakdown",
+        F.create_map(
+            F.lit("rsi"), rsi_score,
+            F.lit("ma_breakout"), ma_score,
+            F.lit("volume"), vol_score,
+        ),
+    )
+    return sig.select(
+        "symbol",
+        "d",
+        (
+            (F.col("breakdown")["ma_breakout"] == 2) & (F.col("breakdown")["volume"] >= 1)
+        ).alias("is_breakout"),
+        (F.col("breakdown")["rsi"] == 2).alias("is_oversold"),
+        (F.col("breakdown")["rsi"] == -2).alias("is_overbought"),
+    )
+
+
+SQL_P14 = f"""
+WITH {BARS_SQL},
+m0 AS (
+  SELECT symbol, d, close, volume,
+    CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS ma_20,
+    CASE WHEN count(volume) OVER w20 >= 20 THEN avg(volume) OVER w20 END AS vol_sma_20,
+    close - lag(close) OVER ({_WIND}) AS dl,
+    lag(close) OVER ({_WIND}) AS prev_close
+  FROM bars
+  WINDOW w20 AS ({_WIND} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT *, lag(ma_20) OVER ({_WIND}) AS prev_ma20 FROM m0
+),
+g AS (
+  SELECT *,
+    CASE WHEN dl IS NOT NULL THEN greatest(dl, 0.0) END AS gain,
+    CASE WHEN dl IS NOT NULL THEN greatest(-dl, 0.0) END AS loss
+  FROM m
+),
+r AS (
+  SELECT *,
+    CASE WHEN count(dl) OVER w14 >= 14 THEN avg(gain) OVER w14 END AS ag,
+    CASE WHEN count(dl) OVER w14 >= 14 THEN avg(loss) OVER w14 END AS al,
+    row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn
+  FROM g
+  WINDOW w14 AS ({_WIND} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT symbol, d, close, volume, ma_20, vol_sma_20, prev_close, prev_ma20,
+    100.0 - 100.0 / (1.0 + ag / nullif(al, 0)) AS rsi
+  FROM r WHERE rn = 1
+),
+sc AS (
+  SELECT symbol, d,
+    CASE WHEN rsi < 30 THEN 2 WHEN rsi > 70 THEN -2 ELSE 0 END AS rsi_score,
+    CASE WHEN close > ma_20 AND prev_close <= prev_ma20 THEN 2 ELSE 0 END AS ma_score,
+    CASE WHEN volume > vol_sma_20 THEN 1 ELSE 0 END AS vol_score
+  FROM s
+)
+SELECT symbol, d,
+  (ma_score = 2 AND vol_score >= 1) AS is_breakout,
+  (rsi_score = 2) AS is_oversold,
+  (rsi_score = -2) AS is_overbought
+FROM sc
+"""
+
+
+def q_p15_alias_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """P15 — alias-coalesce projection across schema variants
+    (breadth_extractor.py:151-152, 208-216): two alternative columns, first
+    non-null wins."""
+    o = load_table(spark, sf, "orders")
+    variant = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderdate")).alias("date"),
+        F.when(F.col("o_orderkey") % 2 == 1, F.col("o_orderdate")).alias("day"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")).alias("sector"),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")).alias("industry"),
+    )
+    return variant.select(
+        "o_orderkey",
+        F.coalesce(F.col("date"), F.col("day")).alias("date"),
+        F.coalesce(F.col("sector"), F.col("industry")).alias("sector"),
+    )
+
+
+SQL_P15 = """
+WITH v AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 0 THEN o_orderdate END AS date_a,
+    CASE WHEN o_orderkey % 2 = 1 THEN o_orderdate END AS day_b,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS sector_a,
+    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS industry_b
+  FROM orders
+)
+SELECT o_orderkey, coalesce(date_a, day_b) AS date, coalesce(sector_a, industry_b) AS sector
+FROM v
+"""
+
+
+def q_u3_distinct_first(spark: SparkSession, sf: str) -> DataFrame:
+    """U3 — distinct preserving first occurrence in ingest order
+    (market_scope_filter.py:139, data_validator.py:29-59): the stable-order
+    tiebreak is the explicit event_id, not arbitrary dropDuplicates."""
+    s = _series(spark, sf)
+    w = Window.partitionBy("symbol").orderBy("event_id")
+    return (
+        s.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("symbol", F.col("event_id").alias("first_event_id"))
+    )
+
+
+SQL_U3 = f"""
+WITH {SERIES_SQL}
+SELECT symbol, min(event_id) AS first_event_id FROM series GROUP BY symbol
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_p14_signal_buckets": (q_p14_signal_buckets, SQL_P14),
+        "inv_p15_alias_coalesce": (q_p15_alias_coalesce, SQL_P15),
+        "inv_u3_distinct_first": (q_u3_distinct_first, SQL_U3),
         "inv_st_session_stream": (q_st_session_stream, SQL_ST_SESSION_STREAM),
         "inv_st_stateful_totals": (q_st_stateful_totals, SQL_ST_STATEFUL),
         "inv_j1_time_join": (q_j1_time_join, SQL_J1),
