@@ -2344,8 +2344,70 @@ SELECT symbol, min(event_id) AS first_event_id FROM series GROUP BY symbol
 """
 
 
+def q_x_feature_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-engineering extension surface (reference placeholder
+    src/transformers/feature_engineering.py): lag/rolling features + forward
+    label per (symbol, d)."""
+    from market_data_pipeline_spark.operators import features
+
+    b = _bars(spark, sf)
+    w = series_window(time_col="d")
+    out = features.make_features(b, lags=(1, 5), window=10, label_horizon=5, time_col="d", w=w)
+    return out.select(
+        "symbol", "d", "ret_lag_1", "ret_lag_5", "close_rel_mean", "close_z",
+        "vol_rel", "label_fwd_return",
+    )
+
+
+SQL_FEATURES = f"""
+WITH {BARS_SQL},
+f AS (
+  SELECT symbol, d,
+    round(close / nullif(lag(close, 1) OVER ({_WIND}), 0) - 1, 6) AS ret_lag_1,
+    round(close / nullif(lag(close, 5) OVER ({_WIND}), 0) - 1, 6) AS ret_lag_5,
+    CASE WHEN count(close) OVER w10 >= 10
+         THEN round(close / nullif(avg(close) OVER w10, 0) - 1, 6) END AS close_rel_mean,
+    CASE WHEN count(close) OVER w10 >= 10
+         THEN round((close - avg(close) OVER w10) / nullif(stddev_samp(close) OVER w10, 0), 6) END AS close_z,
+    CASE WHEN count(volume) OVER w10 >= 10
+         THEN round(volume / nullif(avg(volume) OVER w10, 0) - 1, 6) END AS vol_rel,
+    round(lead(close, 5) OVER ({_WIND}) / nullif(close, 0) - 1, 6) AS label_fwd_return
+  FROM bars
+  WINDOW w10 AS ({_WIND} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM f
+"""
+
+
+def q_x_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split of documents — split
+    counts per language (the dataset-curation report)."""
+    from market_data_pipeline_spark.operators import features
+
+    d = load_table(spark, sf, "documents")
+    return (
+        features.assign_split(d, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TRAIN_SPLIT = """
+WITH s AS (
+  SELECT lang,
+    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs FROM s GROUP BY lang, split
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_x_feature_matrix": (q_x_feature_matrix, SQL_FEATURES),
+        "inv_x_train_split": (q_x_train_split, SQL_TRAIN_SPLIT),
         "inv_p14_signal_buckets": (q_p14_signal_buckets, SQL_P14),
         "inv_p15_alias_coalesce": (q_p15_alias_coalesce, SQL_P15),
         "inv_u3_distinct_first": (q_u3_distinct_first, SQL_U3),

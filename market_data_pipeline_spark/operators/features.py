@@ -1,0 +1,84 @@
+"""Feature engineering for ML training data — fills the reference's declared
+extension surface /root/reference/src/transformers/feature_engineering.py
+(0-byte placeholder) with the operators a training-data pipeline actually
+needs: lagged/rolling feature matrices, forward-return labels, and
+deterministic dataset splitting.
+
+All native window/hash expressions — one shuffle on symbol for the feature
+matrix, zero shuffles for the split (a projection). No Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, WindowSpec
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import min_periods, safe_div, series_window
+
+# Knuth multiplicative hash constant; products stay < 2^63 for any id < 2^31,
+# so Spark and any ANSI engine agree without overflow-wrap differences.
+_KNUTH = 2654435761
+
+
+def make_features(
+    df: DataFrame,
+    col: str = "close",
+    lags: tuple[int, ...] = (1, 2, 3, 5),
+    window: int = 10,
+    label_horizon: int = 5,
+    time_col: str = "time",
+    w: WindowSpec | None = None,
+) -> DataFrame:
+    """Per-(symbol, time) feature row: lagged return features, rolling
+    mean/std ratios, volume z-score, and the ``label_horizon``-step forward
+    return as the regression label (null in the unknowable tail — filter
+    before training, keep for inference)."""
+    w = w or series_window(time_col=time_col)
+    out = df
+    for k in lags:
+        out = out.withColumn(
+            f"ret_lag_{k}",
+            F.round(safe_div(F.col(col), F.lag(col, k).over(w)) - 1, 6),
+        )
+    mean = min_periods(F.avg(col), F.col(col), w, window)
+    std = min_periods(F.stddev_samp(col), F.col(col), w, window)
+    out = (
+        out.withColumn("__mu", mean)
+        .withColumn("__sd", std)
+        .withColumn("close_rel_mean", F.round(safe_div(F.col(col), F.col("__mu")) - 1, 6))
+        .withColumn("close_z", F.round(safe_div(F.col(col) - F.col("__mu"), F.col("__sd")), 6))
+        .drop("__mu", "__sd")
+    )
+    if "volume" in df.columns:
+        vmu = min_periods(F.avg("volume"), F.col("volume"), w, window)
+        out = out.withColumn("vol_rel", F.round(safe_div(F.col("volume"), vmu) - 1, 6))
+    out = out.withColumn(
+        "label_fwd_return",
+        F.round(safe_div(F.lead(col, label_horizon).over(w), F.col(col)) - 1, 6),
+    )
+    return out
+
+
+def split_column(key, train_pct: int = 80, val_pct: int = 10):
+    """Deterministic, engine-portable train/val/test assignment from a
+    numeric key: bucket = (key · KNUTH) mod 100. Stable across runs,
+    partitions, and engines — never ``rand()`` (unreproducible lineage)."""
+    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % 100
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def assign_split(df: DataFrame, key: str, train_pct: int = 80, val_pct: int = 10) -> DataFrame:
+    """Attach the split column; a pure projection (no shuffle, no sample())."""
+    return df.withColumn("split", split_column(key, train_pct, val_pct))
+
+
+def stratified_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic ~fraction sample by key hash — reproducible lineage for
+    dataset curation (unlike ``df.sample`` whose seed interacts with
+    partitioning)."""
+    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % 10000
+    return df.filter(bucket < int(fraction * 10000))
