@@ -1519,7 +1519,10 @@ WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05
 
 def q_d_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=16)
+    # tight radius: 8/64 bits. The testdata's small shared vocabulary makes
+    # simhash collision-heavy by construction; a loose radius explodes the
+    # candidate set quadratically (1.9M pairs at sf0.1 with radius 16).
+    return dedup.simhash_near_pairs(d, max_hamming=8)
 
 
 # ---------------------------------------------------------------------------

@@ -184,12 +184,15 @@ def ngram_jaccard_pairs(
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """SimHash 64-bit signature per document via Arrow-vectorized pandas UDF.
 
-    Token hashes come from Python's stable md5; each bit position accumulates
-    ±1 per token and the sign becomes the signature bit. Bit math has no
-    native columnar expression — this is the documented pandas-UDF slow path
-    (still one scan, no shuffle).
+    Classic Charikar construction: token hashes from stable md5, each bit
+    position accumulates ±weight where weight = term frequency (frequency
+    weighting separates documents that share a vocabulary but differ in
+    composition — an unweighted set-based simhash degenerates on low-entropy
+    corpora). Bit math has no native columnar expression — this is the
+    documented pandas-UDF slow path (still one scan, no shuffle).
     """
     import hashlib
+    from collections import Counter
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
@@ -198,10 +201,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         for t in texts:
             toks = (t or "").lower().split()
             acc = [0] * bits
-            for tok in set(toks):
+            for tok, wt in Counter(toks).items():
                 h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
                 for i in range(bits):
-                    acc[i] += 1 if (h >> i) & 1 else -1
+                    acc[i] += wt if (h >> i) & 1 else -wt
             sig = 0
             for i in range(bits):
                 if acc[i] > 0:
@@ -217,9 +220,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Banding on 16-bit chunks
-    (pigeonhole: ≤3 differing chunks guaranteed when distance ≤ max_hamming
-    over 4 chunks) keeps it join-based rather than all-pairs."""
+    """Near-dup pairs by SimHash Hamming distance, join-based rather than
+    all-pairs: candidates must share one exact 16-bit signature chunk.
+
+    Recall guarantee (pigeonhole over 4 chunks): exact for max_hamming <= 3;
+    above that the chunk-join is best-effort (a pair differing in all 4
+    chunks is missed) — the standard SimHash banding trade-off. Keep
+    max_hamming small: the candidate count grows quadratically with radius
+    on low-entropy corpora."""
     sig = simhash_signatures(df, text_col, id_col)
     chunks = [
         F.struct(

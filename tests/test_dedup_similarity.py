@@ -61,12 +61,13 @@ def test_ngram_jaccard_values(spark, dup_docs):
 
 def _py_simhash(text: str, bits: int = 64) -> int:
     import hashlib
+    from collections import Counter
 
     acc = [0] * bits
-    for tok in set(text.lower().split()):
+    for tok, wt in Counter(text.lower().split()).items():
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         for i in range(bits):
-            acc[i] += 1 if (h >> i) & 1 else -1
+            acc[i] += wt if (h >> i) & 1 else -wt
     sig = 0
     for i in range(bits):
         if acc[i] > 0:
