@@ -25,3 +25,20 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (excluding broadcast exchanges) — the
+    number that must not grow as indicators stack on one window."""
+    text = explain_str(df, "simple")
+    return sum(
+        1
+        for ln in text.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema lines — what actually reaches each parquet scan."""
+    text = explain_str(df)
+    return [ln.strip() for ln in text.splitlines() if "ReadSchema" in ln]

@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: the at-scale invariants stay true as code
+evolves. A correctness-green operator with the wrong plan is still a bug at
+100 TB (repo rule: after correctness, read the plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import series_window
+from market_data_pipeline_spark.operators import indicators, relational
+from market_data_pipeline_spark.plans import introspect
+from market_data_pipeline_spark.sources.tables import bars_from_events, load_table
+
+
+def test_indicator_chain_single_window_exchange(spark, sf_dir):
+    """However many indicators stack, the shared window spec means ONE
+    symbol-hash exchange on top of the bars aggregation's exchange."""
+    bars = bars_from_events(spark, sf_dir)
+    w = series_window(time_col="d")
+    df = indicators.add_sma(bars, periods=(10, 20, 50), w=w)
+    df = indicators.add_rsi(df, period=14, w=w)
+    df = indicators.add_bollinger(df, w=w)
+    df = indicators.add_volume_metrics(df, w=w)
+    df = indicators.add_returns_momentum(df, w=w)
+    # 1 exchange for groupBy(symbol, d) + 1 for Window.partitionBy(symbol)
+    assert introspect.count_exchanges(df) == 2
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """nation/region (and customer under AQE thresholds) must broadcast —
+    a shuffled dim join at 100 TB is a plan bug."""
+    df = relational.revenue_by_nation(spark, sf_dir)
+    assert introspect.has_broadcast_join(df)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    pushed = " ".join(introspect.pushed_filters(ev))
+    assert "user_id" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    schemas = " ".join(introspect.read_schemas(d))
+    assert "doc_id" in schemas and "text" not in schemas
+
+
+def test_events_scan_prunes_unused_columns(spark, sf_dir):
+    """The series view must not drag props/event_type into the scan."""
+    from market_data_pipeline_spark.sources.tables import series_from_events
+
+    s = series_from_events(spark, sf_dir)
+    schemas = " ".join(introspect.read_schemas(s))
+    assert "props" not in schemas and "event_type" not in schemas
