@@ -2407,8 +2407,73 @@ SELECT lang, split, count(*) AS n_docs FROM s GROUP BY lang, split
 """
 
 
+def q_j4_status_stitch(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 — per-symbol stitch of analysis results with the listing dim
+    (pipeline.py:328-353): broadcast left join, latest bar per symbol gains
+    status/exchange."""
+    from market_data_pipeline_spark.operators import universe
+
+    b = _bars(spark, sf)
+    latest = screeners.last_row_per_symbol(b, time_col="d").select(
+        "symbol", "d", F.round("close", 4).alias("close")
+    )
+    listing = _listing(spark, sf).select(
+        F.col("id").alias("symbol"), "status", "exchange"
+    )
+    return universe.status_lookup(latest, listing)
+
+
+SQL_J4 = f"""
+WITH {BARS_SQL},
+{_LISTING_SQL},
+latest AS (
+  SELECT symbol, d, round(close, 4) AS close FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY d DESC) AS rn FROM bars
+  ) WHERE rn = 1
+)
+SELECT l.symbol, l.d, l.close, li.status, li.exchange
+FROM latest l LEFT JOIN listing li ON l.symbol = li.id
+"""
+
+
+def q_o4b_liquidity_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """O4 — top-N by liquidity with non-numeric fallback
+    (market_scope_filter.py:157-203)."""
+    from market_data_pipeline_spark.operators import universe
+
+    return universe.top_n_by_liquidity(_listing(spark, sf), n=50).select(
+        "id", "symbol", "avg_value"
+    )
+
+
+SQL_O4B = f"""
+WITH {_LISTING_SQL}
+SELECT id, symbol, avg_value FROM listing
+WHERE avg_value IS NOT NULL
+ORDER BY avg_value DESC, symbol LIMIT 50
+"""
+
+
+def q_m_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import multimodal
+
+    d = load_table(spark, sf, "documents")
+    media = multimodal.resize_stub(multimodal.documents_as_media(d))
+    return media.select("media_id", F.col("meta.width").alias("width"), F.col("meta.height").alias("height"), F.col("meta.n_bytes").alias("n_bytes"))
+
+
+SQL_M_RESIZE = """
+SELECT doc_id AS media_id, 224 AS width, 224 AS height,
+  octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_j4_status_stitch": (q_j4_status_stitch, SQL_J4),
+        "inv_o4b_liquidity_topn": (q_o4b_liquidity_topn, SQL_O4B),
+        "inv_m_resize": (q_m_resize, SQL_M_RESIZE),
         "inv_x_feature_matrix": (q_x_feature_matrix, SQL_FEATURES),
         "inv_x_train_split": (q_x_train_split, SQL_TRAIN_SPLIT),
         "inv_p14_signal_buckets": (q_p14_signal_buckets, SQL_P14),
