@@ -96,6 +96,16 @@ def _bars(spark: SparkSession, sf: str) -> DataFrame:
     return bars_from_events(spark, sf)
 
 
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents scan, spread across cores: the testdata ships ONE parquet
+    row group (unsplittable -> 1 task), while a real lake has many splits.
+    The explicit repartition restores the parallelism the shingle/hash-heavy
+    text and dedup operators would have on real data; ~5 MB shuffled."""
+    tune_existing(spark)
+    d = load_table(spark, sf, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
 def _with_series_indicators(bars: DataFrame) -> DataFrame:
     w = series_window(time_col="d")
     df = indicators.add_sma(bars, periods=(10, 20), w=w)
@@ -156,7 +166,7 @@ FROM events
 
 
 def q_p7_symbol_filter(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents").select(
+    d = _docs(spark, sf).select(
         F.upper(F.trim(F.col("source"))).alias("symbol")
     )
     return cleaning.validate_symbols(d).select("symbol")
@@ -1332,7 +1342,7 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def q_t_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return text.add_token_stats(d).select(
         "doc_id", "n_tokens", "n_chars_norm", "bpe_token_est", "avg_token_len"
     )
@@ -1350,7 +1360,7 @@ FROM n
 
 
 def q_t_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return text.add_quality_score(d).select(
         "doc_id", "punct_ratio", "stopword_hits", "stopword_ratio",
         F.round("len_score", 6).alias("len_score"), "quality_score",
@@ -1390,7 +1400,7 @@ FROM r
 
 
 def q_t_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return text.add_lang_id(d).select("doc_id", "lang", "lang_pred", "lang_evidence")
 
 
@@ -1411,7 +1421,7 @@ FROM e
 
 
 def q_t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return text.add_fingerprint(d).select("doc_id", "fingerprint", "fingerprint16")
 
 
@@ -1428,7 +1438,7 @@ FROM n
 
 
 def q_d_exact_dups(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return dedup.exact_duplicates(d)
 
 
@@ -1440,7 +1450,7 @@ FROM n GROUP BY fingerprint HAVING count(*) > 1
 
 
 def q_d_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return dedup.dedup_exact_keep_first(d)
 
 
@@ -1463,7 +1473,7 @@ sh AS (
 
 
 def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
 
 
@@ -1496,21 +1506,35 @@ FROM buckets a JOIN buckets b
 
 
 def q_d_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.05)
+    """The scale path end-to-end: LSH banding proposes candidates, exact
+    n-gram Jaccard verifies only those — never the all-pairs shingle join."""
+    d = _docs(spark, sf)
+    cand = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
+    return dedup.ngram_jaccard_pairs(d, candidates=cand, threshold=0.05)
 
 
 SQL_D_JACCARD = f"""
 WITH {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.* FROM common c
+  WHERE EXISTS (SELECT 1 FROM cand WHERE cand.doc_a = c.doc_a AND cand.doc_b = c.doc_b)
 )
 SELECT doc_a, doc_b, n_common,
   round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
-FROM common
+FROM verified
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05
@@ -1518,7 +1542,7 @@ WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.05
 
 
 def q_d_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     # tight radius: 8/64 bits. The testdata's small shared vocabulary makes
     # simhash collision-heavy by construction; a loose radius explodes the
     # candidate set quadratically (1.9M pairs at sf0.1 with radius 16).
@@ -1714,7 +1738,7 @@ SELECT event_id, user_id, ts, value FROM (
 def q_m_media_features(spark: SparkSession, sf: str) -> DataFrame:
     from market_data_pipeline_spark.operators import multimodal
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     media = multimodal.documents_as_media(d)
     return multimodal.extract_media_features(media)
 
@@ -1722,7 +1746,7 @@ def q_m_media_features(spark: SparkSession, sf: str) -> DataFrame:
 def q_m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     from market_data_pipeline_spark.operators import multimodal
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     media = multimodal.documents_as_media(d)
     return multimodal.frame_sample_stub(media, every_n=10)
 
@@ -2144,7 +2168,7 @@ WHERE status IS NULL
 
 def q_o9_distinct_symbols(spark: SparkSession, sf: str) -> DataFrame:
     """O9/U4 — alphabetical distinct universe (market_scanner.py:79)."""
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return (
         d.select(F.upper(F.trim(F.col("source"))).alias("symbol"))
         .distinct()
@@ -2387,7 +2411,7 @@ def q_x_train_split(spark: SparkSession, sf: str) -> DataFrame:
     counts per language (the dataset-curation report)."""
     from market_data_pipeline_spark.operators import features
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     return (
         features.assign_split(d, "doc_id")
         .groupBy("lang", "split")
@@ -2457,7 +2481,7 @@ ORDER BY avg_value DESC, symbol LIMIT 50
 def q_m_resize(spark: SparkSession, sf: str) -> DataFrame:
     from market_data_pipeline_spark.operators import multimodal
 
-    d = load_table(spark, sf, "documents")
+    d = _docs(spark, sf)
     media = multimodal.resize_stub(multimodal.documents_as_media(d))
     return media.select("media_id", F.col("meta.width").alias("width"), F.col("meta.height").alias("height"), F.col("meta.n_bytes").alias("n_bytes"))
 

@@ -138,44 +138,72 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """n-gram Jaccard similarity. With ``candidates`` (doc_a, doc_b) this
-    verifies only LSH survivors (the scale path); without, it computes all
-    same-shingle pairs — correct for small corpora / the oracle check.
+    """n-gram Jaccard similarity: jaccard = |A∩B| / (|A|+|B|−|A∩B|) over
+    distinct shingle sets. Pairs sharing zero shingles are never emitted.
 
-    jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets.
+    With ``candidates`` (doc_a, doc_b) — the scale path — each candidate
+    pair is verified by joining the two docs' shingle SETS (collected
+    per-doc arrays, ~tens of elements) and intersecting: linear in
+    |candidates|, no shingle self-join anywhere. Without candidates it
+    computes all same-shingle pairs — only for small corpora / oracles.
     """
     sh = shingles(df, text_col, shingle_n, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    common = (
-        a.join(
-            b,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"sa.{id_col}").alias("doc_a"), F.col(f"sb.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    out = (
-        common.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
+        sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shset"))
+        a = sets.select(F.col(id_col).alias("doc_a"), F.col("shset").alias("__set_a"))
+        b = sets.select(F.col(id_col).alias("doc_b"), F.col("shset").alias("__set_b"))
+        out = (
+            candidates.select("doc_a", "doc_b")
+            .distinct()
+            .join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn(
+                "n_common",
+                F.size(F.array_intersect(F.col("__set_a"), F.col("__set_b"))).cast("long"),
+            )
+            .filter(F.col("n_common") >= 1)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (
+                        F.size("__set_a") + F.size("__set_b") - F.col("n_common")
+                    ).cast("double"),
+                    6,
+                ),
+            )
+            .select("doc_a", "doc_b", "n_common", "jaccard")
         )
-        .select("doc_a", "doc_b", "n_common", "jaccard")
-    )
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("sa")
+        b = sh.alias("sb")
+        common = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"sa.{id_col}").alias("doc_a"), F.col(f"sb.{id_col}").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+        sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+        out = (
+            common.join(sz_a, "doc_a")
+            .join(sz_b, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                    6,
+                ),
+            )
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+        )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
