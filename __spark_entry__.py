@@ -2493,8 +2493,23 @@ FROM documents
 """
 
 
+def q_a_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct counts (§2.4 extension); the HLL++ approx variant is
+    asserted within tolerance in tests (cross-engine sketch values differ)."""
+    tune_existing(spark)
+    return relational.distinct_sketches(spark, sf)
+
+
+SQL_DISTINCT = """
+SELECT count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps
+FROM lineitem
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_a_distinct_counts": (q_a_distinct_counts, SQL_DISTINCT),
         "inv_j4_status_stitch": (q_j4_status_stitch, SQL_J4),
         "inv_o4b_liquidity_topn": (q_o4b_liquidity_topn, SQL_O4B),
         "inv_m_resize": (q_m_resize, SQL_M_RESIZE),

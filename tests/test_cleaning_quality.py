@@ -85,3 +85,39 @@ def test_quality_business_day_formula(spark):
     df = spark.createDataFrame(rows, "symbol string, time timestamp, close double")
     r = quality.quality_report(df).collect()[0]
     assert r.expected_bdays == 10
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ sketch (the 100 TB path when exact distinct's shuffle is the
+    bottleneck) stays within its rsd envelope of the exact count."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.08
+
+
+def test_permissive_bad_record_handling(spark, tmp_path):
+    """Bad-record tolerance (SURVEY §4: reference skips failed symbols and
+    continues): PERMISSIVE CSV parse nulls bad fields and captures the raw
+    line instead of failing the job."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "bad.csv"
+    p.write_text("sym,close\nAAA,1.5\nBBB,not_a_number\nCCC,2.5\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("sym string, close double, _corrupt string")
+        .csv(str(p))
+    )
+    rows = {r.sym: (r.close, r._corrupt) for r in df.collect()}
+    assert rows["AAA"] == (1.5, None)
+    assert rows["BBB"][0] is None and "not_a_number" in rows["BBB"][1]
+    assert rows["CCC"] == (2.5, None)
