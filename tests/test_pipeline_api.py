@@ -1,0 +1,88 @@
+"""User-facing API parity: config loader, Pipeline entry points, reports.
+
+Mirrors the reference's public surface (README.md:251-259, SURVEY.md §3) so a
+reference user can switch engines without relearning the API.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from market_data_pipeline_spark.config import ConfigValidationError, load_config
+from market_data_pipeline_spark.pipeline import Pipeline
+from market_data_pipeline_spark import reports
+
+
+BASE_YAML = """
+symbols: [VNM, MWG]
+start_date: "2024-01-01"
+end_date: "2026-01-14"
+retry: 3
+data_paths: {raw: /tmp/raw, processed: /tmp/processed}
+logging: {level: INFO}
+"""
+
+
+@pytest.fixture()
+def cfg_path(tmp_path):
+    p = tmp_path / "settings.yaml"
+    p.write_text(BASE_YAML)
+    return str(p)
+
+
+def test_config_env_overrides_beat_file(cfg_path):
+    cfg = load_config(cfg_path, env={"MDP_SYMBOLS": "FPT , HPG", "MDP_RETRY": "5"})
+    assert cfg["symbols"] == ["FPT", "HPG"]
+    assert cfg["retry"] == 5
+    assert cfg["start_date"] == "2024-01-01"  # untouched
+
+
+def test_config_symbols_fallback_to_market_scope(tmp_path):
+    p = tmp_path / "s.yaml"
+    p.write_text(BASE_YAML.replace("symbols: [VNM, MWG]", "market_scope: {symbols: [VNM]}"))
+    cfg = load_config(str(p), env={})
+    assert cfg["symbols"] == ["VNM"]
+
+
+def test_config_missing_required_field_raises(tmp_path):
+    p = tmp_path / "s.yaml"
+    p.write_text(BASE_YAML.replace('retry: 3', ""))
+    with pytest.raises(ConfigValidationError, match="retry"):
+        load_config(str(p), env={})
+
+
+def test_config_bad_env_retry_raises(cfg_path):
+    with pytest.raises(ConfigValidationError, match="MDP_RETRY"):
+        load_config(cfg_path, env={"MDP_RETRY": "not_a_number"})
+
+
+def test_daily_update_produces_indicator_columns(spark, sf_dir):
+    pipe = Pipeline(spark, sf_dir)
+    df = pipe.run_daily_update()
+    for col in ("ma_20", "rsi", "macd", "bb_upper", "atr", "obv", "momentum_1m", "dist_ma_20"):
+        assert col in df.columns
+    assert df.count() > 0
+
+
+def test_full_pipeline_frames(spark, sf_dir):
+    out = Pipeline(spark, sf_dir).run_full_pipeline()
+    assert set(out) == {"daily", "breadth", "health", "regime", "signals"}
+    sig = out["signals"]
+    n_symbols = out["daily"].select("symbol").distinct().count()
+    assert sig.count() == n_symbols  # one signal row per symbol
+    assert out["health"].count() == 1 and out["regime"].count() == 1
+
+
+def test_validate_data_quality_columns(spark, sf_dir):
+    rep = Pipeline(spark, sf_dir).validate_data_quality()
+    assert {"symbol", "quality_score", "missing_days", "dup_times"} <= set(rep.columns)
+
+
+def test_signal_report_markdown(spark, sf_dir):
+    pipe = Pipeline(spark, sf_dir)
+    sig = pipe.run_batch_analysis()
+    md = reports.signal_report_markdown(sig)
+    assert "# Daily Signal Report" in md and "## Recommendation counts" in md
+    rep = pipe.validate_data_quality()
+    md2 = reports.quality_report_markdown(rep)
+    assert "Worst" in md2 and "quality_score" in md2
