@@ -55,6 +55,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table (plus the derived ``series``/``bars``
+    views) as temp views so the whole engine surface is reachable from
+    ``spark.sql`` — the declarative front door the reference never had.
+    Views are lazy: nothing is read until a query runs."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    series_from_events(spark, sf_dir).createOrReplaceTempView("series")
+    bars_from_events(spark, sf_dir).createOrReplaceTempView("bars")
+
+
 def series_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tick-level price series: (event_id, symbol, time, close).
 

@@ -24,3 +24,24 @@ def test_all_queries_run_and_match_columns(spark, sf_dir):
         # cheap execution check (limit avoids full materialization cost here;
         # the full-result oracle comparison runs in tools/verify_local.py)
         df.limit(5).collect()
+
+
+def test_sql_front_door(spark, sf_dir):
+    """The engine surface is reachable declaratively: register views, run
+    SQL (windows + joins) directly."""
+    from market_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT symbol, d, close,
+               avg(close) OVER (PARTITION BY symbol ORDER BY d
+                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ma_10
+        FROM bars ORDER BY symbol, d LIMIT 10
+        """
+    )
+    assert out.count() == 10 and "ma_10" in out.columns
+    j = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]
+    assert j.n > 0

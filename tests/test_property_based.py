@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): distributed semantics must equal the
+pandas reference semantics on arbitrary inputs, not just fixtures.
+
+One Spark round-trip per property (lists in, lists out) keeps runtime sane;
+hypothesis drives the input shapes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.functions.helpers import keep_last_dedupe
+from market_data_pipeline_spark.functions.parsing import parse_financial_value
+
+SETTLE = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def dup_rows(draw):
+    """(symbol, time, close, event_id) rows with deliberate key collisions."""
+    n = draw(st.integers(2, 25))
+    rows = []
+    for i in range(n):
+        sym = draw(st.sampled_from(["A", "B", "C"]))
+        t = draw(st.integers(0, 5))
+        close = draw(st.floats(min_value=-100, max_value=100, allow_nan=False, width=32))
+        rows.append((sym, t, float(close), i))
+    return rows
+
+
+@given(dup_rows())
+@SETTLE
+def test_keep_last_dedupe_matches_pandas(spark, rows):
+    df = spark.createDataFrame(rows, "symbol string, time long, close double, event_id long")
+    got = {
+        (r.symbol, r.time): (r.close, r.event_id)
+        for r in keep_last_dedupe(df, ["symbol", "time"], "event_id").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["symbol", "time", "close", "event_id"])
+    expect = pdf.drop_duplicates(subset=["symbol", "time"], keep="last")
+    exp = {
+        (r.symbol, r.time): (r.close, r.event_id) for r in expect.itertuples(index=False)
+    }
+    assert got == exp
+
+
+def _py_parse(s: str) -> float | None:
+    """Python twin of the reference's _parse_financial_value semantics."""
+    import re
+
+    t = s.strip().lower()
+    m = re.search(r"([-+]?[0-9]*\.?[0-9]+)", t.replace(",", ""))
+    if not m:
+        return None
+    v = float(m.group(1))
+    if re.search(r"%\s*$", t):
+        return v / 100.0
+    if re.search(r"(tỷ|ty)\s*$", t):
+        return v * 1e9
+    if re.search(r"(triệu|trieu|tr)\s*$", t):
+        return v * 1e6
+    return v
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+            st.sampled_from(["", "%", " tỷ", " triệu", " tr", " ty", " trieu", "x", " đồng"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTLE
+def test_financial_parser_matches_python_reference(spark, vals):
+    raws = [f"{num}{suffix}" for num, suffix in vals] + ["n/a", "", "--", "1,234.5 tỷ"]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = {
+        r.raw: r.parsed
+        for r in df.withColumn("parsed", parse_financial_value(F.col("raw"))).collect()
+    }
+    for raw in raws:
+        exp = _py_parse(raw)
+        if exp is None:
+            assert got[raw] is None, raw
+        else:
+            assert got[raw] == pytest.approx(exp, rel=1e-9), raw
