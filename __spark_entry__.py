@@ -2591,8 +2591,67 @@ FROM lineitem
 """
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF search (nprobe=1): score only the query's cell — with a
+    cell-partitioned corpus layout this is partition-pruned 1/K scan."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(e, q, k=5, n_cells=16)
+
+
+SQL_SIM_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, {_ivf_sims_sql()} AS sims FROM e),
+b AS (SELECT vec_id, v, CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cell FROM s),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS corpus_id, v AS cv, cell FROM b),
+scored AS (
+  SELECT query_id, corpus_id,
+    round(list_dot_product(qv, cv)
+          / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) AS cos_sim
+  FROM c JOIN q USING (cell)
+  WHERE query_id <> corpus_id
+)
+SELECT query_id, corpus_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def q_w_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE window frame — trailing 7 CALENDAR days (not 7 rows) per
+    symbol. The reference has no RANGE frames at all (SURVEY §2.5); Spark
+    range frames handle gapped series correctly where row frames can't."""
+    b = _bars(spark, sf)
+    days = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(days)
+        .rangeBetween(-6, 0)
+    )
+    return b.select(
+        "symbol",
+        "d",
+        F.round(F.sum("volume").over(w), 4).alias("vol_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days_7d"),
+    )
+
+
+SQL_W_RANGE = f"""
+WITH {BARS_SQL}
+SELECT symbol, d,
+  round(sum(volume) OVER w, 4) AS vol_7d,
+  count(*) OVER w AS n_days_7d
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
+        "inv_w_range_frame": (q_w_range_frame, SQL_W_RANGE),
         "inv_a_distinct_counts": (q_a_distinct_counts, SQL_DISTINCT),
         "inv_j4_status_stitch": (q_j4_status_stitch, SQL_J4),
         "inv_o4b_liquidity_topn": (q_o4b_liquidity_topn, SQL_O4B),

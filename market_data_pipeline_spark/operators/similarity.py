@@ -179,3 +179,36 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95, vec_col: str = "
             "cos_sim",
         )
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only corpus vectors in the query's cell (nprobe=1).
+    With the corpus written partitioned by cell, the cell equi-join becomes
+    partition pruning — the scan touches 1/K of the data per query cell."""
+    from pyspark.sql import Window
+
+    ca = ivf_assign(corpus, n_cells, dim, vec_col, id_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("vec").alias("c_vec"), "cell"
+    )
+    qa = ivf_assign(queries, n_cells, dim, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("q_vec"), "cell"
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cell")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rk")
+    )
