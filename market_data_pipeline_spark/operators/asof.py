@@ -36,6 +36,10 @@ def asof_join(
 
     At equal timestamps the right row IS visible (>= semantics, matching
     DuckDB ASOF JOIN and pandas merge_asof).
+
+    Contract: ``right`` must be unique per (key, right_time) — apply
+    keep-last dedupe upstream otherwise (equal-instant right rows have no
+    deterministic winner in any engine's as-of join).
     """
     lcols = left.columns
     l = left.withColumn("__t", F.col(left_time).cast("timestamp")).withColumn(

@@ -95,3 +95,65 @@ def test_financial_parser_matches_python_reference(spark, vals):
             assert got[raw] is None, raw
         else:
             assert got[raw] == pytest.approx(exp, rel=1e-9), raw
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 20))
+    n_right = draw(st.integers(0, 10))
+    left = [
+        (draw(st.sampled_from(["A", "B"])), draw(st.integers(0, 100)), float(i))
+        for i in range(n_left)
+    ]
+    right = [
+        (draw(st.sampled_from(["A", "B"])), draw(st.integers(0, 100)), float(100 + i))
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+@given(asof_case())
+@SETTLE
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import asof
+
+    left_rows, right_rows = case
+    # contract: right side has unique (key, time) — dedupe before the join
+    # (equal-instant right rows have no deterministic winner)
+    right_rows = list({(s, m): (s, m, v) for s, m, v in right_rows}.values())
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], "sym string, t timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [(s, ts(m), v) for s, m, v in right_rows], "sym string, mt timestamp, mark double"
+    )
+    got = {
+        (r.sym, r.t, r.v): r.mark
+        for r in asof.asof_join(left, right, "sym", "t", "mt", ["mark"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], columns=["sym", "t", "v"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(s, ts(m), v) for s, m, v in right_rows], columns=["sym", "mt", "mark"]
+    ).sort_values("mt", kind="mergesort")
+    if rp.empty:
+        assert all(v is None for v in got.values())
+        return
+    # pandas merge_asof needs dedup'd right keys per (sym, mt): keep the LAST
+    # mark at each instant, matching the window-ffill (later rows win)
+    rp = rp.drop_duplicates(subset=["sym", "mt"], keep="last")
+    exp_df = pd.merge_asof(
+        lp, rp, left_on="t", right_on="mt", by="sym", direction="backward"
+    )
+    for row in exp_df.itertuples(index=False):
+        expect = None if pd.isna(row.mark) else row.mark
+        assert got[(row.sym, row.t, row.v)] == expect
