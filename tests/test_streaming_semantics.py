@@ -1,0 +1,133 @@
+"""Hard streaming semantics: watermark late-data handling across real
+micro-batch boundaries, and exactly-once resumption from a checkpoint.
+
+These are the behaviors the reference's TTL-cache fake cannot express
+(SURVEY §2.9) and the reason the engine's streaming layer is Structured
+Streaming rather than a scheduler loop.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_append_emits_only_watermark_finalized_windows(spark, tmp_path):
+    """Append-mode discipline (the guarantee Spark actually makes — late-row
+    DROPPING is best-effort, finalization is not): a window appears in the
+    append output only once the watermark passes its end."""
+    src = str(tmp_path / "stream_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _write_batch(spark, src, [(1, t, 1.0), (2, t + dt.timedelta(minutes=5), 1.0)])
+    schema = "event_id long, ts timestamp, value double"
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.sum("value").alias("total"))
+            .select(F.col("win.start").alias("win_start"), "total")
+        )
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.win_start: r.total for r in emitted}
+
+    # run 1: watermark ends at 11:05 — the 12:00 window is still open
+    out1 = run("append_run1")
+    assert dt.datetime(2024, 1, 1, 12, 0, 0) not in out1
+
+    # a 15:00 event advances the watermark past 13:00 → 12:00 finalizes
+    _write_batch(spark, src, [(3, t + dt.timedelta(hours=3), 1.0)])
+    out2 = run("append_run2")
+    assert out2.get(dt.datetime(2024, 1, 1, 12, 0, 0)) == 2.0
+
+
+def test_streaming_dedup_state_spans_batches(spark, tmp_path):
+    """dropDuplicates state is remembered across micro-batches within the
+    watermark horizon: a replay of batch-1's (event_id) in batch 2 is
+    suppressed — the keep-last TTL-cache semantics, but fault-tolerant."""
+    src = str(tmp_path / "dedup_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _write_batch(spark, src, [(1, t, 1.0), (2, t + dt.timedelta(minutes=1), 2.0)])
+    # batch 2 replays event 1 (same id+ts) and adds a fresh event 3
+    _write_batch(
+        spark,
+        src,
+        [(1, t, 999.0), (3, t + dt.timedelta(minutes=2), 3.0)],
+    )
+    schema = "event_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_batches")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("dedup_batches").collect()
+    assert len(rows) == 3  # replay suppressed
+    vals = {r.event_id: r.value for r in rows}
+    assert vals[1] == 1.0  # first occurrence won, not the replay
+
+
+def test_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """Stop after batch 1, restart with the same checkpoint: the second run
+    processes ONLY the new file — counts equal the union exactly once."""
+    src = str(tmp_path / "ckpt_src")
+    out = str(tmp_path / "ckpt_out")
+    ckpt = str(tmp_path / "ckpt_meta")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _write_batch(spark, src, [(i, t, 1.0) for i in range(10)])
+
+    schema = "event_id long, ts timestamp, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+    # new data arrives while the query is down
+    _write_batch(spark, src, [(i, t, 1.0) for i in range(10, 15)])
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == 15  # no reprocessing, no loss
+    assert result.select("event_id").distinct().count() == 15
