@@ -20,5 +20,18 @@ Design stance (SURVEY.md §7.0):
 
 from market_data_pipeline_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "Pipeline", "load_config"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy so `import market_data_pipeline_spark` stays cheap for the driver
+    if name == "Pipeline":
+        from market_data_pipeline_spark.pipeline import Pipeline
+
+        return Pipeline
+    if name == "load_config":
+        from market_data_pipeline_spark.config import load_config
+
+        return load_config
+    raise AttributeError(name)

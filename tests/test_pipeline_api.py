@@ -86,3 +86,25 @@ def test_signal_report_markdown(spark, sf_dir):
     rep = pipe.validate_data_quality()
     md2 = reports.quality_report_markdown(rep)
     assert "Worst" in md2 and "quality_score" in md2
+
+
+def test_package_exports():
+    import market_data_pipeline_spark as pkg
+
+    assert callable(pkg.get_spark) and callable(pkg.load_config)
+    assert pkg.Pipeline.__name__ == "Pipeline"
+
+
+def test_stratified_hash_sample_deterministic(spark, sf_dir):
+    from market_data_pipeline_spark.operators.features import stratified_hash_sample
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = stratified_hash_sample(d, "doc_id", 0.25)
+    s2 = stratified_hash_sample(d, "doc_id", 0.25)
+    n, total = s1.count(), d.count()
+    assert n == s2.count()  # deterministic, unlike df.sample
+    assert 0.1 < n / total < 0.45  # roughly the requested fraction
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2
