@@ -2648,8 +2648,40 @@ WINDOW w AS (PARTITION BY symbol ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDI
 """
 
 
+def q_sim_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_multiprobe(e, q, k=5, n_planes=8)
+
+
+SQL_SIM_MULTIPROBE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(8)} AS lsh_bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv, lsh_bucket FROM b WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, lsh_bucket FROM q0
+  UNION ALL
+  SELECT query_id, qv, xor(lsh_bucket, CAST(p AS BIGINT))
+  FROM q0, (SELECT unnest([{', '.join(str(1 << i) for i in range(8))}]) AS p)
+),
+c AS (SELECT vec_id AS corpus_id, v AS cv, lsh_bucket FROM b),
+scored AS (
+  SELECT DISTINCT query_id, corpus_id,
+    round(list_dot_product(qv, cv)
+          / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) AS cos_sim
+  FROM c JOIN probes USING (lsh_bucket)
+  WHERE query_id <> corpus_id
+)
+SELECT query_id, corpus_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_sim_ann_multiprobe": (q_sim_ann_multiprobe, SQL_SIM_MULTIPROBE),
         "inv_sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
         "inv_w_range_frame": (q_w_range_frame, SQL_W_RANGE),
         "inv_a_distinct_counts": (q_a_distinct_counts, SQL_DISTINCT),

@@ -212,3 +212,51 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rk")
     )
+
+
+def ann_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe ANN: each query probes its own bucket plus every bucket at
+    Hamming distance 1 (one plane's sign flipped) — the standard recall/cost
+    knob: candidates grow ~(n_planes+1)×, recall approaches brute force for
+    near-boundary vectors. The probe expansion happens on the (small) query
+    side only; the corpus is bucketed once."""
+    from pyspark.sql import Window
+
+    cb = lsh_bucket(corpus, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        "lsh_bucket",
+    )
+    qb = lsh_bucket(queries, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        "lsh_bucket",
+    )
+    probes = F.array(
+        F.col("lsh_bucket"),
+        *[F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    q_probed = qb.select(
+        "query_id", "q_vec", F.explode(probes).alias("lsh_bucket")
+    )
+    scored = (
+        cb.join(F.broadcast(q_probed), "lsh_bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "corpus_id", "cos_sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rk")
+    )

@@ -140,3 +140,17 @@ def test_ivf_cells_in_range(spark, sf_dir):
     cells = similarity.ivf_assign(e, n_cells=8).select("cell").distinct().collect()
     vals = {r.cell for r in cells}
     assert vals <= set(range(8)) and len(vals) > 1
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Probing hamming-1 buckets can only ADD candidates: multiprobe recall
+    vs brute force >= single-probe recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.corpus_id) for r in similarity.brute_force_topk(e, q, k=5).collect()}
+    single = {(r.query_id, r.corpus_id) for r in similarity.ann_topk(e, q, k=5, n_planes=8).collect()}
+    multi = {
+        (r.query_id, r.corpus_id)
+        for r in similarity.ann_topk_multiprobe(e, q, k=5, n_planes=8).collect()
+    }
+    assert len(multi & bf) >= len(single & bf)
