@@ -44,12 +44,19 @@ def clean_ohlcv(df: DataFrame, required=OHLCV_REQUIRED) -> DataFrame:
     return df
 
 
-def validate_symbols(df: DataFrame, symbol_col: str = "symbol") -> DataFrame:
+def validate_symbols(df: DataFrame, symbol_col: str = "symbol", order_col: str | None = None) -> DataFrame:
     """P7 — symbol-format filter (data_validator.py:9-70): trim/upper, regex
-    ``^[A-Z0-9]{3,5}$``, dedupe preserving first occurrence."""
+    ``^[A-Z0-9]{3,5}$``, one row per symbol.
+
+    "First occurrence" is only well-defined with an explicit ingest-order
+    column — pass ``order_col`` when the non-key columns matter. Without it,
+    one arbitrary-but-single row per symbol survives
+    (monotonically_increasing_id is not stable across retries; fine when the
+    output is just the symbol set, as in the listing-universe path)."""
     norm = F.upper(F.trim(F.col(symbol_col)))
     df = df.withColumn(symbol_col, norm).filter(F.col(symbol_col).rlike("^[A-Z0-9]{3,5}$"))
-    w = Window.partitionBy(symbol_col).orderBy(F.monotonically_increasing_id())
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    w = Window.partitionBy(symbol_col).orderBy(order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
