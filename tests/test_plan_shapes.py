@@ -52,3 +52,37 @@ def test_events_scan_prunes_unused_columns(spark, sf_dir):
     s = series_from_events(spark, sf_dir)
     schemas = " ".join(introspect.read_schemas(s))
     assert "props" not in schemas and "event_type" not in schemas
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed layout (the SCALE.md co-location story): both fact tables
+    bucketed+sorted on the join key join WITHOUT any exchange on that key —
+    at 100 TB this is the difference between a full-data shuffle and none."""
+    import re
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders")).saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_lineitem")).saveAsTable("b_lineitem")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert len(re.findall("Exchange hashpartitioning", plan)) == 0
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
