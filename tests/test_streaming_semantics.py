@@ -131,3 +131,40 @@ def test_checkpoint_resume_no_duplicates(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 15  # no reprocessing, no loss
     assert result.select("event_id").distinct().count() == 15
+
+
+def test_processing_time_trigger_incremental_pickup(spark, tmp_path):
+    """The reference's 60s TTL realtime cache as a real micro-batch trigger
+    (price_extractor.py:16-136 analog): a processingTime stream picks up
+    files that arrive while it runs — no restart, no cache invalidation."""
+    import time
+
+    src = str(tmp_path / "rt_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _write_batch(spark, src, [(1, t, 1.0)])
+    schema = "event_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(r.event_id for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "rt_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while 1 not in seen and time.time() < deadline:
+            time.sleep(0.5)
+        assert 1 in seen
+        # new data lands mid-stream; the next tick must pick it up
+        _write_batch(spark, src, [(2, t + dt.timedelta(minutes=1), 2.0)])
+        deadline = time.time() + 30
+        while 2 not in seen and time.time() < deadline:
+            time.sleep(0.5)
+        assert 2 in seen
+    finally:
+        q.stop()
