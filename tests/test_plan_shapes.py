@@ -86,3 +86,24 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change results: skewed big side (90% one key) joined
+    plain vs salted — identical row multisets."""
+    from market_data_pipeline_spark.functions.skew import salted_join
+
+    big_rows = [(1, i) for i in range(900)] + [(k, 1000 + k) for k in range(2, 102)]
+    big = spark.createDataFrame(big_rows, "k long, payload long")
+    small = spark.createDataFrame([(k, f"dim_{k}") for k in range(1, 102)], "k long, label string")
+
+    plain = big.join(small, "k", "inner").select("k", "payload", "label")
+    salted = salted_join(big, small, key="k", salt_from="payload", n_salts=8).select(
+        "k", "payload", "label"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows too
+    big2 = big.union(spark.createDataFrame([(999, 1)], "k long, payload long"))
+    left_plain = big2.join(small, "k", "left").count()
+    left_salted = salted_join(big2, small, "k", "payload", how="left").count()
+    assert left_plain == left_salted
