@@ -63,6 +63,45 @@ def signal_report_markdown(signals: DataFrame, top_n: int = 5) -> str:
     return "\n".join(parts)
 
 
+def markdown_to_html(md: str, title: str = "Report") -> str:
+    """S20 HTML twin (report_generator.py:35 promises "Markdown/HTML"; only
+    the .md side exists in the reference — this completes the pair).
+
+    Minimal renderer for the two shapes our reports emit — headings and
+    pipe-tables — so the HTML sink needs no external converter library.
+    """
+    import html as _html
+
+    out: list[str] = []
+    lines = md.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("|") and i + 1 < len(lines) and set(lines[i + 1]) <= set("|-: "):
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            out.append("<table><thead><tr>")
+            out.extend(f"<th>{_html.escape(c)}</th>" for c in cells)
+            out.append("</tr></thead><tbody>")
+            i += 2
+            while i < len(lines) and lines[i].startswith("|"):
+                row = [c.strip() for c in lines[i].strip("|").split("|")]
+                out.append("<tr>" + "".join(f"<td>{_html.escape(c)}</td>" for c in row) + "</tr>")
+                i += 1
+            out.append("</tbody></table>")
+            continue
+        if line.startswith("#"):
+            level = len(line) - len(line.lstrip("#"))
+            out.append(f"<h{level}>{_html.escape(line[level:].strip())}</h{level}>")
+        elif line.strip():
+            out.append(f"<p>{_html.escape(line)}</p>")
+        i += 1
+    body = "\n".join(out)
+    return (
+        f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{_html.escape(title)}</title></head><body>\n{body}\n</body></html>"
+    )
+
+
 def quality_report_markdown(report: DataFrame, worst_n: int = 10) -> str:
     """Data-quality section: worst symbols by quality score
     (pipeline.py:377-406 outputs)."""

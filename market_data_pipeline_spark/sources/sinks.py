@@ -1,0 +1,218 @@
+"""Sink surface (SURVEY.md §2.1 S13-S21) as engine API.
+
+The reference's export layer is a per-symbol ThreadPool writing one parquet
+file per symbol with a tmp+fsync+rename dance and a write-then-reload count
+check (/root/reference/src/utils/data_exporter.py:22-58,108-166,
+src/utils/file_utils.py:26-59, src/pipeline.py:308-319). Spark replaces all
+of that with one job: ``partitionBy`` fans out per-symbol directories, the
+task-commit protocol gives atomicity, and verification is a reload+count.
+
+Driver-side formats (Excel, Telegram) stay driver-side by nature: Excel is a
+single local file (one sheet per symbol, /root/reference/src/extractors/
+get_ohlcv.py:26-41), Telegram is a side-effect POST on failure
+(/root/reference/src/pipeline.py:408-431). Both are bounded-size outputs of
+already-aggregated frames — never the 100 TB data path.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def write_parquet_verified(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("symbol",),
+    mode: str = "overwrite",
+) -> int:
+    """S14+S15 — partitioned parquet write, then reload and count-check.
+
+    Returns the verified row count; raises if the reload disagrees with the
+    written count (the reference's export_then_verify,
+    src/pipeline.py:308-319). The count runs on the *written* files, so a
+    lost task or partial commit surfaces here, not downstream.
+    """
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    expected = df.count()
+    writer.parquet(path)
+    actual = df.sparkSession.read.parquet(path).count()
+    if actual != expected:
+        raise ValueError(f"parquet verify failed at {path}: wrote {expected}, read back {actual}")
+    return actual
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """S16 — CSV export; atomicity comes from Spark's task-commit protocol
+    (replaces tmp+fsync+rename, file_utils.py:26-59)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def read_csv_pinned(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    """S18 — schema-pinned CSV import (no inference pass over 100 TB)."""
+    return spark.read.option("header", header).schema(schema).csv(path)
+
+
+def snapshot_write(df: DataFrame, path: str, snapshot_date: _dt.date | None = None) -> None:
+    """S13 — day-scoped snapshot cache (ticker-universe day-cache,
+    src/utils/market_scanner.py:131-148): stamp every row with the snapshot
+    date and overwrite only that date's partition."""
+    stamp = F.lit(snapshot_date) if snapshot_date else F.current_date()
+    (
+        df.withColumn("snapshot_date", stamp.cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("snapshot_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, snapshot_date: _dt.date | None = None
+) -> DataFrame | None:
+    """S13 read side — None when today's (or the given day's) snapshot is
+    absent, mirroring the reference's cache-miss → refetch path. The date
+    filter prunes to one partition directory."""
+    want = snapshot_date or _dt.date.today()
+    try:
+        snap = spark.read.parquet(path).filter(F.col("snapshot_date") == F.lit(want))
+    except Exception:  # AnalysisException: path does not exist yet
+        return None
+    if not snap.take(1):
+        return None
+    return snap
+
+
+def merge_daily_partitions(
+    new_rows: DataFrame,
+    path: str,
+    partition_col: str = "d",
+    key_cols: Sequence[str] = ("symbol", "d"),
+    order_col: str | None = None,
+) -> None:
+    """Incremental day-batch upsert: rewrite ONLY the date partitions the
+    new batch touches (the scale-correct form of the reference's daily
+    append+dedupe, src/pipeline.py:308-319 + price_extractor.py:96).
+
+    Plan: prune the existing store to the touched dates (partition pruning —
+    at 100 TB this reads one day, not the store), union with the batch,
+    keep-last per ``key_cols`` (batch rows win via a source-rank tiebreak,
+    or ``order_col`` when a real ingest-order column exists), then
+    ``partitionOverwriteMode=dynamic`` so untouched partitions are never
+    rewritten. No table format needed — plain parquet.
+    """
+    spark = new_rows.sparkSession
+    dates = [r[0] for r in new_rows.select(partition_col).distinct().collect()]
+    if not dates:
+        return
+    merged = new_rows.withColumn("__src", F.lit(1))
+    try:
+        existing = spark.read.parquet(path).filter(F.col(partition_col).isin(dates))
+        merged = existing.withColumn("__src", F.lit(0)).unionByName(merged)
+    except Exception:  # first write: store does not exist yet
+        pass
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()] if order_col else []
+    w = Window.partitionBy(*key_cols).orderBy(*order, F.col("__src").desc())
+    merged = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    # Spark rejects overwriting a path that is also an input of the plan;
+    # materialize the (one-day-sized) merge result to break the lineage.
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def export_excel(
+    df: DataFrame,
+    path: str,
+    sheet_col: str = "symbol",
+    max_rows: int = 1_000_000,
+) -> int:
+    """S17 — Excel export, one sheet per ``sheet_col`` value
+    (get_ohlcv.py:26-41: 31-char sheet names, skip-on-error per sheet).
+
+    Excel is a driver-side single-file format, so the frame is collected via
+    Arrow — guarded by ``max_rows`` so this can never be pointed at the data
+    path. Requires openpyxl; raises NotImplementedError when absent (not
+    installed in this container).
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "export_excel needs openpyxl (not installed); use write_csv/write_parquet_verified"
+        ) from exc
+    import pandas as pd
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"refusing driver-side Excel export of {n} rows (max {max_rows})")
+    pdf = df.toPandas()
+    written = 0
+    with pd.ExcelWriter(path, engine="openpyxl", datetime_format="yyyy-mm-dd") as writer:
+        for key, part in pdf.groupby(sheet_col, sort=True):
+            try:
+                part.to_excel(writer, sheet_name=str(key)[:31], index=False)
+                written += 1
+            except Exception as exc:  # skip-on-error per sheet, like the reference
+                log.warning("skipping sheet %s: %s", key, exc)
+    return written
+
+
+def telegram_notifier(
+    transport: Callable[[str, bytes], None] | None = None,
+) -> Callable[[str, str], None]:
+    """S21 — failure-notification sink (pipeline.py:408-431 `_notify`).
+
+    Returns ``notify(message, severity)``. Reads TELEGRAM_BOT_TOKEN /
+    TELEGRAM_CHAT_ID from the environment like the reference; when they are
+    unset it logs and returns (the reference's unconfigured path). The HTTP
+    POST is injected via ``transport(url, payload)`` so tests run without
+    network; send failures are swallowed with a warning, never failing the
+    pipeline. Use from ``foreachBatch`` or a StreamingQueryListener.
+    """
+    import json
+    import os
+
+    def _default_transport(url: str, payload: bytes) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url=url, data=payload, headers={"Content-Type": "application/json"}, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            resp.read()
+
+    send = transport or _default_transport
+
+    def notify(message: str, severity: str = "info") -> None:
+        log.info("Notify [%s]: %s", severity, message)
+        token = os.getenv("TELEGRAM_BOT_TOKEN")
+        chat_id = os.getenv("TELEGRAM_CHAT_ID")
+        if not (token and chat_id):
+            return
+        url = f"https://api.telegram.org/bot{token}/sendMessage"
+        payload = json.dumps({"chat_id": chat_id, "text": message}).encode("utf-8")
+        try:
+            send(url, payload)
+        except Exception as exc:
+            log.warning("telegram send failed: %s", exc)
+
+    return notify

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from market_data_pipeline_spark.sources import sinks
 from market_data_pipeline_spark.sources.tables import load_table
 
 
@@ -28,7 +29,7 @@ def test_parquet_sink_partitioned_write_verify(spark, bars_small, tmp_path):
     reference's write-then-verify as one assertion."""
     target = str(tmp_path / "bars_parquet")
     n = bars_small.count()
-    bars_small.write.mode("overwrite").partitionBy("symbol").parquet(target)
+    assert sinks.write_parquet_verified(bars_small, target) == n
     back = spark.read.parquet(target)
     assert back.count() == n
     # partition pruning: a symbol filter must prune the directory listing
@@ -39,8 +40,8 @@ def test_parquet_sink_partitioned_write_verify(spark, bars_small, tmp_path):
 def test_csv_sink_roundtrip(spark, bars_small, tmp_path):
     """S16+S18: CSV write (atomic via task commit) and schema-pinned import."""
     target = str(tmp_path / "bars_csv")
-    bars_small.write.mode("overwrite").option("header", True).csv(target)
-    back = spark.read.option("header", True).schema(bars_small.schema).csv(target)
+    sinks.write_csv(bars_small, target)
+    back = sinks.read_csv_pinned(spark, target, bars_small.schema)
     assert back.count() == bars_small.count()
     # CSV read-back normalizes nullability; names + types must survive
     assert [(f.name, f.dataType) for f in back.schema.fields] == [
@@ -49,9 +50,90 @@ def test_csv_sink_roundtrip(spark, bars_small, tmp_path):
 
 
 def test_snapshot_cache_day_scoped(spark, sf_dir, tmp_path):
-    """S13: the ticker-universe day-cache as a date-stamped snapshot table."""
+    """S13: the ticker-universe day-cache as a date-stamped snapshot table.
+    Hit today, miss yesterday, miss on absent path — the reference's
+    cache-valid-for-creation-day contract (market_scanner.py:131-148)."""
+    import datetime as dt
+
     d = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     snap = str(tmp_path / "universe_snapshot")
-    d.withColumn("snapshot_date", F.current_date()).write.mode("overwrite").parquet(snap)
-    back = spark.read.parquet(snap)
-    assert back.filter(F.col("snapshot_date") == F.current_date()).count() == d.count()
+    sinks.snapshot_write(d, snap)
+    hit = sinks.snapshot_read(spark, snap)
+    assert hit is not None and hit.count() == d.count()
+    assert sinks.snapshot_read(spark, snap, dt.date.today() - dt.timedelta(days=1)) is None
+    assert sinks.snapshot_read(spark, str(tmp_path / "nope")) is None
+
+
+def test_merge_daily_partitions_incremental(spark, tmp_path):
+    """Incremental upsert: only touched date partitions are rewritten; the
+    batch row wins a key collision (keep-last); untouched days survive."""
+    import os
+
+    store = str(tmp_path / "bars_store")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", 11.0), (2, "2024-01-01", 20.0)],
+        "symbol int, d string, close double",
+    )
+    sinks.merge_daily_partitions(base, store)
+    # batch: corrects (1, 2024-01-02) and appends a new day
+    batch = spark.createDataFrame(
+        [(1, "2024-01-02", 99.0), (2, "2024-01-03", 23.0)],
+        "symbol int, d string, close double",
+    )
+    untouched = os.path.getmtime(os.path.join(store, "d=2024-01-01"))
+    sinks.merge_daily_partitions(batch, store)
+    assert os.path.getmtime(os.path.join(store, "d=2024-01-01")) == untouched
+    # partition-dir values come back type-inferred (string d → date); compare as str
+    back = {(r.symbol, str(r.d)): r.close for r in spark.read.parquet(store).collect()}
+    assert back == {
+        (1, "2024-01-01"): 10.0,
+        (1, "2024-01-02"): 99.0,
+        (2, "2024-01-01"): 20.0,
+        (2, "2024-01-03"): 23.0,
+    }
+
+
+def test_excel_sink_gated(bars_small, tmp_path):
+    """S17: Excel export is driver-side and openpyxl-gated; without the lib
+    it must fail loudly with the documented fallback hint, not silently."""
+    try:
+        import openpyxl  # noqa: F401
+
+        n = sinks.export_excel(bars_small.limit(50), str(tmp_path / "bars.xlsx"))
+        assert n > 0
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            sinks.export_excel(bars_small.limit(50), str(tmp_path / "bars.xlsx"))
+
+
+def test_telegram_notifier_transport_injection(monkeypatch):
+    """S21: unconfigured → no send (reference's env-gate); configured → one
+    POST with {chat_id, text}; transport failure is swallowed."""
+    import json
+
+    sent: list[tuple[str, bytes]] = []
+    notify = sinks.telegram_notifier(transport=lambda url, payload: sent.append((url, payload)))
+    monkeypatch.delenv("TELEGRAM_BOT_TOKEN", raising=False)
+    monkeypatch.delenv("TELEGRAM_CHAT_ID", raising=False)
+    notify("pipeline failed", severity="error")
+    assert sent == []
+    monkeypatch.setenv("TELEGRAM_BOT_TOKEN", "tok")
+    monkeypatch.setenv("TELEGRAM_CHAT_ID", "42")
+    notify("pipeline failed", severity="error")
+    assert len(sent) == 1 and "bottok/sendMessage" in sent[0][0]
+    assert json.loads(sent[0][1]) == {"chat_id": "42", "text": "pipeline failed"}
+
+    def boom(url, payload):
+        raise OSError("no network")
+
+    sinks.telegram_notifier(transport=boom)("x")  # must not raise
+
+
+def test_markdown_to_html_report(spark, sf_dir):
+    """S20: the HTML twin renders headings and tables from the md report."""
+    from market_data_pipeline_spark import reports
+
+    md = "# T\n\n## Sec\n\n| a | b |\n|---|---|\n| 1 | x<y |\n"
+    html = reports.markdown_to_html(md, title="T")
+    assert "<h1>T</h1>" in html and "<h2>Sec</h2>" in html
+    assert "<th>a</th>" in html and "<td>x&lt;y</td>" in html
