@@ -139,6 +139,71 @@ def merge_daily_partitions(
     )
 
 
+def streaming_upsert_sink(
+    path: str,
+    partition_col: str = "d",
+    key_cols: Sequence[str] = ("symbol", "d"),
+    order_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """§2.9 ingest sink: ``writeStream.foreachBatch(streaming_upsert_sink(p))``
+    turns the incremental merge into a streaming upsert — each micro-batch
+    rewrites only the date partitions it touches. Replaces the reference's
+    daily-append loop (src/scripts/daily_update.py) with exactly-once
+    batches: replays of a failed micro-batch converge because the merge is
+    idempotent (keep-last on ``key_cols``).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_daily_partitions(
+            batch_df, path, partition_col=partition_col, key_cols=key_cols, order_col=order_col
+        )
+
+    return sink
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "d",
+    target_rows_per_file: int = 2_000_000,
+    partitions: Sequence[object] | None = None,
+) -> int:
+    """Maintenance: rewrite a partitioned store's small files into ~one file
+    per ``target_rows_per_file`` rows, per partition. Daily upserts and
+    streaming micro-batches accrete small files; at 100 TB the fix is a
+    periodic per-partition rewrite, NOT a global repartition (which would
+    shuffle the whole store). ``partitions`` limits the rewrite to given
+    partition values (e.g. yesterday); default compacts everything.
+
+    Returns the number of partitions rewritten. Uses the same dynamic
+    partition overwrite as the merge, so concurrent readers never see a
+    half-compacted partition directory.
+    """
+    store = spark.read.parquet(path)
+    if partitions is None:
+        partitions = [r[0] for r in store.select(partition_col).distinct().collect()]
+    if not partitions:
+        return 0
+    counts = {
+        r[0]: r[1]
+        for r in store.filter(F.col(partition_col).isin(list(partitions)))
+        .groupBy(partition_col)
+        .count()
+        .collect()
+    }
+    for value in partitions:
+        n_files = max(1, -(-counts.get(value, 0) // target_rows_per_file))  # ceil div
+        one = store.filter(F.col(partition_col) == F.lit(value)).repartition(n_files)
+        one = one.localCheckpoint(eager=True)  # break lineage before self-overwrite
+        (
+            one.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+    return len(partitions)
+
+
 def export_excel(
     df: DataFrame,
     path: str,

@@ -93,6 +93,62 @@ def test_merge_daily_partitions_incremental(spark, tmp_path):
     }
 
 
+def test_streaming_upsert_sink(spark, tmp_path):
+    """§2.9: foreachBatch(streaming_upsert_sink) — a replayed batch with a
+    correction converges to the corrected value (idempotent upsert)."""
+    store = str(tmp_path / "stream_store")
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", 11.0)],
+        "symbol int, d string, close double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("symbol int, d string, close double").parquet(src)
+    sink = sinks.streaming_upsert_sink(store)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    # replay the same batch with one corrected row — merge must keep-last
+    corrected = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", 42.0)],
+        "symbol int, d string, close double",
+    )
+    sink(corrected, batch_id=1)
+    back = {(r.symbol, str(r.d)): r.close for r in spark.read.parquet(store).collect()}
+    assert back == {(1, "2024-01-01"): 10.0, (1, "2024-01-02"): 42.0}
+
+
+def test_compact_store_merges_small_files(spark, tmp_path):
+    """Maintenance: many per-batch small files collapse to one file per
+    partition; row contents survive byte-for-byte; only asked-for
+    partitions are rewritten."""
+    import glob
+    import os
+
+    store = str(tmp_path / "frag_store")
+    for batch in range(5):  # 5 appends → ≥5 files per partition dir
+        spark.createDataFrame(
+            [(s, "2024-01-01", float(batch * 10 + s)) for s in range(4)],
+            "symbol int, d string, close double",
+        ).coalesce(4).write.mode("append").partitionBy("d").parquet(store)
+    spark.createDataFrame(
+        [(1, "2024-01-02", 7.0)], "symbol int, d string, close double"
+    ).write.mode("append").partitionBy("d").parquet(store)
+
+    def files_in(day):
+        return glob.glob(os.path.join(store, f"d={day}", "*.parquet"))
+
+    assert len(files_in("2024-01-01")) >= 5
+    before = spark.read.parquet(store)
+    rows_before = sorted((r.symbol, str(r.d), r.close) for r in before.collect())
+    day2_mtime = os.path.getmtime(os.path.join(store, "d=2024-01-02"))
+
+    n = sinks.compact_store(spark, store, partitions=["2024-01-01"])
+    assert n == 1
+    assert len(files_in("2024-01-01")) == 1
+    assert os.path.getmtime(os.path.join(store, "d=2024-01-02")) == day2_mtime
+    after = spark.read.parquet(store)
+    assert sorted((r.symbol, str(r.d), r.close) for r in after.collect()) == rows_before
+
+
 def test_excel_sink_gated(bars_small, tmp_path):
     """S17: Excel export is driver-side and openpyxl-gated; without the lib
     it must fail loudly with the documented fallback hint, not silently."""
