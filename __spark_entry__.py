@@ -959,6 +959,22 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_a_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.price_percentiles(spark, sf)
+
+
+SQL_PCTL = """
+SELECT c_mktsegment,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
     tune_existing(spark)
     return relational.cube_counts(spark, sf)
@@ -1397,6 +1413,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "inv_j2_brand_lookup": (q_j2_brand_lookup, SQL_J2),
     "inv_o4_topk_per_group": (q_o4_topk_per_group, SQL_O4),
     "inv_u_set_ops": (q_u_set_ops, SQL_U),
+    "inv_a_percentiles": (q_a_percentiles, SQL_PCTL),
     "inv_rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
     "inv_cube_counts": (q_cube_counts, SQL_CUBE),
     "inv_pivot_status": (q_pivot_status, SQL_PIVOT),
@@ -1633,6 +1650,39 @@ def q_d_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_pairs(d, max_hamming=8)
 
 
+def q_d_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS via distributed connected
+    components (hash-min label propagation; dedup.dup_groups). group_id is
+    the min doc_id of the component — the "keep one per cluster" key."""
+    d = _docs(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
+    return dedup.dup_groups(pairs)
+
+
+# transitive closure as a recursive reachability CTE: min reachable doc_id
+# over the symmetric LSH-pair edge set == hash-min fixpoint label.
+SQL_D_GROUPS = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — similarity search over embeddings (north-star)
 # ---------------------------------------------------------------------------
@@ -1858,6 +1908,7 @@ _REGISTRY.update(
         "inv_d_minhash_lsh": (q_d_minhash_lsh, SQL_D_MINHASH),
         "inv_d_ngram_jaccard": (q_d_ngram_jaccard, SQL_D_JACCARD),
         "inv_d_simhash_pairs": (q_d_simhash_pairs, None),
+        "inv_d_dup_groups": (q_d_dup_groups, SQL_D_GROUPS),
         # similarity
         "inv_sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BF),
         "inv_sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN),

@@ -287,3 +287,56 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def dup_groups(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, group_id), where
+    group_id is the minimum doc_id in the component.
+
+    Pair emitters (LSH/SimHash/Jaccard) produce edges; dedup policy needs
+    GROUPS ("keep one doc per duplicate cluster"), which is transitive
+    closure. Hash-min label propagation: every node starts labeled with its
+    own id; each round, a node takes the min label among itself and its
+    neighbors; fixpoint = components. Each round is one shuffle join + one
+    groupBy-min — no driver-side graph, so 100 TB edge sets stream through
+    the same two shuffles per round. Rounds needed = component diameter
+    (near-dup clusters are shallow: typically ≤ 3-4).
+
+    Convergence is checked with a changed-label count; lineage is truncated
+    per round (localCheckpoint) so the plan does not grow with iterations.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", "nlabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))

@@ -158,6 +158,29 @@ def distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension — exact interpolated percentiles of order value per
+    market segment (p50/p90/p99), plus the scale path approx_percentile.
+
+    Exact `percentile` needs per-group sorted values (one shuffle on the
+    group key, memory O(group)) and matches DuckDB quantile_cont's linear
+    interpolation for the oracle. At 100 TB swap in `approx_percentile`
+    (mergeable sketch, map-side combinable) — same call shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1-U4 + extensions: union / intersect / except on customer key sets."""
     c = load_table(spark, sf_dir, "customer")

@@ -154,3 +154,16 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
         for r in similarity.ann_topk_multiprobe(e, q, k=5, n_planes=8).collect()
     }
     assert len(multi & bf) >= len(single & bf)
+
+
+def test_dup_groups_transitive_closure(spark):
+    """Connected components: chains collapse transitively (a-b, b-c, c-d →
+    one group labeled by min id); disjoint pairs stay separate."""
+    from market_data_pipeline_spark.operators.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.group_id for r in dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
