@@ -1982,6 +1982,46 @@ FROM ev e ASOF LEFT JOIN marks m ON e.symbol = m.symbol AND e.time >= m.bar_ts
 """
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, forward direction with a staleness bound: each tick gains
+    the NEXT daily bar at-or-after its timestamp, but only within 2 days
+    (merge_asof(direction='forward', tolerance=...) parity)."""
+    from market_data_pipeline_spark.operators import asof
+
+    s = _series(spark, sf).drop("event_id")
+    b = _bars(spark, sf).select(
+        "symbol", F.col("d").cast("timestamp").alias("bar_ts"), F.col("d").alias("bar_d"), F.col("close").alias("bar_close")
+    )
+    out = asof.asof_join(
+        s, b, key="symbol", left_time="time", right_time="bar_ts",
+        payload=["bar_d", "bar_close"], direction="forward", tolerance_seconds=172800,
+    )
+    return out.select(
+        "symbol", "time",
+        F.round("close", 4).alias("close"),
+        "bar_d",
+        F.round("bar_close", 4).alias("bar_close"),
+    )
+
+
+# no ASOF-forward in DuckDB ASOF JOIN — the oracle is a LATERAL next-match
+SQL_ASOF_FWD = f"""
+WITH {BARS_SQL},
+ev AS (
+  SELECT user_id AS symbol, ts AS time, value AS close FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+marks AS (SELECT symbol, CAST(d AS TIMESTAMP) AS bar_ts, d AS bar_d, close AS bar_close FROM bars)
+SELECT e.symbol, e.time, round(e.close, 4) AS close, m.bar_d, round(m.bar_close, 4) AS bar_close
+FROM ev e LEFT JOIN LATERAL (
+  SELECT bar_d, bar_close FROM marks m
+  WHERE m.symbol = e.symbol AND m.bar_ts >= e.time
+    AND epoch(m.bar_ts) - epoch(e.time) <= 172800
+  ORDER BY m.bar_ts LIMIT 1
+) m ON TRUE
+"""
+
+
 def q_x_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Anomaly-detector extension surface (reference placeholder
     src/analyzers/anomaly_detector.py): rolling z-score outliers."""
@@ -2748,6 +2788,7 @@ _REGISTRY.update(
         "inv_st_stateful_totals": (q_st_stateful_totals, SQL_ST_STATEFUL),
         "inv_j1_time_join": (q_j1_time_join, SQL_J1),
         "inv_asof_join_bars": (q_asof_join_bars, SQL_ASOF),
+        "inv_asof_forward_tolerance": (q_asof_forward_tolerance, SQL_ASOF_FWD),
         "inv_x_anomaly_zscore": (q_x_anomaly_zscore, SQL_ANOMALY),
         "inv_x_corr_matrix": (q_x_corr_matrix, SQL_CORR_MATRIX),
         "inv_w20_market_summary": (q_w20_market_summary, SQL_W20),

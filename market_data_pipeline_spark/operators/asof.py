@@ -3,15 +3,18 @@
 
 The reference has no as-of join, but any market-data engine needs one:
 "attach the latest quote/bar at-or-before each event time". Semantics match
-pandas ``merge_asof(direction='backward')`` and DuckDB ``ASOF JOIN``
-(``left.t >= right.t``, greatest such right row, per key).
+pandas ``merge_asof`` and DuckDB ``ASOF JOIN``: backward picks the greatest
+``right.t <= left.t`` per key, forward the smallest ``right.t >= left.t``;
+``tolerance`` bounds the allowed staleness either way.
 
 Scale design — NO range/theta join, NO per-row subquery: both sides are
 tagged and unioned, then ONE window pass per key forward-fills the right
 payload onto left rows. Cost = one shuffle on the key + one sort on
 (key, t, side) — the same exchange shape as any per-key window chain, linear
 in |L|+|R|, skew-safe under AQE. A broadcast-range join would be quadratic in
-the worst case; this never is.
+the worst case; this never is. Forward direction is the same pass with the
+sort reversed; tolerance is a post-fill null-out (the matched right time
+rides along as one extra filled column).
 """
 
 from __future__ import annotations
@@ -29,47 +32,61 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the ``payload`` columns of
-    the ``right`` row with the greatest ``right_time`` <= ``left_time`` for
-    the same ``key`` (null when no prior right row exists).
+    the nearest ``right`` row at-or-before (``direction='backward'``) or
+    at-or-after (``'forward'``) its time, per ``key`` (null when none, or
+    when the match is further than ``tolerance_seconds`` away).
 
-    At equal timestamps the right row IS visible (>= semantics, matching
-    DuckDB ASOF JOIN and pandas merge_asof).
+    At equal timestamps the right row IS visible in both directions
+    (>= / <= semantics, matching DuckDB ASOF JOIN and pandas merge_asof).
 
     Contract: ``right`` must be unique per (key, right_time) — apply
     keep-last dedupe upstream otherwise (equal-instant right rows have no
     deterministic winner in any engine's as-of join).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l = left.withColumn("__t", F.col(left_time).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
+    filled = [*payload, "__rt"]
     for c in payload:
         l = l.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("__p___rt", F.lit(None).cast("timestamp"))
     r = right.select(
         F.col(key),
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__p_{c}") for c in payload],
-    )
+    ).withColumn("__p___rt", F.col("__t"))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
-    u = l.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in payload]).unionByName(
-        r.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in payload])
+    u = l.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled]).unionByName(
+        r.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled])
     )
     # right rows (side 0) sort before left rows at the same instant, so an
-    # equal-time right row is already visible to the ffill when the left row
-    # is evaluated
+    # equal-time right row is already visible to the fill when the left row
+    # is evaluated; forward = the same pass over reversed time
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__side")
+        .orderBy(t_order, "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in payload:
+    for c in filled:
         u = u.withColumn(f"__p_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
-    out = u.filter(F.col("__side") == 1).drop("__t", "__side")
+    out = u.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        gap = F.abs(F.unix_timestamp("__t") - F.unix_timestamp("__p___rt"))
+        keep = F.col("__p___rt").isNotNull() & (gap <= F.lit(tolerance_seconds))
+        for c in payload:
+            out = out.withColumn(f"__p_{c}", F.when(keep, F.col(f"__p_{c}")))
+    out = out.drop("__t", "__p___rt")
     for c in payload:
         out = out.withColumnRenamed(f"__p_{c}", c)
     return out

@@ -157,3 +157,92 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
     for row in exp_df.itertuples(index=False):
         expect = None if pd.isna(row.mark) else row.mark
         assert got[(row.sym, row.t, row.v)] == expect
+
+
+@st.composite
+def edge_sets(draw):
+    n_nodes = draw(st.integers(2, 12))
+    n_edges = draw(st.integers(1, 18))
+    edges = []
+    for _ in range(n_edges):
+        a = draw(st.integers(0, n_nodes - 1))
+        b = draw(st.integers(0, n_nodes - 1))
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    return edges or [(0, 1)]
+
+
+@given(edge_sets())
+@SETTLE
+def test_dup_groups_matches_union_find(spark, edges):
+    """dup_groups == classic union-find on arbitrary small graphs: same
+    partition into components, labeled by min member."""
+    from market_data_pipeline_spark.operators.dedup import dup_groups
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.group_id for r in dup_groups(df).collect()}
+    assert got == expected
+
+
+@given(asof_case(), st.sampled_from([None, 5.0 * 60, 30.0 * 60]))
+@SETTLE
+def test_asof_forward_tolerance_matches_pandas(spark, case, tol):
+    """direction='forward' + tolerance vs pandas merge_asof on arbitrary
+    series: nearest at-or-after match, nulled beyond the staleness bound."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import asof
+
+    left_rows, right_rows = case
+    right_rows = list({(s, m): (s, m, v) for s, m, v in right_rows}.values())
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], "sym string, t timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [(s, ts(m), v) for s, m, v in right_rows], "sym string, mt timestamp, mark double"
+    )
+    got = {
+        (r.sym, r.t, r.v): r.mark
+        for r in asof.asof_join(
+            left, right, "sym", "t", "mt", ["mark"],
+            direction="forward", tolerance_seconds=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], columns=["sym", "t", "v"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(s, ts(m), v) for s, m, v in right_rows], columns=["sym", "mt", "mark"]
+    ).sort_values("mt", kind="mergesort")
+    if rp.empty:
+        assert all(v is None for v in got.values())
+        return
+    rp = rp.drop_duplicates(subset=["sym", "mt"], keep="last")
+    kwargs = {} if tol is None else {"tolerance": pd.Timedelta(seconds=tol)}
+    exp_df = pd.merge_asof(
+        lp, rp, left_on="t", right_on="mt", by="sym", direction="forward", **kwargs
+    )
+    for row in exp_df.itertuples(index=False):
+        expect = None if pd.isna(row.mark) else row.mark
+        assert got[(row.sym, row.t, row.v)] == expect
