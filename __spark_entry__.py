@@ -1683,6 +1683,25 @@ SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def q_d_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline's end product: corpus with each near-dup cluster
+    collapsed to its canonical (min-id) member; unclustered docs pass
+    through. LSH pairs → connected components → anti-join the losers."""
+    d = _docs(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
+    return dedup.dedup_near_keep_one(d, pairs).select("doc_id")
+
+
+SQL_D_DEDUP_NEAR = (
+    SQL_D_GROUPS.replace(
+        "SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id",
+        """, groups AS (SELECT id AS gdoc, min(r) AS group_id FROM reach GROUP BY id)
+SELECT d.doc_id FROM documents d LEFT JOIN groups g ON d.doc_id = g.gdoc
+WHERE g.gdoc IS NULL OR g.group_id = d.doc_id""",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # queries — similarity search over embeddings (north-star)
 # ---------------------------------------------------------------------------
@@ -1909,6 +1928,7 @@ _REGISTRY.update(
         "inv_d_ngram_jaccard": (q_d_ngram_jaccard, SQL_D_JACCARD),
         "inv_d_simhash_pairs": (q_d_simhash_pairs, None),
         "inv_d_dup_groups": (q_d_dup_groups, SQL_D_GROUPS),
+        "inv_d_dedup_near": (q_d_dedup_near, SQL_D_DEDUP_NEAR),
         # similarity
         "inv_sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BF),
         "inv_sim_ann_topk": (q_sim_ann_topk, SQL_SIM_ANN),

@@ -340,3 +340,25 @@ def dup_groups(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def dedup_near_keep_one(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """The dedup pipeline's end product: the corpus with near-duplicate
+    CLUSTERS collapsed to one canonical document each (the min-id member),
+    while documents in no cluster pass through untouched.
+
+    groups (doc_id→group_id) is tiny relative to the corpus — O(docs that
+    appear in any candidate pair) — so the join back is a broadcast at any
+    realistic dup rate; survivors = left_anti(dup members except canonicals).
+    """
+    groups = dup_groups(pairs, id_a=id_a, id_b=id_b)
+    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
