@@ -536,6 +536,33 @@ FROM v
 """
 
 
+def q_w_vwap(spark: SparkSession, sf: str) -> DataFrame:
+    """VWAP extension: cumulative + rolling-20 volume-weighted average
+    price over the typical price (absent from the reference's suite)."""
+    b = _bars(spark, sf)
+    df = indicators.add_vwap(b, period=20, w=series_window(time_col="d"))
+    return df.select(
+        "symbol", "d",
+        F.round("vwap_cum", 4).alias("vwap_cum"),
+        F.round("vwap_20", 4).alias("vwap_20"),
+    )
+
+
+SQL_W_VWAP = f"""
+WITH {BARS_SQL},
+v AS (
+  SELECT symbol, d, volume, (high + low + close) / 3.0 * volume AS tpv FROM bars
+)
+SELECT symbol, d,
+  round(sum(tpv) OVER wall / nullif(sum(volume) OVER wall, 0), 4) AS vwap_cum,
+  round(CASE WHEN count(volume) OVER w20 >= 20
+             THEN sum(tpv) OVER w20 / nullif(sum(volume) OVER w20, 0) END, 4) AS vwap_20
+FROM v
+WINDOW wall AS ({_WIND} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w20 AS ({_WIND} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_w11_support_resistance(spark: SparkSession, sf: str) -> DataFrame:
     b = _bars(spark, sf)
     df = indicators.add_support_resistance(b, lookback=10, w=series_window(time_col="d"))
@@ -1393,6 +1420,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "inv_s1_bars_ohlcv": (q_bars_ohlcv, SQL_BARS),
     "inv_w6_atr": (q_w6_atr, SQL_W6),
     "inv_w7_volume_obv": (q_w7_volume_obv, SQL_W7),
+    "inv_w_vwap": (q_w_vwap, SQL_W_VWAP),
     "inv_w11_support_resistance": (q_w11_support_resistance, SQL_W11),
     "inv_w12_breakout": (q_w12_breakout, SQL_W12),
     "inv_w13_trend": (q_w13_trend, SQL_W13),

@@ -131,6 +131,39 @@ def add_volume_metrics(df: DataFrame, vol_col="volume", close_col="close", w: Wi
     return df.drop("__dir")
 
 
+def add_vwap(
+    df: DataFrame,
+    period: int = 20,
+    w: WindowSpec | None = None,
+    high_col="high",
+    low_col="low",
+    close_col="close",
+    vol_col="volume",
+) -> DataFrame:
+    """VWAP — volume-weighted average price over the typical price
+    (high+low+close)/3: cumulative per symbol, plus a rolling ``period``-bar
+    variant with the min_periods guard. Standard market metric absent from
+    the reference's W-suite (its suite stops at OBV/VPT,
+    technical_indicators.py:160-173); pure window sums, same single
+    symbol-partitioned exchange as the rest of the chain.
+    """
+    w = w or series_window(time_col="d")
+    wall = w.rowsBetween(Window.unboundedPreceding, 0)
+    wroll = w.rowsBetween(-(period - 1), 0)
+    tp = (F.col(high_col) + F.col(low_col) + F.col(close_col)) / 3.0
+    df = df.withColumn("__tpv", tp * F.col(vol_col))
+    df = df.withColumn(
+        "vwap_cum", safe_div(F.sum("__tpv").over(wall), F.sum(vol_col).over(wall))
+    ).withColumn(
+        f"vwap_{period}",
+        F.when(
+            F.count(vol_col).over(wroll) >= period,
+            safe_div(F.sum("__tpv").over(wroll), F.sum(vol_col).over(wroll)),
+        ),
+    )
+    return df.drop("__tpv")
+
+
 def add_returns_momentum(df: DataFrame, col="close", w: WindowSpec | None = None, horizons=(21, 63, 126)) -> DataFrame:
     """W8 — returns, cumulative return, momentum (technical_indicators.py:175-197).
 
