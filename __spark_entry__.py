@@ -536,6 +536,36 @@ FROM v
 """
 
 
+def q_w_stochastic(spark: SparkSession, sf: str) -> DataFrame:
+    """Stochastic oscillator %K(14)/%D(3) — rolling min/max + SMA smoothing
+    (companion to W11; absent from the reference's suite)."""
+    b = _bars(spark, sf)
+    df = indicators.add_stochastic(b, w=series_window(time_col="d"))
+    return df.select(
+        "symbol", "d",
+        F.round("stoch_k", 4).alias("stoch_k"),
+        F.round("stoch_d", 4).alias("stoch_d"),
+    )
+
+
+# %D windows over %K (itself a window) — DuckDB can't nest, so split CTEs
+SQL_W_STOCH = f"""
+WITH {BARS_SQL},
+k AS (
+  SELECT symbol, d,
+    CASE WHEN count(close) OVER wk >= 14
+         THEN 100.0 * (close - min(low) OVER wk)
+              / nullif(max(high) OVER wk - min(low) OVER wk, 0) END AS stoch_k
+  FROM bars
+  WINDOW wk AS ({_WIND} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, d, round(stoch_k, 4) AS stoch_k,
+  round(CASE WHEN count(stoch_k) OVER wd >= 3 THEN avg(stoch_k) OVER wd END, 4) AS stoch_d
+FROM k
+WINDOW wd AS ({_WIND} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_w_vwap(spark: SparkSession, sf: str) -> DataFrame:
     """VWAP extension: cumulative + rolling-20 volume-weighted average
     price over the typical price (absent from the reference's suite)."""
@@ -1421,6 +1451,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "inv_w6_atr": (q_w6_atr, SQL_W6),
     "inv_w7_volume_obv": (q_w7_volume_obv, SQL_W7),
     "inv_w_vwap": (q_w_vwap, SQL_W_VWAP),
+    "inv_w_stochastic": (q_w_stochastic, SQL_W_STOCH),
     "inv_w11_support_resistance": (q_w11_support_resistance, SQL_W11),
     "inv_w12_breakout": (q_w12_breakout, SQL_W12),
     "inv_w13_trend": (q_w13_trend, SQL_W13),

@@ -164,6 +164,40 @@ def add_vwap(
     return df.drop("__tpv")
 
 
+def add_stochastic(
+    df: DataFrame,
+    k_period: int = 14,
+    d_period: int = 3,
+    w: WindowSpec | None = None,
+    high_col="high",
+    low_col="low",
+    close_col="close",
+) -> DataFrame:
+    """Stochastic oscillator — %K = 100·(close − minₖ(low)) / (maxₖ(high) −
+    minₖ(low)), %D = SMA_d(%K); min_periods guards on both stages. Classic
+    companion to the reference's W11 rolling min/max support-resistance
+    (technical_indicators.py:199-219), absent from its suite; same single
+    symbol-partitioned window exchange.
+    """
+    w = w or series_window(time_col="d")
+    wk = w.rowsBetween(-(k_period - 1), 0)
+    lo = F.min(low_col).over(wk)
+    hi = F.max(high_col).over(wk)
+    k = F.when(
+        F.count(close_col).over(wk) >= k_period,
+        100.0 * safe_div(F.col(close_col) - lo, hi - lo),
+    )
+    df = df.withColumn("stoch_k", k)
+    wd = w.rowsBetween(-(d_period - 1), 0)
+    df = df.withColumn(
+        "stoch_d",
+        F.when(
+            F.count("stoch_k").over(wd) >= d_period, F.avg("stoch_k").over(wd)
+        ),
+    )
+    return df
+
+
 def add_returns_momentum(df: DataFrame, col="close", w: WindowSpec | None = None, horizons=(21, 63, 126)) -> DataFrame:
     """W8 — returns, cumulative return, momentum (technical_indicators.py:175-197).
 
