@@ -107,3 +107,23 @@ def test_salted_join_equals_plain_join(spark):
     left_plain = big2.join(small, "k", "left").count()
     left_salted = salted_join(big2, small, "k", "payload", how="left").count()
     assert left_plain == left_salted
+
+
+def test_asof_forward_same_exchange_shape_as_backward(spark, sf_dir):
+    """Both as-of directions are ONE union + ONE per-key window pass — the
+    forward variant must not regress into a range join or extra shuffle."""
+    from market_data_pipeline_spark.operators import asof
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("sym"), F.col("ts").alias("t"), F.col("value").alias("v")
+    )
+    bars = bars_from_events(spark, sf_dir).select(
+        F.col("symbol").alias("sym"),
+        F.col("d").cast("timestamp").alias("bt"),
+        F.col("close").alias("mark"),
+    )
+    back = asof.asof_join(ev, bars, "sym", "t", "bt", ["mark"])
+    fwd = asof.asof_join(
+        ev, bars, "sym", "t", "bt", ["mark"], direction="forward", tolerance_seconds=3600
+    )
+    assert introspect.count_exchanges(fwd) == introspect.count_exchanges(back)
