@@ -810,6 +810,31 @@ def q_a6a8_quality(spark: SparkSession, sf: str) -> DataFrame:
     return quality.quality_report(s)
 
 
+def q_q_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic table profiler (§3.3 validation generalized): per-column
+    null/distinct/min/max in ONE aggregation pass, long-form output."""
+    o = load_table(spark, sf, "orders")
+    return quality.profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def _profile_col_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS \"column\", "
+        f"CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_val, CAST(max({c}) AS VARCHAR) AS max_val "
+        f"FROM orders"
+    )
+
+
+SQL_Q_PROFILE = " UNION ALL ".join(
+    _profile_col_sql(c)
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+)
+
+
 SQL_QUALITY = f"""
 WITH {SERIES_SQL},
 agg AS (
@@ -1463,6 +1488,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "inv_o5_top_movers": (q_o5_top_movers, SQL_O5),
     "inv_a13_weekly_return": (q_a13_weekly_return, SQL_A13),
     "inv_a6a8_quality": (q_a6a8_quality, SQL_QUALITY),
+    "inv_q_profile_orders": (q_q_profile_orders, SQL_Q_PROFILE),
     # relational layer
     "inv_q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "inv_q5_revenue_by_nation": (q_q5_revenue_by_nation, SQL_Q5),
@@ -1630,6 +1656,24 @@ sh AS (
   FROM toks
 )
 """.strip()
+
+
+def q_t_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary stats: 20 most frequent bigrams (every occurrence
+    counted; deterministic count-then-lexicographic tiebreak)."""
+    return text.top_ngrams(_docs(spark, sf), n=2, k=20)
+
+
+SQL_T_NGRAMS = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+ng AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> array_to_string(t[i:i+1], ' '))) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*) AS n FROM ng GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+"""
 
 
 def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -1977,6 +2021,7 @@ _REGISTRY.update(
     {
         # text analysis
         "inv_t_token_stats": (q_t_token_stats, SQL_T_TOKENS),
+        "inv_t_top_ngrams": (q_t_top_ngrams, SQL_T_NGRAMS),
         "inv_t_quality_score": (q_t_quality_score, SQL_T_QUALITY),
         "inv_t_lang_id": (q_t_lang_id, SQL_T_LANG),
         "inv_t_fingerprint": (q_t_fingerprint, SQL_T_FP),

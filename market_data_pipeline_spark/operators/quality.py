@@ -58,3 +58,39 @@ def quality_report(df: DataFrame, symbol_col="symbol", time_col="time", close_co
     return agg.withColumn(
         "quality_score", clip(F.lit(100.0) - 10.0 * issues, 0.0, None)
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Generic data-profiling operator: one row per column with null count,
+    exact distinct count, and min/max (as strings, so any column type fits
+    one output schema). The §3.3 validation idea (pipeline.py:377-406)
+    generalized from OHLCV to any table.
+
+    ONE aggregation job for all columns — per-column stats are computed in
+    a single pass (Spark expands multi-distinct internally, still one
+    shuffle round), then pivoted to long form by exploding an array of
+    structs; never a per-column scan of the table.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_val"),
+                F.col(f"__max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -101,3 +101,27 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm)).withColumn(
         "fingerprint16", F.substring(F.md5(norm), 1, 16)
     )
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics: the k most frequent word n-grams
+    (counting every occurrence, not per-doc distinct — this is frequency
+    analysis, not dedup shingling). Deterministic tiebreak: count desc,
+    then ngram asc.
+
+    Scale shape: explode is per-row narrow; the single shuffle is the
+    groupBy on the n-gram string, map-side combined. The final top-k is a
+    sort of the (bounded) distinct-ngram aggregate, not the corpus.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(k)
+    )
