@@ -566,6 +566,52 @@ WINDOW wd AS ({_WIND} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_w_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Drawdown from running peak + running max drawdown (risk metric
+    absent from the reference's suite)."""
+    b = _bars(spark, sf)
+    df = indicators.add_drawdown(b, w=series_window(time_col="d"))
+    return df.select(
+        "symbol", "d",
+        F.round("drawdown", 6).alias("drawdown"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+    )
+
+
+# cummin over a window of a window — split into CTEs for DuckDB
+SQL_W_DRAWDOWN = f"""
+WITH {BARS_SQL},
+dd AS (
+  SELECT symbol, d,
+    close / nullif(max(close) OVER ({_WIND} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1.0 AS drawdown
+  FROM bars
+)
+SELECT symbol, d, round(drawdown, 6) AS drawdown,
+  round(min(drawdown) OVER ({_WIND} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS max_drawdown
+FROM dd
+"""
+
+
+def q_q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-width histogram of order value (profiling op; fixed bounds →
+    single-scan plan)."""
+    o = load_table(spark, sf, "orders")
+    return quality.histogram(o, "o_totalprice", bins=10, lo=0.0, hi=600000.0)
+
+
+SQL_Q_HISTOGRAM = """
+WITH b AS (
+  SELECT least(9, greatest(0, CAST(floor(o_totalprice / 60000.0) AS INT))) AS bin
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT bin,
+  round(bin * 60000.0, 6) AS lo_edge,
+  round((bin + 1) * 60000.0, 6) AS hi_edge,
+  CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bin
+"""
+
+
 def q_w_vwap(spark: SparkSession, sf: str) -> DataFrame:
     """VWAP extension: cumulative + rolling-20 volume-weighted average
     price over the typical price (absent from the reference's suite)."""
@@ -1477,6 +1523,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "inv_w7_volume_obv": (q_w7_volume_obv, SQL_W7),
     "inv_w_vwap": (q_w_vwap, SQL_W_VWAP),
     "inv_w_stochastic": (q_w_stochastic, SQL_W_STOCH),
+    "inv_w_drawdown": (q_w_drawdown, SQL_W_DRAWDOWN),
+    "inv_q_histogram": (q_q_histogram, SQL_Q_HISTOGRAM),
     "inv_w11_support_resistance": (q_w11_support_resistance, SQL_W11),
     "inv_w12_breakout": (q_w12_breakout, SQL_W12),
     "inv_w13_trend": (q_w13_trend, SQL_W13),

@@ -198,6 +198,19 @@ def add_stochastic(
     return df
 
 
+def add_drawdown(df: DataFrame, col="close", w: WindowSpec | None = None) -> DataFrame:
+    """Drawdown from the running peak: dd = close / cummax(close) − 1 (≤ 0),
+    plus the running max drawdown (cummin of dd). Classic risk metric
+    absent from the reference's suite; two cumulative window expressions on
+    the chain's shared symbol exchange.
+    """
+    w = w or series_window(time_col="d")
+    wall = w.rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max(col).over(wall)
+    df = df.withColumn("drawdown", safe_div(F.col(col), peak) - 1.0)
+    return df.withColumn("max_drawdown", F.min("drawdown").over(wall))
+
+
 def add_returns_momentum(df: DataFrame, col="close", w: WindowSpec | None = None, horizons=(21, 63, 126)) -> DataFrame:
     """W8 — returns, cumulative return, momentum (technical_indicators.py:175-197).
 

@@ -94,3 +94,37 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column: (bin, lo_edge, hi_edge,
+    n). With explicit ``lo``/``hi`` bounds the plan is ONE scan + one tiny
+    groupBy on the bin index; without them a first min/max pass derives the
+    range (two scans — pass bounds at 100 TB). Values at the upper bound
+    land in the last bin, matching width_bucket conventions clamped to
+    ``bins``.
+    """
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    width = (hi - lo) / bins
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6))
+        .withColumn("hi_edge", F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6))
+        .select("bin", "lo_edge", "hi_edge", "n")
+    )
