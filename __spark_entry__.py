@@ -673,6 +673,33 @@ WINDOW w AS (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_w_rolling_beta(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 60-bar market beta per symbol (cov/var vs the equal-weight
+    market return) — systematic-risk extension of W16."""
+    b = _bars(spark, sf)
+    out = breadth.rolling_beta(b, window=60)
+    return out.select(
+        "symbol", "d",
+        F.round("r", 6).alias("r"),
+        F.round("beta", 4).alias("beta"),
+    )
+
+
+SQL_W_BETA = f"""
+WITH {BARS_SQL},
+rets AS (
+  SELECT symbol, d, close / nullif(lag(close) OVER ({_WIND}), 0) - 1.0 AS r FROM bars
+),
+mkt AS (SELECT d, avg(r) AS r_m FROM rets GROUP BY d),
+j AS (SELECT rets.symbol, rets.d, rets.r, mkt.r_m FROM rets JOIN mkt ON rets.d = mkt.d)
+SELECT symbol, d, round(r, 6) AS r,
+  round(CASE WHEN count(r) OVER w >= 60
+             THEN covar_pop(r, r_m) OVER w / nullif(var_pop(r_m) OVER w, 0) END, 4) AS beta
+FROM j
+WINDOW w AS ({_WIND} ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_w18_densify(spark: SparkSession, sf: str) -> DataFrame:
     b = _bars(spark, sf)
     out = cleaning.densify_calendar(b, date_col="d", key_cols=("symbol",), zero_fill=("volume", "n_trades"))
@@ -1524,6 +1551,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "inv_w_vwap": (q_w_vwap, SQL_W_VWAP),
     "inv_w_stochastic": (q_w_stochastic, SQL_W_STOCH),
     "inv_w_drawdown": (q_w_drawdown, SQL_W_DRAWDOWN),
+    "inv_w_rolling_beta": (q_w_rolling_beta, SQL_W_BETA),
     "inv_q_histogram": (q_q_histogram, SQL_Q_HISTOGRAM),
     "inv_w11_support_resistance": (q_w11_support_resistance, SQL_W11),
     "inv_w12_breakout": (q_w12_breakout, SQL_W12),

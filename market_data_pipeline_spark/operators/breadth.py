@@ -223,3 +223,32 @@ def top_movers(bars: DataFrame, on_date=None, n: int = 5, date_col: str = "d") -
         .withColumn("side", F.when(F.col("gain_rank") <= n, "top").otherwise("bottom"))
         .select(date_col, "symbol", "daily_ret", "side")
     )
+
+
+def rolling_beta(
+    bars: DataFrame,
+    window: int = 60,
+    date_col: str = "d",
+    close_col: str = "close",
+) -> DataFrame:
+    """Rolling market beta per symbol: β = cov(rᵢ, r_m) / var(r_m) over the
+    trailing ``window`` bars, where r_m is the equal-weight mean daily
+    return across symbols. Systematic-risk companion to W16's pairwise
+    correlation (absent from the reference's suite).
+
+    Scale shape: per-symbol returns ride the chain's symbol exchange; the
+    market series is a groupBy(date) whose output is O(days) — broadcast
+    back onto the bars. covar_pop/var_pop are native window aggregates on
+    both engines, so the oracle is the same SQL.
+    """
+    w = series_window(time_col=date_col)
+    r = F.col(close_col) / F.lag(close_col, 1).over(w) - 1.0
+    rets = bars.withColumn("r", r)
+    market = rets.groupBy(date_col).agg(F.avg("r").alias("r_m"))
+    joined = rets.join(F.broadcast(market), date_col)
+    wr = w.rowsBetween(-(window - 1), 0)
+    beta = F.when(
+        F.count("r").over(wr) >= window,
+        safe_div(F.covar_pop("r", "r_m").over(wr), F.var_pop("r_m").over(wr)),
+    )
+    return joined.withColumn("beta", beta)
