@@ -3004,6 +3004,294 @@ _REGISTRY.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# queries — decision-support depth (TPC-H-shaped; §2.3/§2.4 extension block 2)
+# ---------------------------------------------------------------------------
+
+
+def q_q6_selective_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.selective_revenue(spark, sf, year=1996)
+
+
+SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_q4_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.priority_order_counts(spark, sf, quarter_start="1996-07-01")
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.returned_item_losses(spark, sf, n=20)
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       round(c_acctbal, 2) AS c_acctbal,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_q12_priority_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.priority_line_buckets(spark, sf, year=1996)
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.promo_revenue_share(spark, sf, month_start="1996-09-01")
+
+
+SQL_Q14 = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+"""
+
+
+def q_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.large_quantity_orders(spark, sf, threshold=250.0)
+
+
+SQL_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 250.0
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q_q11_supplier_share(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.supplier_value_share(spark, sf, fraction=0.0105)
+
+
+SQL_Q11 = """
+SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+FROM lineitem
+GROUP BY l_suppkey
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+  (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0105 FROM lineitem)
+"""
+
+
+def q_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.top_revenue_suppliers(spark, sf, year=1996)
+
+
+SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.idle_rich_customers(spark, sf)
+
+
+SQL_Q22 = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.min_cost_supplier_per_part(spark, sf, p_size=15)
+
+
+SQL_Q2 = """
+WITH unit AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         round(l_extendedprice / l_quantity, 6) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15
+)
+SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, unit_price
+FROM unit JOIN supplier ON l_suppkey = s_suppkey
+WHERE unit_price = (
+  SELECT min(unit_price) FROM unit u2 WHERE u2.p_partkey = unit.p_partkey
+)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.grouping_sets_revenue(spark, sf)
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_w_rank_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.balance_rank_profile(spark, sf)
+
+
+SQL_RANK_FUNCS = """
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+  ntile(4)      OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist()    OVER w, 6) AS cume,
+  dense_rank()  OVER w AS drank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — vector/embedding analytics (north-star extension block 2)
+# ---------------------------------------------------------------------------
+
+
+def q_v_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.vector_stats(e)
+
+
+SQL_V_STATS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+  CAST(len(v) AS INT) AS dim,
+  CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+  round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6) AS l2_norm,
+  round(list_aggregate(v, 'sum') / len(v), 6) AS mean_val,
+  round(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 6) AS max_abs
+FROM e
+"""
+
+
+def q_v_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.label_centroids(e)
+
+
+SQL_V_CENTROIDS = """
+SELECT label, dim_pos, round(avg(e), 6) AS centroid
+FROM (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim_pos,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+)
+GROUP BY label, dim_pos
+"""
+
+
+def q_v_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.assign_nearest_centroid(e)
+
+
+SQL_V_KMEANS = """
+WITH v AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim_pos,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+),
+c AS (SELECT label AS cent_label, dim_pos, avg(e) AS c FROM v GROUP BY 1, 2),
+d AS (
+  SELECT v.vec_id, v.label AS true_label, c.cent_label,
+         round(sum((v.e - c.c) * (v.e - c.c)), 6) AS dist
+  FROM v JOIN c USING (dim_pos)
+  GROUP BY 1, 2, 3
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_label) AS rn FROM d)
+SELECT vec_id, true_label, cent_label AS assigned_label, dist FROM r WHERE rn = 1
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_q6_selective_revenue": (q_q6_selective_revenue, SQL_Q6),
+        "inv_q4_priority_exists": (q_q4_priority_exists, SQL_Q4),
+        "inv_q10_returned_items": (q_q10_returned_items, SQL_Q10),
+        "inv_q12_priority_buckets": (q_q12_priority_buckets, SQL_Q12),
+        "inv_q14_promo_share": (q_q14_promo_share, SQL_Q14),
+        "inv_q18_large_orders": (q_q18_large_orders, SQL_Q18),
+        "inv_q11_supplier_share": (q_q11_supplier_share, SQL_Q11),
+        "inv_q15_top_supplier": (q_q15_top_supplier, SQL_Q15),
+        "inv_q22_idle_customers": (q_q22_idle_customers, SQL_Q22),
+        "inv_q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2),
+        "inv_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+        "inv_w_rank_funcs": (q_w_rank_funcs, SQL_RANK_FUNCS),
+        "inv_v_vector_stats": (q_v_vector_stats, SQL_V_STATS),
+        "inv_v_label_centroids": (q_v_label_centroids, SQL_V_CENTROIDS),
+        "inv_v_kmeans_assign": (q_v_kmeans_assign, SQL_V_KMEANS),
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 

@@ -205,3 +205,276 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
         .toDF("c_mktsegment", "n_open", "n_fulfilled", "n_pending")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-support depth (TPC-H-shaped, adapted to the testdata's columns).
+# The point of this block is the *query-pattern* coverage Catalyst must
+# optimize well: selective scans, semi joins with non-equi conditions,
+# HAVING-subqueries, scalar-subquery thresholds, and correlated mins —
+# the shapes the reference never needed but any engine claiming its
+# workload at 100 TB will be asked for.
+# ---------------------------------------------------------------------------
+
+
+def selective_revenue(spark: SparkSession, sf_dir: str, year: int = 1996) -> DataFrame:
+    """TPC-H Q6 shape — fully-pushable selective scan + single agg.
+
+    All three predicates reach the parquet reader (``PushedFilters``); the
+    aggregate is map-side partial. At 100 TB this is scan-bound and prunes
+    to the year's partitions if the lake is date-partitioned.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit(f"{year}-01-01"))
+            & (F.to_date("l_shipdate") < F.lit(f"{year + 1}-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def priority_order_counts(spark: SparkSession, sf_dir: str, quarter_start: str = "1996-07-01") -> DataFrame:
+    """TPC-H Q4 shape — EXISTS with a non-equi correlated condition.
+
+    Spark plans the semi join with the extra ``l_shipdate > o_orderdate``
+    predicate as a join condition (no fallback to a per-row subquery); the
+    orders-side date filter cuts the probe input before the shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o_q = o.filter(
+        (F.to_date("o_orderdate") >= F.lit(quarter_start))
+        & (F.to_date("o_orderdate") < F.add_months(F.lit(quarter_start).cast("date"), 3))
+    )
+    shipped_late = o_q.join(
+        li,
+        (o_q.o_orderkey == li.l_orderkey) & (li.l_shipdate > o_q.o_orderdate),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
+    """TPC-H Q10 shape — revenue lost to returns per customer, top-N.
+
+    lineitem is filtered to returnflag='R' at the scan, pre-aggregated per
+    orderkey below the join (same input-cut trick as Q5), then rolled up to
+    the customer; nation broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    n_dim = load_table(spark, sf_dir, "nation")
+    li_r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+    )
+    per_cust = (
+        li_r.join(o, li_r.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("__rev").alias("__rev"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_dim), c.c_nationkey == n_dim.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.round("__rev", 2).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(n)
+    )
+
+
+def priority_line_buckets(spark: SparkSession, sf_dir: str, year: int = 1996) -> DataFrame:
+    """TPC-H Q12 shape — conditional (bucketed) counts after a fact join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.filter(
+        (F.to_date("l_shipdate") >= F.lit(f"{year}-01-01"))
+        & (F.to_date("l_shipdate") < F.lit(f"{year + 1}-01-01"))
+    ).join(o, li.l_orderkey == o.o_orderkey)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str, month_start: str = "1996-09-01") -> DataFrame:
+    """TPC-H Q14 shape — global conditional ratio over a broadcast-dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.filter(
+        (F.to_date("l_shipdate") >= F.lit(month_start))
+        & (F.to_date("l_shipdate") < F.add_months(F.lit(month_start).cast("date"), 1))
+    ).join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) * 100.0 / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str, threshold: float = 250.0) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-subquery: orders whose total quantity
+    exceeds a threshold, joined back to customer detail.
+
+    The groupBy(l_orderkey) HAVING filter runs BEFORE the joins, so only
+    qualifying orderkeys (a tiny fraction) reach the customer join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+def supplier_value_share(spark: SparkSession, sf_dir: str, fraction: float = 0.0105) -> DataFrame:
+    """TPC-H Q11 shape — groups kept only if they exceed a fraction of a
+    GLOBAL total (scalar subquery).
+
+    The global total is a 1-row aggregate cross-joined (broadcast) into the
+    per-supplier frame — no second scan of the fact table: both aggregates
+    reuse one shuffled pass via a cached intermediate at scale, and here
+    Spark's exchange reuse dedupes the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    per_supp = li.groupBy("l_suppkey").agg(val)
+    total = li.agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__total"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__total") * fraction)
+        .select("l_suppkey", F.round("value", 2).alias("value"))
+    )
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str, year: int = 1996) -> DataFrame:
+    """TPC-H Q15 shape — rows equal to the MAX of their own aggregate
+    (scalar-subquery equality; returns ties deterministically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit(f"{year}-01-01"))
+            & (F.to_date("l_shipdate") < F.lit(f"{year + 1}-01-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str, since: str = "1999-01-01") -> DataFrame:
+    """TPC-H Q22 shape — scalar-subquery threshold + anti join.
+
+    Customers with above-average positive balance and no orders SINCE the
+    cutoff, rolled up by nation. The average is a broadcast 1-row frame;
+    the anti join is a NOT EXISTS with the date predicate pushed into the
+    orders scan (so the build side shrinks before hashing).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit(since))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    idle = rich.join(o, "c_custkey", "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str, p_size: int = 15) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN subquery: for each part of a given
+    size, the supplier(s) achieving the minimum unit price.
+
+    Decorrelated the way Catalyst itself would: aggregate the min per
+    partkey, join back on (partkey, unit_price == min). The part dim filter
+    broadcasts and prunes the fact scan's join input.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == p_size).select("p_partkey", "p_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    unit = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "l_suppkey", F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"))
+    )
+    mins = unit.groupBy(F.col("p_partkey").alias("__pk")).agg(F.min("unit_price").alias("__min_price"))
+    best = unit.join(
+        F.broadcast(mins),
+        (unit.p_partkey == F.col("__pk")) & (unit.unit_price == F.col("__min_price")),
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
+        .dropDuplicates(["p_partkey", "s_suppkey"])
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS + grouping_id — the general form of rollup/cube:
+    per-status totals, per-priority totals, and the grand total in ONE pass
+    (Expand node: each input row fans out once per set; single shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over one window: ntile quartiles,
+    percent_rank, cume_dist, dense_rank — all computed in a single sort of
+    each segment partition (one window exchange)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )

@@ -260,3 +260,77 @@ def ann_topk_multiprobe(
         .filter(F.col("rk") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rk")
     )
+
+
+def vector_stats(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Higher-order-function surface over array columns: per-vector stats
+    computed entirely JVM-side (transform/filter/aggregate — no UDF, no
+    explode). Scan-bound at any scale: one projection, zero shuffles."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6).alias("l2_norm"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias("max_abs"),
+    )
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid in LONG form (label, dim_pos, centroid): posexplode
+    → groupBy(label, pos) avg. One shuffle keyed on (label, pos) — 10·64
+    groups here, k·dim anywhere; the combiner reduces shuffle bytes to
+    O(partitions · k · dim) regardless of corpus size."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(label_col), F.posexplode(v).alias("dim_pos", "component"))
+        .groupBy(label_col, "dim_pos")
+        .agg(F.round(F.avg("component"), 6).alias("centroid"))
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label", id_col: str = "vec_id"
+) -> DataFrame:
+    """One k-means E-step: assign every vector to its nearest label centroid
+    (squared L2). Centroids are k·dim values — computed with one keyed
+    shuffle, then collapsed to k array rows and BROADCAST into a crossJoin;
+    the argmin is a per-row reduce over k candidates (k ≪ data, so the
+    cross join is k-fold row amplification of a projection, not a shuffle).
+
+    Returns (vec_id, true_label, assigned_label, dist) — the building block
+    for iterative k-means (M-step = label_centroids over the assignment).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = (
+        df.select(F.col(label_col), F.posexplode(v).alias("dim_pos", "component"))
+        .groupBy(label_col, "dim_pos")
+        .agg(F.avg("component").alias("c"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim_pos", "c"))).alias("__pairs"))
+        .select(
+            F.col(label_col).alias("cent_label"),
+            F.transform("__pairs", lambda s: s.getField("c")).alias("cent_vec"),
+        )
+    )
+    pairs = df.select(F.col(id_col), F.col(label_col), v.alias("__v")).crossJoin(F.broadcast(cents))
+    sqdist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("cent_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_label"))
+    return (
+        pairs.select(
+            F.col(id_col),
+            F.col(label_col).alias("true_label"),
+            F.col("cent_label"),
+            F.round(sqdist, 6).alias("dist"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), "true_label", F.col("cent_label").alias("assigned_label"), "dist")
+    )

@@ -127,3 +127,45 @@ def test_asof_forward_same_exchange_shape_as_backward(spark, sf_dir):
         ev, bars, "sym", "t", "bt", ["mark"], direction="forward", tolerance_seconds=3600
     )
     assert introspect.count_exchanges(fwd) == introspect.count_exchanges(back)
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    """Q6's whole WHERE clause must reach the parquet reader."""
+    df = relational.selective_revenue(spark, sf_dir)
+    pushed = " ".join(introspect.pushed_filters(df))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_scalar_subquery_thresholds_broadcast(spark, sf_dir):
+    """Q11/Q15/Q22-shaped scalar thresholds: the 1-row aggregate must enter
+    the plan as a broadcast, never a shuffled join."""
+    for df in (
+        # the 1-row threshold enters as BroadcastNestedLoopJoin (cross with
+        # the comparison pushed into the join) — still a broadcast, 1 row
+        relational.supplier_value_share(spark, sf_dir),
+        relational.top_revenue_suppliers(spark, sf_dir),
+        relational.idle_rich_customers(spark, sf_dir),
+    ):
+        assert "Broadcast" in introspect.explain_str(df, "simple")
+
+
+def test_q10_preaggregates_below_customer_join(spark, sf_dir):
+    """Q10: the per-orderkey partial aggregate runs BEFORE the customer
+    join, so the join probe side is O(orders), not O(lineitem)."""
+    df = relational.returned_item_losses(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    first_agg = plan.find("HashAggregate")
+    first_smj = plan.find("SortMergeJoin")
+    # the formatted tree prints downstream operators first; the aggregate
+    # feeding the join must appear BELOW (after) the join header line
+    assert first_agg != -1
+    assert first_smj == -1 or plan.rfind("HashAggregate") > first_smj
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    from market_data_pipeline_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    df = similarity.assign_nearest_centroid(e)
+    # k centroid rows enter via BroadcastNestedLoopJoin (broadcast cross)
+    assert "Broadcast" in introspect.explain_str(df, "simple")
