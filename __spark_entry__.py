@@ -32,6 +32,7 @@ from market_data_pipeline_spark.functions.parsing import (
     parse_financial_value,
 )
 from market_data_pipeline_spark.operators import (
+    behavior,
     breadth,
     cleaning,
     dedup,
@@ -3271,8 +3272,105 @@ SELECT vec_id, true_label, cent_label AS assigned_label, dist FROM r WHERE rn = 
 """
 
 
+# ---------------------------------------------------------------------------
+# queries — text TF-IDF, behavior analytics, stream-static join
+# ---------------------------------------------------------------------------
+
+
+def q_t_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return text.tfidf_top_terms(d, k=3)
+
+
+SQL_T_TFIDF = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, ln(((SELECT count(*) FROM documents) + 1) / (count(*) + 1.0)) + 1 AS idf
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT doc_id, tf.term, tf, round(tf * idf, 6) AS tfidf
+  FROM tf JOIN idf ON tf.term = idf.term
+)
+SELECT doc_id, term, tf, tfidf, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+def q_e_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return behavior.conversion_funnel(spark, sf)
+
+
+SQL_E_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+"""
+
+
+def q_e_retention(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return behavior.retention_cohorts(spark, sf)
+
+
+SQL_E_RETENTION = """
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+)
+SELECT cohort_day,
+       CAST(CAST(e.ts AS DATE) - cohort_day AS INT) AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN fd ON e.user_id = fd.user_id
+GROUP BY 1, 2
+"""
+
+
+def q_st_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf)
+    agg = streaming_jobs.stream_static_enrich(spark, sf, ev)
+    return streaming_jobs.run_stream_to_memory(spark, agg, "static_join")
+
+
+SQL_ST_STATIC_JOIN = """
+WITH profile AS (
+  SELECT user_id, avg(value) AS avg_value FROM events GROUP BY 1
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN value > avg_value THEN 1 ELSE 0 END) AS BIGINT) AS n_above_user_avg
+FROM events JOIN profile USING (user_id)
+GROUP BY event_type
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_t_tfidf": (q_t_tfidf, SQL_T_TFIDF),
+        "inv_e_funnel": (q_e_funnel, SQL_E_FUNNEL),
+        "inv_e_retention": (q_e_retention, SQL_E_RETENTION),
+        "inv_st_static_join": (q_st_static_join, SQL_ST_STATIC_JOIN),
         "inv_q6_selective_revenue": (q_q6_selective_revenue, SQL_Q6),
         "inv_q4_priority_exists": (q_q4_priority_exists, SQL_Q4),
         "inv_q10_returned_items": (q_q10_returned_items, SQL_Q10),

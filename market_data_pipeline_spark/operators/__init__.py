@@ -1,4 +1,5 @@
 from market_data_pipeline_spark.operators import (
+    behavior,
     breadth,
     cleaning,
     dedup,
@@ -13,6 +14,7 @@ from market_data_pipeline_spark.operators import (
 )
 
 __all__ = [
+    "behavior",
     "breadth",
     "cleaning",
     "dedup",

@@ -1,0 +1,73 @@
+"""User-behavior analytics over the events stream table: conversion funnels
+and cohort retention — the event-sequence queries a market/product pipeline
+runs daily. Absent from the reference (its analytics stop at per-symbol
+indicators; src/analyzers/ has empty placeholder files) — this module is the
+events-table analog of the breadth derivation (SURVEY.md §2.4 A1): raw rows
+in, market/user-level aggregates out.
+
+Scale shape: every step keys on user_id, so the funnel's three aggregates
+and the retention join reuse ONE hash partitioning (co-partitioned joins, no
+extra exchanges); final outputs are O(stages) / O(cohorts × days) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.sources.tables import load_table
+
+
+def conversion_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered conversion funnel: a user counts for stage i+1 only with an
+    event at-or-after their stage-i entry time (min-ts semantics).
+
+    Each stage is a filtered min-aggregate joined to the previous stage's
+    per-user times — all shuffles on user_id, so AQE plans them as one
+    co-partitioned chain. Output: one row per stage with the surviving
+    user count (the classic funnel table).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    prev: DataFrame | None = None
+    counts: list[DataFrame] = []
+    for i, stage in enumerate(stages):
+        cur = ev.filter(F.col("event_type") == stage)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts") >= F.col("__t_prev"))
+        entered = cur.groupBy("user_id").agg(F.min("ts").alias("__t_prev"))
+        counts.append(
+            entered.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(f"{i + 1}_{stage}").alias("stage"), "n_users"
+            )
+        )
+        prev = entered
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the count of distinct active users.
+
+    Two user-keyed shuffles (first-day agg, then the enrich join is
+    co-partitioned) + one small (cohort, offset)-keyed count-distinct.
+    Output is O(days²/2) rows regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

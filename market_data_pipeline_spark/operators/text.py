@@ -125,3 +125,39 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -
         .orderBy(F.col("n").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF with smoothed IDF (ln((N+1)/(df+1))+1), top-k terms per doc.
+
+    Shuffle shape at scale: explode → groupBy(doc, term) with map-side
+    combine (shuffle bytes = distinct terms per doc, not token count) →
+    term-keyed doc-frequency agg (vocabulary-sized) → tf⋈idf join on term
+    (AQE broadcasts the vocab side when it fits) → per-doc top-k via
+    WindowGroupLimit. No driver participation; N enters as a broadcast
+    1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        F.col(id_col),
+        "term",
+        F.col("tf"),
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rk")
+    )

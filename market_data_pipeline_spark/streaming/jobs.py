@@ -123,3 +123,30 @@ def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str, events_stream: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of events joins a static
+    per-user profile (historical mean value) computed from the batch table,
+    then rolls up per event_type how many events beat the user's own mean.
+
+    The static side is broadcast — in a real deployment it's a slowly-
+    refreshed dim snapshot; Structured Streaming re-resolves static
+    DataFrames per micro-batch, which is exactly the reference's 24 h
+    fundamental-cache semantics (fundamental_extractor.py:22-23) done
+    properly. State: only the final groupBy(event_type) counters.
+    """
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    profile = batch.groupBy("user_id").agg(F.avg("value").alias("__avg_value"))
+    return (
+        events_stream.join(F.broadcast(profile), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > F.col("__avg_value"), 1).otherwise(0)).alias(
+                "n_above_user_avg"
+            ),
+        )
+    )
