@@ -3365,8 +3365,18 @@ GROUP BY event_type
 """
 
 
+def q_v_kmeans_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative Lloyd's k-means to convergence — rows-only check (the
+    driver-side loop is not SQL-expressible); exact parity vs a numpy
+    reference implementation is pinned in tests/test_kmeans.py."""
+    e = load_table(spark, sf, "embeddings")
+    assign, _cents, _iters = similarity.kmeans_fit(e, k=8, max_iter=6)
+    return assign
+
+
 _REGISTRY.update(
     {
+        "inv_v_kmeans_fit": (q_v_kmeans_fit, None),
         "inv_t_tfidf": (q_t_tfidf, SQL_T_TFIDF),
         "inv_e_funnel": (q_e_funnel, SQL_E_FUNNEL),
         "inv_e_retention": (q_e_retention, SQL_E_RETENTION),

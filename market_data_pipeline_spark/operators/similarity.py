@@ -320,17 +320,106 @@ def assign_nearest_centroid(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_label"))
+    # argmin via min(struct(dist, label)) — same (rounded-dist, lowest-label)
+    # tie-break as a ranking window, but partial-aggregable: the shuffle
+    # carries one best candidate per id per partition instead of k rows,
+    # and there is no per-id sort. (Round BEFORE the min so the tie-break
+    # matches the oracle's ORDER BY rounded dist.)
     return (
         pairs.select(
             F.col(id_col),
             F.col(label_col).alias("true_label"),
-            F.col("cent_label"),
-            F.round(sqdist, 6).alias("dist"),
+            F.struct(F.round(sqdist, 6).alias("dist"), F.col("cent_label")).alias("__c"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), "true_label", F.col("cent_label").alias("assigned_label"), "dist")
+        .groupBy(id_col, "true_label")
+        .agg(F.min("__c").alias("__best"))
+        .select(
+            F.col(id_col),
+            "true_label",
+            F.col("__best.cent_label").alias("assigned_label"),
+            F.col("__best.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Full iterative k-means (Lloyd's) as a driver-side loop of DataFrame
+    jobs — the canonical Spark iterative-algorithm pattern.
+
+    Per iteration: E-step = broadcast the k·dim centroids and argmin per
+    row (projection + small window, no shuffle of the corpus); M-step =
+    posexplode + groupBy(cluster, dim) mean (one keyed shuffle whose
+    combiner caps shuffle bytes at O(partitions·k·dim)). The assignment
+    frame is localCheckpoint-ed each round so the lineage does NOT grow
+    with iterations (same discipline as dedup's connected components);
+    convergence = assignments unchanged (a cheap anti-join count).
+
+    Init is deterministic: the k lowest ids seed the centroids — swap for
+    k-means|| at real scale; the loop body is identical. A cluster that
+    loses every member drops out of the centroid frame (k shrinks) rather
+    than keeping a stale centroid.
+
+    Returns (assignments(vec_id, cluster), centroids(cluster, dim_pos,
+    centroid), n_iterations_run).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), v.alias("__v")).localCheckpoint(eager=True)
+
+    seeds = base.orderBy(id_col).limit(k)
+    from pyspark.sql import Window as _W
+
+    seed_rank = _W.orderBy(id_col)
+    cents = (
+        seeds.withColumn("cluster", F.row_number().over(seed_rank) - 1)
+        .select("cluster", F.posexplode("__v").alias("dim_pos", "c"))
+    )
+
+    def _assign(centroids_long: DataFrame) -> DataFrame:
+        cvecs = (
+            centroids_long.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim_pos", "c"))).alias("__p"))
+            .select("cluster", F.transform("__p", lambda s: s.getField("c")).alias("__cv"))
+        )
+        pairs = base.crossJoin(F.broadcast(cvecs))
+        sqdist = F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # argmin via min(struct(dist, cluster)): lexicographic struct order
+        # gives the same (dist, lowest-cluster) tie-break as a ranking
+        # window but partial-aggregates map-side — no per-id sort, and the
+        # shuffle carries one candidate per id per partition instead of k.
+        return (
+            pairs.select(F.col(id_col), F.struct(sqdist.alias("d"), F.col("cluster")).alias("__c"))
+            .groupBy(id_col)
+            .agg(F.min("__c").alias("__best"))
+            .select(id_col, F.col("__best.cluster").alias("cluster"))
+        )
+
+    assign = _assign(cents).localCheckpoint(eager=True)
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        cents = (
+            base.join(assign, id_col)
+            .select("cluster", F.posexplode("__v").alias("dim_pos", "c"))
+            .groupBy("cluster", "dim_pos")
+            .agg(F.avg("c").alias("c"))
+        )
+        new_assign = _assign(cents).localCheckpoint(eager=True)
+        moved = new_assign.join(assign, [id_col, "cluster"], "left_anti").count()
+        assign = new_assign
+        if moved == 0:
+            break
+    return (
+        assign,
+        cents.select("cluster", "dim_pos", F.round("c", 6).alias("centroid")),
+        iters,
     )

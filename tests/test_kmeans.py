@@ -1,0 +1,58 @@
+"""k-means loop vs an independent numpy reference with identical init
+(k lowest ids) and tie-breaks (lowest cluster index wins)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from market_data_pipeline_spark.operators import similarity
+from market_data_pipeline_spark.sources.tables import load_table
+
+
+def _numpy_kmeans(ids, X, k, max_iter):
+    """Mirrors kmeans_fit exactly: assign from seeds first, then per
+    iteration M-step (means of current assignment) + E-step, stopping when
+    the assignment is unchanged."""
+
+    def _argmin_assign(cents):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # lowest cluster index wins ties
+
+    order = np.argsort(ids, kind="stable")
+    cents = X[order[:k]].copy()
+    assign = _argmin_assign(cents)
+    for _ in range(max_iter):
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+        new_assign = _argmin_assign(cents)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+    return assign, cents
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    k = 5
+
+    sassign, scents, iters = similarity.kmeans_fit(e, k=k, max_iter=8)
+    got = {r.vec_id: r.cluster for r in sassign.collect()}
+
+    nassign, _ = _numpy_kmeans(ids, X, k, max_iter=8)
+    want = {int(i): int(c) for i, c in zip(ids, nassign)}
+
+    assert got == want
+    assert 1 <= iters <= 8
+    assert scents.select("cluster").distinct().count() == k
+
+
+def test_kmeans_assignments_are_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a1, _, _ = similarity.kmeans_fit(e, k=4, max_iter=3)
+    a2, _, _ = similarity.kmeans_fit(e, k=4, max_iter=3)
+    assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
