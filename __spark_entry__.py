@@ -3374,8 +3374,152 @@ def q_v_kmeans_fit(spark: SparkSession, sf: str) -> DataFrame:
     return assign
 
 
+def q_s_bars_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.sources.tables import rollup_bars
+
+    b = _bars(spark, sf)
+    return rollup_bars(b, grain="week")
+
+
+SQL_BARS_WEEKLY = f"""
+WITH {BARS_SQL}
+SELECT symbol,
+       CAST(date_trunc('week', d) AS DATE) AS period_start,
+       arg_min(open, d) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, d) AS close,
+       round(sum(volume), 4) AS volume,
+       CAST(sum(n_trades) AS BIGINT) AS n_trades,
+       count(*) AS n_days
+FROM bars
+GROUP BY 1, 2
+"""
+
+
+def q_j_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.orders_price_bands(spark, sf)
+
+
+SQL_BAND_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('band_0_100k', 0.0, 100000.0),
+         ('band_100_200k', 100000.0, 200000.0),
+         ('band_200_300k', 200000.0, 300000.0),
+         ('band_300_400k', 300000.0, 400000.0),
+         ('band_400k_plus', 400000.0, 600000.0)
+)
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+def q_u_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.unpivot_status_counts(spark, sf)
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT c_mktsegment,
+    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'O' AS o_orderstatus, n_open AS n FROM wide
+UNION ALL SELECT c_mktsegment, 'F', n_fulfilled FROM wide
+UNION ALL SELECT c_mktsegment, 'P', n_pending FROM wide
+"""
+
+
+def q_x_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    ev = load_table(spark, sf, "events")
+    return features.stratified_hash_sample(ev, "event_id", 0.2).select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT event_id, event_type, round(value, 4) AS value
+FROM events
+WHERE (event_id * 2654435761) % 10000 < 2000
+"""
+
+
+def q_e_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return behavior.event_transitions(spark, sf)
+
+
+SQL_E_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_w_twap(spark: SparkSession, sf: str) -> DataFrame:
+    b = _series(spark, sf)
+    return indicators.twap_daily(b)
+
+
+# floor(epoch(..)) mirrors Spark's unix_timestamp (seconds, truncated);
+# raw epoch() keeps DuckDB's fractional microseconds and diverges.
+SQL_W_TWAP = f"""
+WITH {SERIES_SQL},
+g AS (
+  SELECT symbol, CAST(time AS DATE) AS d, close,
+         coalesce(
+           floor(epoch(lead(time) OVER (PARTITION BY symbol, CAST(time AS DATE) ORDER BY time)))
+           - floor(epoch(time)), 0.0) AS gap
+  FROM series
+)
+SELECT symbol, d,
+  round(CASE WHEN sum(gap) > 0 THEN sum(close * gap) / sum(gap) ELSE avg(close) END, 6) AS twap,
+  round(avg(close), 6) AS simple_avg,
+  count(*) AS n_ticks
+FROM g GROUP BY symbol, d
+"""
+
+
+def q_a_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.monthly_revenue_growth(spark, sf)
+
+
+SQL_A_MOM = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
+         sum(l_extendedprice * (1 - l_discount)) AS rev,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT month, round(rev, 2) AS revenue, n_lines,
+  round((rev - lag(rev) OVER (ORDER BY month)) / nullif(lag(rev) OVER (ORDER BY month), 0) * 100.0, 4) AS mom_growth_pct
+FROM m
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_e_transitions": (q_e_transitions, SQL_E_TRANSITIONS),
+        "inv_w_twap": (q_w_twap, SQL_W_TWAP),
+        "inv_a_mom_growth": (q_a_mom_growth, SQL_A_MOM),
+        "inv_s_bars_weekly": (q_s_bars_weekly, SQL_BARS_WEEKLY),
+        "inv_j_band_join": (q_j_band_join, SQL_BAND_JOIN),
+        "inv_u_unpivot": (q_u_unpivot, SQL_UNPIVOT),
+        "inv_x_hash_sample": (q_x_hash_sample, SQL_HASH_SAMPLE),
         "inv_v_kmeans_fit": (q_v_kmeans_fit, None),
         "inv_t_tfidf": (q_t_tfidf, SQL_T_TFIDF),
         "inv_e_funnel": (q_e_funnel, SQL_E_FUNNEL),

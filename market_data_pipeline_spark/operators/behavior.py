@@ -71,3 +71,23 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts: for each user's time-ordered
+    event stream, count (event_type → next event_type) pairs. One window
+    exchange on user_id (lead is a per-partition sort), then a tiny
+    (from, to)-keyed count — output is O(|event types|²) regardless of
+    volume. The building block for path/journey analysis.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    # event_id tiebreaks equal timestamps so the sequence is deterministic
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -330,3 +330,36 @@ def add_ema_macd(
         "__bucket", F.pmod(F.xxhash64(F.col(symbol_col)), F.lit(buckets))
     )
     return bucketed.groupBy("__bucket").applyInPandas(per_bucket, schema=out_schema)
+
+
+def twap_daily(series: DataFrame, time_col: str = "time", price_col: str = "close") -> DataFrame:
+    """Time-weighted average price per (symbol, day) over IRREGULAR ticks:
+    each tick's price is weighted by the seconds until the next tick that
+    day (the last tick of the day carries zero weight; falls back to the
+    plain mean when a day has a single tick / zero span).
+
+    VWAP's sibling for feeds without volume. One window exchange on symbol
+    (lead) + one (symbol, day) agg — same two-shuffle shape as the bar
+    derivation, and the agg reuses the window's partitioning.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol", F.to_date(time_col)).orderBy(time_col)
+    gap = (
+        F.unix_timestamp(F.lead(time_col).over(w)) - F.unix_timestamp(F.col(time_col))
+    ).cast("double")
+    weighted = series.withColumn("__gap", F.coalesce(gap, F.lit(0.0)))
+    return (
+        weighted.groupBy("symbol", F.to_date(time_col).alias("d"))
+        .agg(
+            F.round(
+                F.when(
+                    F.sum("__gap") > 0,
+                    F.sum(F.col(price_col) * F.col("__gap")) / F.sum("__gap"),
+                ).otherwise(F.avg(price_col)),
+                6,
+            ).alias("twap"),
+            F.round(F.avg(price_col), 6).alias("simple_avg"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

@@ -478,3 +478,65 @@ def balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: each order lands in the price band
+    whose [lo, hi) interval contains it. The band dim is tiny and
+    broadcast, so Spark plans BroadcastNestedLoopJoin — the right shape
+    for interval joins against a small dimension (IP-geo, SLA tiers,
+    rating bands). A shuffled theta join at 100 TB would be a plan bug;
+    with a big interval dim the scale path is binning to an equi key
+    (floor(price/width)) first."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("band_0_100k", 0.0, 100_000.0),
+            ("band_100_200k", 100_000.0, 200_000.0),
+            ("band_200_300k", 200_000.0, 300_000.0),
+            ("band_300_400k", 300_000.0, 400_000.0),
+            ("band_400k_plus", 400_000.0, 600_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    j = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-status pivot back to long form via
+    stack() — a pure projection (Expand), no shuffle beyond the pivot's."""
+    wide = pivot_status_by_segment(spark, sf_dir)
+    return wide.select(
+        "c_mktsegment",
+        F.expr(
+            "stack(3, 'O', n_open, 'F', n_fulfilled, 'P', n_pending) AS (o_orderstatus, n)"
+        ),
+    )
+
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting staple: month-over-month revenue growth — a lag window
+    OVER an aggregate's output (the window runs on O(months) rows, so the
+    exchange after the agg is negligible at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.trunc(F.to_date("l_shipdate"), "month").alias("month")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.round("__rev", 2).alias("revenue"),
+        "n_lines",
+        F.round(
+            (F.col("__rev") - F.lag("__rev").over(w)) / F.nullif(F.lag("__rev").over(w), F.lit(0.0)) * 100.0,
+            4,
+        ).alias("mom_growth_pct"),
+    )

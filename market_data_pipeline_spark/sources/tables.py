@@ -155,3 +155,29 @@ def bars_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_trades"),
         )
     )
+
+
+def rollup_bars(bars: DataFrame, grain: str = "week") -> DataFrame:
+    """Hierarchical bar rollup (the hypertable continuous-aggregate
+    pattern): coarser-grain OHLCV composed FROM the daily bars, not from
+    raw ticks — open/close via min_by/max_by on the day, high/low/volume
+    associative. At scale each grain is a cheap re-agg of the next-finer
+    materialization (day→week→month), never a re-scan of the tick stream.
+
+    Reference analog: none — the reference resamples nothing (1D bars only,
+    config/pipeline_config.yaml:35); this is the §7.1 extension surface.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        bars.groupBy("symbol", F.trunc("d", grain).alias("period_start"))
+        .agg(
+            F.min_by("open", "d").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "d").alias("close"),
+            F.round(F.sum("volume"), 4).alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
