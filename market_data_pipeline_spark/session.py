@@ -39,6 +39,9 @@ def get_spark(app_name: str = "market_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
+        # single-node: every task is node-local; a nonzero locality wait
+        # only adds scheduler latency (on a real cluster leave the default)
+        .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()

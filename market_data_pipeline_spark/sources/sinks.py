@@ -281,3 +281,34 @@ def telegram_notifier(
             log.warning("telegram send failed: %s", exc)
 
     return notify
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 8,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered sorted parquet layout: repartitionByRange on the
+    cluster key (files hold DISJOINT key ranges) + sortWithinPartitions.
+
+    Why it matters at 100 TB: parquet row-group min/max statistics only
+    skip data when values are clustered — a random layout gives every
+    row group the full key span and zero skipping. With this layout a
+    selective filter on ``cluster_col`` touches 1/n_files of the bytes;
+    the disjointness is asserted in tests by reading each file's own
+    min/max. (Single-dimension clustering; compose keys for Z-order-ish
+    multi-column behavior.)
+
+    repartitionByRange samples the key distribution, so skewed keys still
+    yield balanced files (contrast hash-partitioning by a skewed key).
+    """
+    cols = [cluster_col, *sort_cols]
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(*[F.col(c) for c in cols])
+        .write.mode(mode)
+        .parquet(path)
+    )

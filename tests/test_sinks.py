@@ -193,3 +193,30 @@ def test_markdown_to_html_report(spark, sf_dir):
     html = reports.markdown_to_html(md, title="T")
     assert "<h1>T</h1>" in html and "<h2>Sec</h2>" in html
     assert "<th>a</th>" in html and "<td>x&lt;y</td>" in html
+
+
+def test_clustered_write_produces_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered layout: every parquet file must hold a disjoint
+    span of the cluster key (that disjointness is what lets row-group
+    min/max stats skip bytes at scale)."""
+    import glob
+
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "clustered")
+    sinks.write_clustered(o, out, cluster_col="o_custkey", n_files=6, sort_cols=("o_orderdate",))
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        mn, mx = (
+            spark.read.parquet(f)
+            .agg(F.min("o_custkey"), F.max("o_custkey"))
+            .collect()[0]
+        )
+        if mn is not None:
+            spans.append((mn, mx))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # ranges never interleave
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == o.count()
