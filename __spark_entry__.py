@@ -3550,3 +3550,211 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set: q7/q8/q9/q13/q16/q17/q19/q20/q21 (adapted to the
+# driver schema — adaptations documented on the operators).
+# ---------------------------------------------------------------------------
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.volume_shipping(spark, sf)
+
+
+SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(CAST(l_shipdate AS DATE)) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.national_market_share(spark, sf)
+
+
+SQL_Q8 = """
+SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = region.r_regionkey
+    WHERE r_name = 'ASIA')
+GROUP BY 1
+"""
+
+
+def q_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.product_type_profit(spark, sf)
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.customer_order_distribution(spark, sf)
+
+
+SQL_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+def q_q16_part_variety(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.supplier_part_variety(spark, sf)
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q17_small_qty(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.small_quantity_revenue(spark, sf)
+
+
+SQL_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.2 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.disjunctive_band_revenue(spark, sf)
+
+
+SQL_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.dominant_part_suppliers(spark, sf)
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT p_partkey AS pk, l_suppkey, sum(l_quantity) AS supp_qty
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1, 2
+  ) shipped
+  WHERE supp_qty > 0.5 * (
+    SELECT sum(s2.supp_qty) FROM (
+      SELECT p_partkey AS pk, l_suppkey, sum(l_quantity) AS supp_qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ) s2 WHERE s2.pk = shipped.pk))
+"""
+
+
+def q_q21_late_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return relational.late_sole_blame_suppliers(spark, sf)
+
+
+SQL_Q21 = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM flagged GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM flagged WHERE is_late) blamed
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_q7_volume_shipping": (q_q7_volume_shipping, SQL_Q7),
+        "inv_q8_market_share": (q_q8_market_share, SQL_Q8),
+        "inv_q9_product_profit": (q_q9_product_profit, SQL_Q9),
+        "inv_q13_order_distribution": (q_q13_order_distribution, SQL_Q13),
+        "inv_q16_part_variety": (q_q16_part_variety, SQL_Q16),
+        "inv_q17_small_qty_revenue": (q_q17_small_qty, SQL_Q17),
+        "inv_q19_disjunctive_bands": (q_q19_disjunctive, SQL_Q19),
+        "inv_q20_dominant_suppliers": (q_q20_dominant_suppliers, SQL_Q20),
+        "inv_q21_late_suppliers": (q_q21_late_suppliers, SQL_Q21),
+    }
+)

@@ -540,3 +540,350 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mom_growth_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H-shaped decision-support queries (q7/q8/q9/q13/q16/q17/q19/
+# q20/q21). The driver tables lack partsupp, l_commitdate/l_receiptdate,
+# l_shipmode and p_container, so each query keeps the ORIGINAL's plan shape
+# (the part Catalyst has to optimize) while substituting available columns;
+# the substitution is documented per function.
+# ---------------------------------------------------------------------------
+
+
+def volume_shipping(
+    spark: SparkSession, sf_dir: str, nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by year.
+
+    Two roles of the SAME dimension (supplier nation vs customer nation)
+    with a symmetric pair predicate. Both nation sides and the 100-row
+    supplier table broadcast; the only shuffle is lineitem⋈orders⋈customer
+    on their keys. The pair filter is applied to the broadcast dims BEFORE
+    the join, so the stream side prunes early.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.to_date("l_shipdate") <= F.lit("1996-12-31"))
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year(F.to_date("l_shipdate")).alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def national_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    p_type: str = "ECONOMY",
+    nation: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H Q8 shape — a nation's share of a region's market for one part
+    type, by year: conditional-sum ratio over a 7-table star join.
+
+    The share numerator is sum(CASE WHEN supp_nation = X), i.e. one pass
+    computes both numerator and denominator — no self-join. part/nation/
+    region/supplier broadcast; orders⋈lineitem⋈customer shuffle once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == p_type)
+        .select("p_partkey")
+    )
+    cust_region = (
+        c.join(F.broadcast(n.select("n_nationkey", "n_regionkey")), c.c_nationkey == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("__snk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.to_date("o_orderdate") <= F.lit("1996-12-31"))
+        )
+        .join(cust_region, o.o_custkey == cust_region.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == nation, vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+def product_type_profit(
+    spark: SparkSession, sf_dir: str, name_word: str = "widget", cost_factor: float = 0.6
+) -> DataFrame:
+    """TPC-H Q9 shape — profit by supplier nation and year for parts whose
+    name contains a word.
+
+    The driver tables have no partsupp.ps_supplycost, so cost is modeled as
+    ``cost_factor * p_retailprice * l_quantity`` (same expression shape:
+    amount minus a per-part unit cost times quantity). Substring filter on
+    the broadcast part dim prunes the fact scan's join input; supplier and
+    nation broadcast; one shuffle for the final (nation, year) aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(name_word))
+        .select("p_partkey", "p_retailprice")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(cost_factor) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str, exclude_priority: str = "1-URGENT") -> DataFrame:
+    """TPC-H Q13 shape — distribution of customers by how many orders they
+    placed: LEFT join (customers with zero orders must survive as c_count=0)
+    then a second aggregation over the first's output.
+
+    The original excludes orders by a comment pattern; the driver tables
+    have no o_comment, so the stand-in predicate excludes one priority
+    class (same plan: filtered LEFT join under a two-level aggregate).
+    The second group-by runs on O(|customers|) rows — the first shuffle
+    dominates; the second is negligible at any scale.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != exclude_priority)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def supplier_part_variety(
+    spark: SparkSession, sf_dir: str, exclude_brand: str = "Brand#1", max_size: int = 25
+) -> DataFrame:
+    """TPC-H Q16 shape — how many distinct suppliers can provide each
+    (brand, type, size) bucket.
+
+    No partsupp table, so the supplier↔part relation is DERIVED from
+    lineitem's observed (l_partkey, l_suppkey) pairs — dropDuplicates on
+    the pair FIRST so the count-distinct aggregate sees one row per
+    relation, not one per shipment (at 100 TB that pre-dedup is the
+    difference between shuffling 600 M and 6 B rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").dropDuplicates()
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != exclude_brand) & (F.col("p_size") <= max_size))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17 shape — revenue lost to small-quantity orders: lines of a
+    brand's parts whose quantity is below 20% of that part's average.
+
+    The correlated AVG subquery is decorrelated the way Catalyst would:
+    aggregate avg(l_quantity) per partkey once, broadcast it back, filter.
+    Both passes scan lineitem; at scale the per-part aggregate is tiny
+    (|parts| rows) so the broadcast is free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand).select("p_partkey")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = branded.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), branded.p_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR of three conjunctive (brand, size, quantity)
+    bands. The original uses p_container/l_shipmode (absent here); p_size
+    and l_quantity carry the same disjunctive-predicate structure.
+
+    The whole OR-of-ANDs sits in ONE join condition so Catalyst evaluates
+    it as a single pass post-join filter; the part side still broadcasts
+    and the part-side half of each conjunct (brand, size) is pushed onto
+    the dim scan via a derived OR predicate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    p_pruned = p.filter(
+        (F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")) & (F.col("p_size") <= 35)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(p_pruned), (li.l_partkey == p_pruned.p_partkey) & band)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def dominant_part_suppliers(
+    spark: SparkSession, sf_dir: str, name_word: str = "red", year: int = 1996
+) -> DataFrame:
+    """TPC-H Q20 shape — suppliers who dominate supply of a part family.
+
+    The original keeps suppliers whose ps_availqty exceeds half the year's
+    shipped volume; without partsupp, 'dominant' means the supplier shipped
+    MORE THAN HALF of a part's total volume that year. Same plan shape:
+    nested aggregation (per part-supplier, then per part) + semi join up
+    to the supplier dim. Emits one row per qualifying supplier.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(name_word))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit(f"{year}-01-01"))
+            & (F.to_date("l_shipdate") < F.lit(f"{year + 1}-01-01"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = shipped.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.sum("supp_qty").alias("__part_qty")
+    )
+    dominant = (
+        shipped.join(F.broadcast(part_total), shipped.p_partkey == F.col("__pk"))
+        .filter(F.col("supp_qty") > 0.5 * F.col("__part_qty"))
+        .select("l_suppkey")
+        .dropDuplicates()
+    )
+    return s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def late_sole_blame_suppliers(
+    spark: SparkSession, sf_dir: str, late_days: int = 60, top_n: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape — suppliers solely to blame for late multi-supplier
+    orders: EXISTS (another supplier in the order) AND NOT EXISTS (another
+    LATE supplier in the order).
+
+    No l_receiptdate/l_commitdate in the driver tables, so 'late' is
+    l_shipdate > o_orderdate + late_days. Both correlated EXISTS are
+    decorrelated into ONE per-order aggregate (distinct suppliers, distinct
+    late suppliers) — a single extra shuffle instead of two self-joins,
+    which is also how you'd want Catalyst to plan it at 100 TB.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), late_days)
+        ).alias("is_late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("__n_late_supp"),
+    )
+    blamed = (
+        flagged.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+        .join(
+            per_order.filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    counts = blamed.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    return (
+        counts.join(F.broadcast(s), counts.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(top_n)
+    )

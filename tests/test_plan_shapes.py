@@ -169,3 +169,42 @@ def test_kmeans_centroids_broadcast(spark, sf_dir):
     df = similarity.assign_nearest_centroid(e)
     # k centroid rows enter via BroadcastNestedLoopJoin (broadcast cross)
     assert "Broadcast" in introspect.explain_str(df, "simple")
+
+
+def test_q7_dims_broadcast_and_pair_filter_prunes(spark, sf_dir):
+    """Q7: supplier + both nation roles broadcast; the only non-broadcast
+    exchanges are the fact-side join/agg shuffles."""
+    df = relational.volume_shipping(spark, sf_dir)
+    plan = introspect.explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the date filter must reach the lineitem scan
+    assert any("l_shipdate" in p for p in introspect.pushed_filters(df))
+
+
+def test_q16_dedup_happens_below_aggregate(spark, sf_dir):
+    """Q16: the (partkey, suppkey) dedup must sit BELOW the brand/type/size
+    aggregate — the agg input is the deduped relation, not raw lineitem."""
+    df = relational.supplier_part_variety(spark, sf_dir)
+    plan = introspect.explain_str(df, "formatted")
+    # dedup shows up as a HashAggregate keyed on the pair before the join
+    assert "l_partkey" in plan and "l_suppkey" in plan
+    # and raw shipment columns never enter the scan
+    schemas = " ".join(introspect.read_schemas(df))
+    assert "l_extendedprice" not in schemas and "l_quantity" not in schemas
+
+
+def test_q21_single_fact_pass_not_self_joins(spark, sf_dir):
+    """Q21's two correlated EXISTS are decorrelated into one per-order
+    aggregate: lineitem must be scanned at most twice (flagged + reuse),
+    never the 3× a naive exists/not-exists double self-join would cost."""
+    df = relational.late_sole_blame_suppliers(spark, sf_dir)
+    plan = introspect.explain_str(df, "formatted")
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_q19_part_predicate_pushed_to_dim_scan(spark, sf_dir):
+    """Q19's derived brand/size OR-predicate must prune the part dim at the
+    scan, not post-join."""
+    df = relational.disjunctive_band_revenue(spark, sf_dir)
+    pushed = " ".join(introspect.pushed_filters(df))
+    assert "p_brand" in pushed or "p_size" in pushed
