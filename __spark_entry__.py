@@ -3758,3 +3758,22 @@ _REGISTRY.update(
         "inv_q21_late_suppliers": (q_q21_late_suppliers, SQL_Q21),
     }
 )
+
+
+def q_st_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    joined = streaming_jobs.stream_stream_attribution(spark, sf)
+    return streaming_jobs.run_stream_to_memory(spark, joined, "attribution", output_mode="append")
+
+
+SQL_ST_STREAM_JOIN = """
+SELECT p.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+       round(p.value, 4) AS buy_value
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+  AND c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+_REGISTRY.update({"inv_st_stream_join": (q_st_stream_join, SQL_ST_STREAM_JOIN)})

@@ -150,3 +150,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str, events_stream: DataFr
             ),
         )
     )
+
+
+def stream_stream_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    attr_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the clicks
+    that preceded it within ``attr_window`` for the same user (the classic
+    ad-attribution join the reference's TTL-cache model cannot express).
+
+    Both sides are watermarked so the join state is BOUNDED: a click can be
+    dropped from state once event-time passes click_ts + attr_window +
+    watermark — without the time-range conjunct the state would grow
+    forever. Inner stream-stream joins emit exactly the batch-join answer,
+    which is what the DuckDB oracle checks.
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = user_id AND buy_ts >= click_ts "
+            f"AND buy_ts <= click_ts + interval {attr_window}"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "buy_id",
+        F.round("buy_value", 4).alias("buy_value"),
+    )

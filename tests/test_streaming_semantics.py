@@ -168,3 +168,35 @@ def test_processing_time_trigger_incremental_pickup(spark, tmp_path):
         assert 2 in seen
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    """Inner stream-stream interval join must emit exactly the batch-join
+    answer, and the physical plan must carry watermarks on BOTH sides (that
+    is what bounds the join state at scale)."""
+    from market_data_pipeline_spark.streaming import jobs
+
+    joined = jobs.stream_stream_attribution(spark, sf_dir)
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2  # both sides bounded
+    got = jobs.run_stream_to_memory(spark, joined, "ss_attr", output_mode="append")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    want = (
+        c.join(
+            p,
+            (F.col("u") == F.col("user_id"))
+            & (F.col("ts") >= F.col("cts"))
+            & (F.col("ts") <= F.col("cts") + F.expr("interval 1 hour")),
+        )
+        .select("user_id", "click_id", F.col("event_id").alias("buy_id"))
+    )
+    assert sorted(map(tuple, got.select("user_id", "click_id", "buy_id").collect())) == sorted(
+        map(tuple, want.collect())
+    )
