@@ -1335,7 +1335,8 @@ FROM raw
 
 
 def q_w2_ema_macd(spark: SparkSession, sf: str) -> DataFrame:
-    s = _series(spark, sf)
+    # explicit projection: applyInPandas can't be column-pruned through
+    s = _series(spark, sf).select("symbol", "time", "close")
     out = indicators.add_ema_macd(s, spans=(12, 26))
     return out.select(
         "symbol",
@@ -1349,7 +1350,11 @@ def q_w2_ema_macd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_w14_composite_signal(spark: SparkSession, sf: str) -> DataFrame:
-    b = _bars(spark, sf)
+    # Project away open/high/low BEFORE the pandas stage: applyInPandas is a
+    # pruning barrier (black-box schema), so the projection must be explicit —
+    # it shrinks the Arrow round-trip payload AND lets Catalyst drop the
+    # unused min/max aggregates from the bar derivation upstream.
+    b = _bars(spark, sf).select("symbol", "d", "close", "volume")
     w = series_window(time_col="d")
     # EMA first (narrow Arrow payload), then all native windows share one
     # symbol-partitioned window stage — 3 exchanges total instead of 4.
