@@ -32,9 +32,14 @@ def test_parquet_sink_partitioned_write_verify(spark, bars_small, tmp_path):
     assert sinks.write_parquet_verified(bars_small, target) == n
     back = spark.read.parquet(target)
     assert back.count() == n
-    # partition pruning: a symbol filter must prune the directory listing
+    # partition pruning: a symbol filter must land in the scan's
+    # PartitionFilters (directory-level skip), not a post-scan Filter
     pruned = back.filter(F.col("symbol") == 3)
-    assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "symbol" in m.group(1)
 
 
 def test_csv_sink_roundtrip(spark, bars_small, tmp_path):
