@@ -3782,3 +3782,111 @@ JOIN events p ON c.user_id = p.user_id
 
 
 _REGISTRY.update({"inv_st_stream_join": (q_st_stream_join, SQL_ST_STREAM_JOIN)})
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: chunking, PII redaction, int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def q_t_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import text as text_ops
+
+    return text_ops.chunk_documents(_docs(spark, sf), size=64, stride=32)
+
+
+SQL_T_CHUNK = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(greatest(0, ceil((len(toks) - 64) / 32.0)) AS BIGINT) AS last_i
+  FROM t
+),
+c AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, last_i)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 64), ' ') AS chunk_text,
+       least(64, n - chunk_id * 32) AS n_tokens
+FROM c
+"""
+
+
+def q_t_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over deterministic synthetic contact strings (the
+    documents corpus has no PII by construction, so the fixture builds
+    email/phone/account text from customer keys — same pattern as the
+    Vietnamese-parser fixture)."""
+    from market_data_pipeline_spark.operators import text as text_ops
+
+    c = load_table(spark, sf, "customer")
+    raw = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("contact user"),
+            F.col("c_custkey"),
+            F.lit("@example.com or +84 90 555 "),
+            F.col("c_custkey"),
+            F.lit("1234 acct "),
+            (F.col("c_custkey") + 7000000).cast("string"),
+        ).alias("raw"),
+    )
+    return text_ops.redact_pii(raw, text_col="raw", out_col="redacted").select(
+        "c_custkey", "redacted"
+    )
+
+
+SQL_T_REDACT = """
+WITH raw AS (
+  SELECT c_custkey,
+         'contact user' || CAST(c_custkey AS VARCHAR) || '@example.com or +84 90 555 '
+         || CAST(c_custkey AS VARCHAR) || '1234 acct ' || CAST(c_custkey + 7000000 AS VARCHAR) AS raw
+  FROM customer
+)
+SELECT c_custkey,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g'),
+    '\\d{6,}', '<NUM>', 'g') AS redacted
+FROM raw
+"""
+
+
+def q_v_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.quantize_vectors(e)
+
+
+SQL_V_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS sc
+  FROM e
+),
+q AS (
+  SELECT vec_id, sc,
+         list_transform(v, x -> CAST(CASE WHEN sc > 0 THEN round(x / sc) ELSE 0.0 END AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id, round(sc, 8) AS scale,
+       list_slice(qv, 1, 8) AS q_head,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       list_aggregate(qv, 'max') AS q_max,
+       list_aggregate(qv, 'min') AS q_min
+FROM q
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_t_chunk": (q_t_chunk, SQL_T_CHUNK),
+        "inv_t_redact": (q_t_redact, SQL_T_REDACT),
+        "inv_v_quantize": (q_v_quantize, SQL_V_QUANTIZE),
+    }
+)

@@ -161,3 +161,72 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "tfidf", "rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document chunking: split each document into overlapping token windows
+    of ``size`` tokens advancing by ``stride`` — the step every LLM
+    training-data pipeline runs between cleaning and tokenization.
+
+    Pure expressions: tokenize once, generate chunk indices with
+    ``sequence``, slice per index with ``posexplode`` — no UDF, no shuffle
+    (a per-row fan-out of ~n_tokens/stride output rows, scan-bound). Every
+    token appears in ≥1 chunk; the final chunk may be shorter than
+    ``size``; a document shorter than ``size`` yields exactly one chunk.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks - 1 = ceil((n - size) / stride), floored at 0
+    last = F.greatest(
+        F.lit(0), F.ceil((n - F.lit(size)).cast("double") / F.lit(stride)).cast("long")
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"), last.alias("__last"))
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__last"))).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), (F.col("chunk_id") * stride + 1).cast("int"), size),
+                " ",
+            ).alias("chunk_text"),
+            F.least(F.lit(size).cast("long"), F.col("__n") - F.col("chunk_id") * stride).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+# PII patterns: email, phone-shaped digit runs with separators, then any
+# leftover long digit run. Order matters — emails first so their digits
+# aren't half-eaten by the number pass.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d .-]{7,}\d", "<PHONE>"),
+    (r"\d{6,}", "<NUM>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """PII redaction: email/phone/long-number masking via a fixed, ordered
+    regexp_replace chain — deterministic, whole-stage-codegen'd, and
+    re-expressible in any engine (the oracle runs the same chain).
+
+    A production pipeline extends PII_PATTERNS (SSNs, IBANs, addresses);
+    the operator is the chain, not the pattern list.
+    """
+    out = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out)

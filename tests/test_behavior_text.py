@@ -48,3 +48,65 @@ def test_tfidf_rank_and_bounds(spark, sf_dir):
     assert out.filter(F.col("tfidf") < 0).count() == 0
     per_doc = out.groupBy("doc_id").count()
     assert per_doc.filter(F.col("count") > 3).count() == 0
+
+
+def test_chunking_covers_every_token_with_correct_overlap(spark, sf_dir):
+    """Chunking invariants: reconstructing token positions from (chunk_id,
+    n_tokens) covers [1, n] with no gaps; short docs yield exactly 1 chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    size, stride = 64, 32
+    chunks = text.chunk_documents(d, size=size, stride=stride)
+    stats = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_id") * stride + F.col("n_tokens")).alias("max_covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("n_tokens").alias("min_chunk"),
+        )
+        .join(
+            d.select("doc_id", F.size(text.tokens(F.col("text"))).alias("n_toks")), "doc_id"
+        )
+    )
+    # the furthest-covered position is exactly the token count
+    assert stats.filter(F.col("max_covered") != F.col("n_toks")).count() == 0
+    # stride < size -> consecutive chunks overlap; every chunk non-empty
+    assert stats.filter(F.col("min_chunk") <= 0).count() == 0
+    short = stats.filter(F.col("n_toks") <= size)
+    assert short.filter(F.col("n_chunks") != 1).count() == 0
+
+
+def test_redaction_leaves_no_pii_shapes(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@corp.example.org today"),
+            (2, "call +84 90 555 123 4567 now"),
+            (3, "acct 1234567 and short 12345 stays"),
+            (4, "clean text with no pii at all"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r["redacted"] for r in text.redact_pii(rows).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == "acct <NUM> and short 12345 stays"  # 7 digits: too short for phone, long enough for NUM
+    assert out[4] == "clean text with no pii at all"
+
+
+def test_quantization_roundtrip_error_bounded(spark, sf_dir):
+    """|x - q*scale| <= scale/2 per element -> the reconstructed sum is
+    within n*scale/2; q values fit int8."""
+    from market_data_pipeline_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_vectors(e)
+    assert q.filter((F.col("q_max") > 127) | (F.col("q_min") < -127)).count() == 0
+    joined = q.join(e, "vec_id").select(
+        "vec_id",
+        "scale",
+        F.abs(
+            F.col("q_sum") * F.col("scale")
+            - F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double"))
+        ).alias("err"),
+        F.size("embedding").alias("dim"),
+    )
+    assert joined.filter(F.col("err") > F.col("dim") * F.col("scale") / 2 + 1e-9).count() == 0
