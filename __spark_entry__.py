@@ -3890,3 +3890,51 @@ _REGISTRY.update(
         "inv_v_quantize": (q_v_quantize, SQL_V_QUANTIZE),
     }
 )
+
+
+def q_d_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup fixture: docs with doc_id % 4 == 0 are the
+    existing store; the rest are the new batch to admit."""
+    d = _docs(spark, sf)
+    store = d.filter(F.col("doc_id") % 4 == 0)
+    new = d.filter(F.col("doc_id") % 4 != 0)
+    return dedup.incremental_dedup(new, store, threshold=0.05)
+
+
+SQL_D_INCREMENTAL = f"""
+WITH {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+  FROM buckets n JOIN buckets s
+    ON n.band = s.band AND n.bucket = s.bucket
+  WHERE n.doc_id % 4 <> 0 AND s.doc_id % 4 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.new_id, c.store_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.store_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near_rejected AS (
+  SELECT DISTINCT cm.new_id FROM common cm
+  JOIN sizes sa ON sa.doc_id = cm.new_id
+  JOIN sizes sb ON sb.doc_id = cm.store_id
+  WHERE cm.n_common / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE) >= 0.05
+)
+SELECT n.doc_id, n.fingerprint
+FROM fp n
+WHERE n.doc_id % 4 <> 0
+  AND n.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 = 0)
+  AND n.doc_id NOT IN (SELECT new_id FROM near_rejected)
+"""
+
+
+_REGISTRY.update({"inv_d_incremental": (q_d_incremental, SQL_D_INCREMENTAL)})

@@ -362,3 +362,86 @@ def dedup_near_keep_one(
         F.col("doc_id").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Incremental corpus dedup: admit only the NEW documents that are
+    neither exact nor near duplicates of anything already in the store —
+    the shape every continuously-crawling training-data pipeline runs
+    (dedup new batch AGAINST the corpus, never store×store again).
+
+    Phase 1 (exact): anti join on md5(normalized text) — shuffle bytes are
+    16 B per doc regardless of document size.
+    Phase 2 (near): MinHash band buckets for BOTH sides, but the bucket
+    join is strictly cross-corpus (new ⋈ store), so its cost is
+    O(candidates involving the new batch) — the store's own near-dup pairs
+    are never recomputed. Candidates are verified with exact shingle-set
+    Jaccard before a new doc is rejected.
+
+    Requires globally-unique ids across both frames (true for any store
+    with a content-addressed or snowflake id scheme).
+    """
+    new_h = new_df.withColumn("__fp", F.md5(normalized(F.col(text_col))))
+    store_fp = store_df.select(F.md5(normalized(F.col(text_col))).alias("__fp")).distinct()
+    fresh = new_h.join(store_fp, "__fp", "left_anti")
+
+    rows = num_hashes // bands
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    nb = _buckets(fresh).withColumnRenamed(id_col, "new_id")
+    sb = _buckets(store_df).withColumnRenamed(id_col, "store_id")
+    cand = (
+        nb.join(sb, ["band", "bucket"])
+        .select("new_id", "store_id")
+        .distinct()
+    )
+
+    new_sets = shingles(fresh, text_col, shingle_n, id_col).groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__set_n")
+    ).withColumnRenamed(id_col, "new_id")
+    store_sets = shingles(store_df, text_col, shingle_n, id_col).groupBy(id_col).agg(
+        F.collect_set("shingle").alias("__set_s")
+    ).withColumnRenamed(id_col, "store_id")
+    near_dup_ids = (
+        cand.join(new_sets, "new_id")
+        .join(store_sets, "store_id")
+        .withColumn(
+            "__common", F.size(F.array_intersect(F.col("__set_n"), F.col("__set_s")))
+        )
+        .filter(F.col("__common") >= 1)
+        .withColumn(
+            "__j",
+            F.col("__common")
+            / (F.size("__set_n") + F.size("__set_s") - F.col("__common")).cast("double"),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        fresh.join(near_dup_ids, id_col, "left_anti")
+        .select(id_col, F.col("__fp").alias("fingerprint"))
+    )

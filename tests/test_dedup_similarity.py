@@ -167,3 +167,21 @@ def test_dup_groups_transitive_closure(spark):
     )
     got = {r.doc_id: r.group_id for r in dup_groups(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_incremental_dedup_admits_only_novel_docs(spark, sf_dir):
+    """Survivors of incremental dedup share no fingerprint with the store,
+    and a store document re-submitted verbatim is always rejected."""
+    from market_data_pipeline_spark.operators.text import normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") % 4 == 0)
+    new = d.filter(F.col("doc_id") % 4 != 0)
+    out = dedup.incremental_dedup(new, store, threshold=0.05)
+    assert 0 < out.count() < new.count()
+    store_fp = store.select(F.md5(normalized(F.col("text"))).alias("fingerprint"))
+    assert out.join(store_fp, "fingerprint", "inner").count() == 0
+
+    # resubmitting store docs under fresh ids: all must be rejected
+    resub = store.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    assert dedup.incremental_dedup(resub, store, threshold=0.05).count() == 0
