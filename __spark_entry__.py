@@ -3938,3 +3938,25 @@ WHERE n.doc_id % 4 <> 0
 
 
 _REGISTRY.update({"inv_d_incremental": (q_d_incremental, SQL_D_INCREMENTAL)})
+
+
+def q_q_histogram_eqdepth(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import quality
+
+    o = load_table(spark, sf, "orders")
+    return quality.histogram_equidepth(o, "o_totalprice", bins=10, tiebreak="o_orderkey")
+
+
+SQL_Q_HIST_EQDEPTH = """
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 4) AS lo_val,
+       round(max(o_totalprice), 4) AS hi_val
+FROM (
+  SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+GROUP BY bin
+"""
+
+
+_REGISTRY.update({"inv_q_histogram_eqdepth": (q_q_histogram_eqdepth, SQL_Q_HIST_EQDEPTH)})

@@ -128,3 +128,35 @@ def histogram(
         .withColumn("hi_edge", F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6))
         .select("bin", "lo_edge", "hi_edge", "n")
     )
+
+
+def histogram_equidepth(
+    df: DataFrame, col: str, bins: int = 10, tiebreak: str | None = None
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram via ntile: each bin holds ~n/bins
+    rows; emits per-bin row count and value bounds — the optimizer-statistics
+    view of a column's distribution (equal-width hides skew; equi-depth
+    exposes it).
+
+    Cost model: ntile needs a TOTAL ORDER over the column — one range
+    exchange (sampled bounds, so skew doesn't overload a task) + in-partition
+    sort. That is the honest price of exact equi-depth at any scale; the
+    cheap swap is approx_percentile(col, quantiles) in one pass when
+    ±ε-accurate edges are enough.
+    """
+    from pyspark.sql import Window
+
+    # a unique tiebreak makes bin membership (hence per-bin min/max)
+    # deterministic when values tie across a bin boundary
+    order = [F.col(col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.orderBy(*order)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col), F.ntile(bins).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(col), 4).alias("lo_val"),
+            F.round(F.max(col), 4).alias("hi_val"),
+        )
+    )

@@ -312,3 +312,63 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key(
+    col_a, lo_a: float, hi_a: float, col_b, lo_b: float, hi_b: float, bits: int = 16
+):
+    """Z-order (Morton) key over two numeric columns: normalize each to a
+    ``bits``-wide integer rank, then interleave the bits — rows close in
+    BOTH dimensions get close keys, so range-clustering on the key gives
+    every file a small bounding box in (a, b) space and selective filters
+    on EITHER column skip most files via row-group min/max stats.
+
+    Pure shift/mask expressions (whole-stage codegen; no UDF). Bounds are
+    caller-supplied — at 100 TB derive them once from table statistics, not
+    a scan. Skew caveat: normalization is linear; heavily skewed columns
+    should pass quantile-ish bounds (p1/p99) so the key space isn't wasted
+    on outliers.
+    """
+    def to_rank(c, lo, hi):
+        scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+        clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), scaled))
+        return F.least(
+            F.lit((1 << bits) - 1), F.floor(clamped * F.lit(float(1 << bits))).cast("long")
+        )
+
+    ra, rb = to_rank(F.col(col_a) if isinstance(col_a, str) else col_a, lo_a, hi_a), to_rank(
+        F.col(col_b) if isinstance(col_b, str) else col_b, lo_b, hi_b
+    )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(ra, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(rb, i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(bit_a, 2 * i + 1) + F.shiftleft(bit_b, 2 * i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    bounds_a: tuple[float, float],
+    col_b: str,
+    bounds_b: tuple[float, float],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional clustered layout: range-partition + sort on the
+    Z-order key of (col_a, col_b). Single-dimension ``write_clustered``
+    makes one column skippable; this makes BOTH partially skippable —
+    each file covers ~1/sqrt(n_files) of each dimension's range instead of
+    all of one and 1/n_files of the other."""
+    z = zorder_key(col_a, *bounds_a, col_b, *bounds_b, bits=bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

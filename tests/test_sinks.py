@@ -225,3 +225,31 @@ def test_clustered_write_produces_disjoint_key_ranges(spark, sf_dir, tmp_path):
         assert hi1 <= lo2  # ranges never interleave
     # and nothing was lost
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_zordered_write_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: every file's bounding box must be small in BOTH
+    clustering dimensions (1-D clustering gives ~full span in the other
+    dim; Morton interleaving bounds both)."""
+    import glob
+    import statistics
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    out = str(tmp_path / "zordered")
+    sinks.write_zordered(li, out, "l_partkey", (1, 2000), "l_suppkey", (1, 100), n_files=16)
+
+    spans_a, spans_b = [], []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey"))
+            .collect()[0]
+        )
+        if r[0] is not None:
+            spans_a.append(r[1] - r[0])
+            spans_b.append(r[3] - r[2])
+    assert len(spans_a) >= 8
+    # each dimension's average per-file span is a strict minority of its range
+    assert statistics.mean(spans_a) < 0.6 * 2000
+    assert statistics.mean(spans_b) < 0.6 * 100
+    assert spark.read.parquet(out).count() == li.count()
