@@ -200,3 +200,49 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
     assert sorted(map(tuple, got.select("user_id", "click_id", "buy_id").collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """Once the watermark finalizes a window and its state is evicted, a
+    late row for that window must be DROPPED — the finalized total never
+    re-emits or changes (this is what bounds state at scale; a TTL cache
+    would silently double-count the replay)."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, value double"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.sum("value").alias("total"))
+            .select(F.col("win.start").alias("win_start"), "total")
+        )
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [(r.win_start, r.total) for r in emitted]
+
+    _write_batch(spark, src, [(1, t, 1.0), (2, t + dt.timedelta(minutes=10), 1.0)])
+    _write_batch(spark, src, [(3, t + dt.timedelta(hours=2), 1.0)])  # advances wm past 13:00
+    out1 = run()
+    assert (t, 2.0) in out1  # 12:00 window finalized with both rows
+
+    # now a LATE row for the already-finalized 12:00 window
+    _write_batch(spark, src, [(4, t + dt.timedelta(minutes=20), 99.0)])
+    out2 = run()
+    assert all(w != t for w, _ in out2)  # never re-emitted, late row dropped
