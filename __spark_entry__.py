@@ -3960,3 +3960,38 @@ GROUP BY bin
 
 
 _REGISTRY.update({"inv_q_histogram_eqdepth": (q_q_histogram_eqdepth, SQL_Q_HIST_EQDEPTH)})
+
+
+def q_t_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import text as text_ops
+
+    d = _docs(spark, sf)
+    return text_ops.add_repetition_stats(d).select(
+        "doc_id", "dup_ngram_frac", "top_token_share"
+    )
+
+
+SQL_T_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(0, len(toks) - 2),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN len(grams) > 0
+       THEN round(1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_ngram_frac,
+  round(list_max(list_transform(list_distinct(toks),
+                                t -> len(list_filter(toks, x -> x = t))))
+        / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS top_token_share
+FROM g
+"""
+
+
+_REGISTRY.update({"inv_t_repetition": (q_t_repetition, SQL_T_REPETITION)})

@@ -230,3 +230,49 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn(out_col, out)
+
+
+def add_repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Repetition-based quality signals (the C4/Gopher-style filters):
+    duplicate n-gram fraction (1 − distinct/total bigrams) and the
+    most-frequent-token share. Boilerplate, keyword stuffing and
+    generator loops score high; natural prose scores low.
+
+    Pure higher-order array expressions per row — no explode, no shuffle:
+    the n-gram list never leaves its row, so the operator is scan-bound at
+    any corpus size (contrast a naive groupBy(doc, ngram) which shuffles
+    O(tokens) rows). top_token_share is O(distinct·tokens) per row — fine
+    for web-page-sized docs; for book-length inputs swap it to
+    explode → count per (doc, token) → max (one extra shuffle).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_tok_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return (
+        df.withColumn("__g", grams)
+        .withColumn(
+            "dup_ngram_frac",
+            F.when(
+                F.size("__g") > 0,
+                F.round(
+                    1 - F.size(F.array_distinct(F.col("__g"))) / F.size("__g").cast("double"), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_token_share",
+            F.round(top_tok_cnt / F.greatest(F.size(toks), F.lit(1)).cast("double"), 6),
+        )
+        .drop("__g")
+    )
