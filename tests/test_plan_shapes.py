@@ -208,3 +208,45 @@ def test_q19_part_predicate_pushed_to_dim_scan(spark, sf_dir):
     df = relational.disjunctive_band_revenue(spark, sf_dir)
     pushed = " ".join(introspect.pushed_filters(df))
     assert "p_brand" in pushed or "p_size" in pushed
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's skew posture is AQE, not hand-tuning: with a 95%-hot
+    key and thresholds scaled to the test data, the FINAL adaptive plan
+    must mark the join skew=true and read the hot partition as multiple
+    splits (AQEShuffleRead ... skewed). At 100 TB the same mechanism fires
+    at the default 256 MB thresholds."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        fact = spark.range(0, 400000).select(
+            F.when(F.col("id") % 50 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.rand(7).alias("v"),
+        )
+        dim = spark.range(0, 400000).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = fact.join(dim, "k").groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+        [row] = j.collect()
+        assert row["n"] == 400000  # hot key 0 joins dim key 0 exactly once per fact row
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
