@@ -3995,3 +3995,52 @@ FROM g
 
 
 _REGISTRY.update({"inv_t_repetition": (q_t_repetition, SQL_T_REPETITION)})
+
+
+def q_j_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 fixture: a synthetic 3-epoch customer-tier dimension (epochs cut
+    at 1997/1999, tier derived from custkey+epoch) joined point-in-time
+    against orders on o_orderdate; output is tier × epoch order counts."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_date")
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    epochs = spark.createDataFrame(
+        [(0, "1990-01-01", "1997-01-01"), (1, "1997-01-01", "1999-01-01"), (2, "1999-01-01", None)],
+        "epoch int, vfrom string, vto string",
+    )
+    dim = (
+        c.crossJoin(F.broadcast(epochs))
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.to_date("vfrom").alias("valid_from"),
+            F.to_date("vto").alias("valid_to"),
+            "epoch",
+            F.concat(F.lit("tier_"), ((F.col("c_custkey") + F.col("epoch")) % 3).cast("string")).alias("tier"),
+        )
+    )
+    j = relational.scd2_point_in_time_join(o, dim, key="o_custkey", ts_col="o_date")
+    return j.groupBy("epoch", "tier").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+SQL_J_SCD2 = """
+WITH epochs(epoch, vfrom, vto) AS (
+  VALUES (0, DATE '1990-01-01', DATE '1997-01-01'),
+         (1, DATE '1997-01-01', DATE '1999-01-01'),
+         (2, DATE '1999-01-01', NULL)
+),
+dim AS (
+  SELECT c_custkey, epoch, vfrom, vto,
+         'tier_' || CAST((c_custkey + epoch) % 3 AS VARCHAR) AS tier
+  FROM customer CROSS JOIN epochs
+)
+SELECT epoch, tier, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN dim ON o_custkey = c_custkey
+        AND CAST(o_orderdate AS DATE) >= vfrom
+        AND (vto IS NULL OR CAST(o_orderdate AS DATE) < vto)
+GROUP BY 1, 2
+"""
+
+
+_REGISTRY.update({"inv_j_scd2_pit": (q_j_scd2, SQL_J_SCD2)})

@@ -887,3 +887,37 @@ def late_sole_blame_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
         .limit(top_n)
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """SCD2 point-in-time join: each fact row picks the dimension version
+    whose validity interval contains the fact's event time
+    (``valid_from <= ts < valid_to``, open-ended current version = NULL
+    valid_to) — the slowly-changing-dimension lookup every warehouse runs.
+
+    Plan shape: equi-join on the key with the interval predicate as a join
+    conjunct — Catalyst broadcasts a small dim and evaluates the range as a
+    post-probe filter (versions per key are few, so the fan-out before the
+    filter is bounded). For a dim too large to broadcast, rewrite as the
+    as-of join (operators/asof.py) on valid_from per key, then filter
+    ``ts < valid_to`` — linear, one shuffle, no theta join.
+    """
+    f = facts.alias("__f")
+    d = dim.alias("__d")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__d.{key}"))
+        & (F.col(f"__f.{ts_col}") >= F.col(f"__d.{valid_from}"))
+        & (
+            F.col(f"__d.{valid_to}").isNull()
+            | (F.col(f"__f.{ts_col}") < F.col(f"__d.{valid_to}"))
+        )
+    )
+    return f.join(F.broadcast(d), cond, how).drop(F.col(f"__d.{key}"))
