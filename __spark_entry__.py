@@ -4044,3 +4044,35 @@ GROUP BY 1, 2
 
 
 _REGISTRY.update({"inv_j_scd2_pit": (q_j_scd2, SQL_J_SCD2)})
+
+
+def q_st_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming op WITH a full SQL oracle: the Welford z-score
+    stream over one availableNow pass equals a batch prefix-window scan."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    ev = streaming_jobs.stream_events(spark, sf).select("user_id", "event_id", "ts", "value")
+    flagged = stateful.streaming_anomaly_zscore(ev, threshold=2.0, min_obs=10)
+    out = streaming_jobs.run_stream_to_memory(spark, flagged, "anomaly_z", output_mode="append")
+    return out.select("user_id", "event_id", F.round("value", 4).alias("value"), "zscore", "is_anomaly")
+
+
+SQL_ST_ANOMALY = """
+WITH scanned AS (
+  SELECT user_id, event_id, value,
+         count(value) OVER w AS n,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(value, 4) AS value,
+       CASE WHEN n >= 10 AND sd > 0 THEN round((value - mu) / sd, 4) ELSE 0.0 END AS zscore,
+       (n >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2.0) AS is_anomaly
+FROM scanned
+"""
+
+
+_REGISTRY.update({"inv_st_anomaly_zscore": (q_st_anomaly, SQL_ST_ANOMALY)})

@@ -46,3 +46,70 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "user_id bigint, event_id bigint, value double, zscore double, is_anomaly boolean"
+)
+ANOMALY_STATE_SCHEMA = "n bigint, mean double, m2 double"
+
+
+def streaming_anomaly_zscore(
+    events: DataFrame, threshold: float = 3.0, min_obs: int = 10
+) -> DataFrame:
+    """Streaming per-key anomaly detection: each event is z-scored against
+    the key's RUNNING mean/std (Welford's online algorithm in state), then
+    the state absorbs it. Flags |z| > threshold once ≥ min_obs events have
+    been seen — the streaming twin of operators/anomaly.py's batch z-score
+    (reference placeholder: src/analyzers/anomaly_detector.py, 0 bytes).
+
+    State is three scalars per key (n, mean, M2) — O(active keys) total, no
+    window buffer; Welford is numerically stable where naive Σx² cancels
+    catastrophically after ~1e8 observations. Rows inside one batch are
+    processed in event order (batch sorted before the update), so replaying
+    history through the stream yields the same flags as a batch prefix scan.
+    """
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for ev_id, v in zip(pdf["event_id"], pd.to_numeric(pdf["value"], errors="coerce")):
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                if n >= min_obs:
+                    var = m2 / (n - 1) if n > 1 else 0.0
+                    sd = var ** 0.5
+                    z = (v - mean) / sd if sd > 0 else 0.0
+                else:
+                    z = 0.0
+                out.append((int(ev_id), v, round(z, 4), n >= min_obs and abs(z) > threshold))
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "event_id": [o[0] for o in out],
+                "value": [o[1] for o in out],
+                "zscore": [o[2] for o in out],
+                "is_anomaly": [o[3] for o in out],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

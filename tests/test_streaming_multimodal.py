@@ -104,3 +104,49 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_anomaly_zscore_matches_batch_prefix_scan(spark, sf_dir, tmp_path):
+    """The stateful Welford detector, driven across TWO micro-batches (state
+    must survive the batch boundary), flags exactly the rows a batch
+    prefix-window z-score flags."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.sources.tables import load_table
+    from market_data_pipeline_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    src = str(tmp_path / "anom_src")
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    first = ev.filter(F.unix_micros("ts") <= cut)
+    second = ev.filter(F.unix_micros("ts") > cut)
+    first.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(first.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    flagged = stateful.streaming_anomaly_zscore(stream, threshold=2.0, min_obs=10)
+    got = jobs.run_stream_to_memory(spark, flagged, "anom_stream", output_mode="append")
+    got_ids = {r.event_id for r in got.filter(F.col("is_anomaly")).collect()}
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        ev.withColumn("__n", F.count("value").over(w))
+        .withColumn("__mu", F.avg("value").over(w))
+        .withColumn("__sd", F.stddev_samp("value").over(w))
+        .filter((F.col("__n") >= 10) & (F.col("__sd") > 0))
+        .withColumn("__z", (F.col("value") - F.col("__mu")) / F.col("__sd"))
+        .filter(F.abs("__z") > 2.0)
+    )
+    want_ids = {r.event_id for r in batch.collect()}
+    assert got_ids == want_ids
+    assert len(want_ids) > 0
