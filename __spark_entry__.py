@@ -4076,3 +4076,53 @@ FROM scanned
 
 
 _REGISTRY.update({"inv_st_anomaly_zscore": (q_st_anomaly, SQL_ST_ANOMALY)})
+
+
+def q_w_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    w = series_window(time_col="d")
+    out = indicators.add_rolling_median(b, period=21, w=w)
+    return out.select("symbol", "d", F.round("close", 6).alias("close"), F.round("median_21", 6).alias("median_21"))
+
+
+SQL_W_ROLLING_MEDIAN = f"""
+WITH {BARS_SQL}
+SELECT symbol, d, round(close, 6) AS close,
+  round(CASE WHEN count(close) OVER w = 21 THEN median(close) OVER w END, 6) AS median_21
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY d ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    o = load_table(spark, sf, "orders")
+    out = features.winsorize(o, "o_totalprice", 0.05, 0.95, by="o_orderpriority")
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.round("o_totalprice_wins", 4).alias("winsorized"),
+    )
+
+
+SQL_X_WINSORIZE = """
+WITH bounds AS (
+  SELECT o_orderpriority AS pr,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice,
+       round(least(greatest(o_totalprice, lo), hi), 4) AS winsorized
+FROM orders JOIN bounds ON o_orderpriority = pr
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_w_rolling_median": (q_w_rolling_median, SQL_W_ROLLING_MEDIAN),
+        "inv_x_winsorize": (q_x_winsorize, SQL_X_WINSORIZE),
+    }
+)

@@ -82,3 +82,38 @@ def stratified_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFram
     partitioning)."""
     bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % 10000
     return df.filter(bucket < int(fraction * 10000))
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    by: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clip a column to its [lower, upper] quantiles —
+    the outlier guard applied before scaling/standardizing features (a
+    single extreme tick otherwise dominates a z-scored feature).
+
+    Quantiles come from ONE aggregate pass (optionally per ``by`` group),
+    broadcast back as a 1-row (or per-group) frame — never a sort of the
+    fact table. Exact `percentile` here for oracle parity; at 100 TB swap
+    `approx_percentile` (mergeable sketch), same call shape.
+    """
+    out_col = out_col or f"{col}_wins"
+    if by is None:
+        bounds = df.agg(
+            F.expr(f"percentile({col}, {lower})").alias("__lo"),
+            F.expr(f"percentile({col}, {upper})").alias("__hi"),
+        )
+        j = df.crossJoin(F.broadcast(bounds))
+    else:
+        bounds = df.groupBy(by).agg(
+            F.expr(f"percentile({col}, {lower})").alias("__lo"),
+            F.expr(f"percentile({col}, {upper})").alias("__hi"),
+        )
+        j = df.join(F.broadcast(bounds), by)
+    return j.withColumn(
+        out_col, F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
+    ).drop("__lo", "__hi")

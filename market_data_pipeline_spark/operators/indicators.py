@@ -363,3 +363,36 @@ def twap_daily(series: DataFrame, time_col: str = "time", price_col: str = "clos
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def add_rolling_median(
+    df: DataFrame,
+    period: int = 21,
+    col: str = "close",
+    w: WindowSpec | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling median — the robust midline SMA can't give (one flash-crash
+    tick drags a mean for ``period`` bars; the median shrugs it off).
+
+    Spark has no native windowed percentile, so the frame's values are
+    gathered with ``collect_list`` over the rolling frame and sorted
+    per-row: O(period log period) per row, fine for indicator-scale
+    windows (tens of bars). ``period`` is kept ODD so the median is an
+    element, not an interpolation — exact across engines. min_periods
+    semantics: null until the frame is full, like every other indicator
+    here.
+    """
+    if period % 2 == 0:
+        raise ValueError("period must be odd so the median is exact")
+    w = w or series_window()
+    frame = w.rowsBetween(-(period - 1), 0)
+    sorted_vals = F.array_sort(F.collect_list(F.col(col)).over(frame))
+    out_col = out_col or f"median_{period}"
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.count(F.col(col)).over(frame) == period,
+            F.element_at(sorted_vals, (period + 1) // 2),
+        ),
+    )
