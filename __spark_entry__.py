@@ -4126,3 +4126,50 @@ _REGISTRY.update(
         "inv_x_winsorize": (q_x_winsorize, SQL_X_WINSORIZE),
     }
 )
+
+
+def q_s_statement_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """UDTF surface: semi-structured statement lines (synthesized from
+    lineitem, like the Vietnamese-parser fixture) exploded to long-form
+    (metric, value) rows by a Python UDTF via LATERAL."""
+    from market_data_pipeline_spark.functions.parsing import statement_lines_udtf
+
+    spark.udtf.register("parse_statement_line", statement_lines_udtf())
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("Qty: "), F.col("l_quantity").cast("string"),
+            F.lit("; Disc: "), F.col("l_discount").cast("string"),
+            F.lit("; Tax: "), F.col("l_tax").cast("string"),
+            F.lit("; Note: n/a"),
+        ).alias("line"),
+    ).createOrReplaceTempView("__stmt_lines")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, m.metric, round(m.value, 6) AS value
+        FROM __stmt_lines, LATERAL parse_statement_line(line) m
+        """
+    )
+
+
+SQL_S_STATEMENT_UDTF = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber,
+         'Qty: ' || CAST(l_quantity AS VARCHAR) || '; Disc: ' || CAST(l_discount AS VARCHAR)
+         || '; Tax: ' || CAST(l_tax AS VARCHAR) || '; Note: n/a' AS line
+  FROM lineitem WHERE l_orderkey <= 1000
+),
+parts AS (
+  SELECT l_orderkey, l_linenumber, unnest(string_split(line, ';')) AS part FROM lines
+)
+SELECT l_orderkey, l_linenumber,
+       lower(trim(string_split(part, ':')[1])) AS metric,
+       round(TRY_CAST(trim(string_split(part, ':')[2]) AS DOUBLE), 6) AS value
+FROM parts
+WHERE contains(part, ':') AND TRY_CAST(trim(string_split(part, ':')[2]) AS DOUBLE) IS NOT NULL
+"""
+
+
+_REGISTRY.update({"inv_s_statement_udtf": (q_s_statement_udtf, SQL_S_STATEMENT_UDTF)})

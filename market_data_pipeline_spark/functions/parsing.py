@@ -51,3 +51,35 @@ PARSE_FINANCIAL_SQL = (
     " WHEN regexp_matches(lower(trim({c})), '(triệu|trieu|tr)\\s*$') THEN " + _NUM_SQL + " * 1e6"
     " ELSE " + _NUM_SQL + " END"
 )
+
+
+def statement_lines_udtf():
+    """Python UDTF (Spark 4): explode a semi-structured ``k: v; k: v``
+    statement line into (metric, value) rows — the row-generating shape of
+    the reference's fundamental statement parsing
+    (/root/reference/src/extractors/fundamental_extractor.py:505-549
+    lowercases and numeric-coerces semi-dynamic metric columns; here the
+    dynamic-wide frame becomes LONG form, which is the schema-stable way
+    to ingest statements whose column set varies by API version).
+
+    Registered per-session via ``spark.udtf.register``; unparseable
+    segments are skipped, mirroring ``pd.to_numeric(errors='coerce')``.
+    The UDTF runs row-local (no shuffle) and Arrow-batched; prefer the
+    native regexp path when the grammar is fixed — this exists to cover
+    the UDTF surface with a real reference semantic.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="metric string, value double")
+    class ParseStatementLine:
+        def eval(self, line: str):
+            for part in (line or "").split(";"):
+                if ":" not in part:
+                    continue
+                k, v = part.split(":", 1)
+                try:
+                    yield k.strip().lower(), float(v.strip())
+                except ValueError:
+                    continue
+
+    return ParseStatementLine
