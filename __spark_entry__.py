@@ -4173,3 +4173,85 @@ WHERE contains(part, ':') AND TRY_CAST(trim(string_split(part, ':')[2]) AS DOUBL
 
 
 _REGISTRY.update({"inv_s_statement_udtf": (q_s_statement_udtf, SQL_S_STATEMENT_UDTF)})
+
+
+def q_x_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Class-balanced downsampling: at most 50 docs per language, chosen by
+    deterministic Knuth-hash order — the class-rebalancing curation step."""
+    from market_data_pipeline_spark.operators import features
+
+    d = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return features.balanced_downsample(d, by="lang", cap=50, key="doc_id")
+
+
+SQL_X_BALANCED = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 50
+"""
+
+
+def q_x_stratified_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class sampling fractions: thin finished/open orders to 10%, keep
+    all pending ones — mixture-weighted corpus quota as a shuffle-free
+    projection."""
+    from market_data_pipeline_spark.operators import features
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = features.stratified_sample_rates(
+        o, by="o_orderstatus", rates={"F": 0.1, "O": 0.1}, key="o_orderkey", default_rate=1.0
+    )
+    return out.select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice"))
+
+
+SQL_X_STRATIFIED = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+FROM orders
+WHERE (o_orderkey * 2654435761) % 10000
+      < CAST(10000 * (CASE o_orderstatus WHEN 'F' THEN 0.1 WHEN 'O' THEN 0.1 ELSE 1.0 END) AS BIGINT)
+"""
+
+
+def q_x_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score feature scaling: one agg pass broadcast back —
+    the fact table is never sorted; pairs with inv_x_winsorize."""
+    from market_data_pipeline_spark.operators import features
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    out = features.standardize(li, cols=("l_extendedprice", "l_quantity"), by="l_returnflag")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice_z", 6).alias("price_z"),
+        F.round("l_quantity_z", 6).alias("qty_z"),
+    )
+
+
+SQL_X_STANDARDIZE = """
+WITH stats AS (
+  SELECT l_returnflag AS rf,
+         avg(l_extendedprice) AS mu_p, stddev_samp(l_extendedprice) AS sd_p,
+         avg(l_quantity) AS mu_q, stddev_samp(l_quantity) AS sd_q
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round((l_extendedprice - mu_p) / nullif(sd_p, 0), 6) AS price_z,
+       round((l_quantity - mu_q) / nullif(sd_q, 0), 6) AS qty_z
+FROM lineitem JOIN stats ON l_returnflag = rf
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_x_balanced_sample": (q_x_balanced_sample, SQL_X_BALANCED),
+        "inv_x_stratified_rates": (q_x_stratified_rates, SQL_X_STRATIFIED),
+        "inv_x_standardize": (q_x_standardize, SQL_X_STANDARDIZE),
+    }
+)

@@ -84,6 +84,94 @@ def stratified_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFram
     return df.filter(bucket < int(fraction * 10000))
 
 
+def balanced_downsample(
+    df: DataFrame,
+    by: str,
+    cap: int,
+    key: str,
+) -> DataFrame:
+    """Class-balanced downsampling: keep at most ``cap`` rows per ``by``
+    group, chosen deterministically by Knuth-hash order of ``key`` — the
+    class-rebalancing step of training-data curation (a dominant class
+    otherwise swamps the loss).
+
+    Hash order (not input order) makes the kept subset a uniform draw from
+    each class while staying reproducible across runs, partitionings, and
+    engines. One window exchange on ``by``; ``WindowGroupLimit`` pushes the
+    cap below the per-group sort, so at 100 TB each partition ships at most
+    ``cap`` candidate rows per class to the shuffle — never the full class.
+    """
+    order = ((F.col(key).cast("bigint") * F.lit(_KNUTH)) % F.lit(4294967296)).alias("__ord")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(order, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def stratified_sample_rates(
+    df: DataFrame,
+    by: str,
+    rates: dict[str, float],
+    key: str,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Stratified sampling with per-class fractions: common classes are
+    thinned, rare classes kept whole (``rates`` maps class → keep fraction;
+    unlisted classes keep ``default_rate``). The quota step of mixture-
+    weighted corpus construction (e.g. downweight boilerplate-heavy web
+    text, keep all code).
+
+    A pure projection + filter — zero shuffles: the class column selects a
+    literal CASE rate and the Knuth hash of ``key`` decides membership.
+    Deterministic across engines, unlike ``sampleBy`` (seeded per
+    partition).
+    """
+    rate = F.lit(float(default_rate))
+    for cls, frac in sorted(rates.items()):
+        rate = F.when(F.col(by) == cls, F.lit(float(frac))).otherwise(rate)
+    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % 10000
+    return df.filter(bucket < (rate * 10000).cast("bigint"))
+
+
+def standardize(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    by: str | None = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Z-score standardization ``(x - mean) / std`` per ``by`` group — the
+    feature-scaling pass before distance-based models; pairs with
+    :func:`winsorize` (clip first, then scale).
+
+    All means/stds come from ONE aggregate pass over the fact table,
+    broadcast back as a per-group (or 1-row) frame — the fact table is
+    never sorted or re-shuffled. Sample std (``ddof=1``) to match pandas
+    ``DataFrame.std``; constant columns null out via the nullif guard
+    rather than dividing by zero.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"__mu_{c}"))
+        std = F.stddev_samp(c) if ddof == 1 else F.stddev_pop(c)
+        aggs.append(std.alias(f"__sd_{c}"))
+    if by is None:
+        stats = df.agg(*aggs)
+        j = df.crossJoin(F.broadcast(stats))
+    else:
+        stats = df.groupBy(by).agg(*aggs)
+        j = df.join(F.broadcast(stats), by)
+    for c in cols:
+        j = j.withColumn(
+            f"{c}_z",
+            (F.col(c) - F.col(f"__mu_{c}")) / F.nullif(F.col(f"__sd_{c}"), F.lit(0.0)),
+        )
+    return j.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])
+
+
 def winsorize(
     df: DataFrame,
     col: str,

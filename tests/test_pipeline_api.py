@@ -108,3 +108,50 @@ def test_stratified_hash_sample_deterministic(spark, sf_dir):
     ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
     ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_balanced_downsample_caps_every_class(spark, sf_dir):
+    from market_data_pipeline_spark.operators.features import balanced_downsample
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = balanced_downsample(d, by="lang", cap=20, key="doc_id")
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    orig = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    for lang, n in counts.items():
+        assert n == min(20, orig[lang])  # capped, small classes kept whole
+    # deterministic: rerun picks the identical subset
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in balanced_downsample(d, by="lang", cap=20, key="doc_id").select("doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_stratified_rates_keeps_rare_class_whole(spark, sf_dir):
+    from market_data_pipeline_spark.operators.features import stratified_sample_rates
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    out = stratified_sample_rates(
+        o, by="o_orderstatus", rates={"F": 0.1, "O": 0.1}, key="o_orderkey", default_rate=1.0
+    )
+    kept = {r.o_orderstatus: r.n for r in out.groupBy("o_orderstatus").count().withColumnRenamed("count", "n").collect()}
+    orig = {r.o_orderstatus: r.n for r in o.groupBy("o_orderstatus").count().withColumnRenamed("count", "n").collect()}
+    assert kept["P"] == orig["P"]  # default_rate=1.0 class untouched
+    assert 0.03 < kept["F"] / orig["F"] < 0.2  # thinned near the 10% target
+    assert 0.03 < kept["O"] / orig["O"] < 0.2
+
+
+def test_standardize_group_moments(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators.features import standardize
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = standardize(li, cols=("l_extendedprice",), by="l_returnflag")
+    stats = out.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice_z").alias("mu"), F.stddev_samp("l_extendedprice_z").alias("sd")
+    ).collect()
+    for r in stats:
+        assert abs(r.mu) < 1e-9
+        assert abs(r.sd - 1.0) < 1e-9
