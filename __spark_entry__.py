@@ -4255,3 +4255,28 @@ _REGISTRY.update(
         "inv_x_standardize": (q_x_standardize, SQL_X_STANDARDIZE),
     }
 )
+
+
+def q_q_sketch_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-vs-exact profiling with the accuracy contract IN the result:
+    HLL distinct and approx-median per return flag, each flagged ok iff
+    within tolerance of the exact value. The oracle pins the exact numbers
+    AND expects every ok-flag TRUE — the 100 TB sketch swap is regression-
+    guarded by the correctness gate itself."""
+    li = load_table(spark, sf, "lineitem")
+    return quality.sketch_accuracy(
+        li, by="l_returnflag", distinct_col="l_partkey", value_col="l_extendedprice"
+    )
+
+
+SQL_Q_SKETCH = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_distinct,
+       TRUE AS hll_ok,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       TRUE AS p50_ok
+FROM lineitem GROUP BY 1
+"""
+
+
+_REGISTRY.update({"inv_q_sketch_accuracy": (q_q_sketch_accuracy, SQL_Q_SKETCH)})

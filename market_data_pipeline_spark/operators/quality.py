@@ -160,3 +160,46 @@ def histogram_equidepth(
             F.round(F.max(col), 4).alias("hi_val"),
         )
     )
+
+
+def sketch_accuracy(
+    df: DataFrame,
+    by: str,
+    distinct_col: str,
+    value_col: str,
+    hll_rsd: float = 0.05,
+    pct_tol: float = 0.01,
+) -> DataFrame:
+    """Approximate-sketch profiling with its accuracy contract in the output:
+    per ``by`` group, the EXACT distinct count and median next to booleans
+    asserting the mergeable sketches (HyperLogLog++ ``approx_count_distinct``,
+    KLL-style ``approx_percentile``) landed within tolerance of exact.
+
+    At 100 TB the exact forms are the wrong tool — ``count(distinct)`` needs
+    a full re-shuffle on the distinct key and exact ``percentile`` buffers
+    per-group values; the sketches are single-pass, fixed-memory, and
+    map-side mergeable. This operator exists so the swap is REGRESSION-
+    GUARDED: the oracle expects every ``*_ok`` flag TRUE, so a tolerance
+    break fails the gate rather than silently degrading.
+    """
+    from pyspark.sql import functions as F
+
+    g = df.groupBy(by).agg(
+        F.countDistinct(distinct_col).alias("exact_distinct"),
+        F.approx_count_distinct(distinct_col, rsd=hll_rsd / 2).alias("__approx_d"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("__exact_p50"),
+        F.expr(f"approx_percentile({value_col}, 0.5, 10000)").alias("__approx_p50"),
+    )
+    return g.select(
+        by,
+        "exact_distinct",
+        (
+            F.abs(F.col("__approx_d") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * hll_rsd
+        ).alias("hll_ok"),
+        F.round("__exact_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("__approx_p50") - F.col("__exact_p50"))
+            <= F.abs(F.col("__exact_p50")) * pct_tol
+        ).alias("p50_ok"),
+    )

@@ -121,3 +121,18 @@ def test_permissive_bad_record_handling(spark, tmp_path):
     assert rows["AAA"] == (1.5, None)
     assert rows["BBB"][0] is None and "not_a_number" in rows["BBB"][1]
     assert rows["CCC"] == (2.5, None)
+
+
+def test_sketch_accuracy_contract(spark, sf_dir):
+    from market_data_pipeline_spark.operators.quality import sketch_accuracy
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = sketch_accuracy(
+        li, by="l_returnflag", distinct_col="l_partkey", value_col="l_extendedprice"
+    ).collect()
+    assert rows, "grouping produced no rows"
+    for r in rows:
+        assert r.hll_ok, f"HLL distinct out of tolerance for {r.l_returnflag}"
+        assert r.p50_ok, f"approx median out of tolerance for {r.l_returnflag}"
+        assert r.exact_distinct > 0
