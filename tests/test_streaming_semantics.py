@@ -246,3 +246,54 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
     _write_batch(spark, src, [(4, t + dt.timedelta(minutes=20), 99.0)])
     out2 = run()
     assert all(w != t for w, _ in out2)  # never re-emitted, late row dropped
+
+
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """The Welford anomaly detector's state store is recovered from the
+    checkpoint on a full query restart: post-restart events are z-scored
+    against observation counts accumulated BEFORE the restart. If state
+    were lost, n would restart below min_obs and nothing could be flagged.
+    This is the fault-tolerance contract a 1000-executor deployment leans
+    on — executors die; state must not."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        flagged = stateful.streaming_anomaly_zscore(stream, threshold=3.0, min_obs=10)
+        q = (
+            flagged.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: 20 calm observations for user 7 (state: n=20)
+    write([(7, i, t + dt.timedelta(minutes=i), 10.0 + (i % 5) * 0.1) for i in range(20)])
+    run_once()
+    # query is DOWN; a spike arrives, then the query restarts from checkpoint
+    write([(7, 100, t + dt.timedelta(minutes=100), 50.0)])
+    run_once()
+
+    got = {r.event_id: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 21  # every event emitted exactly once across both runs
+    spike = got[100]
+    assert spike.is_anomaly, "state lost on restart: spike not flagged (n reset below min_obs)"
+
+    # exact z: prefix mean/std over the 20 pre-restart values
+    import statistics
+
+    pre = [10.0 + (i % 5) * 0.1 for i in range(20)]
+    want_z = (50.0 - statistics.mean(pre)) / statistics.stdev(pre)
+    assert abs(spike.zscore - round(want_z, 4)) < 1e-9
