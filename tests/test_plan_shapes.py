@@ -250,3 +250,42 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """When the dim side of a shuffled join carries a selective predicate,
+    Catalyst injects a runtime Bloom filter (`might_contain` over a
+    bloom_filter_agg scalar subquery) on the fact side — fact rows that
+    cannot join are dropped AT THE SCAN, before the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and shuffling
+    the ~1% that survives. Thresholds are lowered here because local
+    testdata is far below the production defaults (10 GB scan side)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # the filter must sit on the FACT (lineitem) side scan
+        fact_side = plan[plan.index("might_contain"):]
+        assert "l_orderkey" in fact_side.split("\n")[0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
