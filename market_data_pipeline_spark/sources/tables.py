@@ -39,11 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filters and prunes columns into this reader (check ``PushedFilters`` /
     ``ReadSchema`` in ``.explain``).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    read as raw long; we truncate to microseconds with integer division —
-    exactly what DuckDB's µs-precision TIMESTAMP does on the same file, so
-    both engines see identical values. (Float division would round, not
-    truncate, and can flip a ...999 ns value to the next microsecond.)
+    ``events.ts`` physical type varies by testdata generation: TIMESTAMP(NANOS)
+    (Spark 4 rejects it unless read as raw long — truncate to µs with integer
+    division, matching DuckDB's µs TIMESTAMP on the same file) or plain
+    TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+    TIMESTAMP_NTZ — cast to the session TimestampType (session zone is pinned
+    UTC, so the cast is wall-clock identical and downstream window/range code
+    sees one consistent type).
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -51,7 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

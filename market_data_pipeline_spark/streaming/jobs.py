@@ -24,15 +24,21 @@ from pyspark.sql import functions as F
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. Schema pinned (streaming
     readers never infer); pathGlobFilter scopes the directory scan to the
-    events table. The ns→µs timestamp rebuild mirrors sources.load_table."""
+    events table. The ts normalization (ns-long → µs, or NTZ → session-zone
+    timestamp) mirrors sources.load_table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
+    stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    ts_type = batch.schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -136,9 +142,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str, events_stream: DataFr
     fundamental-cache semantics (fundamental_extractor.py:22-23) done
     properly. State: only the final groupBy(event_type) counters.
     """
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
     profile = batch.groupBy("user_id").agg(F.avg("value").alias("__avg_value"))
     return (
         events_stream.join(F.broadcast(profile), "user_id")

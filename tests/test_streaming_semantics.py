@@ -181,9 +181,9 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
     assert analyzed.count("EventTimeWatermark") == 2  # both sides bounded
     got = jobs.run_stream_to_memory(spark, joined, "ss_attr", output_mode="append")
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("u"), F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
     )
