@@ -4280,3 +4280,115 @@ FROM lineitem GROUP BY 1
 
 
 _REGISTRY.update({"inv_q_sketch_accuracy": (q_q_sketch_accuracy, SQL_Q_SKETCH)})
+
+
+def q_d_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination audit: per eval doc, fraction of its 3-gram
+    shingles present anywhere in the train corpus (dedup.contamination_report
+    — train side pre-aggregated to the shingle vocabulary before the join)."""
+    return dedup.contamination_report(_docs(spark, sf), eval_mod=20, shingle_n=3)
+
+
+SQL_D_DECONTAMINATE = f"""
+WITH {_SHINGLE_SQL},
+ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT shingle, count(DISTINCT doc_id) AS n_train_docs
+       FROM sh WHERE doc_id % 20 <> 0 GROUP BY shingle)
+SELECT ev.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS contaminated_frac,
+       CAST(coalesce(max(tr.n_train_docs), 0) AS BIGINT) AS max_shingle_train_docs
+FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+GROUP BY ev.doc_id
+"""
+
+
+def q_x_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit over NEAR-dup clusters: LSH pairs → connected
+    components (dedup.dup_groups) → clusters spanning more than one
+    train/val/test split (dedup.split_leakage) — the eval-integrity check
+    that must gate every dataset release."""
+    d = _docs(spark, sf)
+    groups = dedup.dup_groups(dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4))
+    return dedup.split_leakage(d, groups=groups)
+
+
+SQL_X_SPLIT_LEAKAGE = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+s AS (
+  SELECT d.doc_id, grp.group_id,
+    CASE WHEN (d.doc_id * 2654435761) % 100 < 80 THEN 'train'
+         WHEN (d.doc_id * 2654435761) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents d JOIN grp ON d.doc_id = grp.doc_id
+)
+SELECT group_id,
+       CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+       min(doc_id) AS min_doc_id
+FROM s GROUP BY group_id HAVING count(DISTINCT split) > 1
+"""
+
+
+def q_s_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON extraction over events.props (SURVEY §2.8 extension):
+    ``from_json`` with a pinned schema (vectorized JVM parse, no UDF) plus a
+    ``get_json_object`` path probe, rolled up to per-decile counts so the
+    parse feeds a real aggregate. The two parse paths must agree —
+    ``n_path_parsed`` equals ``n_events`` row for row."""
+    e = load_table(spark, sf, "events")
+    p = e.select(
+        F.from_json("props", "k INT").getField("k").alias("k"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+    )
+    return (
+        p.groupBy(F.floor(F.col("k") / F.lit(10.0)).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k_path").alias("n_path_parsed"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+SQL_S_JSON_EXTRACT = """
+WITH p AS (
+  SELECT try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT CAST(floor(k / 10.0) AS INTEGER) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_path_parsed,
+       min(k) AS k_min, max(k) AS k_max
+FROM p GROUP BY 1
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_d_decontaminate": (q_d_decontaminate, SQL_D_DECONTAMINATE),
+        "inv_x_split_leakage": (q_x_split_leakage, SQL_X_SPLIT_LEAKAGE),
+        "inv_s_json_extract": (q_s_json_extract, SQL_S_JSON_EXTRACT),
+    }
+)

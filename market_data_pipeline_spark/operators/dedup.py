@@ -445,3 +445,91 @@ def incremental_dedup(
         fresh.join(near_dup_ids, id_col, "left_anti")
         .select(id_col, F.col("__fp").alias("fingerprint"))
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_mod: int = 20,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination audit: for each eval document, the fraction
+    of its distinct word n-gram shingles that occur anywhere in the training
+    corpus — the membership/contamination check every LLM eval pipeline runs
+    before trusting a benchmark number.
+
+    Eval membership is a deterministic id predicate (``id % eval_mod == 0``)
+    so the audit is reproducible; in production the eval set is its own
+    table and the predicate is a semi-join.
+
+    Scale shape: train shingles are aggregated to ``(shingle,
+    n_train_docs)`` BEFORE the join, so the join's build side is the
+    distinct-shingle vocabulary, not the corpus; one shuffle on shingle,
+    one on eval doc id. The eval side is tiny by construction (5%), so at
+    100 TB the per-shingle train stats can also be pre-materialized once
+    and reused across eval suites.
+
+    Reference analog: none — the reference has no corpus operators at all;
+    this is the BASELINE.json north-star text surface.
+    """
+    is_eval = F.pmod(F.col(id_col), F.lit(eval_mod)) == 0
+    ev_sh = shingles(df.filter(is_eval), text_col, shingle_n, id_col)
+    train_stats = (
+        shingles(df.filter(~is_eval), text_col, shingle_n, id_col)
+        .groupBy("shingle")
+        .agg(F.countDistinct(id_col).alias("n_train_docs"))
+    )
+    hit = F.when(F.col("n_train_docs").isNotNull(), 1).otherwise(0)
+    return (
+        ev_sh.join(train_stats, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).alias("n_contaminated"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "contaminated_frac"
+            ),
+            F.coalesce(F.max("n_train_docs"), F.lit(0)).alias("max_shingle_train_docs"),
+        )
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    groups: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test leakage audit: duplicate groups whose members land in
+    MORE THAN ONE split — the evaluation-integrity bug class that id-hash
+    splitting cannot prevent when the corpus holds the same text under
+    different ids.
+
+    Group key: exact (md5 of normalized text) by default; pass ``groups``
+    (``dup_groups`` output: doc_id → group_id) to audit NEAR-duplicate
+    clusters instead — the stricter gate a dataset release needs. With
+    ``groups`` the join is inner: docs in no near-dup cluster are
+    singletons and cannot leak, so they are pruned before the shuffle.
+
+    One shuffle on the group key; output is O(leaky groups).
+    """
+    from market_data_pipeline_spark.operators.features import assign_split
+
+    s = assign_split(df.select(id_col, text_col), id_col, train_pct, val_pct)
+    if groups is not None:
+        s = s.join(groups.select(F.col(id_col), "group_id"), id_col)
+    else:
+        s = s.withColumn("group_id", F.md5(normalized(F.col(text_col))))
+    return (
+        s.groupBy("group_id")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

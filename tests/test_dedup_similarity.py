@@ -185,3 +185,48 @@ def test_incremental_dedup_admits_only_novel_docs(spark, sf_dir):
     # resubmitting store docs under fresh ids: all must be rejected
     resub = store.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     assert dedup.incremental_dedup(resub, store, threshold=0.05).count() == 0
+
+
+def test_contamination_report_fractions(spark):
+    # doc 0 is eval (0 % 20 == 0); docs 1-3 are train
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),  # eval
+        (1, "alpha beta gamma delta other words here"),  # shares shingles
+        (2, "totally unrelated training text goes here now"),
+        (21, "alpha beta gamma something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.contamination_report(df, eval_mod=20, shingle_n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 0
+    # eval shingles: "alpha beta gamma", "beta gamma delta",
+    # "gamma delta epsilon", "delta epsilon zeta" → 4; contaminated:
+    # "alpha beta gamma" (train docs 1, 21) + "beta gamma delta" (doc 1) → 2
+    assert r.n_shingles == 4
+    assert r.n_contaminated == 2
+    assert abs(r.contaminated_frac - 0.5) < 1e-9
+    assert r.max_shingle_train_docs == 2
+
+
+def test_split_leakage_exact_and_grouped(spark, dup_docs):
+    # exact mode: docs 1,2,3 normalize identically; leakage iff their id-hash
+    # splits differ — compute expected from the same split function
+    from market_data_pipeline_spark.operators.features import assign_split
+
+    splits = {
+        r.doc_id: r.split for r in assign_split(dup_docs, "doc_id").collect()
+    }
+    expect_leak = len({splits[1], splits[2], splits[3]}) > 1
+    exact = dedup.split_leakage(dup_docs).collect()
+    assert (len(exact) == 1) == expect_leak
+    if expect_leak:
+        assert exact[0].n_docs == 3 and exact[0].min_doc_id == 1
+
+    # grouped mode: force docs 1 and 4 (near dups) into one cluster
+    groups = spark.createDataFrame(
+        [(1, 1), (4, 1)], "doc_id long, group_id long"
+    )
+    got = dedup.split_leakage(dup_docs, groups=groups).collect()
+    expect_leak_g = splits[1] != splits[4]
+    assert (len(got) == 1) == expect_leak_g
