@@ -4392,3 +4392,42 @@ _REGISTRY.update(
         "inv_s_json_extract": (q_s_json_extract, SQL_S_JSON_EXTRACT),
     }
 )
+
+
+def q_e_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (behavior.sessionize):
+    30-min inactivity splits; one row per (user, session ordinal) with
+    start/end/duration/count — the labeling twin of session_window."""
+    from market_data_pipeline_spark.operators import behavior
+
+    e = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    return behavior.sessionize(e, gap_minutes=30)
+
+
+SQL_E_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+lab AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       date_diff('second', min(ts), max(ts)) AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM lab GROUP BY user_id, session_seq
+"""
+
+
+_REGISTRY.update({"inv_e_sessionize": (q_e_sessionize, SQL_E_SESSIONIZE)})

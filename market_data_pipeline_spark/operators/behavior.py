@@ -91,3 +91,47 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: assign each event a session by splitting a
+    user's ordered event stream wherever the inter-event gap exceeds
+    ``gap_minutes``, then roll up one row per session (start, end, length,
+    event count). The batch twin of ``session_window`` that ALSO yields the
+    session id (the streaming form aggregates but never labels rows —
+    labeling is what downstream joins need).
+
+    Classic two-window trick: boundary flag = gap > threshold, session
+    ordinal = running sum of flags. Both windows share one partitioning on
+    ``user_col`` (a single exchange + sort); the rollup groupBy reuses it.
+    At 100 TB a user's history fits one partition by construction — the key
+    is the user, never the whole stream.
+
+    Reference analog: none (the reference has no event-stream semantics);
+    BASELINE.json behavior-analytics surface.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
+    is_new = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60), 1
+    ).otherwise(0)
+    labeled = events.withColumn("session_seq", F.sum(is_new).over(w))
+    return (
+        labeled.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (F.max(ts_col).cast("long") - F.min(ts_col).cast("long")).alias(
+                "duration_s"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

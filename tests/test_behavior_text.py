@@ -110,3 +110,29 @@ def test_quantization_roundtrip_error_bounded(spark, sf_dir):
         F.size("embedding").alias("dim"),
     )
     assert joined.filter(F.col("err") > F.col("dim") * F.col("scale") / 2 + 1e-9).count() == 0
+
+
+def test_sessionize_gap_splits_and_rollup(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 9, 0, 0)
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 31-min gap
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 2.0),
+        (1, t0 + dt.timedelta(minutes=41), 4.0),
+        # user 2: single event
+        (2, t0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.session_seq): r
+        for r in behavior.sessionize(df, gap_minutes=30).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert s11.n_events == 2 and s11.duration_s == 600
+    assert abs(s11.total_value - 3.0) < 1e-9
+    s12 = got[(1, 2)]
+    assert s12.n_events == 1 and s12.duration_s == 0
+    assert got[(2, 1)].n_events == 1
