@@ -4431,3 +4431,58 @@ FROM lab GROUP BY user_id, session_seq
 
 
 _REGISTRY.update({"inv_e_sessionize": (q_e_sessionize, SQL_E_SESSIONIZE)})
+
+
+def q_st_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming sessionization (EventTimeTimeout) with a FULL SQL
+    oracle: one availableNow pass emits every session closed by an in-batch
+    gap split, plus open sessions timed out by the final watermark — i.e.
+    all sessions except each user's last, plus last sessions whose
+    ``end + gap`` precedes ``max(ts) − delay``."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf).select("user_id", "ts", "value")
+    sess = stateful.streaming_sessionize(ev, gap_minutes=30, watermark="10 minutes")
+    out = streaming_jobs.run_stream_to_memory(
+        spark, sess, "sessionize_stream", output_mode="append"
+    )
+    return out
+
+
+SQL_ST_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+lab AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         date_diff('second', min(ts), max(ts)) AS duration_s,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS total_value
+  FROM lab GROUP BY user_id, session_seq
+),
+wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+lastseq AS (SELECT user_id, max(session_seq) AS last_seq FROM sess GROUP BY user_id)
+SELECT s.user_id, s.session_seq, s.session_start, s.session_end,
+       s.duration_s, s.n_events, s.total_value
+FROM sess s JOIN lastseq l ON s.user_id = l.user_id, wm
+WHERE s.session_seq < l.last_seq
+   OR s.session_end + INTERVAL 30 MINUTE < wm.w
+"""
+
+
+_REGISTRY.update({"inv_st_sessionize": (q_st_sessionize, SQL_ST_SESSIONIZE)})

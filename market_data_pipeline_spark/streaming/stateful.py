@@ -113,3 +113,87 @@ def streaming_anomaly_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_seq bigint, session_start timestamp, "
+    "session_end timestamp, duration_s bigint, n_events bigint, total_value double"
+)
+SESSION_STATE_SCHEMA = "seq bigint, start_us bigint, last_us bigint, n bigint, total double"
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming gap-sessionization with EVENT-TIME TIMEOUT — the streaming
+    twin of ``behavior.sessionize`` that ``session_window`` aggregation
+    cannot express when you need the closed session AS A ROW (id, start,
+    end, rollup) the moment it is final.
+
+    Per user, state holds the open session (ordinal, start, last, count,
+    Σvalue). In-batch gap splits emit closed sessions immediately; the open
+    session emits when the watermark passes ``last + gap`` (EventTimeTimeout)
+    — i.e. exactly when no on-time row can extend it. State is O(users),
+    never O(events); emission is append-mode and final (no retractions).
+
+    Timestamps are tracked as epoch-µs longs in state; ``duration_s`` uses
+    floor-to-second arithmetic matching ``cast(ts as long)`` in the batch
+    twin. The timeout timestamp is clamped above the current watermark
+    (Spark rejects past timestamps); with a single data batch the clamp
+    never engages.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    def _row(uid, seq, start_us, last_us, n, total):
+        return {
+            "user_id": uid,
+            "session_seq": seq,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "duration_s": last_us // 1_000_000 - start_us // 1_000_000,
+            "n_events": n,
+            "total_value": round(total, 4),
+        }
+
+    def update(key, pdf_iter, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            seq, start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([_row(uid, seq, start_us, last_us, n, total)])
+            return
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        vals = pd.to_numeric(pdf["value"], errors="coerce").fillna(0.0).tolist()
+        if state.exists:
+            seq, start_us, last_us, n, total = state.get
+        else:
+            seq, start_us, last_us, n, total = 0, None, 0, 0, 0.0
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if start_us is None:
+                seq, start_us, last_us, n, total = seq + 1, t, t, 1, float(v)
+            elif t - last_us > gap_us:
+                closed.append(_row(uid, seq, start_us, last_us, n, total))
+                seq, start_us, last_us, n, total = seq + 1, t, t, 1, float(v)
+            else:
+                last_us, n, total = max(last_us, t), n + 1, total + float(v)
+        state.update((seq, start_us, last_us, n, total))
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -297,3 +297,36 @@ def test_stateful_state_survives_query_restart(spark, tmp_path):
     pre = [10.0 + (i % 5) * 0.1 for i in range(20)]
     want_z = (50.0 - statistics.mean(pre)) / statistics.stdev(pre)
     assert abs(spike.zscore - round(want_z, 4)) < 1e-9
+
+
+def test_streaming_sessionize_matches_batch_twin(spark, sf_dir):
+    """Streamed sessions (gap splits + watermark timeouts) must equal the
+    batch sessionization minus each user's still-open last session, unless
+    that session was timed out by the final watermark."""
+    from market_data_pipeline_spark.operators import behavior
+    from market_data_pipeline_spark.sources.tables import load_table
+    from market_data_pipeline_spark.streaming import jobs, stateful
+
+    ev = jobs.stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    sess = stateful.streaming_sessionize(ev, gap_minutes=30, watermark="10 minutes")
+    got = jobs.run_stream_to_memory(spark, sess, "sess_twin", output_mode="append")
+
+    batch_ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    allsess = behavior.sessionize(batch_ev, gap_minutes=30)
+    wm = batch_ev.agg(
+        (F.max("ts").cast("long") - F.lit(600)).alias("w")
+    ).collect()[0].w
+    from pyspark.sql import Window
+
+    lastseq = Window.partitionBy("user_id")
+    want = (
+        allsess.withColumn("__last", F.max("session_seq").over(lastseq))
+        .filter(
+            (F.col("session_seq") < F.col("__last"))
+            | (F.col("session_end").cast("long") + 1800 < F.lit(wm))
+        )
+        .drop("__last")
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows and len(got_rows) > 0
