@@ -4486,3 +4486,88 @@ WHERE s.session_seq < l.last_seq
 
 
 _REGISTRY.update({"inv_st_sessionize": (q_st_sessionize, SQL_ST_SESSIONIZE)})
+
+
+def q_t_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate n-gram detection by document frequency
+    (text.boilerplate_ngrams): trigrams present in ≥1% of all docs."""
+    return text.boilerplate_ngrams(_docs(spark, sf), n=3, min_doc_frac=0.01)
+
+
+SQL_T_BOILERPLATE = f"""
+WITH {_SHINGLE_SQL},
+tot AS (SELECT count(DISTINCT doc_id) AS total_docs FROM documents),
+dfc AS (SELECT shingle, count(DISTINCT doc_id) AS df_docs FROM sh GROUP BY shingle)
+SELECT shingle AS ngram, df_docs,
+       round(df_docs / CAST(total_docs AS DOUBLE), 6) AS doc_frac
+FROM dfc, tot
+WHERE df_docs / CAST(total_docs AS DOUBLE) >= 0.01
+"""
+
+
+def q_x_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The capstone curation query — the corpus a training run would
+    actually ingest: token-count bounds AND quality-score gate AND one
+    canonical doc per near-dup cluster (LSH → components → anti-join
+    losers), composed as ONE lazy plan."""
+    d = _docs(spark, sf)
+    q = text.add_quality_score(text.add_token_stats(d))
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
+    canon = dedup.dedup_near_keep_one(d, pairs).select("doc_id")
+    return (
+        q.filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 10000)
+            & (F.col("quality_score") >= 0.5)
+        )
+        .join(canon, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
+SQL_X_CURATED = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+groups AS (SELECT id AS gdoc, min(r) AS group_id FROM reach GROUP BY id),
+kept AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN groups g ON d.doc_id = g.gdoc
+  WHERE g.gdoc IS NULL OR g.group_id = d.doc_id
+),
+n AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
+s AS (SELECT doc_id, lang, nt, len(string_split(nt, ' ')) AS n_tok,
+             {{STOP_HITS}} AS stop_hits FROM n),
+r AS (
+  SELECT doc_id, lang, n_tok,
+         least(length(nt) / 500.0, 1.0) AS len_score,
+         round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS stopword_ratio
+  FROM s
+)
+SELECT r.doc_id, r.lang, CAST(n_tok AS INT) AS n_tokens,
+       round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+FROM r JOIN kept ON r.doc_id = kept.doc_id
+WHERE n_tok BETWEEN 10 AND 10000
+  AND round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) >= 0.5
+""".replace("{STOP_HITS}", _stop_hits_sql())
+
+
+_REGISTRY.update(
+    {
+        "inv_t_boilerplate": (q_t_boilerplate, SQL_T_BOILERPLATE),
+        "inv_x_curated_corpus": (q_x_curated_corpus, SQL_X_CURATED),
+    }
+)

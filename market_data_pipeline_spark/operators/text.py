@@ -276,3 +276,37 @@ def add_repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> D
         )
         .drop("__g")
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_doc_frac: float = 0.02,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate detection by DOCUMENT frequency (not term frequency):
+    word n-grams present in at least ``min_doc_frac`` of all documents —
+    headers, footers, licence blocks, navigation chrome. The C4/RefinedWeb
+    curation step that raw frequency counts miss (a string repeated 1000×
+    in one doc is repetition; in 1000 docs it is boilerplate).
+
+    Scale shape: shingles are distinct per doc at the source, so the
+    groupBy carries ≤ one row per (doc, ngram); the total-docs scalar is a
+    1-row broadcast, never a driver round-trip. Output is O(vocabulary
+    above threshold).
+    """
+    from market_data_pipeline_spark.operators.dedup import shingles
+
+    sh = shingles(df, text_col, n, id_col)
+    totals = df.agg(F.countDistinct(id_col).alias("__total_docs"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct(id_col).alias("df_docs"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "doc_frac", F.round(F.col("df_docs") / F.col("__total_docs"), 6)
+        )
+        .filter(F.col("df_docs") / F.col("__total_docs") >= min_doc_frac)
+        .select(F.col("shingle").alias("ngram"), "df_docs", "doc_frac")
+    )

@@ -136,3 +136,20 @@ def test_sessionize_gap_splits_and_rollup(spark):
     s12 = got[(1, 2)]
     assert s12.n_events == 1 and s12.duration_s == 0
     assert got[(2, 1)].n_events == 1
+
+
+def test_boilerplate_ngrams_doc_frequency_not_term_frequency(spark):
+    # "x y z" appears 3× inside doc 1 (repetition, DF=1) but the footer
+    # "all rights reserved" appears once in each of 3 docs (DF=3)
+    rows = [
+        (1, "x y z x y z x y z all rights reserved"),
+        (2, "some other content here all rights reserved"),
+        (3, "unrelated body text too all rights reserved"),
+        (4, "clean document with no shared chrome at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.ngram: r for r in text.boilerplate_ngrams(df, n=3, min_doc_frac=0.75).collect()}
+    assert "all rights reserved" in out
+    assert out["all rights reserved"].df_docs == 3
+    assert abs(out["all rights reserved"].doc_frac - 0.75) < 1e-9
+    assert "x y z" not in out  # repetition within one doc is NOT boilerplate
