@@ -4571,3 +4571,55 @@ _REGISTRY.update(
         "inv_x_curated_corpus": (q_x_curated_corpus, SQL_X_CURATED),
     }
 )
+
+
+_TS_QUERY = [1.0, 0.9, 0.8, 0.9, 1.0, 1.1]
+
+
+def q_sim_ts_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series pattern search (similarity.ts_pattern_topk): top-25
+    z-normalized matches of a 6-bar V-shape across every symbol's daily
+    closes — pure window expressions, TakeOrderedAndProject top-k."""
+    return similarity.ts_pattern_topk(
+        _bars(spark, sf).select("symbol", F.col("d"), "close"),
+        query=_TS_QUERY,
+        k=25,
+        time_col="d",
+    )
+
+
+def _ts_pattern_sql(query: list[float], k: int) -> str:
+    m = len(query)
+    mu_q = sum(query) / m
+    sd_q = (sum((x - mu_q) ** 2 for x in query) / (m - 1)) ** 0.5
+    qz = [(x - mu_q) / sd_q for x in query]
+    leads = ",\n    ".join(
+        f"lead(close, {j}) OVER o AS v{j}" for j in range(m)
+    )
+    terms = " + ".join(
+        f"power((v{j} - mu) / sd - ({qz[j]!r}), 2)" for j in range(m)
+    )
+    return f"""
+WITH {BARS_SQL},
+w AS (
+  SELECT symbol, d AS win_start,
+    avg(close) OVER f AS mu,
+    stddev_samp(close) OVER f AS sd,
+    count(close) OVER f AS n,
+    {leads}
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY d),
+         f AS (PARTITION BY symbol ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+)
+SELECT symbol, win_start, round({terms}, 6) AS dist
+FROM w
+WHERE n = {m} AND sd > 0
+ORDER BY dist, symbol, win_start
+LIMIT {k}
+"""
+
+
+SQL_SIM_TS_PATTERN = _ts_pattern_sql(_TS_QUERY, 25)
+
+_REGISTRY.update({"inv_sim_ts_pattern": (q_sim_ts_pattern, SQL_SIM_TS_PATTERN)})

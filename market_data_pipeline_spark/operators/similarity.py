@@ -466,3 +466,59 @@ def quantize_vectors(
             F.array_min(F.col("__q")).alias("q_min"),
         )
     )
+
+
+def ts_pattern_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+    value_col: str = "close",
+) -> DataFrame:
+    """Distributed time-series pattern search: top-k subsequences (across
+    ALL series) most similar to a short query pattern, by z-normalized
+    Euclidean distance over sliding windows — the UCR-suite/"Time Series
+    Similarity Search for Streaming Data in Distributed Systems" (EDBT'19)
+    primitive.
+
+    Spark shape: NO arrays, NO explosion, NO Python — the m query points
+    are constants, so the window mean/std and each lagged term unroll into
+    one stack of expressions over ONE (symbol, time) window sort, all
+    whole-stage-codegen'd; the final top-k is `TakeOrderedAndProject`
+    (per-partition heaps), never a global sort. Window count scales with
+    rows, not rows×m.
+
+    Z-normalization makes the match shape-based (level/scale invariant);
+    flat windows (sd=0) are excluded — distance to any non-flat shape is
+    undefined. Deterministic tiebreak (distance, symbol, time).
+    """
+    from pyspark.sql import Window
+
+    m = len(query)
+    mu_q = sum(query) / m
+    var_q = sum((x - mu_q) ** 2 for x in query) / (m - 1)
+    if var_q == 0:
+        raise ValueError("query pattern is flat; z-normalization undefined")
+    sd_q = var_q ** 0.5
+    qz = [(x - mu_q) / sd_q for x in query]
+
+    w = Window.partitionBy(symbol_col).orderBy(time_col)
+    frame = w.rowsBetween(0, m - 1)
+    mu = F.avg(value_col).over(frame)
+    sd = F.stddev_samp(value_col).over(frame)
+    n = F.count(value_col).over(frame)
+    dist = None
+    for j in range(m):
+        term = ((F.lead(value_col, j).over(w) - mu) / sd - F.lit(qz[j])) ** 2
+        dist = term if dist is None else dist + term
+    return (
+        df.select(
+            F.col(symbol_col).alias("symbol"),
+            F.col(time_col).alias("win_start"),
+            F.when((n == m) & (sd > 0), F.round(dist, 6)).alias("dist"),
+        )
+        .filter(F.col("dist").isNotNull())
+        .orderBy("dist", "symbol", "win_start")
+        .limit(k)
+    )

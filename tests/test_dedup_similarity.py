@@ -230,3 +230,27 @@ def test_split_leakage_exact_and_grouped(spark, dup_docs):
     got = dedup.split_leakage(dup_docs, groups=groups).collect()
     expect_leak_g = splits[1] != splits[4]
     assert (len(got) == 1) == expect_leak_g
+
+
+def test_ts_pattern_topk_finds_planted_affine_match(spark):
+    import datetime as dt
+
+    q = [1.0, 0.9, 0.8, 0.9, 1.0, 1.1]
+    base = dt.date(2025, 1, 1)
+    # symbol A carries the query shape scaled ×50 and shifted +200 starting
+    # at index 3 — z-normalized distance must be ~0 there
+    a_vals = [5.0, 6.0, 5.5] + [200 + 50 * x for x in q] + [7.0, 5.0]
+    b_vals = [3.0, 9.0, 2.0, 8.0, 1.0, 7.0, 2.0, 9.0, 3.0, 8.0, 2.0]
+    rows = [("A", base + dt.timedelta(days=i), v) for i, v in enumerate(a_vals)]
+    rows += [("B", base + dt.timedelta(days=i), v) for i, v in enumerate(b_vals)]
+    df = spark.createDataFrame(rows, "symbol string, d date, close double")
+    out = similarity.ts_pattern_topk(df, q, k=3, time_col="d").collect()
+    top = out[0]
+    assert top.symbol == "A"
+    assert top.win_start == base + dt.timedelta(days=3)
+    assert top.dist < 1e-9
+    # and the plan's top-k is a heap, not a global sort
+    plan = similarity.ts_pattern_topk(
+        df, q, k=3, time_col="d"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
