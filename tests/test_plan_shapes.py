@@ -289,3 +289,31 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_every_registered_query_plan_is_scale_clean(spark):
+    """Engine-wide physical-plan audit: no registered query may contain a
+    row-at-a-time Python UDF (BatchEvalPython — the 10-100× slow path; all
+    Python hops must be Arrow-vectorized) or an unhinted CartesianProduct
+    (the O(n·m) shuffle killer; non-equi joins must broadcast one side).
+
+    Streaming queries execute on build, so they are planned here via their
+    batch components being covered elsewhere and are skipped by prefix —
+    this audit covers every batch plan the driver runs.
+    """
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    allowed_rowwise = {"inv_s_statement_udtf"}  # the deliberate UDTF surface
+    skipped = 0
+    audited = 0
+    for name, fn in entrymod.queries().items():
+        if name.startswith("inv_st_") or name == "inv_v_kmeans_fit":
+            skipped += 1  # execute on build (stream run / iterative loop)
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        audited += 1
+        if name not in allowed_rowwise:
+            assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert audited > 140 and skipped <= 12
