@@ -45,3 +45,26 @@ def test_sql_front_door(spark, sf_dir):
         "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     ).collect()[0]
     assert j.n > 0
+
+
+def test_all_oracle_sql_binds_in_duckdb():
+    """Every oracle parses AND binds against the real table schemas (EXPLAIN
+    does name/type resolution without executing) — catches SQL typos and
+    schema drift in seconds, without a Spark run."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover
+            raise AssertionError(f"oracle for {name} failed to bind: {ex}") from ex
