@@ -4623,3 +4623,78 @@ LIMIT {k}
 SQL_SIM_TS_PATTERN = _ts_pattern_sql(_TS_QUERY, 25)
 
 _REGISTRY.update({"inv_sim_ts_pattern": (q_sim_ts_pattern, SQL_SIM_TS_PATTERN)})
+
+
+def q_t_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical-LM quality scoring (text.bigram_lm_scores): add-1 bigram
+    model trained on the corpus, each doc scored by mean bigram ln-prob."""
+    return text.bigram_lm_scores(_docs(spark, sf))
+
+
+SQL_T_BIGRAM_LM = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+),
+v AS (SELECT count(*) AS vv FROM uni),
+bic AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2)
+SELECT bi.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((cb + 1) / CAST(c1 + vv AS DOUBLE))), 6) AS avg_logprob
+FROM bi
+JOIN bic ON bi.w1 = bic.w1 AND bi.w2 = bic.w2
+JOIN uni ON bi.w1 = uni.w1, v
+GROUP BY bi.doc_id
+"""
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.1}
+_MIXTURE_TOTAL = 1_000_000
+
+
+def q_x_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture planning (features.mixture_plan): token budget split by
+    target weights → per-source sampling rate and epoch count."""
+    from market_data_pipeline_spark.operators import features
+
+    d = text.add_token_stats(_docs(spark, sf)).select("doc_id", "source", "n_tokens")
+    return features.mixture_plan(d, _MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
+
+
+def _mixture_sql(weights: dict[str, float], total: int) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in weights.items())
+    return f"""
+WITH n AS (
+  SELECT doc_id, source, len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS available_tokens
+  FROM n GROUP BY source
+),
+w AS (
+  SELECT *, CASE source {cases} ELSE 0.0 END AS weight FROM per
+)
+SELECT source, n_docs, available_tokens, weight,
+       CAST(round(weight * {total}.0, 0) AS BIGINT) AS target_tokens,
+       round(CAST(round(weight * {total}.0, 0) AS BIGINT) / CAST(available_tokens AS DOUBLE), 6) AS sample_rate,
+       CAST(ceil(CAST(round(weight * {total}.0, 0) AS BIGINT) / CAST(available_tokens AS DOUBLE)) AS INTEGER) AS epochs
+FROM w
+"""
+
+
+SQL_X_MIXTURE = _mixture_sql(_MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
+
+_REGISTRY.update(
+    {
+        "inv_t_bigram_lm": (q_t_bigram_lm, SQL_T_BIGRAM_LM),
+        "inv_x_mixture_plan": (q_x_mixture_plan, SQL_X_MIXTURE),
+    }
+)

@@ -205,3 +205,45 @@ def winsorize(
     return j.withColumn(
         out_col, F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
     ).drop("__lo", "__hi")
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_total_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Data-mixture planning: given target mixture ``weights`` (fraction of
+    the training budget per source) and a total token budget, compute per
+    source the available tokens, the target, the sampling rate, and the
+    epoch count (rate > 1 ⇒ the source must repeat) — the arithmetic
+    behind every LLM data-mixing recipe, as one aggregation pass.
+
+    Sources absent from ``weights`` get weight 0 (excluded). Output is
+    O(sources); the fact table is scanned once and never sorted.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("available_tokens"),
+    )
+    return (
+        per.withColumn(
+            "weight", F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+        )
+        .withColumn(
+            "target_tokens",
+            F.round(F.col("weight") * F.lit(float(target_total_tokens)), 0).cast("long"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(F.col("target_tokens") / F.col("available_tokens"), 6),
+        )
+        .withColumn(
+            "epochs",
+            F.ceil(F.col("target_tokens") / F.col("available_tokens")).cast("int"),
+        )
+    )

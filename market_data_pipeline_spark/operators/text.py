@@ -310,3 +310,55 @@ def boilerplate_ngrams(
         .filter(F.col("df_docs") / F.col("__total_docs") >= min_doc_frac)
         .select(F.col("shingle").alias("ngram"), "df_docs", "doc_frac")
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style statistical-LM quality scoring: train an add-1-smoothed
+    bigram model ON the corpus, score every document by its mean bigram
+    log-probability — the perplexity-proxy filter real LLM pipelines run
+    between cheap heuristics and expensive model scoring (low avg_logprob
+    ⇒ unusual token sequences ⇒ boilerplate/garbled/foreign text).
+
+    ``P(w2|w1) = (C(w1w2)+1) / (C(w1)+V)``; score = avg ln P over the
+    doc's bigram OCCURRENCES (multiplicity matters).
+
+    Scale shape: the two count tables are vocabulary-sized (map-side
+    combined); the scoring joins key on the n-gram strings; the vocab
+    scalar is a 1-row broadcast. Three shuffles total, none corpus-wide
+    wider than the bigram occurrence list.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    bi = df.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__logp", F.log((F.col("cb") + 1) / (F.col("c1") + F.col("__v")))
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__logp"), 6).alias("avg_logprob"),
+    )

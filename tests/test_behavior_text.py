@@ -153,3 +153,35 @@ def test_boilerplate_ngrams_doc_frequency_not_term_frequency(spark):
     assert out["all rights reserved"].df_docs == 3
     assert abs(out["all rights reserved"].doc_frac - 0.75) < 1e-9
     assert "x y z" not in out  # repetition within one doc is NOT boilerplate
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    rows = [(1, "a b a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.bigram_lm_scores(df).collect()}
+    # unigrams: a=3 b=2 c=1, V=3; bigrams: (a,b)=2 (b,a)=1 (a,c)=1
+    # P(b|a)=(2+1)/(3+3)=.5  P(a|b)=(1+1)/(2+3)=.4  P(c|a)=(1+1)/(3+3)=1/3
+    d1 = (math.log(0.5) + math.log(0.4) + math.log(0.5)) / 3
+    d2 = math.log(1 / 3)
+    assert out[1].n_bigrams == 3 and abs(out[1].avg_logprob - round(d1, 6)) < 1e-9
+    assert out[2].n_bigrams == 1 and abs(out[2].avg_logprob - round(d2, 6)) < 1e-9
+
+
+def test_mixture_plan_rates_and_epochs(spark):
+    from market_data_pipeline_spark.operators import features
+
+    rows = [(1, "s1", 100), (2, "s1", 100), (3, "s2", 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {
+        r.source: r
+        for r in features.mixture_plan(
+            df, {"s1": 0.5, "s2": 0.5}, target_total_tokens=1000
+        ).collect()
+    }
+    # s1: 200 tokens available, 500 target → rate 2.5 → 3 epochs
+    assert out["s1"].target_tokens == 500
+    assert abs(out["s1"].sample_rate - 2.5) < 1e-9 and out["s1"].epochs == 3
+    # s2: 1000 available, 500 target → rate 0.5 → 1 epoch
+    assert abs(out["s2"].sample_rate - 0.5) < 1e-9 and out["s2"].epochs == 1
