@@ -4698,3 +4698,17 @@ _REGISTRY.update(
         "inv_x_mixture_plan": (q_x_mixture_plan, SQL_X_MIXTURE),
     }
 )
+
+
+def q_x_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (features.pack_sequences): chunks → fixed-budget
+    bins by bucketed first-fit-decreasing. Rows-only (greedy packing is not
+    SQL-expressible); invariants pytest-pinned: every item exactly once,
+    no bin over budget, waste fraction bounded."""
+    from market_data_pipeline_spark.operators import features
+
+    d = text.add_token_stats(_docs(spark, sf)).select("doc_id", "n_tokens")
+    return features.pack_sequences(d, budget=256)
+
+
+_REGISTRY.update({"inv_x_pack_sequences": (q_x_pack_sequences, None)})

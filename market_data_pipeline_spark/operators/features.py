@@ -247,3 +247,70 @@ def mixture_plan(
             F.ceil(F.col("target_tokens") / F.col("available_tokens")).cast("int"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign variable-length chunks to fixed-capacity
+    bins (context windows) so training batches waste minimal padding — the
+    step between chunking and tokenization in an LLM data pipeline.
+
+    Greedy first-fit-decreasing runs INSIDE each of ``buckets`` hash
+    buckets via ``applyInPandas`` (packing is inherently sequential; the
+    approximation cost of bucketing is a few percent fill while making the
+    algorithm embarrassingly parallel — each bucket packs independently and
+    bin ids are globally unique by construction ``bucket·1e9 + local``).
+    Deterministic: items ordered (size desc, id asc), buckets assigned by
+    Knuth hash of the id — same assignment at any parallelism.
+
+    Oversize items (> budget) get a singleton bin flagged ``oversize``;
+    callers split or drop them upstream. Output: one row per item with its
+    bin; fill statistics are one groupBy away.
+    """
+    import pandas as pd
+
+    bucket = (F.col(id_col).cast("bigint") * F.lit(_KNUTH)) % buckets
+
+    schema = f"{id_col} long, {size_col} long, bin_id long, oversize boolean"
+
+    def pack(key, pdf: pd.DataFrame):
+        (b,) = key
+        pdf = pdf.sort_values([size_col, id_col], ascending=[False, True])
+        fills: list[int] = []
+        out_bin, out_over = [], []
+        for size in pdf[size_col]:
+            s = int(size)
+            if s > budget:
+                fills.append(budget)  # singleton, closed
+                out_bin.append(len(fills) - 1)
+                out_over.append(True)
+                continue
+            for i, f in enumerate(fills):
+                if f + s <= budget:
+                    fills[i] = f + s
+                    out_bin.append(i)
+                    out_over.append(False)
+                    break
+            else:
+                fills.append(s)
+                out_bin.append(len(fills) - 1)
+                out_over.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                size_col: pdf[size_col].to_numpy(),
+                "bin_id": [int(b) * 1_000_000_000 + i for i in out_bin],
+                "oversize": out_over,
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(size_col).cast("long"), bucket.alias("__bucket"))
+        .groupBy("__bucket")
+        .applyInPandas(pack, schema)
+    )

@@ -185,3 +185,26 @@ def test_mixture_plan_rates_and_epochs(spark):
     assert abs(out["s1"].sample_rate - 2.5) < 1e-9 and out["s1"].epochs == 3
     # s2: 1000 available, 500 target → rate 0.5 → 1 epoch
     assert abs(out["s2"].sample_rate - 0.5) < 1e-9 and out["s2"].epochs == 1
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from market_data_pipeline_spark.operators import features
+
+    d = text.add_token_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    packed = features.pack_sequences(d, budget=256).collect()
+    n_items = d.count()
+    assert len(packed) == n_items  # every item exactly once
+    assert len({r.doc_id for r in packed}) == n_items
+    fills = {}
+    for r in packed:
+        if not r.oversize:
+            fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+        else:
+            assert r.n_tokens > 256
+    assert all(f <= 256 for f in fills.values())
+    # FFD within buckets keeps fill healthy: mean fill of closed bins ≥ 50%
+    sizes = sorted(fills.values(), reverse=True)
+    if len(sizes) > 2:
+        assert sum(sizes[:-1]) / (256 * (len(sizes) - 1)) >= 0.5
