@@ -330,3 +330,28 @@ def test_streaming_sessionize_matches_batch_twin(spark, sf_dir):
     got_rows = {tuple(r) for r in got.collect()}
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_progress_monitor_extracts_state_and_watermark(spark, sf_dir, tmp_path):
+    """The monitor must see real numbers from a stateful stream: input rows,
+    a stateful operator with state rows, and an advancing watermark."""
+    from market_data_pipeline_spark.streaming import jobs, monitor
+
+    ev = jobs.stream_events(spark, sf_dir)
+    agg = jobs.tumbling_window_agg(ev, width="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mon_probe")
+        .option("checkpointLocation", str(tmp_path / "mon_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = monitor.progress_rows(q)
+    assert len(rows) >= 1
+    assert sum(r["num_input_rows"] for r in rows) > 0
+    assert any(r["n_state_operators"] > 0 for r in rows)
+    assert any(r["watermark"] for r in rows)
+    flags = monitor.health_flags(rows, max_batch_ms=10 * 60 * 1000)
+    assert flags["total_input_rows"] > 0 and flags["slow_batches"] == []
