@@ -68,3 +68,31 @@ def test_all_oracle_sql_binds_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as ex:  # pragma: no cover
             raise AssertionError(f"oracle for {name} failed to bind: {ex}") from ex
+
+
+def test_bench_cli_contract(tmp_path):
+    """bench.py must print exactly ONE JSON line with the driver's expected
+    keys — run at sf0.001 so the check is cheap. Guards the per-round
+    BENCH_r{N}.json recording from accidental format drift."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1
+    rec = json.loads(json_lines[0])
+    assert rec["metric"] == "headline_queries_total"
+    assert rec["unit"] == "sec" and rec["value"] > 0
+    assert rec["sf"] == 0.001 and len(rec["queries"]) == 12
