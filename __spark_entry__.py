@@ -4712,3 +4712,41 @@ def q_x_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _REGISTRY.update({"inv_x_pack_sequences": (q_x_pack_sequences, None)})
+
+
+def q_u_bag_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics set ops (U ext): EXCEPT ALL / INTERSECT ALL over
+    multisets of order keys (an order key repeats per lineitem) —
+    multiplicity must survive, which DISTINCT-based set ops destroy.
+    Spark physical: both rewrite to a count-diff aggregation + generate."""
+    li = load_table(spark, sf, "lineitem")
+    disc = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    taxed = li.filter(F.col("l_tax") > 0.05).select("l_orderkey")
+    ex = (
+        disc.exceptAll(taxed)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        disc.intersectAll(taxed)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(inter)
+
+
+SQL_U_BAG = """
+WITH disc AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05),
+taxed AS (SELECT l_orderkey FROM lineitem WHERE l_tax > 0.05),
+ex AS (SELECT l_orderkey FROM disc EXCEPT ALL SELECT l_orderkey FROM taxed),
+inter AS (SELECT l_orderkey FROM disc INTERSECT ALL SELECT l_orderkey FROM taxed)
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+FROM ex GROUP BY l_orderkey
+UNION ALL
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+FROM inter GROUP BY l_orderkey
+"""
+
+_REGISTRY.update({"inv_u_bag_set_ops": (q_u_bag_set_ops, SQL_U_BAG)})

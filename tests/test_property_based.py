@@ -246,3 +246,64 @@ def test_asof_forward_tolerance_matches_pandas(spark, case, tol):
     for row in exp_df.itertuples(index=False):
         expect = None if pd.isna(row.mark) else row.mark
         assert got[(row.sym, row.t, row.v)] == expect
+
+
+@st.composite
+def event_streams(draw):
+    """Per-user event streams with adversarial gaps around the threshold."""
+    n_users = draw(st.integers(1, 3))
+    rows = []
+    for u in range(n_users):
+        n = draw(st.integers(1, 12))
+        t = draw(st.integers(0, 10_000))
+        for _ in range(n):
+            rows.append((u, t))
+            # gaps straddle the 1800 s threshold: some exactly at it
+            t += draw(st.sampled_from([1, 600, 1799, 1800, 1801, 4000]))
+    return rows
+
+
+@given(event_streams())
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sessionize_partitions_events_with_gap_invariant(spark, rows):
+    """Properties: every event lands in exactly one session; within a
+    session no consecutive gap exceeds the threshold; consecutive sessions
+    of one user are separated by MORE than the threshold; event counts are
+    conserved."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import behavior
+
+    base = dt.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), 1.0) for u, s in rows],
+        "user_id long, ts timestamp, value double",
+    )
+    sess = behavior.sessionize(df, gap_minutes=30).collect()
+    assert sum(r.n_events for r in sess) == len(rows)
+
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    events_by_user: dict[int, list[int]] = {}
+    for u, s in rows:
+        events_by_user.setdefault(u, []).append(s)
+    for u, slist in by_user.items():
+        slist.sort(key=lambda r: r.session_seq)
+        evs = sorted(events_by_user[u])
+        # sessions tile the user's ordered events
+        covered = []
+        for r in slist:
+            start_s = int((r.session_start - base).total_seconds())
+            end_s = int((r.session_end - base).total_seconds())
+            inside = [e for e in evs if start_s <= e <= end_s]
+            assert len(inside) == r.n_events
+            covered.extend(inside)
+            # within-session max gap <= 1800
+            gaps = [b - a for a, b in zip(inside, inside[1:])]
+            assert all(g <= 1800 for g in gaps)
+        assert sorted(covered) == evs
+        # between consecutive sessions: gap > 1800
+        for a, b in zip(slist, slist[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > 1800
