@@ -4750,3 +4750,31 @@ FROM inter GROUP BY l_orderkey
 """
 
 _REGISTRY.update({"inv_u_bag_set_ops": (q_u_bag_set_ops, SQL_U_BAG)})
+
+
+def q_q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical distinct counting by sketch UNION (quality.
+    sketch_rollup_distinct): one HLL sketch per (day) grain, weekly
+    distinct users answered by merging day sketches — the fact table is
+    scanned once; the oracle pins exact counts and expects the union
+    estimate inside 5%."""
+    e = load_table(spark, sf, "events")
+    return quality.sketch_rollup_distinct(
+        e,
+        F.to_date("ts"),
+        F.date_trunc("week", "ts").cast("date"),
+        "user_id",
+        tol=0.05,
+    ).orderBy("period")
+
+
+SQL_Q_SKETCH_ROLLUP = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_fine_grains,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS union_ok
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+_REGISTRY.update({"inv_q_sketch_rollup": (q_q_sketch_rollup, SQL_Q_SKETCH_ROLLUP)})

@@ -203,3 +203,48 @@ def sketch_accuracy(
             <= F.abs(F.col("__exact_p50")) * pct_tol
         ).alias("p50_ok"),
     )
+
+
+def sketch_rollup_distinct(
+    df: DataFrame,
+    fine_grain_col,
+    coarse_grain_col,
+    distinct_col: str,
+    tol: float = 0.05,
+) -> DataFrame:
+    """Mergeable-sketch hierarchical distinct counting: build ONE HLL
+    (DataSketches) sketch per fine grain (e.g. day), then answer ANY
+    coarser range (week, month, arbitrary span) by UNIONING sketches —
+    never rescanning the fact table. The incremental pattern behind
+    "distinct users per day → per any date range" dashboards at 100 TB:
+    the daily sketch build is the only pass over raw data; every rollup
+    thereafter is O(days · sketch_size).
+
+    Output carries the accuracy contract (exact vs union-estimate within
+    ``tol``) so the gate regression-guards the swap, same as
+    ``sketch_accuracy``.
+    """
+    from pyspark.sql import functions as F
+
+    fine = df.groupBy(
+        fine_grain_col.alias("__fine"), coarse_grain_col.alias("__coarse")
+    ).agg(F.hll_sketch_agg(distinct_col).alias("__sk"))
+    rolled = fine.groupBy("__coarse").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+        F.count(F.lit(1)).alias("n_fine_grains"),
+    )
+    exact = df.groupBy(coarse_grain_col.alias("__coarse")).agg(
+        F.countDistinct(distinct_col).alias("exact_distinct")
+    )
+    return (
+        rolled.join(exact, "__coarse")
+        .select(
+            F.col("__coarse").alias("period"),
+            "n_fine_grains",
+            "exact_distinct",
+            (
+                F.abs(F.col("__est") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * tol
+            ).alias("union_ok"),
+        )
+    )
