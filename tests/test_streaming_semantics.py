@@ -355,3 +355,49 @@ def test_progress_monitor_extracts_state_and_watermark(spark, sf_dir, tmp_path):
     assert any(r["watermark"] for r in rows)
     flags = monitor.health_flags(rows, max_batch_ms=10 * 60 * 1000)
     assert flags["total_input_rows"] > 0 and flags["slow_batches"] == []
+
+
+def test_sessionize_state_survives_query_restart(spark, tmp_path):
+    """An OPEN session spanning a full query restart must be extended by
+    post-restart events (state recovered from checkpoint), then emitted
+    once by watermark timeout as ONE merged session — not two fragments."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = stateful.streaming_sessionize(stream, gap_minutes=30, watermark="1 minute")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two events 10 min apart — session stays open (watermark
+    # reaches only ts+9min, far before end+gap)
+    write([(1, t, 1.0), (1, t + dt.timedelta(minutes=10), 2.0)])
+    run_once()
+    # query DOWN; a third event 10 min later continues the SAME session,
+    # and a far-future event advances the watermark past its timeout
+    write([(1, t + dt.timedelta(minutes=20), 3.0), (2, t + dt.timedelta(hours=5), 9.0)])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    sessions = [r for r in rows if r.user_id == 1]
+    assert len(sessions) == 1  # one merged session, not two fragments
+    s = sessions[0]
+    assert s.n_events == 3
+    assert s.session_start == t and s.session_end == t + dt.timedelta(minutes=20)
+    assert s.duration_s == 1200 and abs(s.total_value - 6.0) < 1e-9
