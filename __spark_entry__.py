@@ -4778,3 +4778,34 @@ GROUP BY 1 ORDER BY 1
 """
 
 _REGISTRY.update({"inv_q_sketch_rollup": (q_q_sketch_rollup, SQL_Q_SKETCH_ROLLUP)})
+
+
+def q_a_vw_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-sectional index construction: per day, the volume-weighted and
+    equal-weighted index levels over every symbol's close — the market-level
+    series the reference fetches pre-built as VNINDEX
+    (breadth_extractor.py:72-84) but this engine DERIVES from the bar table
+    (one groupBy(day), map-side combined; output O(days))."""
+    b = _bars(spark, sf)
+    return (
+        b.groupBy("d")
+        .agg(
+            F.round(
+                F.sum(F.col("close") * F.col("volume")) / F.sum("volume"), 6
+            ).alias("vw_index"),
+            F.round(F.avg("close"), 6).alias("ew_index"),
+            F.count(F.lit(1)).alias("n_symbols"),
+        )
+    )
+
+
+SQL_A_VW_INDEX = f"""
+WITH {BARS_SQL}
+SELECT d,
+       round(sum(close * volume) / sum(volume), 6) AS vw_index,
+       round(avg(close), 6) AS ew_index,
+       CAST(count(*) AS BIGINT) AS n_symbols
+FROM bars GROUP BY d
+"""
+
+_REGISTRY.update({"inv_a_vw_index": (q_a_vw_index, SQL_A_VW_INDEX)})
