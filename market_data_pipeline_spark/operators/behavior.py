@@ -98,6 +98,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based sessionization: assign each event a session by splitting a
     user's ordered event stream wherever the inter-event gap exceeds
@@ -112,6 +113,11 @@ def sessionize(
     At 100 TB a user's history fits one partition by construction — the key
     is the user, never the whole stream.
 
+    ``value_col`` names the column rolled up into ``total_value``; pass
+    ``None`` (or point at an input without it — the default ``"value"`` is
+    skipped when absent) to omit the rollup instead of throwing on inputs
+    that carry no value column.
+
     Reference analog: none (the reference has no event-stream semantics);
     BASELINE.json behavior-analytics surface.
     """
@@ -123,15 +129,14 @@ def sessionize(
         gap_s.isNull() | (gap_s > gap_minutes * 60), 1
     ).otherwise(0)
     labeled = events.withColumn("session_seq", F.sum(is_new).over(w))
-    return (
-        labeled.groupBy(user_col, "session_seq")
-        .agg(
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_end"),
-            (F.max(ts_col).cast("long") - F.min(ts_col).cast("long")).alias(
-                "duration_s"
-            ),
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(ts_col).cast("long") - F.min(ts_col).cast("long")).alias(
+            "duration_s"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 4).alias("total_value"))
+    return labeled.groupBy(user_col, "session_seq").agg(*aggs)

@@ -10,7 +10,7 @@ matrix, zero shuffles for the split (a projection). No Python in the path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, WindowSpec
+from pyspark.sql import Column, DataFrame, WindowSpec
 from pyspark.sql import functions as F
 
 from market_data_pipeline_spark.functions.helpers import min_periods, safe_div, series_window
@@ -18,6 +18,19 @@ from market_data_pipeline_spark.functions.helpers import min_periods, safe_div, 
 # Knuth multiplicative hash constant; products stay < 2^63 for any id < 2^31,
 # so Spark and any ANSI engine agree without overflow-wrap differences.
 _KNUTH = 2654435761
+
+
+def _knuth_bucket(key: str, mod) -> Column:
+    """``pmod(key·KNUTH, mod)`` — the shared deterministic bucket hash.
+
+    ``pmod`` (not ``%``) so negative ids still land in [0, mod) instead of
+    producing negative bucket/bin ids. Ids ≥ 2^31 overflow-wrap the multiply,
+    which is harmless for hashing but assumes ANSI mode is OFF — the session
+    default pinned by ``session.get_spark``/``tune_existing``
+    (spark.sql.ansi.enabled=false); every ``_KNUTH`` call site shares that
+    assumption.
+    """
+    return F.pmod(F.col(key).cast("bigint") * F.lit(_KNUTH), F.lit(mod))
 
 
 def make_features(
@@ -63,7 +76,7 @@ def split_column(key, train_pct: int = 80, val_pct: int = 10):
     """Deterministic, engine-portable train/val/test assignment from a
     numeric key: bucket = (key · KNUTH) mod 100. Stable across runs,
     partitions, and engines — never ``rand()`` (unreproducible lineage)."""
-    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % 100
+    bucket = _knuth_bucket(key, 100)
     return (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
@@ -80,7 +93,7 @@ def stratified_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFram
     """Deterministic ~fraction sample by key hash — reproducible lineage for
     dataset curation (unlike ``df.sample`` whose seed interacts with
     partitioning)."""
-    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % 10000
+    bucket = _knuth_bucket(key, 10000)
     return df.filter(bucket < int(fraction * 10000))
 
 
@@ -101,7 +114,7 @@ def balanced_downsample(
     cap below the per-group sort, so at 100 TB each partition ships at most
     ``cap`` candidate rows per class to the shuffle — never the full class.
     """
-    order = ((F.col(key).cast("bigint") * F.lit(_KNUTH)) % F.lit(4294967296)).alias("__ord")
+    order = _knuth_bucket(key, 4294967296).alias("__ord")
     from pyspark.sql import Window
 
     w = Window.partitionBy(by).orderBy(order, F.col(key))
@@ -133,7 +146,7 @@ def stratified_sample_rates(
     rate = F.lit(float(default_rate))
     for cls, frac in sorted(rates.items()):
         rate = F.when(F.col(by) == cls, F.lit(float(frac))).otherwise(rate)
-    bucket = (F.col(key).cast("bigint") * F.lit(_KNUTH)) % 10000
+    bucket = _knuth_bucket(key, 10000)
     return df.filter(bucket < (rate * 10000).cast("bigint"))
 
 
@@ -220,19 +233,29 @@ def mixture_plan(
     epoch count (rate > 1 ⇒ the source must repeat) — the arithmetic
     behind every LLM data-mixing recipe, as one aggregation pass.
 
-    Sources absent from ``weights`` get weight 0 (excluded). Output is
-    O(sources); the fact table is scanned once and never sorted.
+    Sources absent from ``weights`` get weight 0 (excluded). Sources named
+    in ``weights`` but ABSENT from the data still get an output row
+    (n_docs=0, available_tokens=0, sample_rate/epochs null) — a typo'd or
+    missing source surfaces as an explicit zero-available shortfall instead
+    of silently under-allocating the mixture. Output is O(sources); the
+    fact table is scanned once and never sorted.
     """
-    wmap = F.create_map(
-        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"`{source_col}` string, weight double",
     )
     per = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("available_tokens"),
     )
     return (
-        per.withColumn(
-            "weight", F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+        per.join(wdf, source_col, "full_outer")
+        .select(
+            source_col,
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("available_tokens", F.lit(0)).alias("available_tokens"),
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
         )
         .withColumn(
             "target_tokens",
@@ -274,7 +297,7 @@ def pack_sequences(
     """
     import pandas as pd
 
-    bucket = (F.col(id_col).cast("bigint") * F.lit(_KNUTH)) % buckets
+    bucket = _knuth_bucket(id_col, buckets)
 
     schema = f"{id_col} long, {size_col} long, bin_id long, oversize boolean"
 

@@ -123,7 +123,10 @@ SESSION_STATE_SCHEMA = "seq bigint, start_us bigint, last_us bigint, n bigint, t
 
 
 def streaming_sessionize(
-    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+    seq_retention_gaps: int = 10,
 ) -> DataFrame:
     """Streaming gap-sessionization with EVENT-TIME TIMEOUT — the streaming
     twin of ``behavior.sessionize`` that ``session_window`` aggregation
@@ -141,9 +144,25 @@ def streaming_sessionize(
     twin. The timeout timestamp is clamped above the current watermark
     (Spark rejects past timestamps); with a single data batch the clamp
     never engages.
+
+    Session-id continuity across eviction: emitting a session does NOT drop
+    the user's state. Instead the state collapses to a TOMBSTONE
+    (``start_us IS NULL``) that keeps only the last emitted ``seq``, so a
+    user who returns after a timeout continues at seq+1 instead of
+    re-emitting (user_id, 1). The tombstone carries its own event-time
+    timeout ``seq_retention_gaps × gap`` past the session end and is removed
+    when it fires — state stays O(active users), and only a user silent for
+    longer than the retention horizon can ever restart at 1 (documented
+    trade-off; raise ``seq_retention_gaps`` if downstream keys on
+    (user_id, session_seq) beyond that horizon).
+
+    Backdated rows: an event inside the watermark but EARLIER than the open
+    session's start (late delivery) merges with ``start_us = min(start, t)``
+    — the session extends backward as well as forward.
     """
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1000
+    retention_ms = seq_retention_gaps * gap_ms
 
     def _row(uid, seq, start_us, last_us, n, total):
         return {
@@ -160,7 +179,19 @@ def streaming_sessionize(
         (uid,) = key
         if state.hasTimedOut:
             seq, start_us, last_us, n, total = state.get
-            state.remove()
+            if start_us is None:
+                # tombstone retention expired — forget the seq counter
+                state.remove()
+                return
+            # evict the open session but KEEP the seq as a tombstone so a
+            # returning user continues at seq+1 (no duplicate session ids)
+            state.update((seq, None, last_us, 0, 0.0))
+            state.setTimeoutTimestamp(
+                max(
+                    last_us // 1000 + retention_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
             yield pd.DataFrame([_row(uid, seq, start_us, last_us, n, total)])
             return
         pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
@@ -178,7 +209,14 @@ def streaming_sessionize(
                 closed.append(_row(uid, seq, start_us, last_us, n, total))
                 seq, start_us, last_us, n, total = seq + 1, t, t, 1, float(v)
             else:
-                last_us, n, total = max(last_us, t), n + 1, total + float(v)
+                # in-gap merge; a backdated (late but in-watermark) event
+                # extends the session backward too
+                start_us, last_us, n, total = (
+                    min(start_us, t),
+                    max(last_us, t),
+                    n + 1,
+                    total + float(v),
+                )
         state.update((seq, start_us, last_us, n, total))
         state.setTimeoutTimestamp(
             max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)

@@ -208,3 +208,65 @@ def test_pack_sequences_invariants(spark, sf_dir):
     sizes = sorted(fills.values(), reverse=True)
     if len(sizes) > 2:
         assert sum(sizes[:-1]) / (256 * (len(sizes) - 1)) >= 0.5
+
+
+def test_sessionize_without_value_column(spark):
+    """ADVICE r1: behavior.sessionize on an input WITHOUT a value column
+    must work (total_value omitted), instead of throwing on F.sum('value')."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import behavior
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t),
+        (1, t + dt.timedelta(minutes=5)),
+        (1, t + dt.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = behavior.sessionize(df, gap_minutes=30).collect()
+    assert "total_value" not in out[0].asDict()
+    assert sorted((r.session_seq, r.n_events) for r in out) == [(1, 2), (2, 1)]
+    # custom value column name flows into total_value
+    df2 = spark.createDataFrame(
+        [(1, t, 2.5), (1, t + dt.timedelta(minutes=1), 3.0)],
+        "user_id long, ts timestamp, amount double",
+    )
+    out2 = behavior.sessionize(df2, gap_minutes=30, value_col="amount").collect()
+    assert abs(out2[0].total_value - 5.5) < 1e-9
+
+
+def test_pack_sequences_negative_ids(spark):
+    """ADVICE r1: negative ids must hash to NON-negative buckets/bin ids
+    (pmod, not signed %)."""
+    from market_data_pipeline_spark.operators import features
+
+    rows = [(-5, 100), (-4, 200), (-3, 250), (7, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = features.pack_sequences(df, budget=256).collect()
+    assert len(packed) == 4
+    assert all(r.bin_id >= 0 for r in packed), "negative bin ids leaked"
+    # per-bin fill never exceeds budget
+    fills = {}
+    for r in packed:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+    assert all(f <= 256 for f in fills.values())
+
+
+def test_mixture_plan_surfaces_missing_source(spark):
+    """ADVICE r1: a source named in weights but absent from the data must
+    produce an explicit zero-available row, not vanish."""
+    from market_data_pipeline_spark.operators import features
+
+    rows = [(1, "s1", 100), (2, "s1", 300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {
+        r.source: r
+        for r in features.mixture_plan(
+            df, {"s1": 0.5, "s2_typo": 0.5}, target_total_tokens=1000
+        ).collect()
+    }
+    assert set(out) == {"s1", "s2_typo"}
+    ghost = out["s2_typo"]
+    assert ghost.n_docs == 0 and ghost.available_tokens == 0
+    assert ghost.target_tokens == 500 and ghost.sample_rate is None

@@ -401,3 +401,111 @@ def test_sessionize_state_survives_query_restart(spark, tmp_path):
     assert s.n_events == 3
     assert s.session_start == t and s.session_end == t + dt.timedelta(minutes=20)
     assert s.duration_s == 1200 and abs(s.total_value - 6.0) < 1e-9
+
+
+def test_sessionize_seq_survives_timeout_eviction(spark, tmp_path):
+    """ADVICE r1: after a session is evicted by event-time timeout, a
+    returning user must CONTINUE the session ordinal (seq 2), not re-emit
+    (user_id, 1) — the tombstone state keeps the counter across eviction."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    src = str(tmp_path / "seq_src")
+    out = str(tmp_path / "seq_out")
+    ckpt = str(tmp_path / "seq_ckpt")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = stateful.streaming_sessionize(stream, gap_minutes=30, watermark="1 minute")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 1 session (2 events) + a far-future row advancing the
+    # watermark past end+gap → session 1 is emitted and state evicted
+    write(
+        [
+            (1, t, 1.0),
+            (1, t + dt.timedelta(minutes=10), 2.0),
+            (99, t + dt.timedelta(hours=5), 0.0),
+        ]
+    )
+    run_once()
+    # run 2: user 1 RETURNS (inside the seq-retention horizon), then another
+    # watermark advance flushes the new session too
+    write(
+        [
+            (1, t + dt.timedelta(hours=6), 3.0),
+            (999, t + dt.timedelta(hours=12), 0.0),
+        ]
+    )
+    run_once()
+
+    rows = sorted(
+        (r for r in spark.read.parquet(out).collect() if r.user_id == 1),
+        key=lambda r: r.session_start,
+    )
+    assert [r.session_seq for r in rows] == [1, 2], (
+        "session ids must stay unique across timeout eviction"
+    )
+    assert rows[0].n_events == 2 and rows[1].n_events == 1
+    # keys are unique overall (no duplicate (user_id, seq) in append output)
+    allrows = spark.read.parquet(out).collect()
+    keys = [(r.user_id, r.session_seq) for r in allrows]
+    assert len(keys) == len(set(keys))
+
+
+def test_sessionize_backdated_event_extends_session_start(spark, tmp_path):
+    """ADVICE r1: a late-but-in-watermark event EARLIER than the open
+    session's start must pull session_start back (min), not be silently
+    folded in with the old start."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    src = str(tmp_path / "bd_src")
+    out = str(tmp_path / "bd_out")
+    ckpt = str(tmp_path / "bd_ckpt")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = stateful.streaming_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: session opens at t+10m (watermark ends up at t exactly)
+    write([(1, t + dt.timedelta(minutes=10), 1.0)])
+    run_once()
+    # batch 2: a BACKDATED event at t+5m (>= watermark t, within gap) merges
+    # and extends the session start backward; then a flush row
+    write([(1, t + dt.timedelta(minutes=5), 2.0)])
+    run_once()
+    write([(42, t + dt.timedelta(hours=9), 0.0)])
+    run_once()
+
+    rows = [r for r in spark.read.parquet(out).collect() if r.user_id == 1]
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.session_start == t + dt.timedelta(minutes=5), "start must move back"
+    assert s.session_end == t + dt.timedelta(minutes=10)
+    assert s.n_events == 2 and s.duration_s == 300
