@@ -66,16 +66,11 @@ def entry(spark: SparkSession) -> DataFrame:
     lazy plan — clean → indicator chain (SMA/RSI/Bollinger/EMA/MACD) →
     composite buy/sell signal per symbol (technical_screener.py:143-203)."""
     tune_existing(spark)
-    bars = bars_from_events(spark, SF0001)
-    w = series_window(time_col="d")
-    # EMA (the one Arrow/pandas hop) runs FIRST on the narrow bars so every
-    # native window op lands in one post-shuffle window stage after it.
-    enriched = indicators.add_ema_macd(bars, spans=(12, 26), time_col="d")
-    enriched = indicators.add_sma(enriched, periods=(10, 20), w=w)
-    enriched = indicators.add_rsi(enriched, period=14, w=w)
-    enriched = indicators.add_bollinger(enriched, w=w)
-    enriched = indicators.add_volume_metrics(enriched, w=w)
-    signal = screeners.composite_signal(enriched, time_col="d", w=w)
+    bars = bars_from_events(spark, SF0001).select("symbol", "d", "close", "volume")
+    # Fused W14 scan: one symbol window stage for every native indicator,
+    # one per-symbol pandas pass (EMA recursion + latest row) reusing its
+    # partitioning — 2 exchanges end-to-end.
+    signal = screeners.composite_signal_scan(bars, time_col="d")
     return signal.select(
         "symbol", "d", "close", "rsi", "score", "overall_signal", "confidence"
     )
@@ -1355,14 +1350,11 @@ def q_w14_composite_signal(spark: SparkSession, sf: str) -> DataFrame:
     # it shrinks the Arrow round-trip payload AND lets Catalyst drop the
     # unused min/max aggregates from the bar derivation upstream.
     b = _bars(spark, sf).select("symbol", "d", "close", "volume")
-    w = series_window(time_col="d")
-    # EMA first (narrow Arrow payload), then all native windows share one
-    # symbol-partitioned window stage — 3 exchanges total instead of 4.
-    df = indicators.add_ema_macd(b, spans=(12, 26), time_col="d")
-    df = indicators.add_sma(df, periods=(10, 20), w=w)
-    df = indicators.add_rsi(df, period=14, w=w)
-    df = indicators.add_volume_metrics(df, w=w)
-    out = screeners.composite_signal(df, time_col="d", w=w)
+    # Fused scan (round-1 verdict #1): native windows in ONE symbol window
+    # stage, EMA + latest-row inside a single per-symbol pandas pass that
+    # reuses the window's partitioning — 2 exchanges from ticks, O(symbols)
+    # Arrow payload out.
+    out = screeners.composite_signal_scan(b, time_col="d")
     return out.select(
         "symbol", "d", "close", "score", "overall_signal",
         F.round("confidence", 4).alias("confidence"),

@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes to completion through the noop sink (full plan runs,
 nothing collected to the driver — the honest distributed cost).
+
+Regression gate (round-1 verdict #6): BASELINE_BENCH.json pins the r1
+driver-recorded numbers; this script exits 1 (after printing the JSON line)
+if total > 2x the baseline total or any query > 3x its baseline entry —
+the 2x perf contract is self-enforcing. Gate only engages at the baseline's
+SF so local sf0.01 iteration never false-alarms.
 """
 
 import json
@@ -61,6 +67,10 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+    # the flagship daily path (entry) gets a tracked number too (verdict #8)
+    t0 = time.time()
+    entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    timings["entry_flagship"] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -74,6 +84,29 @@ def main() -> None:
         )
     )
     spark.stop()
+    sys.exit(_gate(total, timings, sf))
+
+
+def _gate(total: float, timings: dict[str, float], sf: float) -> int:
+    """Return 1 if the run regressed past the self-imposed contract."""
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh)
+    except OSError:
+        return 0
+    if sf != base.get("sf"):
+        return 0  # gate is calibrated at the baseline SF only
+    rc = 0
+    if total > 2.0 * base["value"]:
+        print(f"BENCH GATE: total {total}s > 2x baseline {base['value']}s", file=sys.stderr)
+        rc = 1
+    for name, sec in timings.items():
+        b = base.get("queries", {}).get(name)
+        if b is not None and sec > 3.0 * b:
+            print(f"BENCH GATE: {name} {sec}s > 3x baseline {b}s", file=sys.stderr)
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":

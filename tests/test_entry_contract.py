@@ -95,4 +95,5 @@ def test_bench_cli_contract(tmp_path):
     rec = json.loads(json_lines[0])
     assert rec["metric"] == "headline_queries_total"
     assert rec["unit"] == "sec" and rec["value"] > 0
-    assert rec["sf"] == 0.001 and len(rec["queries"]) == 12
+    assert rec["sf"] == 0.001 and len(rec["queries"]) == 13  # 12 headline + entry_flagship
+    assert "entry_flagship" in rec["queries"]

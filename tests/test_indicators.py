@@ -106,3 +106,35 @@ def test_min_periods_null_prefix(spark, sf_dir):
     )
     for r in out:
         assert r["n_null"] == min(19, r["n"]), "first 19 rows per symbol must be null"
+
+
+def test_rolling_median_guard_and_approx(spark, sf_dir):
+    """Round-1 verdict #5: exact rolling median is O(period) memory per row —
+    period > 501 must raise with a pointer to the approx sketch path, and the
+    approx path must agree with exact on a narrow window."""
+    import pytest
+
+    from market_data_pipeline_spark.functions.helpers import series_window
+    from market_data_pipeline_spark.sources.tables import bars_from_events
+
+    b = bars_from_events(spark, sf_dir).select("symbol", "d", "close")
+    w = series_window(time_col="d")
+    with pytest.raises(ValueError, match="approx=True"):
+        indicators.add_rolling_median(b, period=503, w=w)
+    with pytest.raises(ValueError, match="odd"):
+        indicators.add_rolling_median(b, period=20, w=w)
+    # approx (sketch) == exact at default accuracy on a 21-bar frame
+    exact = indicators.add_rolling_median(b, period=21, w=w, out_col="m")
+    approx = indicators.add_rolling_median(
+        b, period=21, w=w, out_col="m", approx=True
+    )
+    e = {(r.symbol, r.d): r.m for r in exact.collect()}
+    a = {(r.symbol, r.d): r.m for r in approx.collect()}
+    assert set(e) == set(a)
+    diffs = [
+        abs(e[k] - a[k]) for k in e if e[k] is not None and a[k] is not None
+    ]
+    assert diffs and max(diffs) == 0.0  # exact element at this accuracy
+    # wide window allowed when approx requested
+    wide = indicators.add_rolling_median(b, period=1001, w=w, approx=True)
+    assert "median_1001" in wide.columns

@@ -317,3 +317,43 @@ def test_every_registered_query_plan_is_scale_clean(spark):
             assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert audited > 140 and skipped <= 12
+
+
+def test_ema_bucket_count_derives_from_parallelism(spark, sf_dir):
+    """Round-1 verdict #3: the EMA stage must never cap below the cluster's
+    parallelism — the bucket-key literal in the plan is
+    max(64, defaultParallelism), not a fixed 64."""
+    bars = bars_from_events(spark, sf_dir).select("symbol", "d", "close")
+    df = indicators.add_ema_macd(bars, spans=(12, 26), time_col="d")
+    want = max(64, spark.sparkContext.defaultParallelism)
+    plan = introspect.explain_str(df, "extended")
+    assert f"pmod(xxhash64(symbol" in plan and f", {want})" in plan, (
+        f"EMA bucket literal {want} not found in plan"
+    )
+    # an explicit override still wins
+    df2 = indicators.add_ema_macd(bars, spans=(12,), time_col="d", buckets=7)
+    assert ", 7)" in introspect.explain_str(df2, "extended")
+
+
+def test_composite_signal_scan_plan_shape(spark, sf_dir):
+    """Round-1 verdict #1: the fused W14 plan pays exactly TWO exchanges —
+    bars agg + ONE native window stage — with the EMA/latest-row pass a
+    shuffle-free mapInPandas over the window stage's symbol-clustered
+    partitions, and nothing after it (scoring is a pure projection over the
+    O(symbols) latest rows)."""
+    from market_data_pipeline_spark.operators import screeners
+    from market_data_pipeline_spark.sources.tables import bars_from_events
+
+    bars = bars_from_events(spark, sf_dir).select("symbol", "d", "close", "volume")
+    df = screeners.composite_signal_scan(bars, time_col="d")
+    assert introspect.count_exchanges(df) == 2
+    plan = introspect.explain_str(df, "formatted")
+    assert "MapInPandas" in plan
+    # no exchange downstream of the pandas stage (formatted mode prints the
+    # tree root-first, so every line before the pandas node is downstream
+    # of it)
+    tree = plan.split("(1) Scan")[0]
+    pandas_pos = tree.index("MapInPandas")
+    assert "Exchange" not in tree[:pandas_pos], (
+        "exchange above the pandas stage: scoring must stay a projection"
+    )
