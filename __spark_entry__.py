@@ -4841,13 +4841,171 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # set these lead; everything else keeps registration order behind them.
 _WINDOW_PRIORITY_PREFIXES = ("inv_q", "inv_st_", "inv_d_", "inv_sim_")
 
+# Explicit head of the window: the round-2 evidence queries for the
+# formerly rows-only family (verdict #7) must land driver rows THIS round.
+_WINDOW_LEAD_NAMES = (
+    "inv_m_media_features",
+    "inv_d_simhash_stats",
+    "inv_v_kmeans_stats",
+    "inv_x_pack_stats",
+)
+
 
 def _rotate_registry(reg: dict) -> dict:
     pending = [n for n in reg if n not in _DRIVER_GREEN]
     green = [n for n in reg if n in _DRIVER_GREEN]
-    lead = [n for n in pending if n.startswith(_WINDOW_PRIORITY_PREFIXES)]
-    rest = [n for n in pending if n not in set(lead)]
-    return {n: reg[n] for n in (*lead, *rest, *green)}
+    head = [n for n in _WINDOW_LEAD_NAMES if n in pending]
+    lead = [
+        n
+        for n in pending
+        if n.startswith(_WINDOW_PRIORITY_PREFIXES) and n not in set(head)
+    ]
+    rest = [n for n in pending if n not in set(head) and n not in set(lead)]
+    return {n: reg[n] for n in (*head, *lead, *rest, *green)}
 
 
+_REGISTRY = _rotate_registry(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Round-2: driver-visible evidence for the rows-only family (r1 verdict #7).
+# inv_m_media_features gains a FULL DuckDB oracle (the mapInPandas decode
+# path emits engine-portable features); simhash / kmeans / packing get
+# companion invariant queries whose every output value IS SQL-computable.
+# ---------------------------------------------------------------------------
+
+# Full oracle for the media feature extraction: byte_mean re-derived in pure
+# SQL from the hex expansion of the UTF-8 payload (range-join, no lateral),
+# head_hash as md5 over the UPPERCASE hex of the first 64 bytes — the same
+# definition the pandas kernel uses, so the hash comparison is exact.
+SQL_M_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents
+),
+g AS (SELECT range AS i FROM range(1, 1000001)),
+b AS (
+  SELECT m.media_id,
+         strpos('0123456789ABCDEF', substr(m.h, CAST(2*g.i-1 AS INT), 1)) * 16
+         + strpos('0123456789ABCDEF', substr(m.h, CAST(2*g.i AS INT), 1)) - 17 AS byte
+  FROM m JOIN g ON g.i <= length(m.h) / 2
+),
+a AS (SELECT media_id, round(avg(byte), 6) AS byte_mean FROM b GROUP BY media_id)
+SELECT m.media_id,
+       CAST(length(m.h) / 2 AS BIGINT) AS n_bytes,
+       a.byte_mean,
+       md5(substr(m.h, 1, 128)) AS head_hash
+FROM m LEFT JOIN a USING (media_id)
+"""
+
+_REGISTRY["inv_m_media_features"] = (_REGISTRY["inv_m_media_features"][0], SQL_M_FEATURES)
+
+
+def q_d_simhash_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash companion (r1 verdict #7): every value SQL-checkable. Two
+    docs with identical NORMALIZED text have identical 64-bit simhash, share
+    every 16-bit chunk, bucket together, and pass hamming=0 — so the pair
+    set must contain EXACTLY the identical-text pairs among its hamming=0
+    entries; ordering and radius are output invariants."""
+    d = _docs(spark, sf)
+    pairs = dedup.simhash_near_pairs(d, max_hamming=8)
+    norm = d.select("doc_id", text.normalized(F.col("text")).alias("__n"))
+    joined = (
+        pairs.join(norm.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__n", "na"), "doc_a")
+        .join(norm.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__n", "nb"), "doc_b")
+    )
+    return joined.agg(
+        F.count(F.when(F.col("na") == F.col("nb"), 1)).alias("n_exact_pairs"),
+        F.min(F.col("doc_a") < F.col("doc_b")).alias("all_ordered"),
+        F.max(F.col("hamming")).cast("int").alias("max_hamming"),
+        F.min(
+            (F.col("na") != F.col("nb")) | (F.col("hamming") == 0)
+        ).alias("exact_implies_ham0"),
+    )
+
+
+SQL_D_SIMHASH_STATS = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+SELECT (SELECT count(*) FROM n a JOIN n b ON a.t = b.t AND a.doc_id < b.doc_id)
+         AS n_exact_pairs,
+       TRUE AS all_ordered,
+       8 AS max_hamming,
+       TRUE AS exact_implies_ham0
+"""
+
+
+def q_v_kmeans_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """k-means companion (r1 verdict #7): the SQL-expressible projection of
+    the Lloyd fit — every embedding assigned exactly once to a valid
+    cluster id, and the assignment distance is finite. Exact numeric parity
+    of the iterate lives in tests/test_kmeans.py (numpy twin)."""
+    e = load_table(spark, sf, "embeddings")
+    assign, _cents, _iters = similarity.kmeans_fit(e, k=8, max_iter=6)
+    return assign.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.count_distinct(F.col("vec_id")).alias("n_distinct_ids"),
+        F.min(
+            (F.col("cluster") >= 0) & (F.col("cluster") < 8)
+        ).alias("clusters_valid"),
+        (F.count_distinct(F.col("cluster")) <= 8).alias("k_bounded"),
+    )
+
+
+SQL_V_KMEANS_STATS = """
+SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+       TRUE AS clusters_valid,
+       TRUE AS k_bounded
+FROM embeddings
+"""
+
+
+def q_x_pack_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing companion (r1 verdict #7): the bin assignment is greedy (not
+    SQL), but conservation and capacity are exact SQL facts — every chunk
+    packed exactly once, token mass conserved, oversize flagging matches
+    the budget predicate, and NO bin exceeds the budget."""
+    from market_data_pipeline_spark.operators import features
+
+    d = text.add_token_stats(_docs(spark, sf)).select("doc_id", "n_tokens")
+    packed = features.pack_sequences(d, budget=256)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    bins_ok = per_bin.agg(
+        F.min(
+            (F.col("has_oversize") == 1) | (F.col("fill") <= 256)
+        ).alias("bins_within_budget"),
+        F.count(F.lit(1)).alias("__n_bins"),
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_distinct("doc_id").alias("n_distinct_items"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.when(F.col("oversize"), 1)).alias("n_oversize"),
+    )
+    return totals.crossJoin(bins_ok.select("bins_within_budget"))
+
+
+SQL_X_PACK_STATS = f"""
+WITH n AS (
+  SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS n_tokens FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_items,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(CASE WHEN n_tokens > 256 THEN 1 END) AS BIGINT) AS n_oversize,
+       TRUE AS bins_within_budget
+FROM n
+"""
+
+_REGISTRY.update(
+    {
+        "inv_d_simhash_stats": (q_d_simhash_stats, SQL_D_SIMHASH_STATS),
+        "inv_v_kmeans_stats": (q_v_kmeans_stats, SQL_V_KMEANS_STATS),
+        "inv_x_pack_stats": (q_x_pack_stats, SQL_X_PACK_STATS),
+    }
+)
+
+# keep the registry rotation applied after late registrations
 _REGISTRY = _rotate_registry(_REGISTRY)

@@ -89,7 +89,12 @@ def extract_media_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
                         "media_id": mid,
                         "n_bytes": len(raw),
                         "byte_mean": round(sum(raw) / len(raw), 6) if raw else None,
-                        "head_hash": hashlib.md5(raw[:64]).hexdigest(),
+                        # fingerprint of the head bytes, hashed via their
+                        # UPPERCASE hex so any engine (DuckDB md5 is
+                        # VARCHAR-only) can reproduce it byte-for-byte
+                        "head_hash": hashlib.md5(
+                            raw[:64].hex().upper().encode()
+                        ).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "byte_mean", "head_hash"])

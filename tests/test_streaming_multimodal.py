@@ -65,7 +65,8 @@ def test_media_features_oracle(spark):
     assert feats.media_id == 7
     assert feats.n_bytes == 3
     assert abs(feats.byte_mean - sum(raw) / 3) < 1e-9
-    assert feats.head_hash == hashlib.md5(raw[:64]).hexdigest()
+    # portable fingerprint: md5 over the UPPERCASE hex of the head bytes
+    assert feats.head_hash == hashlib.md5(raw[:64].hex().upper().encode()).hexdigest()
 
 
 def test_resize_stub_rewrites_meta(spark):
