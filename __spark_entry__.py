@@ -4817,7 +4817,11 @@ _REGISTRY.update({"inv_a_vw_index": (q_a_vw_index, SQL_A_VW_INDEX)})
 # keeps advancing until every query has a green row (~3 rounds).
 # ---------------------------------------------------------------------------
 
-_DRIVER_GREEN: frozenset[str] = frozenset({
+# Static floor: round-1 green names (kept as a fallback if the JSON files
+# are ever absent from the working copy). The authoritative set is computed
+# below by scanning every CORRECTNESS_r*.json beside this file, so each new
+# round's results rotate the window WITHOUT a manual edit.
+_STATIC_GREEN: frozenset[str] = frozenset({
     # round 1 (CORRECTNESS_r01.json — 50/50 green)
     "inv_p1_series_normalize", "inv_p4_dedupe_keep_last", "inv_p5_props_cast",
     "inv_p7_symbol_filter", "inv_p8_exchange_predicate", "inv_p11_prefix_filter",
@@ -4835,6 +4839,34 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "inv_rollup_revenue", "inv_cube_counts", "inv_pivot_status",
     "inv_a5_segment_counts", "inv_a9_sector_median", "inv_a10_dcf",
 })
+
+
+def _driver_green_names() -> frozenset[str]:
+    """Union of the static floor with every query that already has a clean
+    driver row in any CORRECTNESS_r*.json (err null, no False field — a
+    failed check keeps the query IN the window for re-verification after a
+    fix)."""
+    import glob
+    import json as _json
+    import os
+
+    names = set(_STATIC_GREEN)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rec = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is None and not any(v is False for v in row.values()):
+                names.add(name)
+    return frozenset(names)
+
+
+_DRIVER_GREEN = _driver_green_names()
 
 # Families the round-1 verdict asked to see first: the TPC-H completion set,
 # the streaming ladder, and the dedup/similarity ladder. Within the pending

@@ -97,3 +97,32 @@ def test_bench_cli_contract(tmp_path):
     assert rec["unit"] == "sec" and rec["value"] > 0
     assert rec["sf"] == 0.001 and len(rec["queries"]) == 13  # 12 headline + entry_flagship
     assert "entry_flagship" in rec["queries"]
+
+
+def test_correctness_window_rotation():
+    """The driver checks the FIRST 50 queries() entries per round; names
+    with a clean row in any CORRECTNESS_r*.json must rotate out of that
+    window (and failed rows must stay in)."""
+    import json
+    import os
+
+    import __spark_entry__ as m
+
+    repo = os.path.dirname(os.path.abspath(m.__file__))
+    green = set()
+    import glob
+
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(p)).items():
+            if isinstance(row, dict) and row.get("err") is None and not any(
+                v is False for v in row.values()
+            ):
+                green.add(name)
+    window = list(m.queries())[:50]
+    overlap = green & set(window)
+    # the window only re-admits green names once fewer than 50 pending remain
+    n_pending = len(set(m.queries()) - green)
+    if n_pending >= 50:
+        assert not overlap, f"green names wasting window slots: {sorted(overlap)[:5]}"
+    # every registered query is callable and has a unique name
+    assert len(m.queries()) == len(set(m.queries()))
