@@ -5041,3 +5041,92 @@ _REGISTRY.update(
 
 # keep the registry rotation applied after late registrations
 _REGISTRY = _rotate_registry(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 surface extensions: corporate-action adjustment (the raw-print
+# ingestion operator vnstock never needed) and Wilder-smoothed RSI (the
+# ewm-recursive variant SURVEY §7.2 flags beside EMA).
+# ---------------------------------------------------------------------------
+
+
+def q_w_adj_close(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward split adjustment (indicators.add_adjusted_close): synthetic
+    deterministic action set (2:1 split on every first-of-month bar day),
+    adj = close × ∏ later factors via the exp-sum-ln cumprod window."""
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    actions = b.filter(F.dayofmonth("d") == 1).select(
+        "symbol", "d", F.lit(0.5).alias("factor")
+    )
+    out = indicators.add_adjusted_close(b, actions)
+    return out.select(
+        "symbol", "d", "close", F.round("adj_close", 6).alias("adj_close")
+    )
+
+
+SQL_W_ADJ_CLOSE = f"""
+WITH {BARS_SQL},
+a AS (SELECT symbol, d, 0.5 AS factor FROM bars WHERE day(d) = 1),
+j AS (
+  SELECT b.symbol, b.d, b.close, coalesce(a.factor, 1.0) AS f
+  FROM bars b LEFT JOIN a USING (symbol, d)
+)
+SELECT symbol, d, close,
+  round(close * exp(coalesce(sum(ln(f)) OVER (
+    PARTITION BY symbol ORDER BY d
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0.0)), 6) AS adj_close
+FROM j
+"""
+
+
+def q_w3b_rsi_wilder(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilder-smoothed RSI (indicators.add_rsi_wilder): recursive
+    ewm(alpha=1/14) over clipped deltas; oracle is a recursive CTE running
+    the identical recursion (same discipline as the EMA twin)."""
+    s = _series(spark, sf).select("symbol", "time", "close")
+    out = indicators.add_rsi_wilder(s, period=14)
+    return out.select(
+        "symbol", "time", F.round("rsi_wilder", 4).alias("rsi_wilder")
+    )
+
+
+SQL_W3B_RSI_WILDER = f"""
+WITH RECURSIVE {SERIES_SQL},
+numbered AS (
+  SELECT symbol, time, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY time) AS rn
+  FROM series
+),
+dl AS (
+  SELECT *, close - lag(close) OVER (PARTITION BY symbol ORDER BY time) AS delta
+  FROM numbered
+),
+gl AS (
+  SELECT symbol, time, rn,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS g,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS l
+  FROM dl
+),
+rec AS (
+  SELECT symbol, time, rn, g AS eg, l AS el FROM gl WHERE rn = 2
+  UNION ALL
+  SELECT n.symbol, n.time, n.rn,
+         (1.0/14)*n.g + (1 - 1.0/14)*r.eg,
+         (1.0/14)*n.l + (1 - 1.0/14)*r.el
+  FROM gl n JOIN rec r ON n.symbol = r.symbol AND n.rn = r.rn + 1
+)
+SELECT s.symbol, s.time,
+  round(CASE WHEN r.rn >= 15 THEN
+          CASE WHEN r.el = 0 THEN 100.0
+               ELSE 100.0 - 100.0/(1.0 + r.eg/r.el) END
+        END, 4) AS rsi_wilder
+FROM numbered s LEFT JOIN rec r ON s.symbol = r.symbol AND s.rn = r.rn
+"""
+
+_REGISTRY.update(
+    {
+        "inv_w_adj_close": (q_w_adj_close, SQL_W_ADJ_CLOSE),
+        "inv_w3b_rsi_wilder": (q_w3b_rsi_wilder, SQL_W3B_RSI_WILDER),
+    }
+)
+_REGISTRY = _rotate_registry(_REGISTRY)

@@ -339,6 +339,109 @@ def add_ema_macd(
     return bucketed.groupBy("__bucket").applyInPandas(per_bucket, schema=out_schema)
 
 
+def add_rsi_wilder(
+    df: DataFrame,
+    period: int = 14,
+    col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+    buckets: int | None = None,
+    out_col: str = "rsi_wilder",
+) -> DataFrame:
+    """W3 variant — Wilder-smoothed RSI, the ewm-recursive sibling SURVEY
+    §7.2 flags next to EMA ("RSI-Wilder variants if added").
+
+    Cutler RSI (add_rsi) uses simple rolling means of gains/losses; Wilder's
+    original uses the recursive smoothing ``avg_t = α·x_t + (1−α)·avg_{t−1}``
+    with α = 1/period — i.e. pandas ``ewm(alpha=1/period, adjust=False,
+    min_periods=period)`` over the clipped deltas (the first delta is NaN
+    and is skipped, so the first gain seeds the recursion). avg_loss = 0 →
+    RSI pinned at 100 (Wilder's convention).
+
+    Same physical shape as :func:`add_ema_macd`: one shuffle on a
+    symbol-hash bucket key (``max(64, defaultParallelism)`` buckets), one
+    Arrow pass with Cython groupby-ewm inside — the recursion has no native
+    window expression.
+    """
+    if buckets is None:
+        buckets = max(64, df.sparkSession.sparkContext.defaultParallelism)
+    alpha = 1.0 / period
+    out_fields = df.schema.fields
+    schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+    schema_parts.append(f"`{out_col}` double")
+    out_schema = ", ".join(schema_parts)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([symbol_col, time_col], kind="mergesort").reset_index(drop=True)
+        delta = pdf.groupby(symbol_col, sort=False)[col].diff()
+        pdf["__g"] = delta.clip(lower=0.0)
+        pdf["__l"] = (-delta).clip(lower=0.0)
+        g = (
+            pdf.groupby(symbol_col, sort=False)["__g"]
+            .ewm(alpha=alpha, adjust=False, min_periods=period)
+            .mean()
+            .to_numpy()
+        )
+        l = (
+            pdf.groupby(symbol_col, sort=False)["__l"]
+            .ewm(alpha=alpha, adjust=False, min_periods=period)
+            .mean()
+            .to_numpy()
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rsi = np.where(l == 0.0, 100.0, 100.0 - 100.0 / (1.0 + g / l))
+        rsi = np.where(np.isnan(g) | np.isnan(l), np.nan, rsi)
+        pdf[out_col] = rsi
+        return pdf.drop(columns=["__bucket", "__g", "__l"])
+
+    bucketed = df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(symbol_col)), F.lit(buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(per_bucket, schema=out_schema)
+
+
+def add_adjusted_close(
+    df: DataFrame,
+    actions: DataFrame,
+    close_col: str = "close",
+    factor_col: str = "factor",
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+    out_col: str = "adj_close",
+) -> DataFrame:
+    """Backward corporate-action (split/dividend) price adjustment:
+    ``adj_t = close_t · ∏ factor_s`` over every action strictly AFTER t —
+    the industry convention that keeps the latest price unadjusted and
+    rescales history so returns are continuous across splits.
+
+    ``actions`` is (symbol, time, factor), factor > 0 (0.5 = 2:1 split).
+    Plan: one LEFT broadcast join (the action table is O(symbols·events),
+    tiny next to bars) + ONE symbol window. The running product is the
+    ``exp(sum(ln(factor)))`` rewrite of cumprod (SURVEY §7.2) over
+    ``rowsBetween(1, unboundedFollowing)`` — sparse-safe because non-action
+    days join factor 1.0 (ln → 0), and the empty tail frame coalesces to a
+    factor of exactly 1.
+
+    Reference analog: none — vnstock feeds pre-adjusted prices; this is the
+    operator you need the day you ingest raw exchange prints at 100 TB.
+    """
+    f = F.coalesce(F.col(factor_col), F.lit(1.0))
+    joined = df.join(
+        F.broadcast(actions.select(symbol_col, time_col, factor_col)),
+        on=[symbol_col, time_col],
+        how="left",
+    )
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(time_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cum = F.exp(F.coalesce(F.sum(F.log(f)).over(w), F.lit(0.0)))
+    return joined.withColumn(out_col, F.col(close_col) * cum).drop(factor_col)
+
+
 def twap_daily(series: DataFrame, time_col: str = "time", price_col: str = "close") -> DataFrame:
     """Time-weighted average price per (symbol, day) over IRREGULAR ticks:
     each tick's price is weighted by the seconds until the next tick that

@@ -138,3 +138,55 @@ def test_rolling_median_guard_and_approx(spark, sf_dir):
     # wide window allowed when approx requested
     wide = indicators.add_rolling_median(b, period=1001, w=w, approx=True)
     assert "median_1001" in wide.columns
+
+
+def test_adjusted_close_backward_product(spark):
+    """adj_close multiplies by every action factor strictly AFTER the bar:
+    two 2:1 splits => x0.25 before both, x0.5 between, x1 after the last."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators.indicators import add_adjusted_close
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [(1, d0 + dt.timedelta(days=i), 100.0) for i in range(5)]
+    bars = spark.createDataFrame(rows, "symbol long, d date, close double")
+    actions = spark.createDataFrame(
+        [(1, d0 + dt.timedelta(days=1), 0.5), (1, d0 + dt.timedelta(days=3), 0.5)],
+        "symbol long, d date, factor double",
+    )
+    out = {r.d.day: round(r.adj_close, 9) for r in add_adjusted_close(bars, actions).collect()}
+    assert out == {1: 25.0, 2: 50.0, 3: 50.0, 4: 100.0, 5: 100.0}
+
+
+def test_rsi_wilder_matches_pandas_ewm(spark):
+    """Wilder RSI == pandas ewm(alpha=1/p, adjust=False, min_periods=p)
+    over clipped deltas, with avg_loss=0 pinned at 100."""
+    import numpy as np
+    import pandas as pd
+
+    from market_data_pipeline_spark.operators.indicators import add_rsi_wilder
+
+    rng = np.random.RandomState(7)
+    closes = 100 + np.cumsum(rng.randn(60))
+    rows = [(1, i, float(c)) for i, c in enumerate(closes)]
+    df = spark.createDataFrame(rows, "symbol long, time long, close double")
+    got = {
+        r.time: r.rsi_wilder
+        for r in add_rsi_wilder(df, period=14).collect()
+    }
+    s = pd.Series(closes)
+    delta = s.diff()
+    g = delta.clip(lower=0).ewm(alpha=1 / 14, adjust=False, min_periods=14).mean()
+    l = (-delta).clip(lower=0).ewm(alpha=1 / 14, adjust=False, min_periods=14).mean()
+    want = np.where(l == 0, 100.0, 100 - 100 / (1 + g / l))
+    for i in range(60):
+        if i < 14:
+            assert got[i] is None or (got[i] != got[i])  # null prefix
+        else:
+            assert abs(got[i] - want[i]) < 1e-9
+    # monotone-up series: losses all zero -> RSI pinned at 100
+    up = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(20)], "symbol long, time long, close double"
+    )
+    vals = [r.rsi_wilder for r in add_rsi_wilder(up, period=5).collect() if r.time >= 5]
+    assert all(v == 100.0 for v in vals)
