@@ -207,3 +207,73 @@ def stream_stream_attribution(
         "buy_id",
         F.round("buy_value", 4).alias("buy_value"),
     )
+
+
+def streaming_dedup_admission(
+    stream_docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+    trigger_available_now: bool = True,
+):
+    """Continuous corpus admission — the streaming twin of
+    ``dedup.incremental_dedup``: every micro-batch is deduplicated WITHIN
+    the batch (exact, keep lowest id) and AGAINST the accumulated store
+    (exact anti join + MinHash-band near-dup with Jaccard verification),
+    and only fresh documents append to the store. Per-batch cost scales
+    with the BATCH, never the corpus — the store's own pairs are never
+    recomputed (operators/dedup.py:367 contract).
+
+    ``foreachBatch`` is the right tool because the store is both input and
+    sink of the same batch — no pure streaming operator can express the
+    read-your-own-writes admission loop. The parquet store + append here is
+    at-least-once on task retry; a production deployment points this at a
+    transactional table (Delta/Iceberg MERGE) for exactly-once, with the
+    identical batch function.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    import os
+
+    from market_data_pipeline_spark.operators import dedup as _dedup
+    from market_data_pipeline_spark.operators.text import normalized
+
+    def admit(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # in-batch exact dedupe: keep the lowest id per normalized text
+        w = Window.partitionBy(F.md5(normalized(F.col(text_col)))).orderBy(id_col)
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path).select(id_col, text_col)
+            kept_ids = _dedup.incremental_dedup(
+                batch.select(id_col, text_col),
+                store,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                threshold=threshold,
+            ).select(id_col)
+            kept = batch.join(kept_ids, id_col, "semi")
+        else:
+            kept = batch
+        kept.write.mode("append").parquet(store_path)
+
+    writer = stream_docs.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

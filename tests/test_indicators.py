@@ -190,3 +190,27 @@ def test_rsi_wilder_matches_pandas_ewm(spark):
     )
     vals = [r.rsi_wilder for r in add_rsi_wilder(up, period=5).collect() if r.time >= 5]
     assert all(v == 100.0 for v in vals)
+
+
+def test_composite_signal_scan_matches_generic_chain(spark, sf_dir):
+    """The fused 2-exchange W14 plan must produce EXACTLY the generic
+    chain's scoring (EMA-first + window chain + composite_signal) — same
+    latest rows, scores, signals, confidence."""
+    from market_data_pipeline_spark.functions.helpers import series_window
+    from market_data_pipeline_spark.operators import screeners
+    from market_data_pipeline_spark.sources.tables import bars_from_events
+
+    b = bars_from_events(spark, sf_dir).select("symbol", "d", "close", "volume")
+    fused = screeners.composite_signal_scan(b, time_col="d")
+
+    w = series_window(time_col="d")
+    df = indicators.add_ema_macd(b, spans=(12, 26), time_col="d")
+    df = indicators.add_sma(df, periods=(20,), w=w)
+    df = indicators.add_rsi(df, period=14, w=w)
+    df = indicators.add_volume_metrics(df, w=w)
+    generic = screeners.composite_signal(df, time_col="d", w=w)
+
+    cols = ["symbol", "d", "close", "score", "overall_signal", "confidence"]
+    got = {tuple(r) for r in fused.select(*cols).collect()}
+    want = {tuple(r) for r in generic.select(*cols).collect()}
+    assert got == want and len(got) > 0

@@ -509,3 +509,50 @@ def test_sessionize_backdated_event_extends_session_start(spark, tmp_path):
     assert s.session_start == t + dt.timedelta(minutes=5), "start must move back"
     assert s.session_end == t + dt.timedelta(minutes=10)
     assert s.n_events == 2 and s.duration_s == 300
+
+
+def test_streaming_dedup_admission_builds_store_incrementally(spark, tmp_path):
+    """Continuous corpus admission: batch 2's exact dup and near-dup of
+    already-admitted docs are REJECTED against the store built by batch 1;
+    genuinely new text is admitted. In-batch exact dups keep the lowest id."""
+    from market_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "docs_src")
+    store = str(tmp_path / "corpus_store")
+    ckpt = str(tmp_path / "adm_ckpt")
+    schema = "doc_id long, text string"
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest before sunset arrives tonight"
+    )
+    other = (
+        "completely different subject matter entirely about spark shuffle "
+        "partitions and adaptive query execution at massive scale"
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_dedup_admission(stream, store, ckpt)
+        q.awaitTermination()
+
+    # batch 1: two distinct docs + an in-batch exact dup (id 3 == id 1's text)
+    write([(1, base), (2, other), (3, base)])
+    run_once()
+    got1 = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert got1 == {1, 2}, "in-batch exact dup must keep the lowest id"
+
+    # batch 2: exact dup of base (new id), near-dup of base (one word
+    # changed), and a brand-new doc
+    near = base.replace("green", "golden")
+    brand_new = (
+        "tabular training data curation requires deduplication language "
+        "identification quality scoring and careful mixture weighting"
+    )
+    write([(10, base), (11, near), (12, brand_new)])
+    run_once()
+    got2 = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert got2 == {1, 2, 12}, f"store after batch 2: {sorted(got2)}"
