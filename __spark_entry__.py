@@ -5130,3 +5130,50 @@ _REGISTRY.update(
     }
 )
 _REGISTRY = _rotate_registry(_REGISTRY)
+
+
+def q_q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift (quality.distribution_drift): token-count distribution
+    of even- vs odd-id documents on shared 16-bucket edges — smoothed
+    symmetric KL + total-variation in one row."""
+    d = text.add_token_stats(_docs(spark, sf)).select("doc_id", "n_tokens")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    return quality.distribution_drift(a, b, "n_tokens", bins=16, lo=0.0, hi=512.0)
+
+
+SQL_Q_DRIFT = f"""
+WITH n AS (
+  SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS n_tokens FROM documents
+),
+spine AS (SELECT CAST(range AS INT) AS bin FROM range(0, 16)),
+ca AS (
+  SELECT least(15, greatest(0, CAST(floor(n_tokens / 32.0) AS INT))) AS bin,
+         count(*) AS n_a
+  FROM n WHERE doc_id % 2 = 0 GROUP BY 1
+),
+cb AS (
+  SELECT least(15, greatest(0, CAST(floor(n_tokens / 32.0) AS INT))) AS bin,
+         count(*) AS n_b
+  FROM n WHERE doc_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT spine.bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM spine LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+),
+r AS (
+  SELECT bin, n_a, n_b,
+         (n_a + 0.5) / ((SELECT sum(n_a) FROM j) + 8.0) AS p,
+         (n_b + 0.5) / ((SELECT sum(n_b) FROM j) + 8.0) AS q
+  FROM j
+)
+SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+       CAST(sum(n_b) AS BIGINT) AS n_b,
+       round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(q * ln(q / p)), 6) AS kl_ba,
+       round(sum(abs(p - q)) / 2.0, 6) AS tvd
+FROM r
+"""
+
+_REGISTRY.update({"inv_q_distribution_drift": (q_q_distribution_drift, SQL_Q_DRIFT)})
+_REGISTRY = _rotate_registry(_REGISTRY)

@@ -130,6 +130,76 @@ def histogram(
     )
 
 
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 16,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus drift between two dataset snapshots: both sides histogrammed
+    on SHARED fixed edges (same clamped equal-width bucketing as
+    :func:`histogram`), Laplace-smoothed into rates, reduced to one row of
+    divergence stats — symmetric KL, Jensen-free and finite by smoothing,
+    plus total-variation distance. The detector you run between crawl
+    snapshots or mixture revisions before a token of training happens.
+
+    Plan: one scan + tiny bucket agg PER SIDE, a bucket-spine outer join
+    (O(bins)), one reduce — never a sort, never a pairwise op. Pass
+    explicit ``lo``/``hi`` (at 100 TB a min/max pre-pass is a separate,
+    cacheable job; fixed edges also keep snapshots comparable over time).
+
+    Smoothing: p_i = (c_i + α) / (n + α·bins) — zero-count buckets stay
+    finite in both directions of the KL.
+    """
+    width = (hi - lo) / bins
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        idx = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+            ),
+        )
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(idx.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spark = df_a.sparkSession
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        spine.join(side(df_a, "n_a"), "bin", "left")
+        .join(side(df_b, "n_b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    rates = joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") + F.lit(alpha)) / (F.col("ta") + F.lit(alpha * bins))).alias("p"),
+        ((F.col("n_b") + F.lit(alpha)) / (F.col("tb") + F.lit(alpha * bins))).alias("q"),
+    )
+    return rates.agg(
+        F.sum("n_a").cast("bigint").alias("n_a"),
+        F.sum("n_b").cast("bigint").alias("n_b"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_ab"),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_ba"),
+        F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0, 6).alias("tvd"),
+    )
+
+
 def histogram_equidepth(
     df: DataFrame, col: str, bins: int = 10, tiebreak: str | None = None
 ) -> DataFrame:

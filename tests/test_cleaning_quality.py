@@ -136,3 +136,26 @@ def test_sketch_accuracy_contract(spark, sf_dir):
         assert r.hll_ok, f"HLL distinct out of tolerance for {r.l_returnflag}"
         assert r.p50_ok, f"approx median out of tolerance for {r.l_returnflag}"
         assert r.exact_distinct > 0
+
+
+def test_distribution_drift_hand_computed(spark):
+    """KL/TVD on a 2-bucket toy: A = {0.1 x3, 0.9 x1}, B = {0.1 x1, 0.9 x3},
+    alpha=0.5 smoothing -> p=(3.5/5, 1.5/5), q=(1.5/5, 3.5/5)."""
+    import math
+
+    from market_data_pipeline_spark.operators import quality
+
+    a = spark.createDataFrame([(0.1,), (0.1,), (0.1,), (0.9,)], "x double")
+    b = spark.createDataFrame([(0.1,), (0.9,), (0.9,), (0.9,)], "x double")
+    row = quality.distribution_drift(a, b, "x", bins=2, lo=0.0, hi=1.0).collect()[0]
+    p = [3.5 / 5, 1.5 / 5]
+    q = [1.5 / 5, 3.5 / 5]
+    kl = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+    tvd = sum(abs(pi - qi) for pi, qi in zip(p, q)) / 2
+    assert row.n_a == 4 and row.n_b == 4
+    assert abs(row.kl_ab - round(kl, 6)) < 1e-9
+    assert abs(row.kl_ba - round(kl, 6)) < 1e-9  # symmetric toy
+    assert abs(row.tvd - round(tvd, 6)) < 1e-9
+    # identical inputs -> zero drift
+    same = quality.distribution_drift(a, a, "x", bins=2, lo=0.0, hi=1.0).collect()[0]
+    assert same.kl_ab == 0.0 and same.tvd == 0.0
