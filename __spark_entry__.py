@@ -5177,3 +5177,56 @@ FROM r
 
 _REGISTRY.update({"inv_q_distribution_drift": (q_q_distribution_drift, SQL_Q_DRIFT)})
 _REGISTRY = _rotate_registry(_REGISTRY)
+
+
+def q_s_bars_intraday(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval bars (tables.bars_from_events_interval): 4-hour OHLCV via
+    F.window time bucketing — the sub-day hypertable rollup (S3 at scale)."""
+    tune_existing(spark)
+    from market_data_pipeline_spark.sources.tables import bars_from_events_interval
+
+    return bars_from_events_interval(spark, sf, width="4 hours")
+
+
+SQL_S_BARS_INTRADAY = """
+SELECT user_id AS symbol,
+       time_bucket(INTERVAL 4 HOUR, ts) AS bar_start,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       round(sum(value), 4) AS volume,
+       count(*) AS n_trades
+FROM events
+GROUP BY 1, 2
+"""
+
+_REGISTRY.update({"inv_s_bars_intraday": (q_s_bars_intraday, SQL_S_BARS_INTRADAY)})
+_REGISTRY = _rotate_registry(_REGISTRY)
+
+
+def q_v_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-seeded random projection (similarity.random_projection): 64-dim
+    embeddings down to 8 via a deterministic sign matrix — pure higher-order
+    array expressions, zero shuffles, engine-portable (full oracle)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.random_projection(e, out_dim=8)
+
+
+SQL_V_RANDOM_PROJECTION = """WITH u AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT vec_id,
+       round(sum(v * CASE WHEN (i * (0+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p0,
+       round(sum(v * CASE WHEN (i * (1+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p1,
+       round(sum(v * CASE WHEN (i * (2+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p2,
+       round(sum(v * CASE WHEN (i * (3+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p3,
+       round(sum(v * CASE WHEN (i * (4+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p4,
+       round(sum(v * CASE WHEN (i * (5+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p5,
+       round(sum(v * CASE WHEN (i * (6+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p6,
+       round(sum(v * CASE WHEN (i * (7+13) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END) / sqrt(64.0), 6) AS p7
+FROM u GROUP BY vec_id"""
+
+_REGISTRY.update({"inv_v_random_projection": (q_v_random_projection, SQL_V_RANDOM_PROJECTION)})
+_REGISTRY = _rotate_registry(_REGISTRY)

@@ -522,3 +522,44 @@ def ts_pattern_topk(
         .orderBy("dist", "symbol", "win_start")
         .limit(k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction with a
+    HASH-SEEDED sign matrix: ``y_j = (1/sqrt(d)) * sum_i v_i * s_ij`` where
+    ``s_ij`` in {-1, +1} comes from a deterministic integer hash of (i, j) —
+    no stored matrix, no randomness, identical on any engine (the property
+    that makes it oracle-checkable AND reproducible across cluster runs,
+    unlike seeded RNG whose stream depends on partitioning).
+
+    All JVM-side: one ``transform`` + ``aggregate`` higher-order expression
+    per output dimension over the array column — a pure projection, zero
+    shuffles, feeding the ANN/IVF ladder with an 8x cheaper distance.
+
+    The sign hash ((i+1)*(j+13)*KNUTH mod 97 < 48) is mixing enough for a
+    demonstration projection; swap the hash for a seeded counter-based RNG
+    (Philox) if statistical guarantees matter — the plan shape is identical.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    d = 64  # input dim (embeddings table contract; FIXTURES.md)
+    import math
+
+    scale = 1.0 / math.sqrt(d)
+    def _signed(jj: int):
+        # closure factory: PySpark counts lambda params, so the output
+        # dimension must be bound via closure, not a default argument
+        return lambda x, i: x * F.when(
+            ((i + 1) * (jj + 13) * F.lit(2654435761)) % 97 < 48, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    outs = []
+    for j in range(out_dim):
+        signed = F.transform(v, _signed(j))
+        total = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        outs.append(F.round(total * F.lit(scale), 6).alias(f"p{j}"))
+    return df.select(F.col(id_col), *outs)

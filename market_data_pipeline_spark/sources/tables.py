@@ -146,6 +146,46 @@ bars AS (
 """.strip()
 
 
+def bars_from_events_interval(
+    spark: SparkSession, sf_dir: str, width: str = "4 hours"
+) -> DataFrame:
+    """Intraday OHLCV bars at an ARBITRARY interval via ``F.window`` time
+    bucketing — the hypertable continuous-aggregate shape at sub-day grain
+    (daily bars are the ``width='1 day'`` special case, S1). Same
+    one-shuffle map-side-combined aggregation as ``bars_from_events``; the
+    bucket start becomes the bar timestamp.
+
+    Reference analog: none — the reference's resolution floor is 1D bars
+    (config/pipeline_config.yaml:35); this is the §7.1 extension surface
+    the intraday scan (S3) feeds at scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("user_id").alias("symbol"),
+            F.window("ts", width).alias("w"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.round(F.sum("value"), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+
+
 def bars_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily market-wide bars from the relational fact table: lineitem rows
     aggregated per ship-date play the 'index-level' series role

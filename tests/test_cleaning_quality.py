@@ -159,3 +159,25 @@ def test_distribution_drift_hand_computed(spark):
     # identical inputs -> zero drift
     same = quality.distribution_drift(a, a, "x", bins=2, lo=0.0, hi=1.0).collect()[0]
     assert same.kl_ab == 0.0 and same.tvd == 0.0
+
+
+def test_interval_bars_match_daily_special_case(spark, sf_dir):
+    """bars_from_events_interval(width='1 day') must reproduce the daily
+    bar derivation exactly (same OHLCV per (symbol, day))."""
+    from market_data_pipeline_spark.sources.tables import (
+        bars_from_events,
+        bars_from_events_interval,
+    )
+    import pyspark.sql.functions as F
+
+    daily = {
+        (r.symbol, str(r.d)): (r.open, r.high, r.low, r.close, r.volume, r.n_trades)
+        for r in bars_from_events(spark, sf_dir).collect()
+    }
+    interval = {
+        (r.symbol, str(r.bar_start.date())): (
+            r.open, r.high, r.low, r.close, r.volume, r.n_trades
+        )
+        for r in bars_from_events_interval(spark, sf_dir, width="1 day").collect()
+    }
+    assert daily == interval and len(daily) > 0

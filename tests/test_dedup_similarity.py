@@ -254,3 +254,32 @@ def test_ts_pattern_topk_finds_planted_affine_match(spark):
         df, q, k=3, time_col="d"
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_random_projection_zero_shuffle_and_deterministic(spark, sf_dir):
+    """The JL projection is a pure array-expression projection: NO exchange
+    in the plan, deterministic values, and a known hand-check: an input
+    vector of all-ones projects to sum(signs)/sqrt(d) per output dim."""
+    import math
+
+    from market_data_pipeline_spark.operators import similarity
+    from market_data_pipeline_spark.plans import introspect
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = similarity.random_projection(e, out_dim=4)
+    assert introspect.count_exchanges(out) == 0
+    a = {r.vec_id: (r.p0, r.p1, r.p2, r.p3) for r in out.collect()}
+    b = {r.vec_id: (r.p0, r.p1, r.p2, r.p3) for r in out.collect()}
+    assert a == b and len(a) > 0
+
+    ones = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    got = similarity.random_projection(ones, out_dim=2).collect()[0]
+    for j, val in ((0, got.p0), (1, got.p1)):
+        signs = sum(
+            1.0 if ((i + 1) * (j + 13) * 2654435761) % 97 < 48 else -1.0
+            for i in range(64)
+        )
+        assert abs(val - round(signs / math.sqrt(64), 6)) < 1e-9
