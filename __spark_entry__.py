@@ -5230,3 +5230,33 @@ FROM u GROUP BY vec_id"""
 
 _REGISTRY.update({"inv_v_random_projection": (q_v_random_projection, SQL_V_RANDOM_PROJECTION)})
 _REGISTRY = _rotate_registry(_REGISTRY)
+
+
+def q_x_fold_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """k-fold assignment (features.assign_fold): per-fold doc and token
+    counts — the fold sizes a CV harness actually consumes."""
+    from market_data_pipeline_spark.operators import features
+
+    d = text.add_token_stats(_docs(spark, sf)).select("doc_id", "n_tokens")
+    return (
+        features.assign_fold(d, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+SQL_X_FOLD_ASSIGN = f"""
+WITH n AS (
+  SELECT doc_id, len(string_split({_NORM_SQL}, ' ')) AS n_tokens FROM documents
+)
+SELECT CAST((doc_id * 2246822519) % 5 AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM n GROUP BY 1
+"""
+
+_REGISTRY.update({"inv_x_fold_assign": (q_x_fold_assign, SQL_X_FOLD_ASSIGN)})
+_REGISTRY = _rotate_registry(_REGISTRY)

@@ -337,3 +337,19 @@ def pack_sequences(
         .groupBy("__bucket")
         .applyInPandas(pack, schema)
     )
+
+
+# second hash constant (xxhash prime) so fold assignment is decorrelated
+# from split_column's mod-100 bucket of the SAME key
+_KNUTH2 = 2246822519
+
+
+def assign_fold(df: DataFrame, key: str, k: int = 5, out_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    pmod(key·KNUTH2, k) — a pure projection (zero shuffles), stable across
+    runs/partitionings/engines, and independent of :func:`split_column`'s
+    train/val/test hash (different multiplier) so folding WITHIN a split
+    does not stripe. Same ANSI-off overflow note as every _KNUTH hash."""
+    return df.withColumn(
+        out_col, F.pmod(F.col(key).cast("bigint") * F.lit(_KNUTH2), F.lit(k))
+    )

@@ -307,3 +307,21 @@ def test_sessionize_partitions_events_with_gap_invariant(spark, rows):
         for a, b in zip(slist, slist[1:]):
             gap = (b.session_start - a.session_end).total_seconds()
             assert gap > 1800
+
+
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=30),
+    st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=30),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distribution_drift_properties(spark, xs, ys):
+    """Gibbs: smoothed KL >= 0 both directions; TVD in [0, 1]; counts
+    conserved."""
+    from market_data_pipeline_spark.operators import quality
+
+    a = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    b = spark.createDataFrame([(float(y),) for y in ys], "x double")
+    row = quality.distribution_drift(a, b, "x", bins=4, lo=0.0, hi=1.0).collect()[0]
+    assert row.n_a == len(xs) and row.n_b == len(ys)
+    assert row.kl_ab >= 0.0 and row.kl_ba >= 0.0
+    assert 0.0 <= row.tvd <= 1.0
