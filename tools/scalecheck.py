@@ -1,0 +1,129 @@
+"""Synthetic scale check: does each operator family's cost grow linearly?
+
+Builds a K-times replica of the event/document/embedding tables (new symbol /
+doc / vector ids per copy — the realistic growth mode: MORE keys, same series
+length per key) under .scalecheck/, then times a representative query per
+family at sf0.1 and at K× and prints the ratio. A family whose time grows
+much faster than K has a super-linear plan (quadratic candidate set, skewed
+key, driver loop) — the thing SCALE.md claims cannot happen.
+
+Exact-duplicate documents across copies are INTENTIONAL: dedup families get
+a worst-case stress (every doc has K-1 exact dups sharing every MinHash
+band), so candidate growth is visible if the bucketing is wrong.
+
+Usage: python tools/scalecheck.py [K] [--rebuild]
+Writes SCALECHECK.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from market_data_pipeline_spark.session import get_spark
+from market_data_pipeline_spark.sources.tables import TABLES, load_table
+
+BASE = "/root/testdata/sf0.1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "inv_s1_bars_ohlcv",        # tick→bar agg
+    "inv_w1_sma",               # native window chain
+    "inv_w2_ema_macd",          # bucketed Arrow recursion
+    "inv_w14_composite_signal", # fused scan
+    "inv_a1_breadth",           # window + date agg
+    "inv_d_exact_dups",         # hash-groupBy dedup
+    "inv_d_minhash_lsh",        # shingle→sig→band bucket join
+    "inv_t_tfidf",              # explode + vocab shuffle
+    "inv_sim_ann_topk",         # LSH bucketed ANN
+]
+
+
+def build_replica(spark, k: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    spine = spark.range(k).select(F.col("id").alias("__copy"))
+
+    def replicate(name: str, id_shifts: dict[str, int]) -> None:
+        df = load_table(spark, BASE, name)
+        rep = df.crossJoin(spine)
+        for col, stride in id_shifts.items():
+            rep = rep.withColumn(
+                col, (F.col(col) + F.col("__copy") * F.lit(stride)).cast("long")
+            )
+        rep.drop("__copy").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+    replicate("events", {"user_id": 100_000, "event_id": 1_000_000_000})
+    replicate("documents", {"doc_id": 10_000_000})
+    replicate("embeddings", {"vec_id": 10_000_000})
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            src = os.path.join(BASE, f"{name}.parquet")
+            shutil.copy(src, dst)
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    q = entrymod.queries()[name]
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = os.path.join(REPO, ".scalecheck", f"x{k}")
+    spark = get_spark("scalecheck")
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(out_dir, "events.parquet")
+    ):
+        print(f"building {k}x replica at {out_dir} ...", file=sys.stderr)
+        build_replica(spark, k, out_dir)
+
+    rows = []
+    for name in QUERIES:
+        t1 = time_query(spark, name, BASE)
+        tk = time_query(spark, name, out_dir)
+        ratio = round(tk / t1, 2) if t1 > 0 else float("inf")
+        rows.append((name, t1, tk, ratio))
+        print(f"{name}: {t1}s -> {tk}s  ({ratio}x at {k}x data)", file=sys.stderr)
+
+    lines = [
+        "# SCALECHECK — measured cost growth at synthetic scale",
+        "",
+        f"Data: sf0.1 replicated {k}× with fresh keys per copy (more symbols/",
+        "docs/vectors, same per-key depth — the realistic growth mode)."
+        " Documents are exact cross-copy duplicates on purpose: a worst-case",
+        "dedup stress where every doc shares all MinHash bands with its "
+        f"{k - 1} clones.",
+        "",
+        f"| query | sf0.1 (s) | {k}× (s) | growth vs {k}× data |",
+        "|---|---|---|---|",
+    ]
+    for name, t1, tk, ratio in rows:
+        verdict = "sub-linear" if ratio < k else ("~linear" if ratio < 1.5 * k else "SUPER-LINEAR")
+        lines.append(f"| {name} | {t1} | {tk} | {ratio}× — {verdict} |")
+    lines += [
+        "",
+        f"A ratio well under {k}× means fixed overhead still dominates at this",
+        "size and the distributed fraction scales; a ratio far above would flag",
+        "a quadratic candidate set or skewed key. Rebuild with",
+        "`python tools/scalecheck.py K --rebuild`.",
+    ]
+    with open(os.path.join(REPO, "SCALECHECK.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
