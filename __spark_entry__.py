@@ -3542,11 +3542,17 @@ _REGISTRY.update(
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+    # rotation applied at CALL time so late registration blocks can never
+    # land outside the driver-window scheme (see _rotate_registry below)
+    return {name: fn for name, (fn, _sql) in _rotate_registry(_REGISTRY).items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: sql
+        for name, (_fn, sql) in _rotate_registry(_REGISTRY).items()
+        if sql is not None
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -4896,7 +4902,6 @@ def _rotate_registry(reg: dict) -> dict:
     return {n: reg[n] for n in (*head, *lead, *rest, *green)}
 
 
-_REGISTRY = _rotate_registry(_REGISTRY)
 
 
 # ---------------------------------------------------------------------------
@@ -4945,12 +4950,20 @@ def q_d_simhash_stats(spark: SparkSession, sf: str) -> DataFrame:
         pairs.join(norm.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__n", "na"), "doc_a")
         .join(norm.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__n", "nb"), "doc_b")
     )
+    # invariants coalesce to TRUE on an empty pair set and never depend on
+    # where the corpus' densest pair happens to sit — the oracle's literals
+    # hold for ANY regenerated testdata
     return joined.agg(
         F.count(F.when(F.col("na") == F.col("nb"), 1)).alias("n_exact_pairs"),
-        F.min(F.col("doc_a") < F.col("doc_b")).alias("all_ordered"),
-        F.max(F.col("hamming")).cast("int").alias("max_hamming"),
-        F.min(
-            (F.col("na") != F.col("nb")) | (F.col("hamming") == 0)
+        F.coalesce(F.min(F.col("doc_a") < F.col("doc_b")), F.lit(True)).alias(
+            "all_ordered"
+        ),
+        F.coalesce(F.min(F.col("hamming") <= 8), F.lit(True)).alias(
+            "within_radius"
+        ),
+        F.coalesce(
+            F.min((F.col("na") != F.col("nb")) | (F.col("hamming") == 0)),
+            F.lit(True),
         ).alias("exact_implies_ham0"),
     )
 
@@ -4960,7 +4973,7 @@ WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
 SELECT (SELECT count(*) FROM n a JOIN n b ON a.t = b.t AND a.doc_id < b.doc_id)
          AS n_exact_pairs,
        TRUE AS all_ordered,
-       8 AS max_hamming,
+       TRUE AS within_radius,
        TRUE AS exact_implies_ham0
 """
 
@@ -5008,7 +5021,6 @@ def q_x_pack_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.min(
             (F.col("has_oversize") == 1) | (F.col("fill") <= 256)
         ).alias("bins_within_budget"),
-        F.count(F.lit(1)).alias("__n_bins"),
     )
     totals = packed.agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -5038,9 +5050,6 @@ _REGISTRY.update(
         "inv_x_pack_stats": (q_x_pack_stats, SQL_X_PACK_STATS),
     }
 )
-
-# keep the registry rotation applied after late registrations
-_REGISTRY = _rotate_registry(_REGISTRY)
 
 
 # ---------------------------------------------------------------------------
@@ -5129,7 +5138,6 @@ _REGISTRY.update(
         "inv_w3b_rsi_wilder": (q_w3b_rsi_wilder, SQL_W3B_RSI_WILDER),
     }
 )
-_REGISTRY = _rotate_registry(_REGISTRY)
 
 
 def q_q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
@@ -5176,7 +5184,6 @@ FROM r
 """
 
 _REGISTRY.update({"inv_q_distribution_drift": (q_q_distribution_drift, SQL_Q_DRIFT)})
-_REGISTRY = _rotate_registry(_REGISTRY)
 
 
 def q_s_bars_intraday(spark: SparkSession, sf: str) -> DataFrame:
@@ -5202,7 +5209,6 @@ GROUP BY 1, 2
 """
 
 _REGISTRY.update({"inv_s_bars_intraday": (q_s_bars_intraday, SQL_S_BARS_INTRADAY)})
-_REGISTRY = _rotate_registry(_REGISTRY)
 
 
 def q_v_random_projection(spark: SparkSession, sf: str) -> DataFrame:
@@ -5229,7 +5235,6 @@ SELECT vec_id,
 FROM u GROUP BY vec_id"""
 
 _REGISTRY.update({"inv_v_random_projection": (q_v_random_projection, SQL_V_RANDOM_PROJECTION)})
-_REGISTRY = _rotate_registry(_REGISTRY)
 
 
 def q_x_fold_assign(spark: SparkSession, sf: str) -> DataFrame:
@@ -5259,4 +5264,3 @@ FROM n GROUP BY 1
 """
 
 _REGISTRY.update({"inv_x_fold_assign": (q_x_fold_assign, SQL_X_FOLD_ASSIGN)})
-_REGISTRY = _rotate_registry(_REGISTRY)

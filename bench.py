@@ -84,27 +84,44 @@ def main() -> None:
         )
     )
     spark.stop()
-    sys.exit(_gate(total, timings, sf))
+    sys.exit(_gate(timings, sf))
 
 
-def _gate(total: float, timings: dict[str, float], sf: float) -> int:
-    """Return 1 if the run regressed past the self-imposed contract."""
+def _gate(timings: dict[str, float], sf: float) -> int:
+    """Return 1 if the run regressed past the self-imposed contract.
+
+    The total comparison is over the INTERSECTION of measured and baseline
+    query names, so adding a newly tracked query can never trip the 2×
+    total check asymmetrically. A malformed baseline file disables the
+    gate (returns 0) rather than crashing the one-JSON-line contract.
+    """
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
     try:
         with open(base_path) as fh:
             base = json.load(fh)
-    except OSError:
+        base_q = dict(base["queries"])
+        base_sf = base["sf"]
+    except (OSError, ValueError, KeyError, TypeError):
         return 0
-    if sf != base.get("sf"):
+    if sf != base_sf:
         return 0  # gate is calibrated at the baseline SF only
     rc = 0
-    if total > 2.0 * base["value"]:
-        print(f"BENCH GATE: total {total}s > 2x baseline {base['value']}s", file=sys.stderr)
+    tracked = [n for n in timings if n in base_q]
+    got_total = sum(timings[n] for n in tracked)
+    want_total = sum(base_q[n] for n in tracked)
+    if want_total > 0 and got_total > 2.0 * want_total:
+        print(
+            f"BENCH GATE: tracked total {round(got_total, 3)}s > 2x baseline "
+            f"{round(want_total, 3)}s",
+            file=sys.stderr,
+        )
         rc = 1
-    for name, sec in timings.items():
-        b = base.get("queries", {}).get(name)
-        if b is not None and sec > 3.0 * b:
-            print(f"BENCH GATE: {name} {sec}s > 3x baseline {b}s", file=sys.stderr)
+    for name in tracked:
+        if timings[name] > 3.0 * base_q[name]:
+            print(
+                f"BENCH GATE: {name} {timings[name]}s > 3x baseline {base_q[name]}s",
+                file=sys.stderr,
+            )
             rc = 1
     return rc
 

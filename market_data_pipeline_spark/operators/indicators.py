@@ -417,19 +417,25 @@ def add_adjusted_close(
     rescales history so returns are continuous across splits.
 
     ``actions`` is (symbol, time, factor), factor > 0 (0.5 = 2:1 split).
-    Plan: one LEFT broadcast join (the action table is O(symbols·events),
-    tiny next to bars) + ONE symbol window. The running product is the
-    ``exp(sum(ln(factor)))`` rewrite of cumprod (SURVEY §7.2) over
-    ``rowsBetween(1, unboundedFollowing)`` — sparse-safe because non-action
-    days join factor 1.0 (ln → 0), and the empty tail frame coalesces to a
-    factor of exactly 1.
+    Multiple actions on one (symbol, time) — a split plus a special
+    dividend on the same ex-date — are pre-multiplied BEFORE the join
+    (``F.product`` per key), so bar rows never fan out. Plan: one tiny
+    pre-agg + one LEFT broadcast join (the action table is
+    O(symbols·events), tiny next to bars) + ONE symbol window. The running
+    product is the ``exp(sum(ln(factor)))`` rewrite of cumprod (SURVEY
+    §7.2) over ``rowsBetween(1, unboundedFollowing)`` — sparse-safe because
+    non-action days join factor 1.0 (ln → 0), and the empty tail frame
+    coalesces to a factor of exactly 1.
 
     Reference analog: none — vnstock feeds pre-adjusted prices; this is the
     operator you need the day you ingest raw exchange prints at 100 TB.
     """
+    per_day = actions.groupBy(symbol_col, time_col).agg(
+        F.product(factor_col).alias(factor_col)
+    )
     f = F.coalesce(F.col(factor_col), F.lit(1.0))
     joined = df.join(
-        F.broadcast(actions.select(symbol_col, time_col, factor_col)),
+        F.broadcast(per_day),
         on=[symbol_col, time_col],
         how="left",
     )

@@ -227,7 +227,7 @@ def composite_signal_scan(
     """
     from market_data_pipeline_spark.operators import indicators
 
-    w = series_window(time_col=time_col)
+    w = series_window(symbol_col=symbol_col, time_col=time_col)
     fast, slow, signal = macd
     df = indicators.add_sma(bars, periods=(20,), col="close", w=w)
     df = indicators.add_rsi(df, period=14, w=w)

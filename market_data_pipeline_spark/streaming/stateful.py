@@ -119,7 +119,14 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_seq bigint, session_start timestamp, "
     "session_end timestamp, duration_s bigint, n_events bigint, total_value double"
 )
-SESSION_STATE_SCHEMA = "seq bigint, start_us bigint, last_us bigint, n bigint, total double"
+# hwm = highest session ordinal ALLOCATED so far (monotone per user);
+# open_seq = the open session's own ordinal (<= hwm). Two fields because a
+# backdated singleton can allocate a new ordinal while the open session
+# keeps its original one.
+SESSION_STATE_SCHEMA = (
+    "hwm bigint, open_seq bigint, start_us bigint, last_us bigint, "
+    "n bigint, total double"
+)
 
 
 def streaming_sessionize(
@@ -158,7 +165,12 @@ def streaming_sessionize(
 
     Backdated rows: an event inside the watermark but EARLIER than the open
     session's start (late delivery) merges with ``start_us = min(start, t)``
-    — the session extends backward as well as forward.
+    when it lands within ``gap`` of the start — the session extends
+    backward as well as forward. Beyond the gap it cannot belong to the
+    open session (the batch twin would split there), so it emits as an
+    immediately-closed singleton with the next seq ordinal — unique ids,
+    emission-ordered in this corner; two beyond-gap late events that would
+    merge with EACH OTHER still emit separately (approximation, documented).
     """
     gap_us = gap_minutes * 60 * 1_000_000
     gap_ms = gap_minutes * 60 * 1000
@@ -178,46 +190,56 @@ def streaming_sessionize(
     def update(key, pdf_iter, state: GroupState):
         (uid,) = key
         if state.hasTimedOut:
-            seq, start_us, last_us, n, total = state.get
+            hwm, open_seq, start_us, last_us, n, total = state.get
             if start_us is None:
                 # tombstone retention expired — forget the seq counter
                 state.remove()
                 return
-            # evict the open session but KEEP the seq as a tombstone so a
-            # returning user continues at seq+1 (no duplicate session ids)
-            state.update((seq, None, last_us, 0, 0.0))
+            # evict the open session but KEEP the hwm as a tombstone so a
+            # returning user continues at hwm+1 (no duplicate session ids)
+            state.update((hwm, 0, None, last_us, 0, 0.0))
             state.setTimeoutTimestamp(
                 max(
                     last_us // 1000 + retention_ms,
                     state.getCurrentWatermarkMs() + 1,
                 )
             )
-            yield pd.DataFrame([_row(uid, seq, start_us, last_us, n, total)])
+            yield pd.DataFrame([_row(uid, open_seq, start_us, last_us, n, total)])
             return
         pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
         ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
         vals = pd.to_numeric(pdf["value"], errors="coerce").fillna(0.0).tolist()
         if state.exists:
-            seq, start_us, last_us, n, total = state.get
+            hwm, open_seq, start_us, last_us, n, total = state.get
         else:
-            seq, start_us, last_us, n, total = 0, None, 0, 0, 0.0
+            hwm, open_seq, start_us, last_us, n, total = 0, 0, None, 0, 0, 0.0
         closed = []
         for t, v in zip(ts_us, vals):
             if start_us is None:
-                seq, start_us, last_us, n, total = seq + 1, t, t, 1, float(v)
+                hwm += 1
+                open_seq, start_us, last_us, n, total = hwm, t, t, 1, float(v)
             elif t - last_us > gap_us:
-                closed.append(_row(uid, seq, start_us, last_us, n, total))
-                seq, start_us, last_us, n, total = seq + 1, t, t, 1, float(v)
+                closed.append(_row(uid, open_seq, start_us, last_us, n, total))
+                hwm += 1
+                open_seq, start_us, last_us, n, total = hwm, t, t, 1, float(v)
+            elif start_us - t > gap_us:
+                # backdated beyond the gap BEFORE the open session: the
+                # batch twin would make this its own earlier session, so
+                # emit it as an immediately-closed singleton with a fresh
+                # ordinal; the open session keeps its own (unique ids,
+                # emission-ordered in this late-data corner).
+                hwm += 1
+                closed.append(_row(uid, hwm, t, t, 1, float(v)))
             else:
                 # in-gap merge; a backdated (late but in-watermark) event
-                # extends the session backward too
+                # within the gap of the session START extends it backward
                 start_us, last_us, n, total = (
                     min(start_us, t),
                     max(last_us, t),
                     n + 1,
                     total + float(v),
                 )
-        state.update((seq, start_us, last_us, n, total))
+        state.update((hwm, open_seq, start_us, last_us, n, total))
         state.setTimeoutTimestamp(
             max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
         )

@@ -124,5 +124,6 @@ def test_correctness_window_rotation():
     n_pending = len(set(m.queries()) - green)
     if n_pending >= 50:
         assert not overlap, f"green names wasting window slots: {sorted(overlap)[:5]}"
-    # every registered query is callable and has a unique name
-    assert len(m.queries()) == len(set(m.queries()))
+    # registry floor: round-2 shipped 180 named queries; a silent
+    # registration overwrite would show up as a drop below this
+    assert len(m.queries()) >= 180

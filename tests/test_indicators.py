@@ -214,3 +214,25 @@ def test_composite_signal_scan_matches_generic_chain(spark, sf_dir):
     got = {tuple(r) for r in fused.select(*cols).collect()}
     want = {tuple(r) for r in generic.select(*cols).collect()}
     assert got == want and len(got) > 0
+
+
+def test_adjusted_close_same_day_actions_pre_multiplied(spark):
+    """Two actions on one (symbol, day) — split + special dividend — must
+    pre-multiply into one factor, never fan the bar row out."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators.indicators import add_adjusted_close
+
+    d0 = dt.date(2024, 1, 1)
+    bars = spark.createDataFrame(
+        [(1, d0, 100.0), (1, d0 + dt.timedelta(days=1), 100.0)],
+        "symbol long, d date, close double",
+    )
+    actions = spark.createDataFrame(
+        [(1, d0 + dt.timedelta(days=1), 0.5), (1, d0 + dt.timedelta(days=1), 0.8)],
+        "symbol long, d date, factor double",
+    )
+    out = add_adjusted_close(bars, actions).collect()
+    assert len(out) == 2, "bar rows must not duplicate on same-day actions"
+    got = {r.d.day: round(r.adj_close, 9) for r in out}
+    assert got == {1: 40.0, 2: 100.0}  # 100 * 0.5 * 0.8 before the ex-date

@@ -556,3 +556,54 @@ def test_streaming_dedup_admission_builds_store_incrementally(spark, tmp_path):
     run_once()
     got2 = {r.doc_id for r in spark.read.parquet(store).collect()}
     assert got2 == {1, 2, 12}, f"store after batch 2: {sorted(got2)}"
+
+
+def test_sessionize_beyond_gap_backdated_event_is_own_session(spark, tmp_path):
+    """A late-but-in-watermark event MORE than gap before the open session's
+    start must become its own (earlier) closed session — the batch twin
+    would split there — never drag session_start across a multi-hour hole."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    src = str(tmp_path / "bg_src")
+    out = str(tmp_path / "bg_out")
+    ckpt = str(tmp_path / "bg_ckpt")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = stateful.streaming_sessionize(stream, gap_minutes=30, watermark="6 hours")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: open session at 12:00 (watermark lag 6h keeps 09:00 on-time)
+    write([(1, t, 1.0)])
+    run_once()
+    # batch 2: backdated 09:00 event (3h before start, >> 30min gap)
+    write([(1, t - dt.timedelta(hours=3), 2.0)])
+    run_once()
+    # flush everything
+    write([(42, t + dt.timedelta(days=2), 0.0)])
+    run_once()
+
+    rows = sorted(
+        (r for r in spark.read.parquet(out).collect() if r.user_id == 1),
+        key=lambda r: r.session_start,
+    )
+    assert len(rows) == 2, f"expected split sessions, got {rows}"
+    early, late = rows
+    assert early.session_start == early.session_end == t - dt.timedelta(hours=3)
+    assert early.n_events == 1
+    assert late.session_start == t and late.n_events == 1
+    seqs = {r.session_seq for r in rows}
+    assert len(seqs) == 2  # unique ordinals

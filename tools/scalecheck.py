@@ -80,7 +80,8 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 10
     out_dir = os.path.join(REPO, ".scalecheck", f"x{k}")
     spark = get_spark("scalecheck")
     if "--rebuild" in sys.argv or not os.path.exists(
