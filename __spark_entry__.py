@@ -5264,3 +5264,49 @@ FROM n GROUP BY 1
 """
 
 _REGISTRY.update({"inv_x_fold_assign": (q_x_fold_assign, SQL_X_FOLD_ASSIGN)})
+
+
+def q_t_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation acceptance curve (text.threshold_sweep): docs + token mass
+    surviving each candidate quality cutoff, from ONE aggregation pass."""
+    d = text.add_quality_score(text.add_token_stats(_docs(spark, sf))).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    return text.threshold_sweep(d)
+
+
+# unrounded score CTE (the sweep compares the OPERATOR's raw score to each
+# cutoff, so the oracle must too — rounding only the output rates)
+_SWEEP_BASE_SQL = f"""
+n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+s AS (
+  SELECT doc_id, nt,
+    len(string_split(nt, ' ')) AS n_tokens,
+    {_stop_hits_sql()} AS stop_hits
+  FROM n
+),
+q AS (
+  SELECT doc_id, n_tokens,
+    0.5 * least(length(nt) / 500.0, 1.0)
+    + 0.5 * least((stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5.0, 1.0)
+      AS quality_score
+  FROM s
+)
+""".strip()
+
+
+def _sweep_sql() -> str:
+    rows = []
+    for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8):
+        rows.append(
+            f"SELECT {t} AS threshold,"
+            f" CAST(count(CASE WHEN quality_score >= {t} THEN 1 END) AS BIGINT) AS n_docs_kept,"
+            f" CAST(coalesce(sum(CASE WHEN quality_score >= {t} THEN n_tokens END), 0) AS BIGINT) AS tokens_kept,"
+            f" round(count(CASE WHEN quality_score >= {t} THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS doc_keep_rate,"
+            f" round(coalesce(sum(CASE WHEN quality_score >= {t} THEN n_tokens END), 0) / CAST(sum(n_tokens) AS DOUBLE), 6) AS token_keep_rate"
+            " FROM q"
+        )
+    return "WITH " + _SWEEP_BASE_SQL + "\n" + "\nUNION ALL\n".join(rows)
+
+
+_REGISTRY.update({"inv_t_threshold_sweep": (q_t_threshold_sweep, _sweep_sql())})

@@ -362,3 +362,45 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__logp"), 6).alias("avg_logprob"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    token_col: str = "n_tokens",
+    thresholds: tuple[float, ...] = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
+) -> DataFrame:
+    """Curation threshold sweep: for each candidate quality cutoff, how many
+    documents and how much token mass survive — the acceptance curve you
+    read before committing a filter threshold for a training mixture.
+
+    ONE aggregation pass with a conditional sum pair per threshold (no
+    explode, no re-scan per cutoff); output is O(len(thresholds)) rows via
+    an inline spine union. At 100 TB this is a single scan whatever the
+    sweep resolution.
+    """
+    aggs = []
+    for i, t in enumerate(thresholds):
+        cond = F.col(score_col) >= F.lit(float(t))
+        aggs.append(F.count(F.when(cond, 1)).alias(f"__n_{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col(token_col))), F.lit(0)).alias(
+                f"__tok_{i}"
+            )
+        )
+    aggs.append(F.count(F.lit(1)).alias("__n_all"))
+    aggs.append(F.coalesce(F.sum(token_col), F.lit(0)).alias("__tok_all"))
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"__n_{i}").alias("n_docs_kept"),
+            F.col(f"__tok_{i}").cast("bigint").alias("tokens_kept"),
+            F.round(F.col(f"__n_{i}") / F.col("__n_all"), 6).alias("doc_keep_rate"),
+            F.round(F.col(f"__tok_{i}") / F.col("__tok_all"), 6).alias(
+                "token_keep_rate"
+            ),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

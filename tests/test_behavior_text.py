@@ -270,3 +270,20 @@ def test_mixture_plan_surfaces_missing_source(spark):
     ghost = out["s2_typo"]
     assert ghost.n_docs == 0 and ghost.available_tokens == 0
     assert ghost.target_tokens == 500 and ghost.sample_rate is None
+
+
+def test_threshold_sweep_monotone_and_exact(spark):
+    """Acceptance curves must be monotone non-increasing in the threshold,
+    and exact on a hand-built frame."""
+    rows = [(1, 10, 0.25), (2, 20, 0.55), (3, 30, 0.75), (4, 40, 0.95)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality_score double")
+    out = {
+        r.threshold: r
+        for r in text.threshold_sweep(df, thresholds=(0.2, 0.5, 0.8)).collect()
+    }
+    assert out[0.2].n_docs_kept == 4 and out[0.2].tokens_kept == 100
+    assert out[0.5].n_docs_kept == 3 and out[0.5].tokens_kept == 90
+    assert out[0.8].n_docs_kept == 1 and out[0.8].tokens_kept == 40
+    assert out[0.5].doc_keep_rate == 0.75 and out[0.8].token_keep_rate == 0.4
+    kept = [out[t].n_docs_kept for t in (0.2, 0.5, 0.8)]
+    assert kept == sorted(kept, reverse=True)
