@@ -5310,3 +5310,33 @@ def _sweep_sql() -> str:
 
 
 _REGISTRY.update({"inv_t_threshold_sweep": (q_t_threshold_sweep, _sweep_sql())})
+
+
+def q_st_ohlcv_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming OHLCV candles (jobs.streaming_ohlcv_bars): append-mode 4h
+    bars; the oracle reproduces the watermark-finalization rule exactly
+    (a bar emits iff its window end <= max(ts) - delay)."""
+    tune_existing(spark)
+    ev = streaming_jobs.stream_events(spark, sf).select("user_id", "ts", "value")
+    bars = streaming_jobs.streaming_ohlcv_bars(ev, width="4 hours", watermark="2 hours")
+    return streaming_jobs.run_stream_to_memory(
+        spark, bars, "ohlcv_bars", output_mode="append"
+    )
+
+
+SQL_ST_OHLCV_BARS = """
+SELECT user_id AS symbol,
+       time_bucket(INTERVAL 4 HOUR, ts) AS bar_start,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       round(sum(value), 4) AS volume,
+       count(*) AS n_trades
+FROM events
+GROUP BY 1, 2
+HAVING time_bucket(INTERVAL 4 HOUR, ts) + INTERVAL 4 HOUR
+       <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+_REGISTRY.update({"inv_st_ohlcv_bars": (q_st_ohlcv_bars, SQL_ST_OHLCV_BARS)})

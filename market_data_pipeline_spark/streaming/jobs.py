@@ -277,3 +277,40 @@ def streaming_dedup_admission(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_ohlcv_bars(
+    events: DataFrame, width: str = "4 hours", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLCV bar construction — the watermark twin of
+    ``tables.bars_from_events_interval``: per (symbol, time bucket),
+    open/close via ``min_by``/``max_by`` on the event time, high/low/volume
+    associative. In append mode a bar emits exactly once, when the
+    watermark passes its window end — the live candle feed every charting
+    stack consumes, with state bounded to the watermark horizon.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id").alias("symbol"),
+            F.window("ts", width).alias("w"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.round(F.sum("value"), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )

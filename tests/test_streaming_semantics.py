@@ -607,3 +607,35 @@ def test_sessionize_beyond_gap_backdated_event_is_own_session(spark, tmp_path):
     assert late.session_start == t and late.n_events == 1
     seqs = {r.session_seq for r in rows}
     assert len(seqs) == 2  # unique ordinals
+
+
+def test_streaming_ohlcv_bars_match_batch_interval_bars(spark, sf_dir):
+    """Streamed 4h candles (append mode) must equal the batch interval-bar
+    derivation for every window the final watermark finalized."""
+    from market_data_pipeline_spark.sources.tables import (
+        bars_from_events_interval,
+        load_table,
+    )
+    from market_data_pipeline_spark.streaming import jobs
+
+    ev = jobs.stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    got_df = jobs.run_stream_to_memory(
+        spark,
+        jobs.streaming_ohlcv_bars(ev, width="4 hours", watermark="2 hours"),
+        "ohlcv_stream",
+        output_mode="append",
+    )
+    got = {tuple(r) for r in got_df.collect()}
+
+    batch = bars_from_events_interval(spark, sf_dir, width="4 hours")
+    wm = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.max("ts").cast("long") - F.lit(7200)).alias("w"))
+        .collect()[0]
+        .w
+    )
+    finalized = batch.filter(
+        (F.col("bar_start").cast("long") + 4 * 3600) <= F.lit(wm)
+    )
+    want = {tuple(r) for r in finalized.collect()}
+    assert got == want and len(got) > 0
