@@ -600,9 +600,9 @@ WITH b AS (
   SELECT least(9, greatest(0, CAST(floor(o_totalprice / 60000.0) AS INT))) AS bin
   FROM orders WHERE o_totalprice IS NOT NULL
 )
-SELECT bin,
-  round(bin * 60000.0, 6) AS lo_edge,
-  round((bin + 1) * 60000.0, 6) AS hi_edge,
+SELECT CAST(bin AS INT) AS bin,
+  CAST(round(bin * 60000.0, 6) AS DOUBLE) AS lo_edge,
+  CAST(round((bin + 1) * 60000.0, 6) AS DOUBLE) AS hi_edge,
   CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY bin
 """
@@ -1077,7 +1077,7 @@ def q_o4_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
 SQL_O4 = """
 SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
-    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
   FROM orders JOIN customer ON o_custkey = c_custkey
 ) WHERE rk <= 3
 """
@@ -1611,8 +1611,8 @@ def q_t_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 SQL_T_TOKENS = f"""
 WITH n AS (SELECT doc_id, text, {_NORM_SQL} AS nt FROM documents)
 SELECT doc_id,
-  len(string_split(nt, ' ')) AS n_tokens,
-  length(nt) AS n_chars_norm,
+  CAST(len(string_split(nt, ' ')) AS INT) AS n_tokens,
+  CAST(length(nt) AS INT) AS n_chars_norm,
   CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_est,
   round((length(nt) - len(string_split(nt, ' ')) + 1) / CAST(len(string_split(nt, ' ')) AS DOUBLE), 4) AS avg_token_len
 FROM n
@@ -1901,7 +1901,7 @@ scored AS (
   FROM c, q WHERE query_id <> corpus_id
 )
 SELECT query_id, corpus_id, cos_sim, rk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rk
   FROM scored
 ) WHERE rk <= 5
 """
@@ -1940,7 +1940,7 @@ scored AS (
   WHERE query_id <> corpus_id
 )
 SELECT query_id, corpus_id, cos_sim, rk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rk
   FROM scored
 ) WHERE rk <= 5
 """
@@ -2087,7 +2087,7 @@ WITH m AS (
          CAST(octet_length(encode(text)) / 100 AS INTEGER) + 1 AS n_frames
   FROM documents
 )
-SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_no FROM m
+SELECT media_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_no FROM m
 """
 
 
@@ -2902,7 +2902,7 @@ scored AS (
   WHERE query_id <> corpus_id
 )
 SELECT query_id, corpus_id, cos_sim, rk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rk
   FROM scored
 ) WHERE rk <= 5
 """
@@ -2962,7 +2962,7 @@ scored AS (
   WHERE query_id <> corpus_id
 )
 SELECT query_id, corpus_id, cos_sim, rk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rk
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rk
   FROM scored
 ) WHERE rk <= 5
 """
@@ -3065,8 +3065,8 @@ def q_q12_priority_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_Q12 = """
 SELECT l_linestatus,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 GROUP BY l_linestatus
@@ -3181,8 +3181,8 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_GROUPING_SETS = """
 SELECT o_orderstatus, o_orderpriority,
-       CAST(grouping(o_orderstatus) AS INT) AS g_status,
-       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+       CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority,
        count(*) AS n,
        round(sum(o_totalprice), 2) AS total
 FROM orders
@@ -3197,10 +3197,10 @@ def q_w_rank_funcs(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_RANK_FUNCS = """
 SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
-  ntile(4)      OVER w AS quartile,
+  CAST(ntile(4)      OVER w AS INT) AS quartile,
   round(percent_rank() OVER w, 6) AS pct_rank,
   round(cume_dist()    OVER w, 6) AS cume,
-  dense_rank()  OVER w AS drank
+  CAST(dense_rank()  OVER w AS INT) AS drank
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 """
@@ -3296,7 +3296,7 @@ scored AS (
   FROM tf JOIN idf ON tf.term = idf.term
 )
 SELECT doc_id, term, tf, tfidf, rk FROM (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rk
   FROM scored
 ) WHERE rk <= 3
 """
@@ -3570,7 +3570,7 @@ SQL_Q7 = """
 SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         year(CAST(l_shipdate AS DATE)) AS l_year,
+         CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
          l_extendedprice * (1 - l_discount) AS volume
   FROM lineitem
   JOIN supplier ON s_suppkey = l_suppkey
@@ -3592,7 +3592,7 @@ def q_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_Q8 = """
-SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
        round(sum(CASE WHEN n1.n_name = 'NATION_5'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
              / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
@@ -3618,7 +3618,7 @@ def q_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_Q9 = """
-SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
        round(sum(l_extendedprice * (1 - l_discount)
                  - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
 FROM lineitem
@@ -3946,7 +3946,7 @@ def q_q_histogram_eqdepth(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_Q_HIST_EQDEPTH = """
-SELECT bin, CAST(count(*) AS BIGINT) AS n,
+SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
        round(min(o_totalprice), 4) AS lo_val,
        round(max(o_totalprice), 4) AS hi_val
 FROM (
@@ -4678,7 +4678,7 @@ per AS (
   FROM n GROUP BY source
 ),
 w AS (
-  SELECT *, CASE source {cases} ELSE 0.0 END AS weight FROM per
+  SELECT *, CAST(CASE source {cases} ELSE 0.0 END AS DOUBLE) AS weight FROM per
 )
 SELECT source, n_docs, available_tokens, weight,
        CAST(round(weight * {total}.0, 0) AS BIGINT) AS target_tokens,
@@ -4847,18 +4847,22 @@ _STATIC_GREEN: frozenset[str] = frozenset({
 })
 
 
-def _driver_green_names() -> frozenset[str]:
-    """Union of the static floor with every query that already has a clean
-    driver row in any CORRECTNESS_r*.json (err null, no False field — a
-    failed check keeps the query IN the window for re-verification after a
-    fix)."""
+def _driver_green_rounds() -> dict[str, int]:
+    """Map of query name -> LAST round with a clean driver row (err null, no
+    False field — a failed check keeps the query IN the window for
+    re-verification after a fix). The CORRECTNESS_r*.json files this reads
+    are committed to the repo, so ordering is identical in a fresh clone.
+    The static floor counts as round 1."""
     import glob
     import json as _json
     import os
+    import re as _re
 
-    names = set(_STATIC_GREEN)
+    rounds: dict[str, int] = {n: 1 for n in _STATIC_GREEN}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rec = _json.load(fh)
@@ -4868,11 +4872,14 @@ def _driver_green_names() -> frozenset[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("err") is None and not any(v is False for v in row.values()):
-                names.add(name)
-    return frozenset(names)
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
 
 
-_DRIVER_GREEN = _driver_green_names()
+_GREEN_ROUNDS = _driver_green_rounds()
+_DRIVER_GREEN = frozenset(_GREEN_ROUNDS)
+# The round the NEXT driver run records (r01..rN present -> this is round N+1).
+_THIS_ROUND = max(_GREEN_ROUNDS.values(), default=0) + 1
 
 # Families the round-1 verdict asked to see first: the TPC-H completion set,
 # the streaming ladder, and the dedup/similarity ladder. Within the pending
@@ -4888,10 +4895,46 @@ _WINDOW_LEAD_NAMES = (
     "inv_x_pack_stats",
 )
 
+# Modified-since-green: queries whose implementation or oracle changed in a
+# given round AFTER they already had a green driver row. Their green status is
+# stale evidence, so they re-enter the window ahead of the green tail (r2
+# advice: "invalidate green status when the query's implementation changes").
+# Keyed by round so each list expires once that round's driver row lands.
+_REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
+    # round 3: oracles type-pinned (DuckDB HUGEINT/DECIMAL/int-width drift vs
+    # the driver's raw value hash — the inv_q12 root cause, audited repo-wide
+    # via tools/oracle_type_audit.py).
+    3: (
+        "inv_q_histogram", "inv_o4_topk_per_group", "inv_sim_bruteforce_topk",
+        "inv_q7_volume_shipping", "inv_q8_market_share", "inv_q9_product_profit",
+        "inv_grouping_sets", "inv_x_mixture_plan",
+    ),
+}
+
+# How many already-green queries are re-admitted into each round's window as a
+# rotating regression sample (r2 advice: a green query must be able to re-enter
+# the window, or a regression in it is never re-caught by the driver).
+_GREEN_RESAMPLE_K = 3
+
+
+def _green_resample(green: list[str], rnd: int, k: int) -> list[str]:
+    """Deterministic per-round sample of green names: order by
+    md5(name:round), take k. Uniform over rounds, reproducible anywhere."""
+    import hashlib
+
+    return sorted(
+        green,
+        key=lambda n: hashlib.md5(f"{n}:{rnd}".encode()).hexdigest(),
+    )[:k]
+
 
 def _rotate_registry(reg: dict) -> dict:
-    pending = [n for n in reg if n not in _DRIVER_GREEN]
-    green = [n for n in reg if n in _DRIVER_GREEN]
+    reverify = [
+        n for n in _REVERIFY_BY_ROUND.get(_THIS_ROUND, ()) if n in reg
+    ]
+    taken = set(reverify)
+    pending = [n for n in reg if n not in _DRIVER_GREEN and n not in taken]
+    green = [n for n in reg if n in _DRIVER_GREEN and n not in taken]
     head = [n for n in _WINDOW_LEAD_NAMES if n in pending]
     lead = [
         n
@@ -4899,7 +4942,17 @@ def _rotate_registry(reg: dict) -> dict:
         if n.startswith(_WINDOW_PRIORITY_PREFIXES) and n not in set(head)
     ]
     rest = [n for n in pending if n not in set(head) and n not in set(lead)]
-    return {n: reg[n] for n in (*head, *lead, *rest, *green)}
+    sample = _green_resample(green, _THIS_ROUND, _GREEN_RESAMPLE_K)
+    # Green tail ordered stalest-first so spare window slots (once pending
+    # drains) re-verify the oldest evidence first.
+    tail = sorted(
+        (n for n in green if n not in set(sample)),
+        key=lambda n: (_GREEN_ROUNDS.get(n, 0), n),
+    )
+    return {
+        n: reg[n]
+        for n in (*reverify, *head, *lead, *sample, *rest, *tail)
+    }
 
 
 
@@ -5299,7 +5352,7 @@ def _sweep_sql() -> str:
     rows = []
     for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8):
         rows.append(
-            f"SELECT {t} AS threshold,"
+            f"SELECT CAST({t} AS DOUBLE) AS threshold,"
             f" CAST(count(CASE WHEN quality_score >= {t} THEN 1 END) AS BIGINT) AS n_docs_kept,"
             f" CAST(coalesce(sum(CASE WHEN quality_score >= {t} THEN n_tokens END), 0) AS BIGINT) AS tokens_kept,"
             f" round(count(CASE WHEN quality_score >= {t} THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS doc_keep_rate,"

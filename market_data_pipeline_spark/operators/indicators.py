@@ -438,14 +438,39 @@ def add_adjusted_close(
         F.broadcast(per_day),
         on=[symbol_col, time_col],
         how="left",
+    ).withColumn("__synth", F.lit(False))
+    # Actions whose ex-date has NO bar row (halt, holiday, data gap — or an
+    # action after the final bar) would vanish from an exact-equality join
+    # and leave all prior history unadjusted. Union those action dates in as
+    # synthetic rows so their factor enters the tail window, then drop them:
+    # bars strictly before the ex-date pick the factor up, the first bar
+    # at-or-after it stays unadjusted (ex-date prints are already
+    # post-action), and nothing fans out.
+    orphan = per_day.join(
+        df.select(symbol_col, time_col), on=[symbol_col, time_col], how="anti"
     )
+    synth = orphan.select(
+        *[
+            F.lit(None).cast(dict(df.dtypes)[c]).alias(c)
+            if c not in (symbol_col, time_col)
+            else F.col(c)
+            for c in df.columns
+        ],
+        F.col(factor_col),
+        F.lit(True).alias("__synth"),
+    )
+    unioned = joined.select(synth.columns).unionByName(synth)
     w = (
         Window.partitionBy(symbol_col)
         .orderBy(time_col)
         .rowsBetween(1, Window.unboundedFollowing)
     )
     cum = F.exp(F.coalesce(F.sum(F.log(f)).over(w), F.lit(0.0)))
-    return joined.withColumn(out_col, F.col(close_col) * cum).drop(factor_col)
+    return (
+        unioned.withColumn(out_col, F.col(close_col) * cum)
+        .filter(~F.col("__synth"))
+        .drop(factor_col, "__synth")
+    )
 
 
 def twap_daily(series: DataFrame, time_col: str = "time", price_col: str = "close") -> DataFrame:

@@ -238,10 +238,30 @@ def streaming_dedup_admission(
 
     Returns the started StreamingQuery (caller awaits termination).
     """
-    import os
-
     from market_data_pipeline_spark.operators import dedup as _dedup
     from market_data_pipeline_spark.operators.text import normalized
+
+    def _store_exists(spark, path: str) -> bool:
+        # Probe through the Hadoop FileSystem API so remote store URIs
+        # (hdfs://, s3a://, dbfs:/) resolve too — a driver-local
+        # os.path.exists would be False for those on every batch and the
+        # store-side dedup would silently never run.
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hconf = jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        if not fs.exists(hpath):
+            return False
+        # An existing but empty directory (e.g. from a failed first write)
+        # has no parquet footers; treat it as absent rather than letting
+        # spark.read.parquet fail the batch.
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     def admit(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -254,7 +274,7 @@ def streaming_dedup_admission(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.exists(store_path):
+        if _store_exists(spark, store_path):
             store = spark.read.parquet(store_path).select(id_col, text_col)
             kept_ids = _dedup.incremental_dedup(
                 batch.select(id_col, text_col),

@@ -158,6 +158,33 @@ def test_adjusted_close_backward_product(spark):
     assert out == {1: 25.0, 2: 50.0, 3: 50.0, 4: 100.0, 5: 100.0}
 
 
+def test_adjusted_close_action_on_gap_date_still_adjusts_history(spark):
+    """An action whose ex-date has no bar row (halt/holiday) must still
+    rescale all earlier bars; one after the FINAL bar must rescale all of
+    them. Synthetic rows never leak into the output."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators.indicators import add_adjusted_close
+
+    d0 = dt.date(2024, 1, 1)
+    # bars on days 1,2,4,5 — day 3 is a gap
+    rows = [(1, d0 + dt.timedelta(days=i), 100.0) for i in (0, 1, 3, 4)]
+    bars = spark.createDataFrame(rows, "symbol long, d date, close double")
+    actions = spark.createDataFrame(
+        [
+            (1, d0 + dt.timedelta(days=2), 0.5),   # ex-date on the gap day
+            (1, d0 + dt.timedelta(days=9), 0.1),   # after the last bar
+        ],
+        "symbol long, d date, factor double",
+    )
+    res = add_adjusted_close(bars, actions).collect()
+    out = {r.d.day: round(r.adj_close, 9) for r in res}
+    # gap-day split halves days 1-2; trailing 0.1 scales everything
+    assert out == {1: 5.0, 2: 5.0, 4: 10.0, 5: 10.0}
+    assert len(res) == 4  # synthetic action rows filtered out
+    assert all(r.close == 100.0 for r in res)
+
+
 def test_rsi_wilder_matches_pandas_ewm(spark):
     """Wilder RSI == pandas ewm(alpha=1/p, adjust=False, min_periods=p)
     over clipped deltas, with avg_loss=0 pinned at 100."""
