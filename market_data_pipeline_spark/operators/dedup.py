@@ -210,41 +210,59 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """SimHash 64-bit signature per document via Arrow-vectorized pandas UDF.
+    """SimHash 64-bit signature per document, fully NATIVE (no UDF).
 
     Classic Charikar construction: token hashes from stable md5, each bit
     position accumulates ±weight where weight = term frequency (frequency
     weighting separates documents that share a vocabulary but differ in
     composition — an unweighted set-based simhash degenerates on low-entropy
-    corpora). Bit math has no native columnar expression — this is the
-    documented pandas-UDF slow path (still one scan, no shuffle).
+    corpora). The per-token Counter of the textbook formulation is
+    algebraically unnecessary: the contribution is linear in the weight, so
+    summing ±1 per token INSTANCE equals summing ±tf per distinct token.
+    That collapses the plan to explode → ONE partial-aggregable
+    groupBy(doc) with 64 conditional sums (map-side combine does most of
+    the work; no (doc, token) shuffle, no Arrow hop) → sign bits folded
+    into a signed 64-bit value JVM-side.
+
+    The token hash is the first 8 bytes of md5 big-endian, taken as two
+    32-bit halves via conv(hex, 16, 10) so every bit test stays in
+    non-negative long arithmetic (portable to any SQL engine — the DuckDB
+    oracle mirrors it literally).
     """
-    import hashlib
-    from collections import Counter
-
-    @F.pandas_udf(T.LongType())
-    def simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        mask = (1 << bits) - 1
-        for t in texts:
-            toks = (t or "").lower().split()
-            acc = [0] * bits
-            for tok, wt in Counter(toks).items():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for i in range(bits):
-                    acc[i] += wt if (h >> i) & 1 else -wt
-            sig = 0
-            for i in range(bits):
-                if acc[i] > 0:
-                    sig |= 1 << i
-            # wrap to signed 64-bit for Spark LongType
-            sig &= mask
-            if sig >= 1 << (bits - 1):
-                sig -= 1 << bits
-            out.append(sig)
-        return pd.Series(out, dtype="int64")
-
-    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    if bits != 64:
+        raise ValueError("native simhash is fixed at 64 bits")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    md5 = F.md5(F.col("__tok"))
+    hashed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+    aggs = []
+    for i in range(64):
+        src = F.col("__lo") if i < 32 else F.col("__hi")
+        bit = F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"__a{i}")
+        )
+    acc = hashed.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)  # sign bit = long wrap
+        sig = sig + F.when(F.col(f"__a{i}") > 0, F.lit(weight)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    # empty/whitespace-only/null text yields no tokens: signature 0
+    return (
+        df.select(id_col)
+        .join(acc.select(F.col(id_col), sig.alias("simhash")), id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
+        )
+    )
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:

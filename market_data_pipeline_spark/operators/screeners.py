@@ -276,8 +276,43 @@ def composite_signal_scan(
         yield pdf.groupby(symbol_col, sort=False).tail(1)
 
     latest = df.mapInPandas(latest_with_macd, out_schema)
+    _assert_symbol_local_map(latest)
     scored = _apply_signal_scores(latest).drop("breakdown")
     return scored.drop("__prev_close", "__prev_ma20", "__prev_macd", "__prev_sig")
+
+
+def _assert_symbol_local_map(latest: DataFrame) -> None:
+    """Guard the fused plan's load-bearing invariant: the ``mapInPandas``
+    EMA pass is only correct if it runs DIRECTLY on the window stage's
+    hashpartitioning(symbol) output — every symbol whole within one
+    partition. If a future Spark version, AQE rule, or caller-supplied
+    pre-shuffled input inserts an Exchange between the Window and the
+    MapInPandas, per-partition ``groupby().tail(1)`` would silently emit
+    wrong latest rows / truncated recursions; fail loudly at plan time
+    instead. Costs one planning pass, no execution."""
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    map_idx = next(
+        (i for i, ln in enumerate(lines) if "MapInPandas" in ln), None
+    )
+    if map_idx is None:  # whole-plan rewrite (e.g. cached) — nothing to check
+        return
+    for ln in lines[map_idx + 1 :]:
+        if "Window" in ln:
+            return  # reached the window stage with no shuffle in between
+        if "Exchange" in ln or "Coalesce" in ln:
+            raise AssertionError(
+                "composite_signal_scan: an Exchange was planned between the "
+                "symbol window stage and the mapInPandas EMA pass — symbols "
+                "are no longer partition-local and the fused path would be "
+                "incorrect. Use composite_signal() (the generic chain) or "
+                "repartition the input by symbol.\n" + plan[:2000]
+            )
+    raise AssertionError(
+        "composite_signal_scan: no Window stage found beneath the "
+        "mapInPandas EMA pass; fused-plan invariant cannot be verified.\n"
+        + plan[:2000]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,13 @@ def markdown_to_pdf(md: str, path: str, title: str = "Report") -> int:
     """
     lines = md.splitlines()
     pages: list[list[tuple[int, str]]] = [[]]
+    # Paginate by the cumulative leading actually consumed, not a fixed line
+    # count: headings raise the leading to int(size*1.3) (up to 23pt), so a
+    # heading-heavy page at 54 fixed lines would draw below y=0 and lose
+    # content off the page bottom. Baselines start at y=756; break before a
+    # line's baseline would land under the 36pt bottom margin.
+    top_y, bottom_y = 756, 36
+    y = top_y
     for raw in lines:
         size = 11
         txt = raw
@@ -125,9 +132,11 @@ def markdown_to_pdf(md: str, path: str, title: str = "Report") -> int:
             size, txt = 14, raw[3:]
         elif raw.startswith("# "):
             size, txt = 18, raw[2:]
-        if len(pages[-1]) >= 54:
+        if y < bottom_y and pages[-1]:
             pages.append([])
+            y = top_y
         pages[-1].append((size, txt))
+        y -= int(size * 1.3)
 
     def esc(s: str) -> bytes:
         b = s.encode("latin-1", errors="replace")

@@ -75,6 +75,25 @@ def _py_simhash(text: str, bits: int = 64) -> int:
     return sig
 
 
+def test_simhash_native_matches_python_oracle(spark, dup_docs):
+    """The native (explode + 64-sum) signature equals the textbook
+    Counter-weighted Python construction bit-for-bit, including the signed
+    64-bit wrap and the empty-text → 0 case."""
+    got = {
+        r.doc_id: r.simhash % (1 << 64)
+        for r in dedup.simhash_signatures(dup_docs).collect()
+    }
+    want = {
+        r.doc_id: _py_simhash(r.text or "") for r in dup_docs.collect()
+    }
+    assert got == want
+    empty = spark.createDataFrame(
+        [(99, ""), (100, "   "), (101, None)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(empty).collect()}
+    assert sigs == {99: 0, 100: 0, 101: 0}
+
+
 def test_simhash_identical_and_near(spark, dup_docs):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming

@@ -231,6 +231,37 @@ def test_markdown_to_pdf_report(tmp_path):
     assert f"/Count {pages}".encode() in raw
 
 
+def test_markdown_to_pdf_heading_heavy_stays_on_page(tmp_path):
+    """Pagination tracks cumulative leading, not a fixed line count: a
+    heading-heavy report (23pt leading each) must break pages early enough
+    that every baseline stays above the bottom margin — replay each content
+    stream's Tf/TL/T* operators and check the running y-position."""
+    import re
+
+    from market_data_pipeline_spark import reports
+
+    md = "\n".join(f"# Heading {i}" for i in range(100))
+    path = str(tmp_path / "h.pdf")
+    pages = reports.markdown_to_pdf(md, path)
+    raw = open(path, "rb").read()
+    streams = re.findall(rb"stream\n(.*?)\nendstream", raw, re.S)
+    assert len(streams) == pages
+    for s in streams:
+        y, leading = 756.0, 14.0
+        min_y = y
+        for op in s.split(b"\n"):
+            if op.endswith(b" TL"):
+                leading = float(op.split()[0])
+            elif op == b"T*":
+                y -= leading
+                if y < min_y:
+                    min_y = y
+        # last T* after the final line may dip below, but every DRAWN
+        # baseline (y before each T*) must sit inside the page body
+        assert min_y + leading >= 36, f"baseline below margin: {min_y + leading}"
+    assert pages >= 4  # 100 headings at ~23pt leading cannot fit 54-per-page
+
+
 def test_telegram_notifier_transport_injection(monkeypatch):
     """S21: unconfigured → no send (reference's env-gate); configured → one
     POST with {chat_id, text}; transport failure is swallowed."""

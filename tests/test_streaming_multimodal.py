@@ -77,6 +77,44 @@ def test_resize_stub_rewrites_meta(spark):
     assert m.n_bytes == 5
 
 
+def test_real_png_roundtrip_stats(spark):
+    """documents_as_png emits REAL PNGs; extract_image_stats decodes them
+    with the stdlib codec: dims from the header, px_sum == sum of the
+    text's UTF-8 bytes (zero padding adds nothing)."""
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "x" * 40), (3, "")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_png(df, width=32)
+    from market_data_pipeline_spark.operators import imagecodec as ic
+
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(p[:8] == ic.PNG_MAGIC for p in payloads.values())
+    stats = {r.media_id: r for r in multimodal.extract_image_stats(media).collect()}
+    assert (stats[1].width, stats[1].height, stats[1].channels) == (32, 1, 1)
+    assert stats[1].px_sum == sum(b"abcdef")
+    assert (stats[2].width, stats[2].height) == (32, 2)  # 40 bytes → 2 rows
+    assert stats[2].px_sum == sum(b"x" * 40)
+    assert (stats[3].height, stats[3].px_sum) == (1, 0)  # empty → 1 zero row
+
+
+def test_real_resize_produces_decodable_target_size(spark):
+    """resize_images re-encodes a REAL PNG at the target size whose decoded
+    pixels are the nearest-neighbor map of the source."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators import imagecodec as ic
+
+    df = spark.createDataFrame([(5, "0123456789abcdef" * 8)], "doc_id long, text string")
+    media = multimodal.documents_as_png(df, width=32)  # 128 bytes → 32x4
+    small = multimodal.resize_images(media, target_w=8, target_h=2)
+    row = small.collect()[0]
+    img = ic.decode(bytes(row.payload))
+    assert img.shape == (2, 8, 1)
+    assert (row.meta.width, row.meta.height) == (8, 2)
+    src = ic.decode(bytes(media.collect()[0].payload))
+    assert np.array_equal(img, ic.resize_nearest(src, 8, 2))
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     """applyInPandasWithState final emissions == batch groupBy aggregate."""
     from pyspark.sql import functions as F
