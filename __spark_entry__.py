@@ -3496,12 +3496,56 @@ GROUP BY event_type
 
 
 def q_v_kmeans_fit(spark: SparkSession, sf: str) -> DataFrame:
-    """Iterative Lloyd's k-means to convergence — rows-only check (the
-    driver-side loop is not SQL-expressible); exact parity vs a numpy
-    reference implementation is pinned in tests/test_kmeans.py."""
+    """Iterative Lloyd's k-means — FULLY oracle-checked since round 3: the
+    operator quantizes M-step centroids to 6dp in-loop, which makes the
+    iterate independent of FP summation order, so a plain SQL UNROLLING of
+    the loop (6 E/M pairs as chained CTEs) reproduces the assignment
+    exactly. Early convergence needs no special casing: a converged
+    assignment is a fixed point, so surplus unrolled iterations are
+    no-ops. Exact parity vs a numpy twin is also pinned in
+    tests/test_kmeans.py."""
     e = load_table(spark, sf, "embeddings")
     assign, _cents, _iters = similarity.kmeans_fit(e, k=8, max_iter=6)
-    return assign
+    return assign.select(F.col("vec_id"), F.col("cluster"))
+
+
+def _kmeans_fit_sql(k: int = 8, iters: int = 6, dim: int = 64) -> str:
+    """DuckDB unrolling of kmeans_fit: seeds = k lowest vec_ids; per
+    iteration, per-dim mean rounded to 6dp then argmin by
+    (squared-distance, cluster) — the same quantized-Lloyd's recurrence,
+    term for term."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.v, c.cv),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f""", c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)""",
+        f""", a0 AS (
+  SELECT e.vec_id, (min({{'d': {dist}, 'c': c.cluster}})).c AS cluster
+  FROM e CROSS JOIN c0 c GROUP BY e.vec_id
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", cm{i} AS (
+  SELECT a.cluster, r.range AS dim, round(avg(e.v[CAST(r.range AS INT)]), 6) AS c
+  FROM e JOIN a{i - 1} a USING (vec_id) CROSS JOIN range(1, {dim + 1}) r
+  GROUP BY a.cluster, r.range
+), c{i} AS (
+  SELECT cluster, list(c ORDER BY dim) AS cv FROM cm{i} GROUP BY cluster
+), a{i} AS (
+  SELECT e.vec_id, (min({{'d': {dist}, 'c': c.cluster}})).c AS cluster
+  FROM e CROSS JOIN c{i} c GROUP BY e.vec_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters}"
+    )
+    return "\n".join(parts)
 
 
 def q_s_bars_weekly(spark: SparkSession, sf: str) -> DataFrame:
@@ -3650,7 +3694,7 @@ _REGISTRY.update(
         "inv_j_band_join": (q_j_band_join, SQL_BAND_JOIN),
         "inv_u_unpivot": (q_u_unpivot, SQL_UNPIVOT),
         "inv_x_hash_sample": (q_x_hash_sample, SQL_HASH_SAMPLE),
-        "inv_v_kmeans_fit": (q_v_kmeans_fit, None),
+        "inv_v_kmeans_fit": (q_v_kmeans_fit, _kmeans_fit_sql()),
         "inv_t_tfidf": (q_t_tfidf, SQL_T_TFIDF),
         "inv_e_funnel": (q_e_funnel, SQL_E_FUNNEL),
         "inv_e_retention": (q_e_retention, SQL_E_RETENTION),

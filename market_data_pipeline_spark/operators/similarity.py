@@ -365,6 +365,14 @@ def kmeans_fit(
     loses every member drops out of the centroid frame (k shrinks) rather
     than keeping a stale centroid.
 
+    M-step centroids are rounded to 6 decimals IN the loop (quantized
+    Lloyd's): the iterate then depends only on the rounded values, not on
+    floating-point summation order, so the whole fit is bit-reproducible
+    across partitionings AND across engines — which is what lets a plain
+    SQL unrolling of the loop (DuckDB oracle) match the assignment exactly.
+    At 1e-6 quantization the clustering is indistinguishable from the
+    unrounded iterate on any real embedding scale.
+
     Returns (assignments(vec_id, cluster), centroids(cluster, dim_pos,
     centroid), n_iterations_run).
     """
@@ -411,7 +419,7 @@ def kmeans_fit(
             base.join(assign, id_col)
             .select("cluster", F.posexplode("__v").alias("dim_pos", "c"))
             .groupBy("cluster", "dim_pos")
-            .agg(F.avg("c").alias("c"))
+            .agg(F.round(F.avg("c"), 6).alias("c"))
         )
         new_assign = _assign(cents).localCheckpoint(eager=True)
         moved = new_assign.join(assign, [id_col, "cluster"], "left_anti").count()

@@ -25,7 +25,10 @@ def _numpy_kmeans(ids, X, k, max_iter):
         for c in range(k):
             m = assign == c
             if m.any():
-                cents[c] = X[m].mean(axis=0)
+                # mirror the operator's in-loop 6dp quantization (HALF_UP,
+                # away from zero — not numpy's half-even)
+                mu = X[m].mean(axis=0)
+                cents[c] = np.sign(mu) * np.floor(np.abs(mu) * 1e6 + 0.5) / 1e6
         new_assign = _argmin_assign(cents)
         if (new_assign == assign).all():
             break

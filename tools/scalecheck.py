@@ -79,9 +79,43 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _render(results: dict) -> str:
+    lines = ["# SCALECHECK — measured cost growth at synthetic scale", ""]
+    for k_str in sorted(results, key=int):
+        k = int(k_str)
+        rows = results[k_str]
+        lines += [
+            f"## {k}× replica",
+            "",
+            f"Data: sf0.1 replicated {k}× with fresh keys per copy (more symbols/",
+            "docs/vectors, same per-key depth — the realistic growth mode)."
+            " Documents are exact cross-copy duplicates on purpose: a worst-case",
+            f"dedup stress where every doc shares all MinHash bands with its {k - 1} clones.",
+            "",
+            f"| query | sf0.1 (s) | {k}× (s) | growth vs {k}× data |",
+            "|---|---|---|---|",
+        ]
+        for name, t1, tk, ratio in rows:
+            verdict = (
+                "sub-linear" if ratio < k else ("~linear" if ratio < 1.5 * k else "SUPER-LINEAR")
+            )
+            lines.append(f"| {name} | {t1} | {tk} | {ratio}× — {verdict} |")
+        lines.append("")
+    lines += [
+        "A ratio well under K× means fixed overhead still dominates at this",
+        "size and the distributed fraction scales; a ratio far above would flag",
+        "a quadratic candidate set or skewed key. Rebuild with",
+        "`python tools/scalecheck.py K [query ...] --rebuild`.",
+    ]
+    return "\n".join(lines) + "\n"
+
+
 def main() -> None:
+    import json
+
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 10
+    queries = args[1:] if len(args) > 1 else QUERIES
     out_dir = os.path.join(REPO, ".scalecheck", f"x{k}")
     spark = get_spark("scalecheck")
     if "--rebuild" in sys.argv or not os.path.exists(
@@ -91,38 +125,31 @@ def main() -> None:
         build_replica(spark, k, out_dir)
 
     rows = []
-    for name in QUERIES:
+    for name in queries:
         t1 = time_query(spark, name, BASE)
         tk = time_query(spark, name, out_dir)
         ratio = round(tk / t1, 2) if t1 > 0 else float("inf")
         rows.append((name, t1, tk, ratio))
         print(f"{name}: {t1}s -> {tk}s  ({ratio}x at {k}x data)", file=sys.stderr)
 
-    lines = [
-        "# SCALECHECK — measured cost growth at synthetic scale",
-        "",
-        f"Data: sf0.1 replicated {k}× with fresh keys per copy (more symbols/",
-        "docs/vectors, same per-key depth — the realistic growth mode)."
-        " Documents are exact cross-copy duplicates on purpose: a worst-case",
-        "dedup stress where every doc shares all MinHash bands with its "
-        f"{k - 1} clones.",
-        "",
-        f"| query | sf0.1 (s) | {k}× (s) | growth vs {k}× data |",
-        "|---|---|---|---|",
-    ]
-    for name, t1, tk, ratio in rows:
-        verdict = "sub-linear" if ratio < k else ("~linear" if ratio < 1.5 * k else "SUPER-LINEAR")
-        lines.append(f"| {name} | {t1} | {tk} | {ratio}× — {verdict} |")
-    lines += [
-        "",
-        f"A ratio well under {k}× means fixed overhead still dominates at this",
-        "size and the distributed fraction scales; a ratio far above would flag",
-        "a quadratic candidate set or skewed key. Rebuild with",
-        "`python tools/scalecheck.py K --rebuild`.",
-    ]
+    # merge into the per-K results store so SCALECHECK.md keeps every K
+    store = os.path.join(REPO, ".scalecheck", "results.json")
+    results: dict = {}
+    if os.path.exists(store):
+        with open(store) as fh:
+            results = json.load(fh)
+    existing = {r[0]: r for r in results.get(str(k), [])}
+    for r in rows:
+        existing[r[0]] = list(r)
+    results[str(k)] = [existing[n] for n in sorted(existing)]
+    os.makedirs(os.path.dirname(store), exist_ok=True)
+    with open(store, "w") as fh:
+        json.dump(results, fh, indent=1)
+
+    md = _render(results)
     with open(os.path.join(REPO, "SCALECHECK.md"), "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
+        fh.write(md)
+    print(md)
     spark.stop()
 
 
