@@ -4877,16 +4877,69 @@ _REGISTRY.update(
 
 def q_x_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing (features.pack_sequences): chunks → fixed-budget
-    bins by bucketed first-fit-decreasing. Rows-only (greedy packing is not
-    SQL-expressible); invariants pytest-pinned: every item exactly once,
-    no bin over budget, waste fraction bounded."""
+    bins by bucketed first-fit-decreasing. FULLY oracle-checked since
+    round 3: the greedy loop is sequential per bucket, but a DuckDB
+    RECURSIVE CTE replays it exactly — per-bucket bin-fill state travels
+    as a BIGINT[] column, one item admitted per recursion step, first-fit
+    index via list_position over the fills. Invariants additionally
+    pytest-pinned (every item exactly once, no bin over budget)."""
     from market_data_pipeline_spark.operators import features
 
     d = text.add_token_stats(_docs(spark, sf)).select("doc_id", "n_tokens")
     return features.pack_sequences(d, budget=256)
 
 
-_REGISTRY.update({"inv_x_pack_sequences": (q_x_pack_sequences, None)})
+def _pack_sequences_sql(budget: int = 256, buckets: int = 32) -> str:
+    """Recursive-CTE twin of the bucketed FFD packer: items ranked
+    (size desc, id asc) within their Knuth bucket; each recursion step
+    admits the next item per bucket, updating that bucket's fills list —
+    oversize items close a singleton bin at exactly ``budget`` fill, the
+    same convention the pandas kernel uses. nullif(…, 0) because DuckDB
+    list_position returns 0, not NULL, on no match."""
+    pos = (
+        f"nullif(list_position(list_transform(s.fills,"
+        f" f -> f + i.n_tokens <= {budget}), true), 0)"
+    )
+    return f"""
+WITH RECURSIVE
+nt AS (SELECT doc_id, CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens FROM documents),
+r AS (
+  SELECT doc_id, n_tokens, (doc_id * 2654435761) % {buckets} AS bucket,
+         CAST(row_number() OVER (PARTITION BY (doc_id * 2654435761) % {buckets}
+                                 ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+  FROM nt
+),
+steps AS (
+  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS rk,
+         CAST([] AS BIGINT[]) AS fills,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS BIGINT) AS bin_pos, FALSE AS oversize
+  FROM r
+  UNION ALL
+  SELECT s.bucket, s.rk + 1,
+    CASE
+      WHEN i.n_tokens > {budget} THEN list_append(s.fills, CAST({budget} AS BIGINT))
+      WHEN {pos} IS NULL THEN list_append(s.fills, i.n_tokens)
+      ELSE list_concat(list_concat(
+             list_slice(s.fills, 1, {pos} - 1),
+             [s.fills[CAST({pos} AS INT)] + i.n_tokens]),
+             list_slice(s.fills, {pos} + 1, len(s.fills)))
+    END AS fills,
+    i.doc_id, i.n_tokens,
+    CASE
+      WHEN i.n_tokens > {budget} THEN len(s.fills) + 1
+      WHEN {pos} IS NULL THEN len(s.fills) + 1
+      ELSE {pos}
+    END AS bin_pos,
+    i.n_tokens > {budget} AS oversize
+  FROM steps s JOIN r i ON i.bucket = s.bucket AND i.rk = s.rk + 1
+)
+SELECT doc_id, n_tokens, CAST(bucket * 1000000000 + (bin_pos - 1) AS BIGINT) AS bin_id, oversize
+FROM steps WHERE doc_id IS NOT NULL
+"""
+
+
+_REGISTRY.update({"inv_x_pack_sequences": (q_x_pack_sequences, _pack_sequences_sql())})
 
 
 def q_u_bag_set_ops(spark: SparkSession, sf: str) -> DataFrame:
