@@ -115,6 +115,34 @@ def test_real_resize_produces_decodable_target_size(spark):
     assert np.array_equal(img, ic.resize_nearest(src, 8, 2))
 
 
+def test_real_wav_roundtrip_stats(spark):
+    """documents_as_wav emits REAL RIFF/WAVE; extract_audio_stats decodes:
+    n_samples = ceil(bytes/2), amp_sum = sum of the LE int16 samples."""
+    import numpy as np
+
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    stats = {r.media_id: r for r in multimodal.extract_audio_stats(
+        multimodal.documents_as_wav(df, sample_rate=8000)
+    ).collect()}
+    raw = b"abc\x00"
+    want = int(np.frombuffer(raw, dtype="<i2").sum())
+    assert (stats[1].n_samples, stats[1].channels, stats[1].sample_rate) == (2, 1, 8000)
+    assert stats[1].amp_sum == want
+    assert (stats[2].n_samples, stats[2].amp_sum) == (0, 0)
+
+
+def test_real_y4m_frame_sample(spark):
+    """documents_as_y4m emits a REAL YUV4MPEG2 stream; frame_sample decodes
+    and keeps every Nth frame with its luma sum."""
+    txt = "z" * 600  # 600 bytes → 3 frames of 256 (zero-padded)
+    df = spark.createDataFrame([(9, txt)], "doc_id long, text string")
+    media = multimodal.documents_as_y4m(df, frame_w=16, frame_h=16)
+    assert bytes(media.collect()[0].payload).startswith(b"YUV4MPEG2 W16 H16")
+    out = {r.frame_no: r.y_sum for r in multimodal.frame_sample(media, every_n=2).collect()}
+    z = ord("z")
+    assert out == {0: 256 * z, 2: (600 - 512) * z}  # frame 1 skipped
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir):
     """applyInPandasWithState final emissions == batch groupBy aggregate."""
     from pyspark.sql import functions as F
