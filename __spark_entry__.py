@@ -5047,6 +5047,44 @@ FROM inter GROUP BY l_orderkey
 _REGISTRY.update({"inv_u_bag_set_ops": (q_u_bag_set_ops, SQL_U_BAG)})
 
 
+def q_q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (quality.cms_heavy_hitters): every
+    user whose CMS estimate (min over 4 deterministic hash rows of a
+    4×1024 counter table) reaches the threshold, alongside the exact
+    count. The multiply-shift hash family is engine-portable, so the
+    oracle rebuilds the identical sketch in SQL — estimates match
+    exactly, and the no-false-negative property is an output column."""
+    e = load_table(spark, sf, "events")
+    return quality.cms_heavy_hitters(
+        e.select("user_id"), "user_id", width=1024, depth=4, min_count=50
+    )
+
+
+def _cms_sql(width: int = 1024, depth: int = 4, min_count: int = 50) -> str:
+    seeds = ", ".join(
+        f"({r}, {quality._CMS_SEEDS[r]})" for r in range(depth)
+    )
+    return f"""
+WITH seeds(row, seed) AS (VALUES {seeds}),
+counters AS (
+  SELECT s.row, (e.user_id * {quality._CMS_KNUTH} + s.seed) % {width} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN seeds s GROUP BY 1, 2
+),
+exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id),
+est AS (
+  SELECT x.user_id, x.exact_count, min(c.cnt) AS cms_estimate
+  FROM exact x CROSS JOIN seeds s
+  JOIN counters c
+    ON c.row = s.row AND c.bucket = (x.user_id * {quality._CMS_KNUTH} + s.seed) % {width}
+  GROUP BY 1, 2
+)
+SELECT user_id, cms_estimate, CAST(exact_count AS BIGINT) AS exact_count,
+       cms_estimate >= exact_count AS never_undercounts
+FROM est WHERE cms_estimate >= {min_count}
+"""
+
+
 def q_q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical distinct counting by sketch UNION (quality.
     sketch_rollup_distinct): one HLL sketch per (day) grain, weekly
@@ -5073,6 +5111,7 @@ GROUP BY 1 ORDER BY 1
 """
 
 _REGISTRY.update({"inv_q_sketch_rollup": (q_q_sketch_rollup, SQL_Q_SKETCH_ROLLUP)})
+_REGISTRY.update({"inv_q_cms_heavy_hitters": (q_q_cms_heavy_hitters, _cms_sql())})
 
 
 def q_a_vw_index(spark: SparkSession, sf: str) -> DataFrame:

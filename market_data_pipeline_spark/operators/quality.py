@@ -10,7 +10,7 @@ map-side partials, scan-bound at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from market_data_pipeline_spark.functions.helpers import clip
@@ -317,4 +317,97 @@ def sketch_rollup_distinct(
                 <= F.col("exact_distinct") * tol
             ).alias("union_ok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — bounded-memory frequency estimation (north-star
+# extension; reference has no sketches). The counter table is width·depth
+# cells regardless of key cardinality, so at 100 TB the heavy-hitter scan
+# costs one map-side-combined shuffle into a few KB of state — the reason
+# CMS exists. The hash family is deterministic multiply-shift (Knuth
+# constant + per-row odd seeds), so any engine reproduces the sketch
+# bit-for-bit: estimates are exactly checkable, not just within tolerance.
+# ---------------------------------------------------------------------------
+
+_CMS_KNUTH = 2654435761
+_CMS_SEEDS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Deterministic bucket for hash row ``row``: pmod(key·KNUTH + seed_row,
+    width). Keys are bigint; the multiply stays in int64 for any realistic
+    id (wrap would need |key| > ~3.5e9 — and ANSI mode is off regardless)."""
+    return F.pmod(
+        key.cast("bigint") * F.lit(_CMS_KNUTH) + F.lit(_CMS_SEEDS[row]),
+        F.lit(width),
+    )
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build the count-min counter table: (row, bucket, cnt) — depth·width
+    cells. One explode(depth) + one map-side-combined groupBy; the shuffle
+    output is O(width·depth) per partition, independent of input size."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cms_bucket(F.col(key_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    min_count: int = 100,
+) -> DataFrame:
+    """Heavy hitters by count-min estimate: every key whose CMS estimate
+    (min over the depth rows of its counter) reaches ``min_count``, with
+    the estimate and the exact count side by side.
+
+    CMS guarantees estimate >= true count (only overcounts), so this
+    NEVER misses a true heavy hitter — the classic no-false-negative scan.
+    The candidate set here is the distinct keys (exact at test scale); at
+    100 TB you'd feed a sampled/streamed candidate list instead — the
+    counter table and estimate join are the scale-invariant parts.
+    """
+    counters = cms_counters(df, key_col, width=width, depth=depth)
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        key_col,
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(key_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "exact_count", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy(key_col, "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.filter(F.col("cms_estimate") >= min_count).select(
+        F.col(key_col),
+        F.col("cms_estimate"),
+        F.col("exact_count"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("never_undercounts"),
     )

@@ -281,6 +281,9 @@ def composite_signal_scan(
     return scored.drop("__prev_close", "__prev_ma20", "__prev_macd", "__prev_sig")
 
 
+_PLAN_GUARD_OK: set[int] = set()
+
+
 def _assert_symbol_local_map(latest: DataFrame) -> None:
     """Guard the fused plan's load-bearing invariant: the ``mapInPandas``
     EMA pass is only correct if it runs DIRECTLY on the window stage's
@@ -289,7 +292,16 @@ def _assert_symbol_local_map(latest: DataFrame) -> None:
     pre-shuffled input inserts an Exchange between the Window and the
     MapInPandas, per-partition ``groupby().tail(1)`` would silently emit
     wrong latest rows / truncated recursions; fail loudly at plan time
-    instead. Costs one planning pass, no execution."""
+    instead. Costs one planning pass, no execution — and only on the FIRST
+    sighting of a logical plan shape: verdicts are memoised by semantic
+    hash (an input with different partitioning ancestry has a different
+    logical plan, so it is re-checked)."""
+    try:
+        key = latest._jdf.queryExecution().analyzed().semanticHash()
+        if key in _PLAN_GUARD_OK:
+            return
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        key = None
     plan = latest._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     map_idx = next(
@@ -299,6 +311,8 @@ def _assert_symbol_local_map(latest: DataFrame) -> None:
         return
     for ln in lines[map_idx + 1 :]:
         if "Window" in ln:
+            if key is not None:
+                _PLAN_GUARD_OK.add(key)
             return  # reached the window stage with no shuffle in between
         if "Exchange" in ln or "Coalesce" in ln:
             raise AssertionError(

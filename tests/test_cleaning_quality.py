@@ -181,3 +181,23 @@ def test_interval_bars_match_daily_special_case(spark, sf_dir):
         for r in bars_from_events_interval(spark, sf_dir, width="1 day").collect()
     }
     assert daily == interval and len(daily) > 0
+
+
+def test_cms_heavy_hitters_never_undercounts_and_collisions_overcount(spark):
+    """CMS property test: with width 4 (forced collisions) every estimate
+    is >= the exact count; with a wide sketch estimates are exact."""
+    from market_data_pipeline_spark.operators import quality
+
+    rows = [(i % 10,) for i in range(1000)] + [(99,)] * 5
+    df = spark.createDataFrame(rows, "user_id long")
+
+    tight = quality.cms_heavy_hitters(df, "user_id", width=4, depth=2, min_count=1)
+    got = {r.user_id: r for r in tight.collect()}
+    assert len(got) == 11
+    assert all(r.never_undercounts for r in got.values())
+    assert all(r.cms_estimate >= r.exact_count for r in got.values())
+    # width 4 << 11 keys: pigeonhole forces at least one overcount
+    assert any(r.cms_estimate > r.exact_count for r in got.values())
+
+    wide = quality.cms_heavy_hitters(df, "user_id", width=4096, depth=4, min_count=1)
+    assert all(r.cms_estimate == r.exact_count for r in wide.collect())
