@@ -1598,7 +1598,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 # DuckDB twin of text.normalized(); DuckDB regexp_replace needs the 'g' flag
 # (Spark replaces all matches by default).
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# [\s\v], not \s: DuckDB regexes are RE2, whose \s EXCLUDES vertical tab
+# (\x0B), while Spark/Java \s includes it — a doc containing \x0B would
+# tokenize differently across engines (r3 review finding, empirically
+# confirmed). Adding \v to the class makes RE2 match Java exactly.
+_NORM_SQL = "trim(regexp_replace(lower(text), '[\\s\\v]+', ' ', 'g'))"
+
+
+def _sql_byte_at(hx: str, idx: str) -> str:
+    """Byte value at 0-based index ``idx`` of the hex-expanded payload
+    column ``hx`` — the ONE definition of the engine-portable byte decoder
+    every media oracle shares (DuckDB md5/BLOB functions are VARCHAR-only,
+    so byte math goes through hex)."""
+    return (
+        f"strpos('0123456789ABCDEF', substr({hx}, CAST(2 * ({idx}) + 1 AS INT), 1)) * 16"
+        f" + strpos('0123456789ABCDEF', substr({hx}, CAST(2 * ({idx}) + 2 AS INT), 1)) - 17"
+    )
 
 
 def q_t_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1849,7 +1864,7 @@ def _simhash_pairs_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[\\s\\v]+')) AS tok
   FROM documents
 ),
 h AS (
@@ -2141,7 +2156,7 @@ def q_m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n=10)
 
 
-SQL_M_FRAMES = """
+SQL_M_FRAMES = f"""
 WITH m AS (
   SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb
@@ -2156,10 +2171,12 @@ spine AS (
   SELECT d.media_id, CAST(r.range AS INT) AS frame_no
   FROM d JOIN range(0, 100000) r ON r.range < d.n_frames AND r.range % 10 = 0
 ),
+-- the range(0, 1e6) spine caps the expansion at 1 MB/doc: a longer doc
+-- under-sums the ORACLE side only, so verification fails loudly (never
+-- a false pass); testdata docs are ~1 KB
 b AS (
   SELECT d.media_id, CAST(g.range // 256 AS INT) AS frame_no,
-         strpos('0123456789ABCDEF', substr(d.hx, CAST(2 * g.range + 1 AS INT), 1)) * 16
-         + strpos('0123456789ABCDEF', substr(d.hx, CAST(2 * g.range + 2 AS INT), 1)) - 17 AS byte
+         {_sql_byte_at('d.hx', 'g.range')} AS byte
   FROM d JOIN range(0, 1000000) g ON g.range < d.nb
 ),
 s AS (SELECT media_id, frame_no, sum(byte) AS y_sum FROM b GROUP BY media_id, frame_no)
@@ -2179,19 +2196,19 @@ def q_m_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.extract_audio_stats(media)
 
 
-SQL_M_AUDIO = """
+SQL_M_AUDIO = f"""
 WITH m AS (
   SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb
   FROM documents
 ),
+-- range cap = 1M samples (2 MB/doc); overflow under-sums the ORACLE side
+-- only -> loud verification failure, never a false pass
 sm AS (
   SELECT m.media_id,
-         strpos('0123456789ABCDEF', substr(m.hx, CAST(4 * g.range + 1 AS INT), 1)) * 16
-         + strpos('0123456789ABCDEF', substr(m.hx, CAST(4 * g.range + 2 AS INT), 1)) - 17 AS b0,
+         {_sql_byte_at('m.hx', '2 * g.range')} AS b0,
          CASE WHEN 2 * g.range + 1 < m.nb THEN
-           strpos('0123456789ABCDEF', substr(m.hx, CAST(4 * g.range + 3 AS INT), 1)) * 16
-           + strpos('0123456789ABCDEF', substr(m.hx, CAST(4 * g.range + 4 AS INT), 1)) - 17
+           {_sql_byte_at('m.hx', '2 * g.range + 1')}
          ELSE 0 END AS b1
   FROM m JOIN range(0, 1000000) g ON 2 * g.range < m.nb
 ),
@@ -2991,12 +3008,6 @@ def q_m_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# byte j (0-based) of the UTF-8 payload, via hex expansion (engine-portable)
-_SQL_BYTE_AT = (
-    "strpos('0123456789ABCDEF', substr(d.hx, CAST(2 * p.idx + 1 AS INT), 1)) * 16"
-    " + strpos('0123456789ABCDEF', substr(d.hx, CAST(2 * p.idx + 2 AS INT), 1)) - 17"
-)
-
 SQL_M_RESIZE = f"""
 WITH m AS (
   SELECT doc_id AS media_id, hex(encode(text)) AS hx,
@@ -3015,7 +3026,7 @@ px AS (
 ),
 v AS (
   SELECT p.media_id,
-         CASE WHEN p.idx < d.nb THEN {_SQL_BYTE_AT} ELSE 0 END AS byte
+         CASE WHEN p.idx < d.nb THEN {_sql_byte_at('d.hx', 'p.idx')} ELSE 0 END AS byte
   FROM px p JOIN dims d USING (media_id)
 )
 SELECT media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
@@ -3041,17 +3052,17 @@ def q_m_image_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_M_ROUNDTRIP = """
+SQL_M_ROUNDTRIP = f"""
 WITH m AS (
   SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb
   FROM documents
 ),
+-- 1 MB/doc expansion cap; overflow under-sums the ORACLE side only ->
+-- loud verification failure, never a false pass
 g AS (SELECT range AS i FROM range(0, 1000000)),
 b AS (
-  SELECT m.media_id,
-         strpos('0123456789ABCDEF', substr(m.hx, CAST(2 * g.i + 1 AS INT), 1)) * 16
-         + strpos('0123456789ABCDEF', substr(m.hx, CAST(2 * g.i + 2 AS INT), 1)) - 17 AS byte
+  SELECT m.media_id, {_sql_byte_at('m.hx', 'g.i')} AS byte
   FROM m JOIN g ON g.i < m.nb
 ),
 s AS (SELECT media_id, sum(byte) AS px_sum FROM b GROUP BY media_id),
@@ -4148,7 +4159,7 @@ WITH {_SHINGLE_SQL},
 {_minhash_sig_sql()},
 {_band_sql()},
 fp AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[\\s\\v]+', ' ', 'g'))) AS fingerprint
   FROM documents
 ),
 cand AS (
@@ -5067,7 +5078,10 @@ def _cms_sql(width: int = 1024, depth: int = 4, min_count: int = 50) -> str:
     return f"""
 WITH seeds(row, seed) AS (VALUES {seeds}),
 counters AS (
-  SELECT s.row, (e.user_id * {quality._CMS_KNUTH} + s.seed) % {width} AS bucket,
+  -- double-mod = Spark pmod (the NULL sentinel is negative; DuckDB % is
+  -- remainder, not modulus)
+  SELECT s.row,
+         (((coalesce(e.user_id, {quality._CMS_NULL_SENTINEL}) * {quality._CMS_KNUTH} + s.seed) % {width}) + {width}) % {width} AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
   FROM events e CROSS JOIN seeds s GROUP BY 1, 2
 ),
@@ -5076,7 +5090,8 @@ est AS (
   SELECT x.user_id, x.exact_count, min(c.cnt) AS cms_estimate
   FROM exact x CROSS JOIN seeds s
   JOIN counters c
-    ON c.row = s.row AND c.bucket = (x.user_id * {quality._CMS_KNUTH} + s.seed) % {width}
+    ON c.row = s.row
+   AND c.bucket = (((coalesce(x.user_id, {quality._CMS_NULL_SENTINEL}) * {quality._CMS_KNUTH} + s.seed) % {width}) + {width}) % {width}
   GROUP BY 1, 2
 )
 SELECT user_id, cms_estimate, CAST(exact_count AS BIGINT) AS exact_count,
@@ -5184,21 +5199,24 @@ _STATIC_GREEN: frozenset[str] = frozenset({
 
 
 def _driver_green_rounds() -> dict[str, int]:
-    """Map of query name -> LAST round with a clean driver row (err null, no
-    False field — a failed check keeps the query IN the window for
-    re-verification after a fix). The CORRECTNESS_r*.json files this reads
-    are committed to the repo, so ordering is identical in a fresh clone.
-    The static floor counts as round 1."""
+    """(name -> LAST round with a clean driver row, max CORRECTNESS file
+    index). A row is clean when err is null and no field is False — a
+    failed check keeps the query IN the window for re-verification after a
+    fix. The CORRECTNESS_r*.json files this reads are committed to the
+    repo, so ordering is identical in a fresh clone. The static floor
+    counts as round 1."""
     import glob
     import json as _json
     import os
     import re as _re
 
     rounds: dict[str, int] = {n: 1 for n in _STATIC_GREEN}
+    max_file_round = 1
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
+        max_file_round = max(max_file_round, rnd)
         try:
             with open(path) as fh:
                 rec = _json.load(fh)
@@ -5209,13 +5227,16 @@ def _driver_green_rounds() -> dict[str, int]:
                 continue
             if row.get("err") is None and not any(v is False for v in row.values()):
                 rounds[name] = max(rounds.get(name, 0), rnd)
-    return rounds
+    return rounds, max_file_round
 
 
-_GREEN_ROUNDS = _driver_green_rounds()
+_GREEN_ROUNDS, _MAX_FILE_ROUND = _driver_green_rounds()
 _DRIVER_GREEN = frozenset(_GREEN_ROUNDS)
-# The round the NEXT driver run records (r01..rN present -> this is round N+1).
-_THIS_ROUND = max(_GREEN_ROUNDS.values(), default=0) + 1
+# The round the NEXT driver run records: r01..rN FILES present -> round N+1.
+# Keyed off the file index, not the max green round — a crashed driver run
+# that wrote a file with zero clean rows must still advance the round, or
+# the reverify lists and the resample rotation would repeat a stale round.
+_THIS_ROUND = _MAX_FILE_ROUND + 1
 
 # Families the round-1 verdict asked to see first: the TPC-H completion set,
 # the streaming ladder, and the dedup/similarity ladder. Within the pending
@@ -5304,16 +5325,14 @@ def _rotate_registry(reg: dict) -> dict:
 # SQL from the hex expansion of the UTF-8 payload (range-join, no lateral),
 # head_hash as md5 over the UPPERCASE hex of the first 64 bytes — the same
 # definition the pandas kernel uses, so the hash comparison is exact.
-SQL_M_FEATURES = """
+SQL_M_FEATURES = f"""
 WITH m AS (
   SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents
 ),
-g AS (SELECT range AS i FROM range(1, 1000001)),
+g AS (SELECT range AS i FROM range(0, 1000000)),
 b AS (
-  SELECT m.media_id,
-         strpos('0123456789ABCDEF', substr(m.h, CAST(2*g.i-1 AS INT), 1)) * 16
-         + strpos('0123456789ABCDEF', substr(m.h, CAST(2*g.i AS INT), 1)) - 17 AS byte
-  FROM m JOIN g ON g.i <= length(m.h) / 2
+  SELECT m.media_id, {_sql_byte_at('m.h', 'g.i')} AS byte
+  FROM m JOIN g ON g.i < length(m.h) / 2
 ),
 a AS (SELECT media_id, round(avg(byte), 6) AS byte_mean FROM b GROUP BY media_id)
 SELECT m.media_id,

@@ -52,6 +52,8 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"WAV fmt chunk truncated ({len(body)} bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             raw = body
@@ -59,6 +61,8 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if channels < 1:
+        raise ValueError(f"WAV declares {channels} channels")
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(f"WAV format={audio_format} bits={bits} (PCM-16 only)")
     usable = len(raw) - (len(raw) % (2 * channels))

@@ -334,13 +334,40 @@ _CMS_KNUTH = 2654435761
 _CMS_SEEDS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
 
 
+# NULL keys map to a fixed sentinel so they hash to real buckets: a NULL
+# bucket would fall out of the (null-unsafe) probe join and a NULL-keyed
+# heavy hitter would be silently MISSED — breaking the no-false-negative
+# guarantee. Colliding with the sentinel's numeric value merely overcounts,
+# which CMS already permits.
+_CMS_NULL_SENTINEL = -771947089
+
+
 def _cms_bucket(key: Column, row: int, width: int) -> Column:
     """Deterministic bucket for hash row ``row``: pmod(key·KNUTH + seed_row,
     width). Keys are bigint; the multiply stays in int64 for any realistic
     id (wrap would need |key| > ~3.5e9 — and ANSI mode is off regardless)."""
     return F.pmod(
-        key.cast("bigint") * F.lit(_CMS_KNUTH) + F.lit(_CMS_SEEDS[row]),
+        F.coalesce(key.cast("bigint"), F.lit(_CMS_NULL_SENTINEL))
+        * F.lit(_CMS_KNUTH)
+        + F.lit(_CMS_SEEDS[row]),
         F.lit(width),
+    )
+
+
+def _cms_probes(key: Column, width: int, depth: int) -> Column:
+    """The exploded (row, bucket) probe array — ONE definition shared by the
+    counter build and the estimate join, so the hash family can never drift
+    between the two sides."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_bucket(key, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
     )
 
 
@@ -350,17 +377,8 @@ def cms_counters(
     """Build the count-min counter table: (row, bucket, cnt) — depth·width
     cells. One explode(depth) + one map-side-combined groupBy; the shuffle
     output is O(width·depth) per partition, independent of input size."""
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                _cms_bucket(F.col(key_col), r, width).alias("bucket"),
-            )
-            for r in range(depth)
-        ]
-    )
     return (
-        df.select(F.explode(rows).alias("rb"))
+        df.select(_cms_probes(F.col(key_col), width, depth).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -388,17 +406,7 @@ def cms_heavy_hitters(
     probes = exact.select(
         key_col,
         "exact_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cms_bucket(F.col(key_col), r, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        _cms_probes(F.col(key_col), width, depth).alias("rb"),
     ).select(key_col, "exact_count", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     est = (
         probes.join(F.broadcast(counters), ["row", "bucket"])

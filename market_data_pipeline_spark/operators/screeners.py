@@ -281,7 +281,7 @@ def composite_signal_scan(
     return scored.drop("__prev_close", "__prev_ma20", "__prev_macd", "__prev_sig")
 
 
-_PLAN_GUARD_OK: set[int] = set()
+_PLAN_GUARD_OK: set[tuple] = set()
 
 
 def _assert_symbol_local_map(latest: DataFrame) -> None:
@@ -297,7 +297,21 @@ def _assert_symbol_local_map(latest: DataFrame) -> None:
     hash (an input with different partitioning ancestry has a different
     logical plan, so it is re-checked)."""
     try:
-        key = latest._jdf.queryExecution().analyzed().semanticHash()
+        spark = latest.sparkSession
+        # physical planning depends on session conf too — fold the confs
+        # that move Exchanges into the key so a mid-session toggle (AQE,
+        # shuffle partitions, broadcast threshold) forces a re-check even
+        # for an identical logical plan
+        conf_key = tuple(
+            spark.conf.get(c, "")
+            for c in (
+                "spark.sql.adaptive.enabled",
+                "spark.sql.shuffle.partitions",
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.execution.sortBeforeRepartition",
+            )
+        )
+        key = (latest._jdf.queryExecution().analyzed().semanticHash(), conf_key)
         if key in _PLAN_GUARD_OK:
             return
     except Exception:  # noqa: BLE001 — cache is best-effort

@@ -94,6 +94,29 @@ def test_simhash_native_matches_python_oracle(spark, dup_docs):
     assert sigs == {99: 0, 100: 0, 101: 0}
 
 
+def test_whitespace_class_parity_with_duckdb_on_vertical_tab(spark):
+    """Java \\s includes \\x0B, RE2 \\s does not — the oracles use [\\s\\v]
+    so both engines tokenize identically. Pin the parity on an adversarial
+    vertical-tab document (r3 review finding)."""
+    import duckdb
+
+    from market_data_pipeline_spark.operators.text import normalized
+
+    txt = "Foo\x0bBar  baz"
+    got_spark = (
+        spark.createDataFrame([(txt,)], "text string")
+        .select(normalized(F.col("text")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    import __spark_entry__ as m
+
+    got_duck = duckdb.sql(
+        f"SELECT {m._NORM_SQL} AS n FROM (SELECT '{txt}' AS text)"
+    ).fetchone()[0]
+    assert got_spark == got_duck == "foo bar baz"
+
+
 def test_simhash_identical_and_near(spark, dup_docs):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming

@@ -120,10 +120,23 @@ def test_correctness_window_rotation():
                 green.add(name)
     window = list(m.queries())[:50]
     overlap = green & set(window)
-    # the window only re-admits green names once fewer than 50 pending remain
+    # r3 policy: green names re-enter the window ONLY as (a) this round's
+    # modified-since-green reverify list or (b) the rotating K-sample —
+    # every other slot goes to pending queries while any remain
+    allowed = set(m._REVERIFY_BY_ROUND.get(m._THIS_ROUND, ())) | set(
+        m._green_resample(
+            [n for n in m.queries() if n in green
+             and n not in m._REVERIFY_BY_ROUND.get(m._THIS_ROUND, ())],
+            m._THIS_ROUND,
+            m._GREEN_RESAMPLE_K,
+        )
+    )
     n_pending = len(set(m.queries()) - green)
     if n_pending >= 50:
-        assert not overlap, f"green names wasting window slots: {sorted(overlap)[:5]}"
+        stray = overlap - allowed
+        assert not stray, f"green names wasting window slots: {sorted(stray)[:5]}"
+        # and the sample must actually be IN the window (regression re-catch)
+        assert len(overlap & allowed) >= min(m._GREEN_RESAMPLE_K, len(allowed))
     # registry floor: round-2 shipped 180 named queries; a silent
     # registration overwrite would show up as a drop below this
     assert len(m.queries()) >= 180
