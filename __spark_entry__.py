@@ -3573,6 +3573,92 @@ GROUP BY event_type
 """
 
 
+def q_v_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_fit/pq_topk): 8 subspace
+    codebooks of 16 centroids trained by quantized Lloyd's (all subspaces
+    in ONE set of jobs), corpus encoded to 8-byte codes, asymmetric-
+    distance top-k from broadcast distance tables. Fully oracle-checked:
+    the 6dp in-loop centroid rounding makes the trainer engine-
+    reproducible, so the DuckDB twin unrolls the same 3 E/M pairs and
+    replays the ADC lookup exactly."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pq_topk(e, n_queries=5, topk=5, m=8, k=16, iters=3)
+
+
+def _pq_topk_sql(
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    n_queries: int = 5,
+    topk: int = 5,
+) -> str:
+    """DuckDB unrolling of pq_topk — the kmeans oracle generalized with a
+    subspace key: per (vec_id, sub) argmin, per (sub, cluster, dim) rounded
+    means, codes = final assignment, ADC = sum of per-subspace table
+    lookups."""
+    sub_dim = dim // m
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            f" s -> (s[1] - s[2]) * (s[1] - s[2])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f""", b AS (
+  SELECT vec_id, CAST(s.range AS INT) AS sub,
+         v[CAST(s.range * {sub_dim} + 1 AS INT) : CAST(s.range * {sub_dim} + {sub_dim} AS INT)] AS sv
+  FROM e CROSS JOIN range(0, {m}) s
+)""",
+        f""", c0 AS (
+  SELECT sub, CAST(rn - 1 AS INT) AS cluster, sv AS cv FROM (
+    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM b
+  ) WHERE rn <= {k}
+)""",
+        f""", a0 AS (
+  SELECT b.vec_id, b.sub, (min({{'d': {dist('b.sv', 'c.cv')}, 'c': c.cluster}})).c AS cluster
+  FROM b JOIN c0 c USING (sub) GROUP BY b.vec_id, b.sub
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", cm{i} AS (
+  SELECT a.sub, a.cluster, r.range AS dim,
+         round(avg(b.sv[CAST(r.range AS INT)]), 6) AS c
+  FROM b JOIN a{i - 1} a ON a.vec_id = b.vec_id AND a.sub = b.sub
+  CROSS JOIN range(1, {sub_dim + 1}) r
+  GROUP BY a.sub, a.cluster, r.range
+), c{i} AS (
+  SELECT sub, cluster, list(c ORDER BY dim) AS cv FROM cm{i} GROUP BY sub, cluster
+), a{i} AS (
+  SELECT b.vec_id, b.sub, (min({{'d': {dist('b.sv', 'c.cv')}, 'c': c.cluster}})).c AS cluster
+  FROM b JOIN c{i} c USING (sub) GROUP BY b.vec_id, b.sub
+)"""
+        )
+    parts.append(
+        f""", q AS (
+  SELECT vec_id AS query_id, sub, sv FROM b
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_queries})
+), dt AS (
+  SELECT q.query_id, q.sub, c.cluster, {dist('q.sv', 'c.cv')} AS d
+  FROM q JOIN c{iters} c USING (sub)
+), scored AS (
+  SELECT dt.query_id, a.vec_id AS corpus_id, round(sum(dt.d), 6) AS approx_dist
+  FROM a{iters} a JOIN dt ON dt.sub = a.sub AND dt.cluster = a.cluster
+  WHERE a.vec_id <> dt.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, corpus_id, approx_dist, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, corpus_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {topk}"""
+    )
+    return "\n".join(parts)
+
+
 def q_v_kmeans_fit(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative Lloyd's k-means — FULLY oracle-checked since round 3: the
     operator quantizes M-step centroids to 6dp in-loop, which makes the
@@ -3773,6 +3859,7 @@ _REGISTRY.update(
         "inv_u_unpivot": (q_u_unpivot, SQL_UNPIVOT),
         "inv_x_hash_sample": (q_x_hash_sample, SQL_HASH_SAMPLE),
         "inv_v_kmeans_fit": (q_v_kmeans_fit, _kmeans_fit_sql()),
+        "inv_v_pq_topk": (q_v_pq_topk, _pq_topk_sql()),
         "inv_t_tfidf": (q_t_tfidf, SQL_T_TFIDF),
         "inv_e_funnel": (q_e_funnel, SQL_E_FUNNEL),
         "inv_e_retention": (q_e_retention, SQL_E_RETENTION),

@@ -571,3 +571,169 @@ def random_projection(
         total = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         outs.append(F.round(total * F.lit(scale), 6).alias(f"p{j}"))
     return df.select(F.col(id_col), *outs)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN path. At 100 TB a
+# 64-dim float corpus is 256 B/vector; PQ codes are m bytes (8 here, a 32×
+# cut), so the scan side of a query fits in a fraction of the memory and
+# the distance math becomes m table lookups (ADC). The trainer is quantized
+# Lloyd's run for ALL subspaces in ONE set of jobs (rows keyed by
+# (vec_id, sub)), so training cost does not scale with m — and like
+# kmeans_fit, 6dp in-loop rounding makes the whole fit engine-reproducible,
+# which is what lets the DuckDB oracle unroll it exactly.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Train PQ codebooks and encode the corpus.
+
+    Returns (codes(vec_id, codes array<int> of length m),
+    codebooks(sub, cluster, cv array<double> of sub_dim)). Seeds: per
+    subspace, the k lowest ids' subvectors (same deterministic rule as
+    kmeans_fit). Fixed ``iters`` E/M pairs — no convergence break, so the
+    exact iterate is reproducible by a fixed-depth SQL unrolling.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(v, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    base = (
+        df.select(F.col(id_col), F.explode(subs).alias("x"))
+        .select(id_col, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+        .localCheckpoint(eager=True)
+    )
+
+    from pyspark.sql import Window as _W
+
+    seed_rank = _W.partitionBy("sub").orderBy(id_col)
+    seeds = (
+        base.withColumn("__rn", F.row_number().over(seed_rank))
+        .filter(F.col("__rn") <= k)
+        .select("sub", (F.col("__rn") - 1).alias("cluster"), F.col("sv").alias("cv"))
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        sqdist = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            base.join(F.broadcast(cents), "sub")
+            .select(
+                id_col,
+                "sub",
+                F.struct(sqdist.alias("d"), F.col("cluster")).alias("__c"),
+            )
+            .groupBy(id_col, "sub")
+            .agg(F.min("__c").alias("__best"))
+            .select(id_col, "sub", F.col("__best.cluster").alias("cluster"))
+        )
+
+    cents = seeds
+    assign = _assign(cents).localCheckpoint(eager=True)
+    for _ in range(iters):
+        long = (
+            base.join(assign, [id_col, "sub"])
+            .select("sub", "cluster", F.posexplode("sv").alias("dim_pos", "c"))
+            .groupBy("sub", "cluster", "dim_pos")
+            .agg(F.round(F.avg("c"), 6).alias("c"))
+        )
+        cents = (
+            long.groupBy("sub", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim_pos", "c"))).alias("__p"))
+            .select(
+                "sub",
+                "cluster",
+                F.transform("__p", lambda s: s.getField("c")).alias("cv"),
+            )
+        )
+        assign = _assign(cents).localCheckpoint(eager=True)
+    codes = (
+        assign.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cluster"))).alias("__p"))
+        .select(
+            id_col,
+            F.transform("__p", lambda s: s.getField("cluster").cast("int")).alias("codes"),
+        )
+    )
+    return codes, cents
+
+
+def pq_topk(
+    df: DataFrame,
+    n_queries: int = 5,
+    topk: int = 5,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: exact query subvector vs the
+    corpus' PQ codes. Distance tables are (n_queries·m·k) rows — a
+    broadcast — and the corpus side touches only the m-byte codes, never
+    the raw vectors: the 100 TB read path PQ exists for."""
+    sub_dim = dim // m
+    codes, cents = pq_fit(df, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim)
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(v, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    queries = (
+        df.orderBy(id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("query_id"), F.explode(subs).alias("x"))
+        .select("query_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dt = queries.join(F.broadcast(cents), "sub").select(
+        "query_id", "sub", "cluster", sqdist.alias("d")
+    )
+    code_rows = codes.select(
+        F.col(id_col).alias("corpus_id"),
+        F.posexplode("codes").alias("sub", "cluster"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(dt), ["sub", "cluster"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "corpus_id", "approx_dist", "rk")
+    )

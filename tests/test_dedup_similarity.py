@@ -325,3 +325,31 @@ def test_random_projection_zero_shuffle_and_deterministic(spark, sf_dir):
             for i in range(64)
         )
         assert abs(val - round(signs / math.sqrt(64), 6)) < 1e-9
+
+
+def test_pq_topk_shape_and_approximation_quality(spark, sf_dir):
+    """PQ ADC top-k: 5 ranked rows per query, distances non-decreasing in
+    rank, and the approximation is informative — each query's PQ top-1 has
+    a TRUE squared distance well below the corpus median (ADC over 8-byte
+    codes preserves neighborhood structure on real data)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(e, n_queries=3, topk=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(len(v) for v in by_q.values()) == {5}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rk)
+        dists = [r.approx_dist for r in rows]
+        assert dists == sorted(dists)
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in e.collect()}
+    for qid, rows in by_q.items():
+        top1 = rows[0].corpus_id
+        true_d = ((vecs[qid] - vecs[top1]) ** 2).sum()
+        all_d = np.array(
+            [((vecs[qid] - v) ** 2).sum() for cid, v in vecs.items() if cid != qid]
+        )
+        assert true_d < np.median(all_d)
