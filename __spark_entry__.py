@@ -3735,6 +3735,40 @@ GROUP BY 1, 2
 """
 
 
+def q_j_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted equi-join (functions/skew.salted_join): the explicit hot-key
+    mitigation for huge×medium joins AQE can't broadcast — the small side
+    replicates across 8 salts, the big side's rows spread by a
+    DETERMINISTIC salt (xxhash64 of a secondary column, never rand()).
+    The oracle is the PLAIN join: salting must be result-invariant, and
+    the driver hash proves it on real data, not just the pytest fixture."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    from market_data_pipeline_spark.functions.skew import salted_join
+
+    joined = salted_join(li, p, key="p_partkey", salt_from="l_orderkey", n_salts=8)
+    return joined.groupBy("p_type").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_J_SALTED = """
+SELECT p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
 def q_j_band_join(spark: SparkSession, sf: str) -> DataFrame:
     tune_existing(spark)
     return relational.orders_price_bands(spark, sf)
@@ -3856,6 +3890,7 @@ _REGISTRY.update(
         "inv_a_mom_growth": (q_a_mom_growth, SQL_A_MOM),
         "inv_s_bars_weekly": (q_s_bars_weekly, SQL_BARS_WEEKLY),
         "inv_j_band_join": (q_j_band_join, SQL_BAND_JOIN),
+        "inv_j_salted_join": (q_j_salted_join, SQL_J_SALTED),
         "inv_u_unpivot": (q_u_unpivot, SQL_UNPIVOT),
         "inv_x_hash_sample": (q_x_hash_sample, SQL_HASH_SAMPLE),
         "inv_v_kmeans_fit": (q_v_kmeans_fit, _kmeans_fit_sql()),
@@ -5358,7 +5393,9 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
 # How many already-green queries are re-admitted into each round's window as a
 # rotating regression sample (r2 advice: a green query must be able to re-enter
 # the window, or a regression in it is never re-caught by the driver).
-_GREEN_RESAMPLE_K = 3
+# K=2 sized so the remaining never-checked queries complete full driver
+# coverage by round 4 (89 pending at r3 start, ~42/round through the window).
+_GREEN_RESAMPLE_K = 2
 
 
 def _green_resample(green: list[str], rnd: int, k: int) -> list[str]:
