@@ -209,6 +209,27 @@ def stream_stream_attribution(
     )
 
 
+def _store_has_parquet(spark: SparkSession, path: str) -> bool:
+    """Probe a store path through the Hadoop FileSystem API so remote URIs
+    (hdfs://, s3a://, dbfs:/) resolve too — a driver-local os.path.exists
+    would be False for those on every batch and the store-side logic would
+    silently never run. An existing but empty directory (e.g. from a failed
+    first write) has no parquet footers and counts as absent."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def streaming_dedup_admission(
     stream_docs: DataFrame,
     store_path: str,
@@ -241,28 +262,6 @@ def streaming_dedup_admission(
     from market_data_pipeline_spark.operators import dedup as _dedup
     from market_data_pipeline_spark.operators.text import normalized
 
-    def _store_exists(spark, path: str) -> bool:
-        # Probe through the Hadoop FileSystem API so remote store URIs
-        # (hdfs://, s3a://, dbfs:/) resolve too — a driver-local
-        # os.path.exists would be False for those on every batch and the
-        # store-side dedup would silently never run.
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        hconf = jsc.hadoopConfiguration()
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(hconf)
-        if not fs.exists(hpath):
-            return False
-        # An existing but empty directory (e.g. from a failed first write)
-        # has no parquet footers; treat it as absent rather than letting
-        # spark.read.parquet fail the batch.
-        it = fs.listFiles(hpath, True)
-        while it.hasNext():
-            f = it.next()
-            if f.getPath().getName().endswith(".parquet"):
-                return True
-        return False
-
     def admit(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -274,7 +273,7 @@ def streaming_dedup_admission(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if _store_exists(spark, store_path):
+        if _store_has_parquet(spark, store_path):
             store = spark.read.parquet(store_path).select(id_col, text_col)
             kept_ids = _dedup.incremental_dedup(
                 batch.select(id_col, text_col),
@@ -334,3 +333,55 @@ def streaming_ohlcv_bars(
             "n_trades",
         )
     )
+
+
+def streaming_cms_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    width: int = 1024,
+    depth: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Incremental count-min sketch maintenance: per micro-batch, build the
+    batch's (row, bucket) counter delta (quality.cms_counters — one
+    map-side-combined agg into width·depth cells) and MERGE it into the
+    persisted counter table by summing per cell.
+
+    CMS is a linear sketch — counters of a union are the sums of the
+    counters — so batch-wise maintenance is EXACT: after any number of
+    batches the store equals the sketch of all events ever seen, and
+    heavy-hitter queries read width·depth rows regardless of history
+    size. ``foreachBatch`` because the store is read-modify-write (the
+    same shape as streaming_dedup_admission); the parquet overwrite is
+    tiny (KBs) and a transactional table gives exactly-once.
+    """
+    from market_data_pipeline_spark.operators.quality import cms_counters
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = cms_counters(batch_df.select(key_col), key_col, width=width, depth=depth)
+        if _store_has_parquet(spark, store_path):
+            prev = spark.read.parquet(store_path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        # materialize BEFORE overwriting the input path
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            store_path
+        )
+
+    writer = stream_df.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -639,3 +639,48 @@ def test_streaming_ohlcv_bars_match_batch_interval_bars(spark, sf_dir):
     )
     want = {tuple(r) for r in finalized.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_cms_maintenance_is_exact_across_batches(spark, tmp_path):
+    """CMS is a linear sketch: counters merged batch-by-batch equal the
+    counters of all events at once — the streaming store after two batches
+    must be IDENTICAL to a one-shot batch sketch over the union."""
+    from market_data_pipeline_spark.operators.quality import cms_counters
+    from market_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "ev_src")
+    store = str(tmp_path / "cms_store")
+    ckpt = str(tmp_path / "cms_ckpt")
+    schema = "user_id long"
+
+    def write(ids):
+        spark.createDataFrame([(i,) for i in ids], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_cms_maintenance(
+            stream, store, ckpt, key_col="user_id", width=64, depth=2
+        )
+        q.awaitTermination()
+
+    b1 = [1, 2, 2, 3, 3, 3]
+    b2 = [3, 4, 4, 1]
+    write(b1)
+    run_once()
+    write(b2)
+    run_once()
+
+    got = {
+        (r.row, r.bucket): r.cnt for r in spark.read.parquet(store).collect()
+    }
+    want_df = cms_counters(
+        spark.createDataFrame([(i,) for i in b1 + b2], schema),
+        "user_id",
+        width=64,
+        depth=2,
+    )
+    want = {(r.row, r.bucket): r.cnt for r in want_df.collect()}
+    assert got == want
+    assert sum(got.values()) == 2 * len(b1 + b2)  # depth × events mass
