@@ -1695,6 +1695,59 @@ FROM e
 """
 
 
+def q_t_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level corpus dedup (text.line_dedup — the CCNet/RefinedWeb
+    boilerplate rule): wrap every document in a shared header/footer (the
+    nav-bar/cookie-banner scenario), then drop lines whose normalized form
+    appears in more than 2 distinct documents. The boilerplate vanishes,
+    each unique body line survives, and reassembly preserves order —
+    all value-checked by the oracle's replay."""
+    d = _docs(spark, sf)
+    boilered = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("DAILY MARKET BULLETIN"),
+            F.col("text"),
+            F.lit("Unsubscribe: example.com/optout"),
+        ).alias("text"),
+    )
+    return text.line_dedup(boilered, max_doc_freq=2)
+
+
+SQL_T_LINE_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         'DAILY MARKET BULLETIN' || chr(10) || text || chr(10) ||
+         'Unsubscribe: example.com/optout' AS t
+  FROM documents
+),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+l AS (
+  SELECT ls.doc_id, CAST(g.range AS INT) AS pos,
+         lines[CAST(g.range + 1 AS INT)] AS line,
+         md5(trim(regexp_replace(lower(lines[CAST(g.range + 1 AS INT)]), '[\\s\\v]+', ' ', 'g'))) AS line_key
+  FROM ls JOIN range(0, 100000) g ON g.range < len(lines)
+),
+hot AS (
+  SELECT line_key FROM l GROUP BY line_key HAVING count(DISTINCT doc_id) > 2
+),
+kept AS (SELECT * FROM l WHERE line_key NOT IN (SELECT line_key FROM hot)),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM l GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+       CAST(t.n_total - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN totals t USING (doc_id)
+"""
+
+
 def q_t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     return text.add_fingerprint(d).select("doc_id", "fingerprint", "fingerprint16")
@@ -2237,6 +2290,7 @@ _REGISTRY.update(
         "inv_t_quality_score": (q_t_quality_score, SQL_T_QUALITY),
         "inv_t_lang_id": (q_t_lang_id, SQL_T_LANG),
         "inv_t_fingerprint": (q_t_fingerprint, SQL_T_FP),
+        "inv_t_line_dedup": (q_t_line_dedup, SQL_T_LINE_DEDUP),
         # dedup
         "inv_d_exact_dups": (q_d_exact_dups, SQL_D_EXACT),
         "inv_d_dedup_keep_first": (q_d_dedup_keep_first, SQL_D_KEEP_FIRST),

@@ -404,3 +404,67 @@ def threshold_sweep(
         for i, t in enumerate(thresholds)
     ]
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def line_dedup(
+    df: DataFrame,
+    max_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level corpus dedup (the CCNet/RefinedWeb boilerplate rule):
+    drop every line whose NORMALIZED form appears in more than
+    ``max_doc_freq`` distinct documents — headers, nav bars, cookie
+    banners, license footers — and reassemble the surviving lines in
+    original order.
+
+    Plan: explode lines with position (one linear pass), aggregate line
+    doc-frequency into a vocabulary-sized table (map-side combined — the
+    line-hash table is tiny next to the corpus, like the MinHash band
+    table), anti-join the hot lines, rebuild via sort-within-group
+    collect_list. Two keyed shuffles total; nothing quadratic, no UDF.
+
+    Output: (id_col, clean_text, n_lines_kept, n_lines_dropped).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(normalized(F.col("line"))))
+    freq = (
+        lines.groupBy("line_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select("line_key")
+    )
+    kept = lines.join(F.broadcast(freq), "line_key", "anti")
+    n_dropped = (
+        lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total"))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__p"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                "\n", F.transform("__p", lambda s: s.getField("line"))
+            ).alias("clean_text"),
+            "n_lines_kept",
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(n_dropped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (
+                F.coalesce(F.col("__n_total"), F.lit(0))
+                - F.coalesce(F.col("n_lines_kept"), F.lit(0))
+            ).cast("long").alias("n_lines_dropped"),
+        )
+    )

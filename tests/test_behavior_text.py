@@ -287,3 +287,27 @@ def test_threshold_sweep_monotone_and_exact(spark):
     assert out[0.5].doc_keep_rate == 0.75 and out[0.8].token_keep_rate == 0.4
     kept = [out[t].n_docs_kept for t in (0.2, 0.5, 0.8)]
     assert kept == sorted(kept, reverse=True)
+
+
+def test_line_dedup_drops_hot_lines_keeps_order(spark):
+    """Lines in > max_doc_freq docs vanish (normalized matching: case and
+    runs of spaces don't protect a line); unique lines survive in original
+    order; a doc made ENTIRELY of boilerplate comes back empty, not
+    missing."""
+    from market_data_pipeline_spark.operators.text import line_dedup
+
+    header = "SITE NAV | home | about"
+    rows = [
+        (1, f"{header}\nalpha body one\nbeta body two"),
+        (2, f"{header}\ngamma body"),
+        (3, f"site  nav | HOME | about\ndelta body"),  # normalizes to header
+        (4, header),  # all-boilerplate doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, max_doc_freq=2).collect()}
+    assert out[1].clean_text == "alpha body one\nbeta body two"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (2, 1)
+    assert out[2].clean_text == "gamma body"
+    assert out[3].clean_text == "delta body"
+    assert out[4].clean_text == "" and out[4].n_lines_kept == 0
+    assert out[4].n_lines_dropped == 1
