@@ -419,10 +419,14 @@ def line_dedup(
     original order.
 
     Plan: explode lines with position (one linear pass), aggregate line
-    doc-frequency into a vocabulary-sized table (map-side combined — the
-    line-hash table is tiny next to the corpus, like the MinHash band
-    table), anti-join the hot lines, rebuild via sort-within-group
-    collect_list. Two keyed shuffles total; nothing quadratic, no UDF.
+    doc-frequency into a vocabulary-sized table (map-side combined — only
+    lines crossing the threshold survive the filter, so the hot set is
+    tiny and broadcasts), LEFT-join the hot flag back, then ONE
+    groupBy(doc) rebuilds text, kept and dropped counts together
+    (``collect_list`` skips the nulls the hot lines become). TWO keyed
+    shuffles total — line_key and doc — nothing quadratic, no UDF, and
+    every doc appears in the output because splitting even an empty text
+    yields one line.
 
     Output: (id_col, clean_text, n_lines_kept, n_lines_dropped).
     """
@@ -430,41 +434,29 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("line_key", F.md5(normalized(F.col("line"))))
-    freq = (
+    hot = (
         lines.groupBy("line_key")
         .agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
         .filter(F.col("doc_freq") > max_doc_freq)
-        .select("line_key")
+        .select("line_key", F.lit(True).alias("__hot"))
     )
-    kept = lines.join(F.broadcast(freq), "line_key", "anti")
-    n_dropped = (
-        lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total"))
-    )
-    rebuilt = (
-        kept.groupBy(id_col)
+    flagged = lines.join(F.broadcast(hot), "line_key", "left")
+    keep = F.col("__hot").isNull()
+    return (
+        flagged.groupBy(id_col)
         .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__p"),
-            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("pos", "line")))
+            ).alias("__p"),
+            F.count(F.when(keep, 1)).alias("n_lines_kept"),
+            F.count(F.when(~keep, 1)).alias("n_lines_dropped"),
         )
         .select(
             id_col,
             F.concat_ws(
                 "\n", F.transform("__p", lambda s: s.getField("line"))
             ).alias("clean_text"),
-            "n_lines_kept",
-        )
-    )
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .join(n_dropped, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
-            (
-                F.coalesce(F.col("__n_total"), F.lit(0))
-                - F.coalesce(F.col("n_lines_kept"), F.lit(0))
-            ).cast("long").alias("n_lines_dropped"),
+            F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+            F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
         )
     )
