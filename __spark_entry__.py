@@ -1723,11 +1723,15 @@ WITH d AS (
   FROM documents
 ),
 ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+l0 AS (
+  SELECT doc_id, CAST(generate_subscripts(lines, 1) - 1 AS INT) AS pos,
+         unnest(lines) AS line
+  FROM ls
+),
 l AS (
-  SELECT ls.doc_id, CAST(g.range AS INT) AS pos,
-         lines[CAST(g.range + 1 AS INT)] AS line,
-         md5(trim(regexp_replace(lower(lines[CAST(g.range + 1 AS INT)]), '[\\s\\v]+', ' ', 'g'))) AS line_key
-  FROM ls JOIN range(0, 100000) g ON g.range < len(lines)
+  SELECT doc_id, pos, line,
+         md5(trim(regexp_replace(lower(line), '[\\s\\v]+', ' ', 'g'))) AS line_key
+  FROM l0
 ),
 hot AS (
   SELECT line_key FROM l GROUP BY line_key HAVING count(DISTINCT doc_id) > 2

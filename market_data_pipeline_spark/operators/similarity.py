@@ -31,6 +31,34 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as a left-to-right zip/fold — the ONE
+    definition every centroid/PQ path shares. The sequential fold order is
+    load-bearing: the DuckDB oracles mirror it with list_sum ∘
+    list_transform ∘ list_zip, so both engines accumulate in the same
+    order and the quantized trainers match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvector_rows(sub_dim: int, m: int, vec: Column) -> Column:
+    """Explodable array of (sub, sv) structs slicing ``vec`` into ``m``
+    contiguous ``sub_dim``-wide subspaces — shared by the PQ trainer and
+    the query side so the slicing can never drift between them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(vec, s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
@@ -315,11 +343,7 @@ def assign_nearest_centroid(
         )
     )
     pairs = df.select(F.col(id_col), F.col(label_col), v.alias("__v")).crossJoin(F.broadcast(cents))
-    sqdist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("cent_vec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sqdist = _sqdist(F.col("__v"), F.col("cent_vec"))
     # argmin via min(struct(dist, label)) — same (rounded-dist, lowest-label)
     # tie-break as a ranking window, but partial-aggregable: the shuffle
     # carries one best candidate per id per partition instead of k rows,
@@ -395,11 +419,7 @@ def kmeans_fit(
             .select("cluster", F.transform("__p", lambda s: s.getField("c")).alias("__cv"))
         )
         pairs = base.crossJoin(F.broadcast(cvecs))
-        sqdist = F.aggregate(
-            F.zip_with(F.col("__v"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        sqdist = _sqdist(F.col("__v"), F.col("__cv"))
         # argmin via min(struct(dist, cluster)): lexicographic struct order
         # gives the same (dist, lowest-cluster) tie-break as a ranking
         # window but partial-aggregates map-side — no per-id sort, and the
@@ -606,15 +626,7 @@ def pq_fit(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     v = F.col(vec_col).cast("array<double>")
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.slice(v, s * sub_dim + 1, sub_dim).alias("sv"),
-            )
-            for s in range(m)
-        ]
-    )
+    subs = _subvector_rows(sub_dim, m, v)
     base = (
         df.select(F.col(id_col), F.explode(subs).alias("x"))
         .select(id_col, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
@@ -631,11 +643,7 @@ def pq_fit(
     )
 
     def _assign(cents: DataFrame) -> DataFrame:
-        sqdist = F.aggregate(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        sqdist = _sqdist(F.col("sv"), F.col("cv"))
         return (
             base.join(F.broadcast(cents), "sub")
             .select(
@@ -696,26 +704,14 @@ def pq_topk(
     sub_dim = dim // m
     codes, cents = pq_fit(df, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim)
     v = F.col(vec_col).cast("array<double>")
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.slice(v, s * sub_dim + 1, sub_dim).alias("sv"),
-            )
-            for s in range(m)
-        ]
-    )
+    subs = _subvector_rows(sub_dim, m, v)
     queries = (
         df.orderBy(id_col)
         .limit(n_queries)
         .select(F.col(id_col).alias("query_id"), F.explode(subs).alias("x"))
         .select("query_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
     )
-    sqdist = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sqdist = _sqdist(F.col("sv"), F.col("cv"))
     dt = queries.join(F.broadcast(cents), "sub").select(
         "query_id", "sub", "cluster", sqdist.alias("d")
     )
