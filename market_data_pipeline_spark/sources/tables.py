@@ -99,12 +99,19 @@ def bars_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     open/close use ``min_by``/``max_by`` on the timestamp — deterministic
     because ``ts`` is unique per symbol (keep-last dedupe runs upstream
-    otherwise). One shuffle on (symbol, d); every downstream indicator window
-    partitioned by symbol reuses compatible partitioning.
+    otherwise). ONE shuffle for the whole bar→window chain: the explicit
+    ``repartition(symbol)`` satisfies the (symbol, d) aggregation's
+    ClusteredDistribution (partitioning on a SUBSET of the grouping keys
+    co-locates every group) AND every downstream
+    ``Window.partitionBy(symbol)`` — whereas the default
+    hashpartitioning(symbol, d) the agg would pick does NOT satisfy a
+    symbol-only window, costing a second exchange per indicator chain.
+    Map-side combine is unaffected (partial agg runs before the shuffle).
     """
     e = load_table(spark, sf_dir, "events")
     return (
-        e.groupBy(
+        e.repartition(F.col("user_id"))
+        .groupBy(
             F.col("user_id").alias("symbol"),
             F.to_date("ts").alias("d"),
         )

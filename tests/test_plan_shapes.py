@@ -22,8 +22,11 @@ def test_indicator_chain_single_window_exchange(spark, sf_dir):
     df = indicators.add_bollinger(df, w=w)
     df = indicators.add_volume_metrics(df, w=w)
     df = indicators.add_returns_momentum(df, w=w)
-    # 1 exchange for groupBy(symbol, d) + 1 for Window.partitionBy(symbol)
-    assert introspect.count_exchanges(df) == 2
+    # ONE exchange total since r3: bars_from_events repartitions by symbol,
+    # which satisfies both the (symbol, d) aggregation's clustering AND
+    # every Window.partitionBy(symbol) — the whole indicator chain rides a
+    # single symbol-hash shuffle.
+    assert introspect.count_exchanges(df) == 1
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
@@ -336,8 +339,9 @@ def test_ema_bucket_count_derives_from_parallelism(spark, sf_dir):
 
 
 def test_composite_signal_scan_plan_shape(spark, sf_dir):
-    """Round-1 verdict #1: the fused W14 plan pays exactly TWO exchanges —
-    bars agg + ONE native window stage — with the EMA/latest-row pass a
+    """Round-1 verdict #1, tightened in r3: the fused W14 plan pays exactly
+    ONE exchange — bars_from_events' symbol repartition serves the bar agg
+    AND the native window stage — with the EMA/latest-row pass a
     shuffle-free mapInPandas over the window stage's symbol-clustered
     partitions, and nothing after it (scoring is a pure projection over the
     O(symbols) latest rows)."""
@@ -346,7 +350,7 @@ def test_composite_signal_scan_plan_shape(spark, sf_dir):
 
     bars = bars_from_events(spark, sf_dir).select("symbol", "d", "close", "volume")
     df = screeners.composite_signal_scan(bars, time_col="d")
-    assert introspect.count_exchanges(df) == 2
+    assert introspect.count_exchanges(df) == 1
     plan = introspect.explain_str(df, "formatted")
     assert "MapInPandas" in plan
     # no exchange downstream of the pandas stage (formatted mode prints the
