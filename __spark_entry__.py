@@ -5438,13 +5438,17 @@ _WINDOW_LEAD_NAMES = (
 # advice: "invalidate green status when the query's implementation changes").
 # Keyed by round so each list expires once that round's driver row lands.
 _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # round 3: oracles type-pinned (DuckDB HUGEINT/DECIMAL/int-width drift vs
-    # the driver's raw value hash — the inv_q12 root cause, audited repo-wide
-    # via tools/oracle_type_audit.py).
+    # round 3: (a) oracles type-pinned (DuckDB HUGEINT/DECIMAL/int-width
+    # drift vs the driver's raw value hash — the inv_q12 root cause, audited
+    # repo-wide via tools/oracle_type_audit.py); (b) greens whose
+    # implementation changed late in r3 — bars_from_events' symbol
+    # repartition (re-check the bar-family root + breadth) and the
+    # [\s\v] oracle-regex change (re-check via the pack companion).
     3: (
         "inv_q_histogram", "inv_o4_topk_per_group", "inv_sim_bruteforce_topk",
         "inv_q7_volume_shipping", "inv_q8_market_share", "inv_q9_product_profit",
         "inv_grouping_sets", "inv_x_mixture_plan",
+        "inv_s1_bars_ohlcv", "inv_a1_breadth", "inv_x_pack_stats",
     ),
 }
 
