@@ -385,3 +385,53 @@ def streaming_cms_maintenance(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_hll_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    distinct_col: str = "user_id",
+    trigger_available_now: bool = True,
+):
+    """Incremental distinct-count sketches: per micro-batch, build one
+    DataSketches HLL per key (``hll_sketch_agg`` — one map-side-combined
+    agg) and MERGE into the persisted sketch table with ``hll_union_agg``.
+
+    HLL register maxima are order-insensitive, so the union of per-batch
+    sketches equals the sketch of all events at once — after any number of
+    batches the store answers "distinct users per key, ever" in O(keys ·
+    sketch_size) with NO rescan of history. The streaming twin of
+    ``quality.sketch_rollup_distinct`` (its rollup-by-union property, kept
+    hot as data arrives); same foreachBatch read-modify-write shape as the
+    CMS maintenance above.
+    """
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(key_col).agg(
+            F.hll_sketch_agg(distinct_col).alias("sk")
+        )
+        if _store_has_parquet(spark, store_path):
+            prev = spark.read.parquet(store_path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy(key_col)
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        else:
+            merged = delta
+        rows = merged.collect()  # materialize before overwriting the input
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            store_path
+        )
+
+    writer = stream_df.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

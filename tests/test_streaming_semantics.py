@@ -684,3 +684,49 @@ def test_streaming_cms_maintenance_is_exact_across_batches(spark, tmp_path):
     want = {(r.row, r.bucket): r.cnt for r in want_df.collect()}
     assert got == want
     assert sum(got.values()) == 2 * len(b1 + b2)  # depth × events mass
+
+
+def test_streaming_hll_maintenance_equals_one_shot_sketch(spark, tmp_path):
+    """HLL unions are order-insensitive: the sketch store merged batch by
+    batch must estimate exactly what a one-shot sketch over the union
+    estimates, per key."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "hll_src")
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "hll_ckpt")
+    schema = "event_type string, user_id long"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_hll_maintenance(stream, store, ckpt)
+        q.awaitTermination()
+
+    b1 = [("click", i) for i in range(40)] + [("buy", i) for i in range(5)]
+    b2 = [("click", i) for i in range(20, 60)] + [("buy", 99)]
+    write(b1)
+    run_once()
+    write(b2)
+    run_once()
+
+    got = {
+        r.event_type: r.est
+        for r in spark.read.parquet(store)
+        .select("event_type", F.hll_sketch_estimate("sk").alias("est"))
+        .collect()
+    }
+    want = {
+        r.event_type: r.est
+        for r in spark.createDataFrame(b1 + b2, schema)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert got == want
+    # 60 distinct clickers, 6 distinct buyers — HLL exact at this cardinality
+    assert got["click"] == 60 and got["buy"] == 6
