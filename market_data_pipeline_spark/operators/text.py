@@ -130,19 +130,25 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """TF-IDF with smoothed IDF (ln((N+1)/(df+1))+1), top-k terms per doc.
 
-    Shuffle shape at scale: explode → groupBy(doc, term) with map-side
-    combine (shuffle bytes = distinct terms per doc, not token count) →
-    term-keyed doc-frequency agg (vocabulary-sized) → tf⋈idf join on term
-    (AQE broadcasts the vocab side when it fits) → per-doc top-k via
-    WindowGroupLimit. No driver participation; N enters as a broadcast
-    1-row aggregate.
+    Shuffle shape at scale: explode → ONE term-hash repartition that the
+    whole left side of the pipeline rides — partitioning on a SUBSET of
+    the grouping keys satisfies the (doc, term) tf aggregation, the
+    term-keyed doc-frequency re-aggregation (a ReusedExchange of the same
+    shuffle), AND the tf⋈idf join's clustering, so none of them pays a
+    further exchange. Map-side combine still runs before the shuffle
+    (shuffle bytes = distinct terms per doc, not token count); a hot term
+    spreads across docs, so no skew concentration. Only the final per-doc
+    top-k window (WindowGroupLimit-pruned) re-keys. N enters as a
+    broadcast 1-row aggregate.
     """
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.repartition(F.col("term")).groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
