@@ -93,13 +93,18 @@ def _bars(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    """documents scan, spread across cores: the testdata ships ONE parquet
-    row group (unsplittable -> 1 task), while a real lake has many splits.
-    The explicit repartition restores the parallelism the shingle/hash-heavy
-    text and dedup operators would have on real data; ~5 MB shuffled."""
+    """documents scan, spread across cores WHEN NEEDED: the testdata ships
+    ONE parquet row group (unsplittable -> 1 task), while a real lake has
+    many splits. The repartition that restores local parallelism would be
+    a full corpus shuffle at scale, so it is GATED on the scan actually
+    being under-parallelised (fewer scan partitions than half the cores) —
+    on real multi-split inputs it disappears entirely."""
     tune_existing(spark)
     d = load_table(spark, sf, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < max(2, target // 2):
+        return d.repartition(target)
+    return d
 
 def _with_series_indicators(bars: DataFrame) -> DataFrame:
     w = series_window(time_col="d")
