@@ -627,9 +627,16 @@ def pq_fit(
     sub_dim = dim // m
     v = F.col(vec_col).cast("array<double>")
     subs = _subvector_rows(sub_dim, m, v)
+    # repartition by vec_id BEFORE checkpointing: subset partitioning
+    # satisfies every per-(vec_id, sub) E-step argmin AND the final
+    # per-vec_id code assembly, so none of the 1+iters assignment
+    # aggregations pays an exchange — the checkpoint pins the partitioning
+    # for the whole loop. Only the tiny M-step (m·k·dim partial rows)
+    # re-keys per iteration.
     base = (
         df.select(F.col(id_col), F.explode(subs).alias("x"))
         .select(id_col, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+        .repartition(F.col(id_col))
         .localCheckpoint(eager=True)
     )
 
