@@ -401,7 +401,15 @@ def kmeans_fit(
     centroid), n_iterations_run).
     """
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col), v.alias("__v")).localCheckpoint(eager=True)
+    # id-hash partitioning pinned by the checkpoint: every per-id E-step
+    # argmin across all iterations aggregates WITHOUT an exchange (the
+    # broadcast of centroids preserves partitioning); only the tiny M-step
+    # partials (k·dim rows per partition) re-key each round.
+    base = (
+        df.select(F.col(id_col), v.alias("__v"))
+        .repartition(F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
 
     seeds = base.orderBy(id_col).limit(k)
     from pyspark.sql import Window as _W
