@@ -332,7 +332,12 @@ def dup_groups(
     edges = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    # distinct leaves edges hash(src, dst)-partitioned, which does NOT
+    # satisfy the per-round src-keyed join — re-key ONCE and pin it with
+    # the checkpoint so every propagation round joins without re-shuffling
+    # the (large) edge set; labels come out of a src-distinct, so they are
+    # already id-hash partitioned and stay so through each round's joins.
+    edges = edges.repartition(F.col("src")).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
