@@ -50,6 +50,42 @@ def canon(v):
     return str(v)
 
 
+# DuckDB arrow type -> hash-compatible Spark simpleString types. Anything
+# off this map (HUGEINT/DECIMAL drift, int-width drift) broke the DRIVER's
+# raw-value hash in round 2 even though stringified values matched — so
+# type drift is a hard failure here too (see tools/oracle_type_audit.py).
+_TYPE_OK = {
+    "int64": {"bigint"},
+    "int32": {"int"},
+    "int16": {"smallint"},
+    "int8": {"tinyint"},
+    "double": {"double"},
+    "float": {"float"},
+    "string": {"string"},
+    "large_string": {"string"},
+    "bool": {"boolean"},
+    "date32[day]": {"date"},
+    "binary": {"binary"},
+    "large_binary": {"binary"},
+}
+
+
+def _type_drift(spark_types: dict, duck_arrow_types: dict) -> list[str]:
+    out = []
+    for col, dt in duck_arrow_types.items():
+        st_ = spark_types.get(col)
+        if st_ is None:
+            continue  # column mismatch is reported separately
+        if dt.startswith("timestamp") and st_.startswith("timestamp"):
+            continue
+        if dt.startswith("list") and st_.startswith("array"):
+            continue
+        ok = _TYPE_OK.get(dt)
+        if ok is None or st_ not in ok:
+            out.append(f"{col}: oracle {dt} vs spark {st_}")
+    return out
+
+
 def frame_sig(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -90,6 +126,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes_arrow = {f.name: str(f.type) for f in rel.arrow().schema}
             drows = rel.fetchall()
         except Exception as e:
             n_fail += 1
@@ -97,6 +134,10 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
+        drift = _type_drift(dict(sdf.dtypes), dtypes_arrow)
+        if drift:
+            ok = False
+            print(f"FAIL {name}: oracle type drift (driver hashes raw values): {drift}")
         if sorted(map(str.lower, scols)) != sorted(map(str.lower, dcols)):
             ok = False
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
