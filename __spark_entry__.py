@@ -1757,6 +1757,43 @@ FROM d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN totals t USING (doc_id)
 """
 
 
+def q_t_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain URL rollup (text.domain_stats — the domain-granularity
+    filter web curation runs before doc filters). Testdata text carries no
+    URLs, so each doc gets two deterministic ones appended (a per-doc
+    source domain and a shared CDN) — extraction, explode, and the
+    distinct-doc/total-url distinction are all value-checked."""
+    d = _docs(spark, sf)
+    with_urls = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://src-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc srcref http://cdn.example.net/asset"),
+        ).alias("text"),
+    )
+    return text.domain_stats(with_urls)
+
+
+SQL_T_DOMAINS = """
+WITH w AS (
+  SELECT doc_id,
+         text || ' https://src-' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/doc srcref http://cdn.example.net/asset' AS t
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, 'https?://([^/\\s]+)', 1)) AS domain
+  FROM w
+)
+SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM u GROUP BY domain
+"""
+
+
 def q_t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     return text.add_fingerprint(d).select("doc_id", "fingerprint", "fingerprint16")
@@ -2300,6 +2337,7 @@ _REGISTRY.update(
         "inv_t_lang_id": (q_t_lang_id, SQL_T_LANG),
         "inv_t_fingerprint": (q_t_fingerprint, SQL_T_FP),
         "inv_t_line_dedup": (q_t_line_dedup, SQL_T_LINE_DEDUP),
+        "inv_t_domain_stats": (q_t_domain_stats, SQL_T_DOMAINS),
         # dedup
         "inv_d_exact_dups": (q_d_exact_dups, SQL_D_EXACT),
         "inv_d_dedup_keep_first": (q_d_dedup_keep_first, SQL_D_KEEP_FIRST),

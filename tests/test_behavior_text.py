@@ -311,3 +311,18 @@ def test_line_dedup_drops_hot_lines_keeps_order(spark):
     assert out[3].clean_text == "delta body"
     assert out[4].clean_text == "" and out[4].n_lines_kept == 0
     assert out[4].n_lines_dropped == 1
+
+
+def test_domain_stats_distinct_docs_vs_total_urls(spark):
+    """domain_stats separates distinct-doc reach from raw URL frequency and
+    handles docs with no URLs / repeated domains."""
+    from market_data_pipeline_spark.operators.text import domain_stats
+
+    rows = [
+        (1, "see https://a.com/x and https://a.com/y plus http://b.org/z"),
+        (2, "only https://a.com/other here"),
+        (3, "no urls at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.domain: (r.n_docs, r.n_urls) for r in domain_stats(df).collect()}
+    assert out == {"a.com": (2, 3), "b.org": (1, 1)}
