@@ -1794,6 +1794,60 @@ FROM u GROUP BY domain
 """
 
 
+def q_t_structural_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural Gopher quality rules (text.add_structural_rules): alpha-
+    word fraction, mean word length, bullet/ellipsis line fractions,
+    symbol density. Testdata docs are single-line prose, so deterministic
+    structure is appended (a bullet line for doc_id%3==0, an ellipsis
+    line for doc_id%4==0) — every fraction is value-checked."""
+    d = _docs(spark, sf)
+    structured = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n- bullet item here")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\nto be continued...")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return text.add_structural_rules(structured).select(
+        "doc_id", "alpha_word_frac", "mean_word_len",
+        "bullet_line_frac", "ellipsis_line_frac", "symbol_frac",
+    )
+
+
+SQL_T_STRUCTURAL = """
+WITH w AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item here' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id, t,
+         string_split(trim(regexp_replace(lower(t), '[\\s\\v]+', ' ', 'g')), ' ') AS toks,
+         string_split(t, chr(10)) AS lines
+  FROM w
+)
+SELECT doc_id,
+  round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS alpha_word_frac,
+  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS mean_word_len,
+  round(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
+        / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_line_frac,
+  round(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+        / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_line_frac,
+  round(length(regexp_replace(t, '[^#…]', '', 'g'))
+        / CAST(greatest(length(t), 1) AS DOUBLE), 6) AS symbol_frac
+FROM n
+"""
+
+
 def q_t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     return text.add_fingerprint(d).select("doc_id", "fingerprint", "fingerprint16")
@@ -2338,6 +2392,7 @@ _REGISTRY.update(
         "inv_t_fingerprint": (q_t_fingerprint, SQL_T_FP),
         "inv_t_line_dedup": (q_t_line_dedup, SQL_T_LINE_DEDUP),
         "inv_t_domain_stats": (q_t_domain_stats, SQL_T_DOMAINS),
+        "inv_t_structural_rules": (q_t_structural_rules, SQL_T_STRUCTURAL),
         # dedup
         "inv_d_exact_dups": (q_d_exact_dups, SQL_D_EXACT),
         "inv_d_dedup_keep_first": (q_d_dedup_keep_first, SQL_D_KEEP_FIRST),

@@ -493,3 +493,51 @@ def domain_stats(
         F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.count(F.lit(1)).alias("n_urls"),
     )
+
+
+def add_structural_rules(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The STRUCTURAL Gopher quality rules, complementing the repetition
+    set in :func:`add_repetition_stats`: per document,
+    ``alpha_word_frac`` (fraction of words containing a letter — low on
+    symbol spam / tables), ``mean_word_len`` (Gopher keeps 3-10),
+    ``bullet_line_frac`` / ``ellipsis_line_frac`` (fraction of lines that
+    start with a bullet / end with an ellipsis — high on nav fragments),
+    and ``symbol_frac`` (#, … density in the raw text).
+
+    Pure per-row higher-order expressions over the token and line arrays —
+    no explode, no shuffle; scan-bound at any corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullets = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^([-*•])"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)$"))
+    )
+    raw_len = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    symbols = F.length(F.regexp_replace(F.col(text_col), "[^#…]", ""))
+    return (
+        df.withColumn(
+            "alpha_word_frac", F.round(alpha_words / n_tok.cast("double"), 6)
+        )
+        .withColumn(
+            "mean_word_len", F.round(total_chars / n_tok.cast("double"), 6)
+        )
+        .withColumn(
+            "bullet_line_frac", F.round(bullets / n_lines.cast("double"), 6)
+        )
+        .withColumn(
+            "ellipsis_line_frac", F.round(ellipsis / n_lines.cast("double"), 6)
+        )
+        .withColumn("symbol_frac", F.round(symbols / raw_len.cast("double"), 6))
+    )

@@ -326,3 +326,23 @@ def test_domain_stats_distinct_docs_vs_total_urls(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.domain: (r.n_docs, r.n_urls) for r in domain_stats(df).collect()}
     assert out == {"a.com": (2, 3), "b.org": (1, 1)}
+
+
+def test_structural_rules_values(spark):
+    """Hand-checked structural fractions on a crafted doc: 2 of 4 lines
+    bulleted, 1 of 4 ends with ellipsis, symbol density from #/…"""
+    from market_data_pipeline_spark.operators.text import add_structural_rules
+
+    txt = "alpha beta 42\n- first item\n* second item\nwrapping up..."
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = add_structural_rules(df).collect()[0]
+    # tokens: alpha beta 42 - first item * second item wrapping up... (11;
+    # '42', '-', '*' carry no letter -> 8 alpha words)
+    assert r.alpha_word_frac == round(8 / 11, 6)
+    assert r.bullet_line_frac == 0.5
+    assert r.ellipsis_line_frac == 0.25
+    assert r.symbol_frac == 0.0
+    empty = add_structural_rules(
+        spark.createDataFrame([(2, "")], "doc_id long, text string")
+    ).collect()[0]
+    assert empty.mean_word_len == 0.0 and empty.bullet_line_frac == 0.0
