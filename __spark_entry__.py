@@ -1840,7 +1840,7 @@ SELECT doc_id,
         / greatest(len(toks), 1), 6) AS mean_word_len,
   round(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])')))
         / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_line_frac,
-  round(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+  round(len(list_filter(lines, l -> regexp_matches(regexp_replace(trim(l), '\\r$', ''), '(\\.\\.\\.|…)$')))
         / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_line_frac,
   round(length(regexp_replace(t, '[^#…]', '', 'g'))
         / CAST(greatest(length(t), 1) AS DOUBLE), 6) AS symbol_frac

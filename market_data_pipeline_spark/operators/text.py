@@ -130,25 +130,24 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """TF-IDF with smoothed IDF (ln((N+1)/(df+1))+1), top-k terms per doc.
 
-    Shuffle shape at scale: explode → ONE term-hash repartition that the
-    whole left side of the pipeline rides — partitioning on a SUBSET of
-    the grouping keys satisfies the (doc, term) tf aggregation, the
-    term-keyed doc-frequency re-aggregation (a ReusedExchange of the same
-    shuffle), AND the tf⋈idf join's clustering, so none of them pays a
-    further exchange. Map-side combine still runs before the shuffle
-    (shuffle bytes = distinct terms per doc, not token count); a hot term
-    spreads across docs, so no skew concentration. Only the final per-doc
-    top-k window (WindowGroupLimit-pruned) re-keys. N enters as a
-    broadcast 1-row aggregate.
+    Shuffle shape at scale: explode → groupBy(doc, term) with map-side
+    combine BELOW the shuffle (shuffle bytes = distinct terms per doc,
+    not token count; a hot term spreads across docs) → term-keyed
+    doc-frequency agg (vocabulary-sized) → tf⋈idf join on term (AQE
+    broadcasts the vocab side when it fits) → per-doc top-k via
+    WindowGroupLimit. A pre-agg repartition(term) would merge two
+    exchanges but plans the partial agg ABOVE the shuffle (empirically
+    verified), moving every raw token occurrence keyed by term and
+    funnelling stopword-frequency terms into single partitions —
+    strictly worse at corpus scale. N enters as a broadcast 1-row
+    aggregate.
     """
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.repartition(F.col("term")).groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
@@ -521,8 +520,16 @@ def add_structural_rules(
     bullets = F.size(
         F.filter(lines, lambda ln: F.trim(ln).rlike("^([-*•])"))
     )
+    # strip a trailing \r first: Java's '$' matches before a final \r but
+    # RE2's does not, so CRLF text would diverge from the SQL oracle (and
+    # from the documented rule) without the normalization
     ellipsis = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike("(\\.\\.\\.|…)$"))
+        F.filter(
+            lines,
+            lambda ln: F.regexp_replace(F.trim(ln), "\\r$", "").rlike(
+                "(\\.\\.\\.|…)$"
+            ),
+        )
     )
     raw_len = F.greatest(F.length(F.col(text_col)), F.lit(1))
     symbols = F.length(F.regexp_replace(F.col(text_col), "[^#…]", ""))

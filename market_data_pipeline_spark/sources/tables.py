@@ -99,19 +99,19 @@ def bars_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     open/close use ``min_by``/``max_by`` on the timestamp — deterministic
     because ``ts`` is unique per symbol (keep-last dedupe runs upstream
-    otherwise). ONE shuffle for the whole bar→window chain: the explicit
-    ``repartition(symbol)`` satisfies the (symbol, d) aggregation's
-    ClusteredDistribution (partitioning on a SUBSET of the grouping keys
-    co-locates every group) AND every downstream
-    ``Window.partitionBy(symbol)`` — whereas the default
-    hashpartitioning(symbol, d) the agg would pick does NOT satisfy a
-    symbol-only window, costing a second exchange per indicator chain.
-    Map-side combine is unaffected (partial agg runs before the shuffle).
+    otherwise). Two exchanges for a bar→window chain, and that is the
+    RIGHT trade at scale: the (symbol, d) aggregation keeps its partial
+    (map-side) combine BELOW the shuffle, so the first exchange moves one
+    partial bar row per (symbol, day, partition) — not raw ticks — and
+    the second (symbol-only, for indicator windows) moves already-tiny
+    bar rows. An explicit pre-agg repartition(symbol) would look like one
+    exchange fewer but plans the partial agg ABOVE the shuffle
+    (empirically verified), pushing the FULL tick stream across the wire
+    and concentrating hot symbols — strictly worse at 100 TB.
     """
     e = load_table(spark, sf_dir, "events")
     return (
-        e.repartition(F.col("user_id"))
-        .groupBy(
+        e.groupBy(
             F.col("user_id").alias("symbol"),
             F.to_date("ts").alias("d"),
         )

@@ -335,6 +335,46 @@ def streaming_ohlcv_bars(
     )
 
 
+def _sketch_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    delta_fn,
+    merge_keys: list[str],
+    merge_exprs,
+    trigger_available_now: bool = True,
+):
+    """Shared foreachBatch read-modify-write scaffold for MERGEABLE sketch
+    stores (CMS counters, HLL registers, any linear/idempotent-union
+    sketch): per micro-batch, ``delta_fn(batch_df)`` builds the batch's
+    sketch table; if a store exists, union + re-aggregate with
+    ``merge_exprs`` over ``merge_keys``; materialize BEFORE overwriting
+    the input path. The parquet overwrite is tiny (sketch-sized); a
+    transactional table gives exactly-once."""
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = delta_fn(batch_df)
+        if _store_has_parquet(spark, store_path):
+            prev = spark.read.parquet(store_path)
+            merged = prev.unionByName(delta).groupBy(*merge_keys).agg(*merge_exprs())
+        else:
+            merged = delta
+        rows = merged.collect()  # materialize before overwriting the input
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            store_path
+        )
+
+    writer = stream_df.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_cms_maintenance(
     stream_df: DataFrame,
     store_path: str,
@@ -352,39 +392,21 @@ def streaming_cms_maintenance(
     CMS is a linear sketch — counters of a union are the sums of the
     counters — so batch-wise maintenance is EXACT: after any number of
     batches the store equals the sketch of all events ever seen, and
-    heavy-hitter queries read width·depth rows regardless of history
-    size. ``foreachBatch`` because the store is read-modify-write (the
-    same shape as streaming_dedup_admission); the parquet overwrite is
-    tiny (KBs) and a transactional table gives exactly-once.
+    heavy-hitter queries read width·depth rows regardless of history size.
     """
     from market_data_pipeline_spark.operators.quality import cms_counters
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        delta = cms_counters(batch_df.select(key_col), key_col, width=width, depth=depth)
-        if _store_has_parquet(spark, store_path):
-            prev = spark.read.parquet(store_path)
-            merged = (
-                prev.unionByName(delta)
-                .groupBy("row", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        else:
-            merged = delta
-        # materialize BEFORE overwriting the input path
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            store_path
-        )
-
-    writer = stream_df.writeStream.foreachBatch(merge).option(
-        "checkpointLocation", checkpoint
+    return _sketch_maintenance(
+        stream_df,
+        store_path,
+        checkpoint,
+        delta_fn=lambda b: cms_counters(
+            b.select(key_col), key_col, width=width, depth=depth
+        ),
+        merge_keys=["row", "bucket"],
+        merge_exprs=lambda: [F.sum("cnt").alias("cnt")],
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def streaming_hll_maintenance(
@@ -404,34 +426,16 @@ def streaming_hll_maintenance(
     batches the store answers "distinct users per key, ever" in O(keys ·
     sketch_size) with NO rescan of history. The streaming twin of
     ``quality.sketch_rollup_distinct`` (its rollup-by-union property, kept
-    hot as data arrives); same foreachBatch read-modify-write shape as the
-    CMS maintenance above.
+    hot as data arrives).
     """
-
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        delta = batch_df.groupBy(key_col).agg(
+    return _sketch_maintenance(
+        stream_df,
+        store_path,
+        checkpoint,
+        delta_fn=lambda b: b.groupBy(key_col).agg(
             F.hll_sketch_agg(distinct_col).alias("sk")
-        )
-        if _store_has_parquet(spark, store_path):
-            prev = spark.read.parquet(store_path)
-            merged = (
-                prev.unionByName(delta)
-                .groupBy(key_col)
-                .agg(F.hll_union_agg("sk").alias("sk"))
-            )
-        else:
-            merged = delta
-        rows = merged.collect()  # materialize before overwriting the input
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            store_path
-        )
-
-    writer = stream_df.writeStream.foreachBatch(merge).option(
-        "checkpointLocation", checkpoint
+        ),
+        merge_keys=[key_col],
+        merge_exprs=lambda: [F.hll_union_agg("sk").alias("sk")],
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -346,3 +346,13 @@ def test_structural_rules_values(spark):
         spark.createDataFrame([(2, "")], "doc_id long, text string")
     ).collect()[0]
     assert empty.mean_word_len == 0.0 and empty.bullet_line_frac == 0.0
+    # CRLF text: Java's '$' would match before the trailing \r while RE2's
+    # would not — the operator strips \r so both engines agree (r3 review)
+    crlf = add_structural_rules(
+        spark.createDataFrame(
+            [(3, "first line...\r\nsecond line\r\n- third...")],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert crlf.ellipsis_line_frac == round(2 / 3, 6)
+    assert crlf.bullet_line_frac == round(1 / 3, 6)

@@ -22,11 +22,11 @@ def test_indicator_chain_single_window_exchange(spark, sf_dir):
     df = indicators.add_bollinger(df, w=w)
     df = indicators.add_volume_metrics(df, w=w)
     df = indicators.add_returns_momentum(df, w=w)
-    # ONE exchange total since r3: bars_from_events repartitions by symbol,
-    # which satisfies both the (symbol, d) aggregation's clustering AND
-    # every Window.partitionBy(symbol) — the whole indicator chain rides a
-    # single symbol-hash shuffle.
-    assert introspect.count_exchanges(df) == 1
+    # 1 exchange for groupBy(symbol, d) — with partial agg BELOW it, so
+    # only combined bar partials shuffle — + 1 for Window.partitionBy(symbol)
+    # over already-tiny bar rows. (A pre-agg repartition(symbol) would show
+    # 1 exchange here but moves the raw tick stream: rejected in r3.)
+    assert introspect.count_exchanges(df) == 2
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
@@ -339,18 +339,18 @@ def test_ema_bucket_count_derives_from_parallelism(spark, sf_dir):
 
 
 def test_composite_signal_scan_plan_shape(spark, sf_dir):
-    """Round-1 verdict #1, tightened in r3: the fused W14 plan pays exactly
-    ONE exchange — bars_from_events' symbol repartition serves the bar agg
-    AND the native window stage — with the EMA/latest-row pass a
-    shuffle-free mapInPandas over the window stage's symbol-clustered
-    partitions, and nothing after it (scoring is a pure projection over the
-    O(symbols) latest rows)."""
+    """Round-1 verdict #1: the fused W14 plan pays exactly TWO exchanges —
+    bars agg (partial combine below the shuffle) + ONE native window stage
+    over tiny bar rows — with the EMA/latest-row pass a shuffle-free
+    mapInPandas over the window stage's symbol-clustered partitions, and
+    nothing after it (scoring is a pure projection over the O(symbols)
+    latest rows)."""
     from market_data_pipeline_spark.operators import screeners
     from market_data_pipeline_spark.sources.tables import bars_from_events
 
     bars = bars_from_events(spark, sf_dir).select("symbol", "d", "close", "volume")
     df = screeners.composite_signal_scan(bars, time_col="d")
-    assert introspect.count_exchanges(df) == 1
+    assert introspect.count_exchanges(df) == 2
     plan = introspect.explain_str(df, "formatted")
     assert "MapInPandas" in plan
     # no exchange downstream of the pandas stage (formatted mode prints the

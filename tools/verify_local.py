@@ -50,35 +50,37 @@ def canon(v):
     return str(v)
 
 
-# DuckDB arrow type -> hash-compatible Spark simpleString types. Anything
+# DuckDB logical type -> hash-compatible Spark simpleString types. Anything
 # off this map (HUGEINT/DECIMAL drift, int-width drift) broke the DRIVER's
 # raw-value hash in round 2 even though stringified values matched — so
 # type drift is a hard failure here too (see tools/oracle_type_audit.py).
+# Read from rel.types (prepared schema) so the oracle is NOT executed twice.
 _TYPE_OK = {
-    "int64": {"bigint"},
-    "int32": {"int"},
-    "int16": {"smallint"},
-    "int8": {"tinyint"},
-    "double": {"double"},
-    "float": {"float"},
-    "string": {"string"},
-    "large_string": {"string"},
-    "bool": {"boolean"},
-    "date32[day]": {"date"},
-    "binary": {"binary"},
-    "large_binary": {"binary"},
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "BLOB": {"binary"},
 }
 
 
-def _type_drift(spark_types: dict, duck_arrow_types: dict) -> list[str]:
+def _type_drift(spark_types: dict, duck_types: dict) -> list[str]:
+    # case-fold column names on both sides: the column-name check is
+    # case-insensitive, so a case-only difference must not hide drift
+    stypes = {c.lower(): t for c, t in spark_types.items()}
     out = []
-    for col, dt in duck_arrow_types.items():
-        st_ = spark_types.get(col)
+    for col, dt in duck_types.items():
+        st_ = stypes.get(col.lower())
         if st_ is None:
             continue  # column mismatch is reported separately
-        if dt.startswith("timestamp") and st_.startswith("timestamp"):
+        if dt.startswith("TIMESTAMP") and st_.startswith("timestamp"):
             continue
-        if dt.startswith("list") and st_.startswith("array"):
+        if dt.endswith("[]") and st_.startswith("array"):
             continue
         ok = _TYPE_OK.get(dt)
         if ok is None or st_ not in ok:
@@ -126,7 +128,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
-            dtypes_arrow = {f.name: str(f.type) for f in rel.arrow().schema}
+            dtypes_duck = {c: str(t) for c, t in zip(rel.columns, rel.types)}
             drows = rel.fetchall()
         except Exception as e:
             n_fail += 1
@@ -134,7 +136,7 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
-        drift = _type_drift(dict(sdf.dtypes), dtypes_arrow)
+        drift = _type_drift(dict(sdf.dtypes), dtypes_duck)
         if drift:
             ok = False
             print(f"FAIL {name}: oracle type drift (driver hashes raw values): {drift}")
