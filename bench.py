@@ -37,6 +37,13 @@ HEADLINE = [
     "inv_w2_ema_macd",
     "inv_a6a8_quality",
     "inv_o4_topk_per_group",
+    # LLM-data-pipeline families (round-2 verdict #6): the bench tracks the
+    # dedup / similarity / text-analysis / curation capstones alongside the
+    # relational+window headline so their regression gate is live too.
+    "inv_d_minhash_lsh",
+    "inv_sim_ann_topk",
+    "inv_t_tfidf",
+    "inv_x_curated_corpus",
 ]
 
 

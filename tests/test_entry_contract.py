@@ -95,7 +95,7 @@ def test_bench_cli_contract(tmp_path):
     rec = json.loads(json_lines[0])
     assert rec["metric"] == "headline_queries_total"
     assert rec["unit"] == "sec" and rec["value"] > 0
-    assert rec["sf"] == 0.001 and len(rec["queries"]) == 13  # 12 headline + entry_flagship
+    assert rec["sf"] == 0.001 and len(rec["queries"]) == 17  # 16 headline + entry_flagship
     assert "entry_flagship" in rec["queries"]
 
 
