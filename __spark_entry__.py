@@ -5547,6 +5547,9 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         "inv_q7_volume_shipping", "inv_q8_market_share", "inv_q9_product_profit",
         "inv_grouping_sets", "inv_x_mixture_plan",
         "inv_s1_bars_ohlcv", "inv_a1_breadth", "inv_x_pack_stats",
+        # (c) equi-depth histogram rebuilt as a two-pass distributed rank
+        # (no single-partition WindowExec) — r2-green impl changed in r3
+        "inv_q_histogram_eqdepth",
     ),
 }
 

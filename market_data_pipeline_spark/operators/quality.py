@@ -208,27 +208,75 @@ def histogram_equidepth(
     view of a column's distribution (equal-width hides skew; equi-depth
     exposes it).
 
-    Cost model: ntile needs a TOTAL ORDER over the column — one range
-    exchange (sampled bounds, so skew doesn't overload a task) + in-partition
-    sort. That is the honest price of exact equi-depth at any scale; the
-    cheap swap is approx_percentile(col, quantiles) in one pass when
+    Exact equi-depth needs a TOTAL ORDER — but ``ntile() OVER (ORDER BY …)``
+    is NOT how to get one in Spark: an un-partitioned window funnels every
+    row through ONE task (WindowExec warns and single-threads), which is a
+    dead end at scale. Instead this runs the classic two-pass distributed
+    rank:
+
+      1. ``repartitionByRange`` on (col, tiebreak) — the sampled-bounds
+         exchange a global sort uses, so skew cannot overload a task — then
+         an in-partition sort, pinned with ``localCheckpoint`` (2 narrow
+         columns only).
+      2. Per-partition row counts to the driver (P integers — the same
+         scale of metadata AQE collects) become global rank offsets; an
+         Arrow ``mapInPandas`` cumcount adds offset + local index and maps
+         the rank to its ntile bin in closed form (first n % bins bins get
+         one extra row — bit-identical to SQL ``ntile``).
+
+    Every stage is parallel; the only driver traffic is P longs. The cheap
+    swap remains approx_percentile(col, quantiles) in one pass when
     ±ε-accurate edges are enough.
     """
-    from pyspark.sql import Window
+    import pandas as pd
 
     # a unique tiebreak makes bin membership (hence per-bin min/max)
     # deterministic when values tie across a bin boundary
-    order = [F.col(col)] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.orderBy(*order)
-    return (
+    keys = [F.col(col)] + ([F.col(tiebreak)] if tiebreak else [])
+    ranked_in = (
         df.filter(F.col(col).isNotNull())
-        .select(F.col(col), F.ntile(bins).over(w).alias("bin"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min(col), 4).alias("lo_val"),
-            F.round(F.max(col), 4).alias("hi_val"),
-        )
+        .select(*keys)
+        .repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = {
+        r["__pid"]: r["cnt"]
+        for r in ranked_in.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_total = sum(per_part.values())
+    offsets = {}
+    acc = 0
+    for pid in sorted(per_part):
+        offsets[pid] = acc
+        acc += per_part[pid]
+    small, extra = ((n_total // bins, n_total % bins) if bins else (0, 0))
+
+    def assign_bins(batches):
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            import numpy as np
+
+            start = offsets[int(pdf["__pid"].iloc[0])] + seen
+            rank0 = np.arange(start, start + len(pdf), dtype="int64")
+            big = small + 1
+            in_extra = rank0 < extra * big
+            bin_no = np.zeros(len(pdf), dtype="int64")
+            bin_no[in_extra] = rank0[in_extra] // big + 1
+            if small > 0:
+                rest = rank0[~in_extra]
+                bin_no[~in_extra] = extra + (rest - extra * big) // small + 1
+            seen += len(pdf)
+            yield pd.DataFrame({"val": pdf[col].to_numpy(), "bin": bin_no})
+
+    binned = ranked_in.mapInPandas(assign_bins, schema="val double, bin int")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("val"), 4).alias("lo_val"),
+        F.round(F.max("val"), 4).alias("hi_val"),
     )
 
 
