@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCOPE_MAP = {
@@ -54,12 +54,10 @@ def top_n_by_liquidity(listing: DataFrame, n: int, value_col: str = "avg_value",
     valued = listing.withColumn("__v", F.col(value_col).cast("double")).filter(
         F.col("__v").isNotNull()
     )
-    w = Window.orderBy(F.col("__v").desc(), F.col(key_col))
-    return (
-        valued.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
-        .drop("__rn", "__v")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-n
+    # then an n-row merge — fully parallel, unlike a row_number() over an
+    # un-partitioned window (single-task WindowExec)
+    return valued.orderBy(F.col("__v").desc(), F.col(key_col)).limit(n).drop("__v")
 
 
 def universe_semi_join(fact: DataFrame, universe: DataFrame, key: str = "symbol") -> DataFrame:
