@@ -361,3 +361,19 @@ def test_composite_signal_scan_plan_shape(spark, sf_dir):
     assert "Exchange" not in tree[:pandas_pos], (
         "exchange above the pandas stage: scoring must stay a projection"
     )
+
+
+def test_equidepth_histogram_has_no_single_partition_stage(spark, sf_dir):
+    """The exact equi-depth histogram must rank via the two-pass
+    distributed scheme (range exchange + Arrow cumcount), never an
+    un-partitioned window — no stage of the plan may collapse to a single
+    partition, and the rank pass must be the Arrow hop."""
+    from market_data_pipeline_spark.operators import quality
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    df = quality.histogram_equidepth(o, "o_totalprice", bins=10, tiebreak="o_orderkey")
+    plan = introspect.explain_str(df, "formatted")
+    assert "SinglePartition" not in plan, "equi-depth rank collapsed to one task"
+    assert "Window" not in plan, "global window snuck back into the rank pass"
+    assert "MapInPandas" in plan
