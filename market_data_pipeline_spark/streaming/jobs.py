@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from market_data_pipeline_spark.streaming import txn
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. Schema pinned (streaming
@@ -209,27 +211,6 @@ def stream_stream_attribution(
     )
 
 
-def _store_has_parquet(spark: SparkSession, path: str) -> bool:
-    """Probe a store path through the Hadoop FileSystem API so remote URIs
-    (hdfs://, s3a://, dbfs:/) resolve too — a driver-local os.path.exists
-    would be False for those on every batch and the store-side logic would
-    silently never run. An existing but empty directory (e.g. from a failed
-    first write) has no parquet footers and counts as absent."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    hconf = jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    if not fs.exists(hpath):
-        return False
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            return True
-    return False
-
-
 def streaming_dedup_admission(
     stream_docs: DataFrame,
     store_path: str,
@@ -252,20 +233,25 @@ def streaming_dedup_admission(
 
     ``foreachBatch`` is the right tool because the store is both input and
     sink of the same batch — no pure streaming operator can express the
-    read-your-own-writes admission loop. The parquet store + append here is
-    at-least-once on task retry; a production deployment points this at a
-    transactional table (Delta/Iceberg MERGE) for exactly-once, with the
-    identical batch function.
+    read-your-own-writes admission loop. Admission is EXACTLY-ONCE on
+    plain parquet: each batch's survivors land in their own
+    ``batch=<id>`` directory published by an atomic ``_COMMIT.<id>``
+    marker (streaming/txn.py), so a foreachBatch replay after a crash
+    overwrites-or-skips instead of appending duplicates, and readers
+    never see a half-written attempt. Read the store with
+    ``txn.read_appended``.
 
     Returns the started StreamingQuery (caller awaits termination).
     """
     from market_data_pipeline_spark.operators import dedup as _dedup
     from market_data_pipeline_spark.operators.text import normalized
 
-    def admit(batch_df: DataFrame, _batch_id: int) -> None:
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if txn.is_committed(spark, store_path, batch_id):
+            return  # replayed batch — already applied
         # in-batch exact dedupe: keep the lowest id per normalized text
         w = Window.partitionBy(F.md5(normalized(F.col(text_col)))).orderBy(id_col)
         batch = (
@@ -273,11 +259,11 @@ def streaming_dedup_admission(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if _store_has_parquet(spark, store_path):
-            store = spark.read.parquet(store_path).select(id_col, text_col)
+        store = txn.read_appended(spark, store_path)
+        if store is not None:
             kept_ids = _dedup.incremental_dedup(
                 batch.select(id_col, text_col),
-                store,
+                store.select(id_col, text_col),
                 text_col=text_col,
                 id_col=id_col,
                 num_hashes=num_hashes,
@@ -288,7 +274,10 @@ def streaming_dedup_admission(
             kept = batch.join(kept_ids, id_col, "semi")
         else:
             kept = batch
-        kept.write.mode("append").parquet(store_path)
+        kept.write.mode("overwrite").parquet(
+            txn.data_dir(store_path, "batch=", batch_id)
+        )
+        txn.mark_committed(spark, store_path, batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(admit).option(
         "checkpointLocation", checkpoint
@@ -347,25 +336,36 @@ def _sketch_maintenance(
     """Shared foreachBatch read-modify-write scaffold for MERGEABLE sketch
     stores (CMS counters, HLL registers, any linear/idempotent-union
     sketch): per micro-batch, ``delta_fn(batch_df)`` builds the batch's
-    sketch table; if a store exists, union + re-aggregate with
-    ``merge_exprs`` over ``merge_keys``; materialize BEFORE overwriting
-    the input path. The parquet overwrite is tiny (sketch-sized); a
-    transactional table gives exactly-once."""
+    sketch table; if a committed version exists, union + re-aggregate
+    with ``merge_exprs`` over ``merge_keys``.
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+    EXACTLY-ONCE on plain parquet: each merge result is written to its
+    own ``v=<batch_id>`` directory and published by an atomic
+    ``_COMMIT.<id>`` marker (streaming/txn.py) — a replayed batch either
+    overwrites its own attempt or skips on the marker, so a CMS counter
+    can never double-count a crash-replayed batch. Reading the previous
+    version and writing the next are different directories, which also
+    removes the read-then-overwrite materialization hazard. Old versions
+    are GC'd down to the newest two. Read the store with
+    ``txn.read_versioned``."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if txn.is_committed(spark, store_path, batch_id):
+            return  # replayed batch — already applied
         delta = delta_fn(batch_df)
-        if _store_has_parquet(spark, store_path):
-            prev = spark.read.parquet(store_path)
+        prev = txn.read_versioned(spark, store_path)
+        if prev is not None:
             merged = prev.unionByName(delta).groupBy(*merge_keys).agg(*merge_exprs())
         else:
             merged = delta
-        rows = merged.collect()  # materialize before overwriting the input
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            store_path
+        merged.write.mode("overwrite").parquet(
+            txn.data_dir(store_path, "v=", batch_id)
         )
+        txn.mark_committed(spark, store_path, batch_id)
+        txn.gc_versions(spark, store_path, keep_last=2)
 
     writer = stream_df.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint

@@ -515,7 +515,7 @@ def test_streaming_dedup_admission_builds_store_incrementally(spark, tmp_path):
     """Continuous corpus admission: batch 2's exact dup and near-dup of
     already-admitted docs are REJECTED against the store built by batch 1;
     genuinely new text is admitted. In-batch exact dups keep the lowest id."""
-    from market_data_pipeline_spark.streaming import jobs
+    from market_data_pipeline_spark.streaming import jobs, txn
 
     src = str(tmp_path / "docs_src")
     store = str(tmp_path / "corpus_store")
@@ -542,7 +542,7 @@ def test_streaming_dedup_admission_builds_store_incrementally(spark, tmp_path):
     # batch 1: two distinct docs + an in-batch exact dup (id 3 == id 1's text)
     write([(1, base), (2, other), (3, base)])
     run_once()
-    got1 = {r.doc_id for r in spark.read.parquet(store).collect()}
+    got1 = {r.doc_id for r in txn.read_appended(spark, store).collect()}
     assert got1 == {1, 2}, "in-batch exact dup must keep the lowest id"
 
     # batch 2: exact dup of base (new id), near-dup of base (one word
@@ -554,7 +554,7 @@ def test_streaming_dedup_admission_builds_store_incrementally(spark, tmp_path):
     )
     write([(10, base), (11, near), (12, brand_new)])
     run_once()
-    got2 = {r.doc_id for r in spark.read.parquet(store).collect()}
+    got2 = {r.doc_id for r in txn.read_appended(spark, store).collect()}
     assert got2 == {1, 2, 12}, f"store after batch 2: {sorted(got2)}"
 
 
@@ -646,7 +646,7 @@ def test_streaming_cms_maintenance_is_exact_across_batches(spark, tmp_path):
     counters of all events at once — the streaming store after two batches
     must be IDENTICAL to a one-shot batch sketch over the union."""
     from market_data_pipeline_spark.operators.quality import cms_counters
-    from market_data_pipeline_spark.streaming import jobs
+    from market_data_pipeline_spark.streaming import jobs, txn
 
     src = str(tmp_path / "ev_src")
     store = str(tmp_path / "cms_store")
@@ -673,7 +673,7 @@ def test_streaming_cms_maintenance_is_exact_across_batches(spark, tmp_path):
     run_once()
 
     got = {
-        (r.row, r.bucket): r.cnt for r in spark.read.parquet(store).collect()
+        (r.row, r.bucket): r.cnt for r in txn.read_versioned(spark, store).collect()
     }
     want_df = cms_counters(
         spark.createDataFrame([(i,) for i in b1 + b2], schema),
@@ -692,7 +692,7 @@ def test_streaming_hll_maintenance_equals_one_shot_sketch(spark, tmp_path):
     estimates, per key."""
     from pyspark.sql import functions as F
 
-    from market_data_pipeline_spark.streaming import jobs
+    from market_data_pipeline_spark.streaming import jobs, txn
 
     src = str(tmp_path / "hll_src")
     store = str(tmp_path / "hll_store")
@@ -716,7 +716,7 @@ def test_streaming_hll_maintenance_equals_one_shot_sketch(spark, tmp_path):
 
     got = {
         r.event_type: r.est
-        for r in spark.read.parquet(store)
+        for r in txn.read_versioned(spark, store)
         .select("event_type", F.hll_sketch_estimate("sk").alias("est"))
         .collect()
     }
@@ -816,3 +816,102 @@ def test_sessionize_eviction_replay_three_batches(spark, tmp_path):
     allrows = spark.read.parquet(out).collect()
     keys = [(r.user_id, r.session_seq) for r in allrows]
     assert len(keys) == len(set(keys))
+
+
+def test_sketch_store_replayed_batch_is_not_double_applied(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the store write and
+    the checkpoint commit REPLAYS the batch with the same id. The commit
+    markers must make the replay a no-op — a fresh checkpoint over the
+    same source replays batch 0 exactly like a crash recovery would, and
+    the CMS counters must NOT double."""
+    from market_data_pipeline_spark.operators.quality import cms_counters
+    from market_data_pipeline_spark.streaming import jobs, txn
+
+    src = str(tmp_path / "rp_src")
+    store = str(tmp_path / "rp_store")
+    schema = "user_id long"
+    b1 = [1, 2, 2, 3, 3, 3]
+    spark.createDataFrame([(i,) for i in b1], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_cms_maintenance(
+            stream, store, str(tmp_path / ckpt), key_col="user_id", width=64, depth=2
+        )
+        q.awaitTermination()
+
+    run_once("rp_ckpt1")
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_counters(
+            spark.createDataFrame([(i,) for i in b1], schema), "user_id", width=64, depth=2
+        ).collect()
+    }
+    got1 = {(r.row, r.bucket): r.cnt for r in txn.read_versioned(spark, store).collect()}
+    assert got1 == want
+    # fresh checkpoint → the same files arrive again as batch 0 (the replay
+    # shape); the _COMMIT.0 marker must swallow it
+    run_once("rp_ckpt2")
+    got2 = {(r.row, r.bucket): r.cnt for r in txn.read_versioned(spark, store).collect()}
+    assert got2 == want, "replayed batch 0 was double-applied"
+    assert txn.committed_ids(spark, store) == [0]
+
+
+def test_admission_store_uncommitted_dir_is_invisible_then_overwritten(spark, tmp_path):
+    """Crash window: a batch directory written WITHOUT its commit marker
+    (the crash-between-write-and-mark state) must be invisible to readers
+    and must be cleanly overwritten when the batch replays."""
+    from market_data_pipeline_spark.streaming import jobs, txn
+
+    src = str(tmp_path / "cw_src")
+    store = str(tmp_path / "cw_store")
+    ckpt = str(tmp_path / "cw_ckpt")
+    schema = "doc_id long, text string"
+    doc = (
+        "a perfectly ordinary document about distributed systems and the "
+        "commit protocols that keep them honest under partial failure"
+    )
+    # simulate the crashed attempt: half-written junk in batch=0, no marker
+    spark.createDataFrame([(999, "junk from a crashed attempt")], schema).write.mode(
+        "overwrite"
+    ).parquet(txn.data_dir(store, "batch=", 0))
+    assert txn.read_appended(spark, store) is None, "uncommitted dir leaked"
+
+    spark.createDataFrame([(1, doc)], schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = jobs.streaming_dedup_admission(stream, store, ckpt)
+    q.awaitTermination()
+
+    rows = txn.read_appended(spark, store).collect()
+    assert {r.doc_id for r in rows} == {1}, "crashed junk survived the replay"
+    assert txn.committed_ids(spark, store) == [0]
+
+
+def test_sketch_store_gc_keeps_newest_two_versions(spark, tmp_path):
+    """Version GC: after three committed batches only v=1 and v=2 (plus
+    their markers) remain, and the reader resolves the newest."""
+    from market_data_pipeline_spark.streaming import jobs, txn
+
+    src = str(tmp_path / "gc_src")
+    store = str(tmp_path / "gc_store")
+    ckpt = str(tmp_path / "gc_ckpt")
+    schema = "user_id long"
+
+    def write_and_run(ids):
+        spark.createDataFrame([(i,) for i in ids], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_cms_maintenance(
+            stream, store, ckpt, key_col="user_id", width=64, depth=2
+        )
+        q.awaitTermination()
+
+    write_and_run([1])
+    write_and_run([2])
+    write_and_run([3])
+    assert txn.committed_ids(spark, store) == [1, 2]
+    got_mass = sum(r.cnt for r in txn.read_versioned(spark, store).collect())
+    assert got_mass == 2 * 3  # depth × all events ever seen
