@@ -6035,3 +6035,71 @@ HAVING time_bucket(INTERVAL 4 HOUR, ts) + INTERVAL 4 HOUR
 """
 
 _REGISTRY.update({"inv_st_ohlcv_bars": (q_st_ohlcv_bars, SQL_ST_OHLCV_BARS)})
+
+
+# ---------------------------------------------------------------------------
+# S2 realtime quote feed as a CUSTOM DataSource (sources/quotefeed.py) —
+# the reference's driver-side HTTP quote table re-expressed as a DataSource
+# V2 with per-symbol input partitions. The synthetic transport is pure
+# md5 arithmetic, so DuckDB regenerates the identical rows from SQL and
+# the driver's value hash verifies a custom source end to end. Doubles are
+# raw IEEE results of the same operation order on both sides (no rounding
+# anywhere), so the values are bit-identical by construction.
+# ---------------------------------------------------------------------------
+
+_QF_SYMBOLS = ",".join(f"SYM{i:02d}" for i in range(16))
+_QF_TICKS = 64
+
+
+def q_s2_quote_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Realtime quote scan via the custom ``quotefeed`` source
+    (price_extractor.py:109-155 parity — symbol universe fanned out as
+    input partitions instead of a driver-side request loop)."""
+    from market_data_pipeline_spark.sources import quotefeed
+
+    quotefeed.register(spark)
+    return (
+        spark.read.format("quotefeed")
+        .option("symbols", _QF_SYMBOLS)
+        .option("ticks", str(_QF_TICKS))
+        .load()
+    )
+
+
+def _qf_oracle_sql(symbols: str, ticks: int, start: int = 1704067200, interval_s: int = 60) -> str:
+    sym_list = ", ".join(f"'{s}'" for s in symbols.split(","))
+
+    def b(i: int) -> str:
+        return _sql_byte_at("g.h", str(i))
+
+    return f"""
+WITH syms AS (SELECT unnest([{sym_list}]) AS symbol),
+t AS (SELECT range AS seq FROM range(0, {ticks})),
+g AS (
+  SELECT symbol, seq, upper(md5(symbol || ':' || CAST(seq AS VARCHAR))) AS h
+  FROM syms CROSS JOIN t
+),
+v AS (
+  SELECT symbol, CAST(seq AS BIGINT) AS seq,
+         make_timestamp((CAST({start} AS BIGINT) + seq * {interval_s}) * 1000000) AS ts,
+         50.0 + ((({b(0)}) * 65536 + ({b(1)}) * 256 + ({b(2)})) % 10000) / 100.0 AS price,
+         CAST((({b(3)}) * 65536 + ({b(4)}) * 256 + ({b(5)})) % 100000 AS BIGINT) AS volume
+  FROM g
+),
+w AS (
+  SELECT symbol, seq, ts, price, volume,
+         CASE WHEN seq = 0 THEN 0.0
+              ELSE price - lag(price) OVER (PARTITION BY symbol ORDER BY seq) END AS change,
+         lag(price) OVER (PARTITION BY symbol ORDER BY seq) AS __prev
+  FROM v
+)
+SELECT symbol, seq, ts, price, change,
+       CASE WHEN seq = 0 THEN 0.0 ELSE change / __prev * 100.0 END AS pct_change,
+       volume
+FROM w
+"""
+
+
+_REGISTRY.update(
+    {"inv_s2_quote_feed": (q_s2_quote_feed, _qf_oracle_sql(_QF_SYMBOLS, _QF_TICKS))}
+)
