@@ -6103,3 +6103,28 @@ FROM w
 _REGISTRY.update(
     {"inv_s2_quote_feed": (q_s2_quote_feed, _qf_oracle_sql(_QF_SYMBOLS, _QF_TICKS))}
 )
+
+
+def q_s2_quote_momentum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-symbol signal scan over the custom quote source — the batch twin
+    of streaming_jobs.streaming_quote_signals run over the whole tick
+    range (one slice per symbol), sharing its aggregate list verbatim."""
+    q = q_s2_quote_feed(spark, sf)
+    return q.groupBy("symbol").agg(*streaming_jobs.quote_signal_aggs())
+
+
+SQL_S2_QUOTE_MOMENTUM = f"""
+WITH q AS ({_qf_oracle_sql(_QF_SYMBOLS, _QF_TICKS)})
+SELECT symbol,
+       arg_min(price, seq) AS first_price,
+       arg_max(price, seq) AS last_price,
+       round(avg(price), 6) AS avg_price,
+       round((arg_max(price, seq) - arg_min(price, seq)) / arg_min(price, seq) * 100.0, 6)
+         AS momentum_pct,
+       round(stddev_samp(pct_change), 6) AS tick_vol,
+       CAST(sum(volume) AS BIGINT) AS total_volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM q GROUP BY symbol
+"""
+
+_REGISTRY.update({"inv_s2_quote_momentum": (q_s2_quote_momentum, SQL_S2_QUOTE_MOMENTUM)})

@@ -439,3 +439,45 @@ def streaming_hll_maintenance(
         merge_exprs=lambda: [F.hll_union_agg("sk").alias("sk")],
         trigger_available_now=trigger_available_now,
     )
+
+
+def quote_signal_aggs() -> list:
+    """The per-slice quote-signal aggregate list — ONE definition shared by
+    the streaming windowed scan and its batch twin, so the two can never
+    drift. first/last anchor on ``seq`` (unique per symbol), making every
+    aggregate deterministic; computed doubles round to 6 dp on both
+    engines (fp-sum order across partitions is not deterministic)."""
+    return [
+        F.min_by("price", "seq").alias("first_price"),
+        F.max_by("price", "seq").alias("last_price"),
+        F.round(F.avg("price"), 6).alias("avg_price"),
+        F.round(
+            (F.max_by("price", "seq") - F.min_by("price", "seq"))
+            / F.min_by("price", "seq")
+            * 100.0,
+            6,
+        ).alias("momentum_pct"),
+        F.round(F.stddev_samp("pct_change"), 6).alias("tick_vol"),
+        F.sum("volume").alias("total_volume"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+
+
+def streaming_quote_signals(
+    quotes: DataFrame, width: str = "10 minutes", watermark: str = "5 minutes"
+) -> DataFrame:
+    """Windowed realtime signal scan over the quote feed — the streaming
+    composition the reference's TTL-cache + scanner loop approximates
+    (price_extractor.py:109-136 feeding market_scanner.py): per symbol and
+    event-time window, momentum / tick volatility / volume, finalized by
+    the watermark and emitted append-mode exactly once."""
+    return (
+        quotes.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "symbol")
+        .agg(*quote_signal_aggs())
+        .select(
+            "symbol", F.col("win.start").alias("win_start"),
+            "first_price", "last_price", "avg_price", "momentum_pct",
+            "tick_vol", "total_volume", "n_ticks",
+        )
+    )

@@ -94,3 +94,65 @@ def test_stream_resumes_offsets_exactly_once(spark, tmp_path):
     for r in per.collect():
         assert r.n == r.n_distinct, f"{r.symbol}: duplicate seq after restart"
         assert r.lo == 0 and r.hi == r.n - 1, f"{r.symbol}: gap in seq after restart"
+
+
+def test_streaming_quote_signals_match_batch_twin(spark, tmp_path):
+    """End-to-end streaming composition: quotefeed stream → windowed
+    momentum/volatility signals, append-mode. Every finalized window the
+    stream emits must equal the batch twin computed over the same ticks —
+    the custom source's determinism makes the comparison exact."""
+    from market_data_pipeline_spark.sources import quotefeed
+    from market_data_pipeline_spark.streaming import jobs
+
+    quotefeed.register(spark)
+    emitted = []
+
+    stream = (
+        spark.readStream.format("quotefeed")
+        .option("symbols", "AAA,BBB")
+        .option("ticks_per_batch", "10")
+        .load()
+    )
+    sig = jobs.streaming_quote_signals(stream, width="10 minutes", watermark="5 minutes")
+
+    def sink(batch_df, _bid):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        sig.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "qs_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while len(emitted) < 4 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert len(emitted) >= 4, "stream finalized no windows"
+
+    batch = (
+        spark.read.format("quotefeed")
+        .option("symbols", "AAA,BBB")
+        .option("ticks", "500")
+        .load()
+    )
+    want = {
+        (r.symbol, r.win_start): r
+        for r in batch.groupBy(F.window("ts", "10 minutes").alias("win"), "symbol")
+        .agg(*jobs.quote_signal_aggs())
+        .select(
+            "symbol", F.col("win.start").alias("win_start"),
+            "first_price", "last_price", "avg_price", "momentum_pct",
+            "tick_vol", "total_volume", "n_ticks",
+        )
+        .collect()
+    }
+    keys = [(r.symbol, r.win_start) for r in emitted]
+    assert len(keys) == len(set(keys)), "a window emitted twice"
+    for r in emitted:
+        w = want[(r.symbol, r.win_start)]
+        assert r == w, f"stream window {r} != batch twin {w}"
