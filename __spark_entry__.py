@@ -5550,6 +5550,9 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # (c) equi-depth histogram rebuilt as a two-pass distributed rank
         # (no single-partition WindowExec) — r2-green impl changed in r3
         "inv_q_histogram_eqdepth",
+        # (d) dup_groups convergence check fused into the checkpointed
+        # round (one action per round) — r2-green dependents changed in r3
+        "inv_d_dup_groups", "inv_d_dedup_near",
     ),
 }
 

@@ -348,18 +348,20 @@ def dup_groups(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the changed flag INTO the checkpointed frame: convergence
+        # is then a cheap scan of already-materialized rows instead of a
+        # second join job per round — one action per round, not two
         new_labels = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least("label", "nlabel").alias("label"))
+            .select(
+                "id",
+                F.least("label", "nlabel").alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
