@@ -6131,3 +6131,78 @@ FROM q GROUP BY symbol
 """
 
 _REGISTRY.update({"inv_s2_quote_momentum": (q_s2_quote_momentum, SQL_S2_QUOTE_MOMENTUM)})
+
+
+def q_x_semantic_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic curation capstone (the SemDeDup-shaped pipeline): the
+    quality-gated corpus with EMBEDDING-cosine near-duplicate clusters
+    collapsed to their min-id member, labels carried from the vector
+    table. Cross-table composition: documents (text quality) ⋈ embeddings
+    (semantic identity) on the shared id space, pairs from the LSH-bucket
+    self-join + exact cosine filter, clusters from label propagation —
+    one lazy plan end to end."""
+    d = _docs(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    q = text.add_quality_score(text.add_token_stats(d))
+    pairs = similarity.embedding_near_dups(e, threshold=0.25, n_planes=6)
+    groups = dedup.dup_groups(pairs, id_a="vec_a", id_b="vec_b")
+    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    return (
+        q.filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 10000)
+            & (F.col("quality_score") >= 0.5)
+        )
+        .join(F.broadcast(losers), "doc_id", "left_anti")
+        .join(
+            e.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id", "left"
+        )
+        .select("doc_id", "lang", "n_tokens", "quality_score", "label")
+    )
+
+
+SQL_X_SEMANTIC = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(6)} AS lsh_bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+  FROM b a JOIN b b2 ON a.lsh_bucket = b2.lsh_bucket AND a.vec_id < b2.vec_id
+  WHERE round(list_dot_product(a.v, b2.v)
+          / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v)), 0), 6)
+        >= 0.25
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src
+),
+groups AS (SELECT id AS gdoc, min(r) AS group_id FROM reach GROUP BY id),
+kept AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN groups g ON d.doc_id = g.gdoc
+  WHERE g.gdoc IS NULL OR g.group_id = d.doc_id
+),
+n AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
+s AS (SELECT doc_id, lang, nt, len(string_split(nt, ' ')) AS n_tok,
+             {{STOP_HITS}} AS stop_hits FROM n),
+r AS (
+  SELECT doc_id, lang, n_tok,
+         least(length(nt) / 500.0, 1.0) AS len_score,
+         round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS stopword_ratio
+  FROM s
+)
+SELECT r.doc_id, r.lang, CAST(n_tok AS INT) AS n_tokens,
+       round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score,
+       emb.label
+FROM r
+JOIN kept ON r.doc_id = kept.doc_id
+LEFT JOIN embeddings emb ON emb.vec_id = r.doc_id
+WHERE n_tok BETWEEN 10 AND 10000
+  AND round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) >= 0.5
+""".replace("{STOP_HITS}", _stop_hits_sql())
+
+_REGISTRY.update({"inv_x_semantic_curation": (q_x_semantic_curation, SQL_X_SEMANTIC)})
