@@ -6206,3 +6206,47 @@ WHERE n_tok BETWEEN 10 AND 10000
 """.replace("{STOP_HITS}", _stop_hits_sql())
 
 _REGISTRY.update({"inv_x_semantic_curation": (q_x_semantic_curation, SQL_X_SEMANTIC)})
+
+
+def q_x_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-shaped importance weights for domain-targeted resampling:
+    hashed-unigram LM of the src0 slice vs the whole corpus, per-doc mean
+    token log-likelihood ratio (operators/text.py:importance_weights)."""
+    d = _docs(spark, sf)
+    return text.importance_weights(d, target=F.col("source") == "src0", buckets=256)
+
+
+def _iw_oracle_sql(buckets: int = 256) -> str:
+    def b(i: int) -> str:
+        return _sql_byte_at("t2.h", str(i))
+
+    return f"""
+WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS nt FROM documents),
+toks AS (
+  SELECT doc_id, source = 'src0' AS tgt, unnest(string_split(nt, ' ')) AS term FROM n
+),
+t2 AS (SELECT doc_id, tgt, upper(md5(term)) AS h FROM toks WHERE term <> ''),
+bk AS (
+  SELECT doc_id, tgt,
+         (({b(0)}) * 65536 + ({b(1)}) * 256 + ({b(2)})) % {buckets} AS b
+  FROM t2
+),
+corpus AS (SELECT b, count(*) AS n_c FROM bk GROUP BY b),
+tgtc AS (SELECT b, count(*) AS n_t FROM bk WHERE tgt GROUP BY b),
+tot AS (
+  SELECT count(*) AS tc, count(*) FILTER (WHERE tgt) AS tt FROM bk
+),
+probs AS (
+  SELECT c.b,
+         ln((coalesce(t.n_t, 0) + 1.0) / (tot.tt + {buckets}.0))
+         - ln((c.n_c + 1.0) / (tot.tc + {buckets}.0)) AS llr
+  FROM corpus c LEFT JOIN tgtc t ON c.b = t.b CROSS JOIN tot
+)
+SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       round(avg(p.llr), 6) AS weight
+FROM bk JOIN probs p ON bk.b = p.b
+GROUP BY bk.doc_id
+"""
+
+
+_REGISTRY.update({"inv_x_importance_weights": (q_x_importance_weights, _iw_oracle_sql())})

@@ -548,3 +548,68 @@ def add_structural_rules(
         )
         .withColumn("symbol_frac", F.round(symbols / raw_len.cast("double"), 6))
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped importance weighting: per-document log-likelihood ratio
+    between a hashed-unigram LM of the TARGET slice (rows where ``target``
+    is true) and one of the whole corpus — the standard recipe for tilting
+    a raw crawl toward a high-quality domain by importance resampling
+    (sample ∝ exp(weight)).
+
+    Features are md5-hashed unigram buckets (engine-portable: the DuckDB
+    oracle reproduces the bucket ids nibble-for-nibble), counts are add-1
+    smoothed over ``buckets`` cells, and a document's weight is the MEAN
+    token log-ratio ln P(b|target) − ln P(b|corpus), so long documents are
+    not favored merely for their length.
+
+    Shuffle shape: explode → ONE (bucket) count agg for each LM (both
+    bucket-table-sized, map-side combined) → broadcast probs joined back
+    onto the token stream → one doc-keyed agg. Scan-bound at corpus scale;
+    the LM tables are O(buckets) regardless of corpus size.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.alias("__target"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    bucketed = toks.withColumn(
+        "b",
+        F.conv(F.substring(F.md5("term"), 1, 6), 16, 10).cast("bigint")
+        % F.lit(buckets),
+    )
+    corpus = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("n_c"))
+    tgt = (
+        bucketed.filter(F.col("__target"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    totals = bucketed.agg(
+        F.count(F.lit(1)).alias("__tc"),
+        F.sum(F.col("__target").cast("long")).alias("__tt"),
+    )
+    probs = (
+        corpus.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("n_t"), F.lit(0)) + 1.0) / (F.col("__tt") + F.lit(float(buckets))))
+                - F.log((F.col("n_c") + 1.0) / (F.col("__tc") + F.lit(float(buckets))))
+            ).alias("llr"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(probs), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg("llr"), 6).alias("weight"),
+        )
+    )
