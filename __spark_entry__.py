@@ -6250,3 +6250,61 @@ GROUP BY bk.doc_id
 
 
 _REGISTRY.update({"inv_x_importance_weights": (q_x_importance_weights, _iw_oracle_sql())})
+
+
+def q_d_dedup_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-BEST near dedup: the corpus with each MinHash-LSH cluster
+    collapsed to its highest-quality member (id tiebreak), not the
+    arbitrary min id (dedup.dedup_near_keep_best)."""
+    d = _docs(spark, sf)
+    q = text.add_quality_score(d)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
+    return dedup.dedup_near_keep_best(q, pairs, "quality_score").select(
+        "doc_id", "quality_score"
+    )
+
+
+SQL_D_DEDUP_BEST = f"""
+WITH RECURSIVE {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+groups AS (SELECT id AS gdoc, min(r) AS group_id FROM reach GROUP BY id),
+n2 AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+s2 AS (SELECT doc_id, nt, len(string_split(nt, ' ')) AS n_tok,
+              {{STOP_HITS}} AS stop_hits FROM n2),
+qual AS (
+  SELECT doc_id,
+         round(0.5 * least(length(nt) / 500.0, 1.0)
+               + 0.5 * least(round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) * 5.0, 1.0),
+               6) AS quality_score
+  FROM s2
+),
+ranked AS (
+  SELECT g.group_id, g.gdoc AS doc_id,
+         row_number() OVER (
+           PARTITION BY g.group_id
+           ORDER BY q.quality_score DESC, g.gdoc
+         ) AS rn
+  FROM groups g JOIN qual q ON q.doc_id = g.gdoc
+),
+losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT q.doc_id, q.quality_score
+FROM qual q LEFT JOIN losers l ON q.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+""".replace("{STOP_HITS}", _stop_hits_sql())
+
+_REGISTRY.update({"inv_d_dedup_best": (q_d_dedup_best, SQL_D_DEDUP_BEST)})

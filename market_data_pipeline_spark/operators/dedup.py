@@ -389,6 +389,43 @@ def dedup_near_keep_one(
     return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
+def dedup_near_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Cluster dedup keeping the BEST member, not the min id: within every
+    near-dup cluster the survivor is the document with the highest
+    ``score_col`` (id as the deterministic tiebreak) — the policy real
+    curation pipelines want once a quality score exists, since the min-id
+    member of a cluster is arbitrary.
+
+    Same broadcast shape as ``dedup_near_keep_one``: clustered docs are
+    O(pair members); their scores join the tiny groups table, max_by picks
+    the keeper per cluster, and the loser list broadcasts into one
+    anti join against the corpus.
+    """
+    groups = dup_groups(pairs, id_a=id_a, id_b=id_b)
+    scored = groups.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
+        "doc_id",
+    )
+    keepers = scored.groupBy("group_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("__s"), F.col("doc_id").cast("double") * -1)
+        ).alias("keep_id")
+    )
+    losers = (
+        scored.join(F.broadcast(keepers), "group_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def incremental_dedup(
     new_df: DataFrame,
     store_df: DataFrame,
