@@ -353,3 +353,58 @@ def test_pq_topk_shape_and_approximation_quality(spark, sf_dir):
             [((vecs[qid] - v) ** 2).sum() for cid, v in vecs.items() if cid != qid]
         )
         assert true_d < np.median(all_d)
+
+
+def test_keep_best_survivor_is_highest_scored(spark, dup_docs):
+    """dedup_near_keep_best: within a cluster the max-score member
+    survives (id tiebreak), unclustered docs pass through, and exactly
+    one survivor remains per cluster."""
+    pairs = dedup.minhash_lsh_pairs(dup_docs, num_hashes=12, bands=4)
+    groups = {
+        (r.doc_id, r.group_id) for r in dedup.dup_groups(pairs).collect()
+    }
+    clusters: dict[int, set[int]] = {}
+    for doc, grp in groups:
+        clusters.setdefault(grp, set()).add(doc)
+    clustered = {d for members in clusters.values() for d in members}
+    assert any(len(m) >= 2 for m in clusters.values()), "fixture must cluster"
+    # score ASCENDS with doc_id, so every cluster's winner is its MAX id —
+    # the opposite of the keep-one min-id policy
+    scored = dup_docs.withColumn("q", F.col("doc_id").cast("double"))
+    kept = {r.doc_id for r in dedup.dedup_near_keep_best(scored, pairs, "q").collect()}
+    for grp, members in clusters.items():
+        assert kept & members == {max(members)}, (
+            f"cluster {members}: expected max-score survivor, kept {kept & members}"
+        )
+    assert (set(range(1, 6)) - clustered) <= kept, "unclustered docs pass through"
+    # tie case: equal scores fall back to min id
+    flat = dup_docs.withColumn("q", F.lit(1.0))
+    kept_tie = {r.doc_id for r in dedup.dedup_near_keep_best(flat, pairs, "q").collect()}
+    for grp, members in clusters.items():
+        assert kept_tie & members == {min(members)}
+
+
+def test_importance_weights_tilt_toward_target(spark):
+    """importance_weights: documents made of target-slice vocabulary score
+    higher than documents of off-target vocabulary; weights are finite and
+    the output covers every doc with ≥1 token."""
+    from market_data_pipeline_spark.operators import text as text_ops
+
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta", "src0") for i in range(6)]
+        + [(10 + i, "omega sigma tau rho omega sigma", "src1") for i in range(6)]
+        # mixed doc: half target vocab, half off-target
+        + [(99, "alpha beta omega sigma", "src1")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {
+        r.doc_id: r.weight
+        for r in text_ops.importance_weights(
+            df, target=F.col("source") == "src0", buckets=64
+        ).collect()
+    }
+    assert len(w) == 13
+    target_like = w[0]
+    off_target = w[10]
+    mixed = w[99]
+    assert target_like > mixed > off_target, (target_like, mixed, off_target)
