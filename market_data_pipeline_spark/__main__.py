@@ -7,8 +7,11 @@
 
 Modes: daily (clean + indicators, optional --persist-to), full (daily +
 breadth + health + regime + signals), validate (data-quality report),
-report (signal + quality markdown to --report). ``--config`` accepts the
-reference's YAML (env overrides MDP_* apply).
+report (signal + quality markdown to --report), realtime (the reference's
+get_realtime + scanner loop as a bounded Structured Streaming run over
+the quotefeed source: windowed momentum/volatility signals printed as
+they finalize). ``--config`` accepts the reference's YAML (env overrides
+MDP_* apply).
 """
 
 from __future__ import annotations
@@ -19,11 +22,17 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="market_data_pipeline_spark")
-    p.add_argument("--mode", choices=("daily", "full", "validate", "report"), default="daily")
+    p.add_argument(
+        "--mode",
+        choices=("daily", "full", "validate", "report", "realtime"),
+        default="daily",
+    )
     p.add_argument("--source", required=True, help="input table directory (parquet)")
     p.add_argument("--config", default=None, help="optional YAML config path")
     p.add_argument("--persist-to", default=None, help="write enriched bars here (daily mode)")
     p.add_argument("--report", default=None, help="write markdown report here (full/report mode)")
+    p.add_argument("--symbols", default="SYM00,SYM01,SYM02,SYM03", help="realtime mode universe")
+    p.add_argument("--duration", type=float, default=10.0, help="realtime mode run seconds")
     return p
 
 
@@ -63,6 +72,42 @@ def main(argv: list[str] | None = None) -> int:
         with open(target, "w", encoding="utf-8") as fh:
             fh.write(md)
         print(f"report written: {target}")
+    elif args.mode == "realtime":
+        import time
+
+        from market_data_pipeline_spark.sources import quotefeed
+        from market_data_pipeline_spark.streaming import jobs as sjobs
+
+        quotefeed.register(spark)
+        stream = (
+            spark.readStream.format("quotefeed")
+            .option("symbols", args.symbols)
+            .option("ticks_per_batch", "10")
+            .load()
+        )
+        sig = sjobs.streaming_quote_signals(stream)
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            sig.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + args.duration
+        while time.time() < deadline:
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+        for r in sorted(emitted, key=lambda r: (r.symbol, r.win_start)):
+            print(
+                f"{r.symbol} {r.win_start} last={r.last_price} "
+                f"mom={r.momentum_pct}% vol={r.tick_vol} n={r.n_ticks}"
+            )
+        print(f"realtime: {len(emitted)} finalized windows")
     return 0
 
 
