@@ -6144,9 +6144,10 @@ def q_x_semantic_curation(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     e = load_table(spark, sf, "embeddings")
     q = text.add_quality_score(text.add_token_stats(d))
-    pairs = similarity.embedding_near_dups(e, threshold=0.25, n_planes=6)
-    groups = dedup.dup_groups(pairs, id_a="vec_a", id_b="vec_b")
-    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    members = similarity.semantic_dup_members(e, threshold=0.25, n_planes=6)
+    losers = members.filter(F.col("vec_id") != F.col("group_id")).select(
+        F.col("vec_id").alias("doc_id")
+    )
     return (
         q.filter(
             (F.col("n_tokens") >= 10)

@@ -209,6 +209,58 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95, vec_col: str = "
     )
 
 
+def semantic_dup_members(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, group_id) for every vector in a semantic near-dup cluster,
+    group_id = the cluster's min id — the clustering layer a SemDeDup-style
+    curation pipeline needs, built to survive heavy EXACT duplication.
+
+    Scale design: exact-duplicate vectors are collapsed to ONE
+    representative per distinct embedding (groupBy on the vector itself)
+    BEFORE the LSH-bucket pair join, so K copies of a vector contribute
+    one bucket row instead of K — without the collapse a duplication
+    factor K inflates the candidate join quadratically (K² pairs per
+    clone set), which a 10× replica stress measured as super-linear
+    growth. The result is IDENTICAL to pairing over all vectors: an exact
+    clone set is a clique through its representative (cosine = 1 ≥ any
+    threshold), so the connected components — and their min ids — do not
+    change. Exact equality on the raw float array is intentional (bitwise
+    clones are what replication produces); near-identical vectors still
+    take the pair path.
+    """
+    from market_data_pipeline_spark.operators import dedup as _dedup
+
+    members = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    reps = members.groupBy("__v").agg(F.min(id_col).alias("rep_id"))
+    rep_vecs = reps.select(F.col("rep_id").alias(id_col), F.col("__v").alias(vec_col))
+    pairs = embedding_near_dups(rep_vecs, threshold, vec_col, id_col, n_planes, dim)
+    rep_groups = _dedup.dup_groups(pairs, id_a="vec_a", id_b="vec_b").select(
+        F.col("doc_id").alias("rep_id"), F.col("group_id").alias("__rg")
+    )
+    # rep_id is the min id of its clone set and __rg the min rep_id of the
+    # connected reps, so coalesce(__rg, rep_id) IS the cluster's min id
+    labeled = (
+        members.join(reps, "__v")
+        .join(F.broadcast(rep_groups), "rep_id", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__rg"), F.col("rep_id")).alias("group_id"),
+        )
+    )
+    # mirror dup_groups' contract: only vectors in a >1-member cluster
+    sizes = labeled.groupBy("group_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        labeled.join(F.broadcast(sizes.filter(F.col("__n") > 1)), "group_id")
+        .select(id_col, "group_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -43,6 +43,8 @@ QUERIES = [
     "inv_d_minhash_lsh",        # shingle→sig→band bucket join
     "inv_t_tfidf",              # explode + vocab shuffle
     "inv_sim_ann_topk",         # LSH bucketed ANN
+    "inv_x_semantic_curation",  # quality gate + embedding-cluster collapse
+    "inv_x_importance_weights", # hashed-unigram LM log-likelihood ratios
 ]
 
 
