@@ -5043,8 +5043,9 @@ def q_x_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
     losers), composed as ONE lazy plan."""
     d = _docs(spark, sf)
     q = text.add_quality_score(text.add_token_stats(d))
-    pairs = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
-    canon = dedup.dedup_near_keep_one(d, pairs).select("doc_id")
+    members = dedup.near_dup_members(d, num_hashes=12, bands=4)
+    losers = members.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    canon = d.join(F.broadcast(losers), "doc_id", "left_anti").select("doc_id")
     return (
         q.filter(
             (F.col("n_tokens") >= 10)

@@ -389,6 +389,53 @@ def dedup_near_keep_one(
     return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
+def near_dup_members(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, group_id) for every document in a near-dup cluster,
+    group_id = the cluster's min id — the clustering layer the curation
+    capstones consume, built to survive heavy EXACT duplication.
+
+    Exact-duplicate texts are collapsed to ONE representative per
+    normalized fingerprint BEFORE shingling and the LSH bucket join, so a
+    duplication factor K contributes one bucket row per distinct text
+    instead of K — without the collapse the candidate self-join grows
+    quadratically in K (the 10× replica stress measures it super-linear).
+    Components are unchanged: an exact clone set is a clique through its
+    representative (Jaccard = 1 shares every band), so cluster membership
+    and min ids are identical to pairing over all documents.
+    """
+    fp = F.md5(normalized(F.col(text_col)))
+    keyed = df.select(F.col(id_col), F.col(text_col)).withColumn("__fp", fp)
+    reps = keyed.groupBy("__fp").agg(
+        F.min(id_col).alias("rep_id"), F.min_by(text_col, F.col(id_col)).alias("__text")
+    )
+    rep_docs = reps.select(
+        F.col("rep_id").alias(id_col), F.col("__text").alias(text_col)
+    )
+    pairs = minhash_lsh_pairs(rep_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    rep_groups = dup_groups(pairs).select(
+        F.col("doc_id").alias("rep_id"), F.col("group_id").alias("__rg")
+    )
+    labeled = (
+        keyed.join(reps.select("__fp", "rep_id"), "__fp")
+        .join(F.broadcast(rep_groups), "rep_id", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__rg"), F.col("rep_id")).alias("group_id"),
+        )
+    )
+    sizes = labeled.groupBy("group_id").agg(F.count(F.lit(1)).alias("__n"))
+    return labeled.join(
+        F.broadcast(sizes.filter(F.col("__n") > 1)), "group_id"
+    ).select(id_col, "group_id")
+
+
 def dedup_near_keep_best(
     df: DataFrame,
     pairs: DataFrame,

@@ -45,6 +45,7 @@ QUERIES = [
     "inv_sim_ann_topk",         # LSH bucketed ANN
     "inv_x_semantic_curation",  # quality gate + embedding-cluster collapse
     "inv_x_importance_weights", # hashed-unigram LM log-likelihood ratios
+    "inv_x_curated_corpus",     # quality gate + text near-dup cluster collapse
 ]
 
 
