@@ -397,43 +397,78 @@ def near_dup_members(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, group_id) for every document in a near-dup cluster,
-    group_id = the cluster's min id — the clustering layer the curation
+    """(doc_id, group_id) for EVERY document, group_id = its near-dup
+    cluster's min id (a singleton labels itself, so survivors are exactly
+    the rows with doc_id == group_id) — the clustering layer the curation
     capstones consume, built to survive heavy EXACT duplication.
 
-    Exact-duplicate texts are collapsed to ONE representative per
-    normalized fingerprint BEFORE shingling and the LSH bucket join, so a
-    duplication factor K contributes one bucket row per distinct text
-    instead of K — without the collapse the candidate self-join grows
-    quadratically in K (the 10× replica stress measures it super-linear).
+    Signatures are keyed by the normalized-text FINGERPRINT, not the doc:
+    the shingle explode + salted-min hashing runs map-side over the raw
+    scan (fully parallel at any size, duplicates cost linear CPU) and the
+    signature agg collapses exact clones into one row per distinct text —
+    so the LSH bucket self-join sees each text once and a duplication
+    factor K can never inflate the candidate set quadratically (the 10×
+    replica stress measured that super-linear before the collapse).
     Components are unchanged: an exact clone set is a clique through its
-    representative (Jaccard = 1 shares every band), so cluster membership
+    fingerprint (Jaccard = 1 shares every band), so cluster membership
     and min ids are identical to pairing over all documents.
+
+    A rep-docs-THEN-shingle formulation (aggregate texts first, hash the
+    representatives) is equivalent but an AQE trap: the tiny agg output
+    coalesces to few partitions and the expensive hashing chain goes
+    serial. Keying the one signature agg by fingerprint keeps the heavy
+    work before the shuffle.
     """
-    fp = F.md5(normalized(F.col(text_col)))
-    keyed = df.select(F.col(id_col), F.col(text_col)).withColumn("__fp", fp)
-    reps = keyed.groupBy("__fp").agg(
-        F.min(id_col).alias("rep_id"), F.min_by(text_col, F.col(id_col)).alias("__text")
+    keyed = df.select(
+        F.col(id_col), F.col(text_col),
+        F.md5(normalized(F.col(text_col))).alias("__fp"),
     )
-    rep_docs = reps.select(
-        F.col("rep_id").alias(id_col), F.col("__text").alias(text_col)
+    sh = shingles(keyed, text_col, shingle_n, id_col="__fp")
+    sig = sh.groupBy("__fp").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh_{k}")
+            for k in range(num_hashes)
+        ]
     )
-    pairs = minhash_lsh_pairs(rep_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    id_map = keyed.select(id_col, "__fp")
+    rep_ids = id_map.groupBy("__fp").agg(F.min(id_col).alias("rep_id"))
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = (
+        sig.join(rep_ids, "__fp")
+        .select(F.col("rep_id"), F.explode(F.array(*band_cols)).alias("bb"))
+        .select("rep_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .select(F.col("a.rep_id").alias("doc_a"), F.col("b.rep_id").alias("doc_b"))
+        .distinct()
+    )
     rep_groups = dup_groups(pairs).select(
         F.col("doc_id").alias("rep_id"), F.col("group_id").alias("__rg")
     )
-    labeled = (
-        keyed.join(reps.select("__fp", "rep_id"), "__fp")
+    return (
+        id_map.join(rep_ids, "__fp")
         .join(F.broadcast(rep_groups), "rep_id", "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__rg"), F.col("rep_id")).alias("group_id"),
         )
     )
-    sizes = labeled.groupBy("group_id").agg(F.count(F.lit(1)).alias("__n"))
-    return labeled.join(
-        F.broadcast(sizes.filter(F.col("__n") > 1)), "group_id"
-    ).select(id_col, "group_id")
 
 
 def dedup_near_keep_best(

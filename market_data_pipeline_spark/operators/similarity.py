@@ -217,8 +217,9 @@ def semantic_dup_members(
     n_planes: int = 6,
     dim: int = 64,
 ) -> DataFrame:
-    """(id, group_id) for every vector in a semantic near-dup cluster,
-    group_id = the cluster's min id — the clustering layer a SemDeDup-style
+    """(id, group_id) for EVERY vector, group_id = its semantic near-dup
+    cluster's min id (a singleton labels itself, so survivors are exactly
+    the rows with id == group_id) — the clustering layer a SemDeDup-style
     curation pipeline needs, built to survive heavy EXACT duplication.
 
     Scale design: exact-duplicate vectors are collapsed to ONE
@@ -238,6 +239,9 @@ def semantic_dup_members(
 
     members = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
     reps = members.groupBy("__v").agg(F.min(id_col).alias("rep_id"))
+    # pinned once: the bucket self-join downstream would otherwise compute
+    # this aggregate on both sides of the join
+    reps = reps.localCheckpoint(eager=True)
     rep_vecs = reps.select(F.col("rep_id").alias(id_col), F.col("__v").alias(vec_col))
     pairs = embedding_near_dups(rep_vecs, threshold, vec_col, id_col, n_planes, dim)
     rep_groups = _dedup.dup_groups(pairs, id_a="vec_a", id_b="vec_b").select(
@@ -245,19 +249,13 @@ def semantic_dup_members(
     )
     # rep_id is the min id of its clone set and __rg the min rep_id of the
     # connected reps, so coalesce(__rg, rep_id) IS the cluster's min id
-    labeled = (
+    return (
         members.join(reps, "__v")
         .join(F.broadcast(rep_groups), "rep_id", "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__rg"), F.col("rep_id")).alias("group_id"),
         )
-    )
-    # mirror dup_groups' contract: only vectors in a >1-member cluster
-    sizes = labeled.groupBy("group_id").agg(F.count(F.lit(1)).alias("__n"))
-    return (
-        labeled.join(F.broadcast(sizes.filter(F.col("__n") > 1)), "group_id")
-        .select(id_col, "group_id")
     )
 
 
