@@ -5045,7 +5045,9 @@ def q_x_curated_corpus(spark: SparkSession, sf: str) -> DataFrame:
     q = text.add_quality_score(text.add_token_stats(d))
     members = dedup.near_dup_members(d, num_hashes=12, bands=4)
     losers = members.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
-    canon = d.join(F.broadcast(losers), "doc_id", "left_anti").select("doc_id")
+    # losers is O(duplicates) — unbounded at corpus dup rates, so no
+    # forced broadcast; AQE promotes the anti join when actually small.
+    canon = d.join(losers, "doc_id", "left_anti").select("doc_id")
     return (
         q.filter(
             (F.col("n_tokens") >= 10)
@@ -6155,7 +6157,7 @@ def q_x_semantic_curation(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("n_tokens") <= 10000)
             & (F.col("quality_score") >= 0.5)
         )
-        .join(F.broadcast(losers), "doc_id", "left_anti")
+        .join(losers, "doc_id", "left_anti")
         .join(
             e.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id", "left"
         )

@@ -378,15 +378,18 @@ def dedup_near_keep_one(
     CLUSTERS collapsed to one canonical document each (the min-id member),
     while documents in no cluster pass through untouched.
 
-    groups (doc_id→group_id) is tiny relative to the corpus — O(docs that
-    appear in any candidate pair) — so the join back is a broadcast at any
-    realistic dup rate; survivors = left_anti(dup members except canonicals).
+    The loser set is O(docs in any candidate pair) — at web-corpus dup
+    rates (30-50%) that is O(corpus), so the anti join must NOT force a
+    broadcast (a forced hint would OOM the driver at 100 TB). Left
+    unhinted, AQE promotes it to a broadcast join whenever the runtime
+    size is actually small and falls back to a shuffled hash anti join
+    on the id column otherwise — both scale-safe.
     """
     groups = dup_groups(pairs, id_a=id_a, id_b=id_b)
     losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 def near_dup_members(
@@ -461,9 +464,11 @@ def near_dup_members(
     rep_groups = dup_groups(pairs).select(
         F.col("doc_id").alias("rep_id"), F.col("group_id").alias("__rg")
     )
+    # rep_groups is O(reps in any candidate pair) — unbounded at high dup
+    # rates, so no forced broadcast; AQE promotes it when actually small.
     return (
         id_map.join(rep_ids, "__fp")
-        .join(F.broadcast(rep_groups), "rep_id", "left")
+        .join(rep_groups, "rep_id", "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__rg"), F.col("rep_id")).alias("group_id"),
@@ -485,10 +490,12 @@ def dedup_near_keep_best(
     curation pipelines want once a quality score exists, since the min-id
     member of a cluster is arbitrary.
 
-    Same broadcast shape as ``dedup_near_keep_one``: clustered docs are
-    O(pair members); their scores join the tiny groups table, max_by picks
-    the keeper per cluster, and the loser list broadcasts into one
-    anti join against the corpus.
+    Same join shape as ``dedup_near_keep_one``: clustered docs are
+    O(pair members), so their scores join the groups table, max_by picks
+    the keeper per cluster, and the loser list anti-joins the corpus.
+    None of these joins force a broadcast — the clustered-member tables
+    are O(duplicates), unbounded at web-corpus dup rates, so AQE decides
+    broadcast-vs-shuffle from the measured runtime size.
     """
     groups = dup_groups(pairs, id_a=id_a, id_b=id_b)
     scored = groups.join(
@@ -501,11 +508,11 @@ def dedup_near_keep_best(
         ).alias("keep_id")
     )
     losers = (
-        scored.join(F.broadcast(keepers), "group_id")
+        scored.join(keepers, "group_id")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select(F.col("doc_id").alias(id_col))
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")
 
 
 def incremental_dedup(

@@ -249,9 +249,11 @@ def semantic_dup_members(
     )
     # rep_id is the min id of its clone set and __rg the min rep_id of the
     # connected reps, so coalesce(__rg, rep_id) IS the cluster's min id
+    # rep_groups is O(reps in any candidate pair) — unbounded at high dup
+    # rates, so no forced broadcast; AQE promotes it when actually small.
     return (
         members.join(reps, "__v")
-        .join(F.broadcast(rep_groups), "rep_id", "left")
+        .join(rep_groups, "rep_id", "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__rg"), F.col("rep_id")).alias("group_id"),

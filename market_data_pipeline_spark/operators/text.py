@@ -445,7 +445,10 @@ def line_dedup(
         .filter(F.col("doc_freq") > max_doc_freq)
         .select("line_key", F.lit(True).alias("__hot"))
     )
-    flagged = lines.join(F.broadcast(hot), "line_key", "left")
+    # hot is the distinct boilerplate-line set — on a web corpus that is
+    # millions of lines, so no forced broadcast; the join key is already
+    # a hash (line_key) and AQE promotes to broadcast when actually small.
+    flagged = lines.join(hot, "line_key", "left")
     keep = F.col("__hot").isNull()
     return (
         flagged.groupBy(id_col)
