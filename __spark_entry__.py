@@ -6312,3 +6312,102 @@ WHERE l.doc_id IS NULL
 """.replace("{STOP_HITS}", _stop_hits_sql())
 
 _REGISTRY.update({"inv_d_dedup_best": (q_d_dedup_best, SQL_D_DEDUP_BEST)})
+
+
+def q_t_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated-span (substring-level) dedup statistics —
+    the Lee et al. 2022 signal, suffix-array-free: positionally
+    fingerprinted 8-token windows, cross-doc windows merged per doc into
+    maximal duplicated intervals (operators/text.py:repeated_span_stats).
+    Parity anchor: the reference's dedup surface is row-level only; this
+    extends it with the span-level dedup a 100 TB training pipeline runs
+    (SURVEY.md LLM-ops mandate)."""
+    tune_existing(spark)
+    return text.repeated_span_stats(_docs(spark, sf), n=8, min_docs=2)
+
+
+SQL_T_SPAN_DEDUP = f"""
+WITH n AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS nt FROM n),
+p AS (
+  SELECT b.doc_id, b.nt, u.i AS pos,
+         md5(array_to_string(b.toks[u.i + 1 : u.i + 8], ' ')) AS gh
+  FROM b, LATERAL unnest(range(0, b.nt - 8 + 1)) AS u(i)
+  WHERE b.nt >= 8
+),
+f AS (SELECT gh FROM p GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+fp AS (SELECT p.doc_id, p.pos FROM p JOIN f USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_isl
+  FROM fp
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+  FROM isl
+),
+per_isl AS (
+  SELECT doc_id, iid, count(*) AS pos_n, max(pos) + 8 - min(pos) AS covered
+  FROM isl2 GROUP BY doc_id, iid
+),
+agg AS (
+  SELECT doc_id, CAST(sum(pos_n) AS BIGINT) AS dup_positions,
+         CAST(max(iid) AS BIGINT) AS dup_islands,
+         CAST(sum(covered) AS BIGINT) AS covered_tokens
+  FROM per_isl GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.nt AS INTEGER) AS n_tokens,
+       CAST(coalesce(a.dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(coalesce(a.dup_islands, 0) AS BIGINT) AS dup_islands,
+       CAST(coalesce(a.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(a.covered_tokens, 0) / CAST(b.nt AS DOUBLE), 4) AS coverage_pct
+FROM b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+_REGISTRY.update({"inv_t_span_dedup": (q_t_span_dedup, SQL_T_SPAN_DEDUP)})
+
+
+def q_x_shard_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic-shuffle shard manifest: the per-shard row counts, id
+    checksum, and shuffle-key span the sharded training export produces
+    (sources/sinks.py:shard_assign / write_sharded). The manifest is the
+    driver-checkable contract of the export: identical on any engine
+    because the shuffle key is pure id arithmetic."""
+    from market_data_pipeline_spark.sources import sinks as _sinks
+
+    tune_existing(spark)
+    assigned = _sinks.shard_assign(_docs(spark, sf), "doc_id", 8)
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.min("shuffle_key").alias("min_key"),
+        F.max("shuffle_key").alias("max_key"),
+    )
+
+
+SQL_X_SHARD_EXPORT = """
+WITH a AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS shuffle_key
+  FROM documents
+)
+SELECT CAST(shuffle_key % 8 AS INTEGER) AS shard,
+       count(*) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       min(shuffle_key) AS min_key,
+       max(shuffle_key) AS max_key
+FROM a
+GROUP BY 1
+"""
+
+_REGISTRY.update({"inv_x_shard_export": (q_x_shard_export, SQL_X_SHARD_EXPORT)})

@@ -616,3 +616,105 @@ def importance_weights(
             F.round(F.avg("llr"), 6).alias("weight"),
         )
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-SPAN statistics — the substring-level dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), whose exact form is a suffix array over the
+    concatenated corpus. Re-expressed for a distributed engine: every
+    token position's n-token window is fingerprinted (md5 of the slice),
+    fingerprints occurring in >= ``min_docs`` DISTINCT documents mark
+    their ``[pos, pos+n)`` span as duplicated, and per document the
+    flagged spans merge (gaps-and-islands) into maximal intervals, so a
+    long copied passage counts once however many windows tile it.
+
+    Returns one row per document: ``n_tokens``, ``dup_positions``
+    (flagged window starts), ``dup_islands`` (merged intervals),
+    ``covered_tokens`` (union of flagged spans), ``coverage_pct``.
+    Downstream policy is the caller's: drop docs above a coverage
+    threshold, or excise the islands.
+
+    Scale shape: ONE map-side n-gram expansion (O(total tokens) rows —
+    the transform/slice runs inside the scan stage, no join) feeding a
+    partial-aggregable count keyed by the 16-byte fingerprint; the
+    flagged set joins back UNHINTED (AQE broadcasts it only when the
+    duplicated-span vocabulary actually fits); the interval merge is one
+    per-doc window over flagged positions only. No pairwise work, no
+    UDFs, no suffix array — linear in corpus size.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__nt", F.size("__t"))
+    pos = (
+        base.filter(F.col("__nt") >= n)
+        .select(
+            id_col,
+            "__nt",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nt") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("__t", i + F.lit(1), F.lit(n)))
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    flagged_gh = (
+        pos.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("gh")
+    )
+    fp = pos.join(flagged_gh, "gh")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + n).over(w_prev)
+    isl = fp.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("__iid", F.sum("__new").over(w_run))
+    per_island = isl.groupBy(id_col, "__iid").agg(
+        F.any_value("__nt").alias("__nt"),
+        F.count(F.lit(1)).alias("__pos_n"),
+        (F.max("pos") + n - F.min("pos")).alias("__covered"),
+    )
+    agg = per_island.groupBy(id_col).agg(
+        F.sum("__pos_n").alias("dup_positions"),
+        F.max("__iid").alias("dup_islands"),
+        F.sum("__covered").alias("covered_tokens"),
+    )
+    return (
+        base.select(id_col, F.col("__nt").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+            F.coalesce("dup_islands", F.lit(0)).alias("dup_islands"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("coverage_pct"),
+        )
+    )

@@ -471,3 +471,58 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    shard_col: str = "shard",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a 32-bit Knuth-scramble key from its id and a shard in
+    ``[0, n_shards)`` from that key. Ordering the corpus by
+    (shard, shuffle_key) IS the reproducible global shuffle an LLM
+    training run reads — no randomness, so any engine (and the DuckDB
+    oracle) derives the identical layout from the ids alone.
+
+    pmod keeps negative ids in range; the multiply wraps for ids >= 2^31
+    under the session's pinned ansi.enabled=false (the shared _KNUTH
+    convention, operators/features.py:21).
+    """
+    scramble = F.pmod(
+        F.col(id_col).cast("bigint") * F.lit(2654435761), F.lit(4294967296)
+    )
+    return df.withColumn(key_col, scramble).withColumn(
+        shard_col, F.pmod(F.col(key_col), F.lit(n_shards)).cast("int")
+    )
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Sharded training-data export: ``shard=k/`` directories, rows inside
+    each shard ordered by the deterministic shuffle key. The layout every
+    epoch-shuffled data loader wants: pick shards, stream files in order,
+    get a reproducible global permutation without a terabyte-scale sort.
+
+    One task per shard here (repartition on the shard value), which is
+    right while shard count ~ corpus/target-file-size. At 100 TB raise
+    n_shards (shards are the parallelism unit downstream too) — the
+    repartition stays a single hash exchange; no global sort ever runs
+    (contrast orderBy(shuffle_key): a range exchange + full sort of the
+    corpus for the same read-side guarantee).
+    """
+    out = shard_assign(df, id_col, n_shards)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )

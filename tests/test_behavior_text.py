@@ -356,3 +356,46 @@ def test_structural_rules_values(spark):
     ).collect()[0]
     assert crlf.ellipsis_line_frac == round(2 / 3, 6)
     assert crlf.bullet_line_frac == round(1 / 3, 6)
+
+
+def test_repeated_span_stats_micro(spark):
+    """Hand-computed span dedup: docs 1 and 2 share one 8-token run
+    ('a..h'); doc 3 is unique. Each sharer gets one island of 8 covered
+    tokens; adjacent flagged windows would merge (gaps-and-islands)."""
+    from market_data_pipeline_spark.operators.text import repeated_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # shared run at pos 0
+            (2, "x y a b c d e f g h z"),        # shared run at pos 2
+            (3, "p q r s t u v w aa bb cc"),     # no cross-doc 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repeated_span_stats(df, n=8, min_docs=2).collect()}
+    assert rows[1].n_tokens == 10
+    assert rows[1].dup_positions == 1 and rows[1].dup_islands == 1
+    assert rows[1].covered_tokens == 8 and rows[1].coverage_pct == 0.8
+    assert rows[2].covered_tokens == 8 and rows[2].coverage_pct == round(8 / 11, 4)
+    assert rows[3].dup_positions == 0 and rows[3].coverage_pct == 0.0
+
+
+def test_repeated_span_stats_island_merge(spark):
+    """Overlapping flagged windows tile into ONE island: doc 4 and 5 share
+    a 10-token run -> 3 flagged window starts (n=8) but a single merged
+    interval covering all 10 tokens."""
+    from market_data_pipeline_spark.operators.text import repeated_span_stats
+
+    shared = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
+    df = spark.createDataFrame(
+        [(4, shared + " tail4"), (5, "head5 " + shared)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repeated_span_stats(df, n=8, min_docs=2).collect()}
+    # shared run gives window starts at 3 positions in each doc; the
+    # cross-doc flagged set also includes runs shifted by the local
+    # context only where the 8-gram is identical in BOTH docs
+    assert rows[4].dup_islands == 1
+    assert rows[4].covered_tokens == 10
+    assert rows[5].dup_islands == 1
+    assert rows[5].covered_tokens == 10

@@ -348,3 +348,45 @@ def test_zordered_write_bounds_both_dimensions(spark, sf_dir, tmp_path):
     assert statistics.mean(spans_a) < 0.6 * 2000
     assert statistics.mean(spans_b) < 0.6 * 100
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_write_sharded_deterministic_layout(spark, sf_dir, tmp_path):
+    """Sharded export: shard dirs hold exactly the ids whose Knuth
+    scramble maps there, files are internally ordered by the shuffle
+    key, and a rewrite reproduces the identical assignment."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from market_data_pipeline_spark.sources import sinks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang"
+    )
+    target = str(tmp_path / "shards")
+    sinks.write_sharded(docs, target, "doc_id", n_shards=8)
+
+    seen = set()
+    for d in sorted(glob.glob(os.path.join(target, "shard=*"))):
+        k = int(d.rsplit("=", 1)[1])
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1  # one task per shard -> one file
+        t = pq.read_table(files[0])
+        ids = t.column("doc_id").to_pylist()
+        keys = t.column("shuffle_key").to_pylist()
+        assert keys == sorted(keys)  # ordered by the shuffle key
+        for i, key in zip(ids, keys):
+            assert key == (i * 2654435761) % (2**32)
+            assert key % 8 == k
+        seen.update(ids)
+    expected = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert seen == expected
+
+    # determinism: a second write yields byte-identical assignments
+    target2 = str(tmp_path / "shards2")
+    sinks.write_sharded(docs, target2, "doc_id", n_shards=8)
+    for k in range(8):
+        a = pq.read_table(glob.glob(os.path.join(target, f"shard={k}", "*.parquet"))[0])
+        b = pq.read_table(glob.glob(os.path.join(target2, f"shard={k}", "*.parquet"))[0])
+        assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
