@@ -6411,3 +6411,77 @@ GROUP BY 1
 """
 
 _REGISTRY.update({"inv_x_shard_export": (q_x_shard_export, SQL_X_SHARD_EXPORT)})
+
+
+def q_t_span_excise(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-span EXCISION — the corpus transform Lee et al. 2022
+    apply: duplicated intervals cut out of each document, unique
+    surroundings kept (operators/text.py:excise_repeated_spans).
+    Companion of inv_t_span_dedup (same flagging, policy applied)."""
+    tune_existing(spark)
+    return text.excise_repeated_spans(_docs(spark, sf), n=8, min_docs=2)
+
+
+SQL_T_SPAN_EXCISE = f"""
+WITH n AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS nt FROM n),
+p AS (
+  SELECT b.doc_id, b.nt, u.i AS pos,
+         md5(array_to_string(b.toks[u.i + 1 : u.i + 8], ' ')) AS gh
+  FROM b, LATERAL unnest(range(0, b.nt - 8 + 1)) AS u(i)
+  WHERE b.nt >= 8
+),
+f AS (SELECT gh FROM p GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+fp AS (SELECT p.doc_id, p.pos FROM p JOIN f USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_isl
+  FROM fp
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+  FROM isl
+),
+per_isl AS (
+  SELECT doc_id, iid, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl2 GROUP BY doc_id, iid
+),
+isl_doc AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS islands
+  FROM per_isl GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT b.doc_id, b.nt,
+         CASE WHEN d.islands IS NULL THEN NULL
+              ELSE list_filter(
+                     range(0, b.nt),
+                     i -> len(list_filter(d.islands,
+                                          x -> i >= x.s AND i < x.e)) = 0)
+         END AS kept_idx,
+         d.islands IS NULL AS untouched,
+         b.toks
+  FROM b LEFT JOIN isl_doc d ON b.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN untouched THEN array_to_string(toks, ' ')
+            ELSE coalesce(array_to_string(
+                   list_transform(kept_idx, i -> toks[CAST(i + 1 AS BIGINT)]), ' '), '')
+       END AS clean_text,
+       CAST(nt AS INTEGER) AS n_tokens,
+       CAST(CASE WHEN untouched THEN 0 ELSE nt - len(kept_idx) END AS INTEGER)
+         AS removed_tokens,
+       CAST(CASE WHEN untouched THEN nt ELSE len(kept_idx) END AS INTEGER)
+         AS kept_tokens
+FROM rebuilt
+"""
+
+_REGISTRY.update({"inv_t_span_excise": (q_t_span_excise, SQL_T_SPAN_EXCISE)})

@@ -718,3 +718,94 @@ def repeated_span_stats(
             ).alias("coverage_pct"),
         )
     )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The policy half of ``repeated_span_stats``: REMOVE every duplicated
+    interval from each document, keeping the surrounding text — what Lee
+    et al. 2022 actually do to the training corpus (excision, not doc
+    drop, so unique content inside mostly-duplicated pages survives).
+
+    Output: one row per doc with ``clean_text`` (tokens outside every
+    flagged island, single-space joined over the normalized text),
+    ``n_tokens``, ``removed_tokens``, ``kept_tokens``.
+
+    Scale shape: identical to the stats pass up to the island merge; the
+    rebuild is per-row array math over (tokens × islands-per-doc) — the
+    island list rides a doc-keyed join (collect_list of a per-doc-tiny
+    set), never a shuffle of token rows.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("__t")
+    ).withColumn("__nt", F.size("__t"))
+    pos = (
+        base.filter(F.col("__nt") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nt") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("__t", i + F.lit(1), F.lit(n)))
+                    ),
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    flagged_gh = (
+        pos.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("gh")
+    )
+    fp = pos.join(flagged_gh, "gh")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + n).over(w_prev)
+    islands = (
+        fp.withColumn(
+            "__new",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn("__iid", F.sum("__new").over(w_run))
+        .groupBy(id_col, "__iid")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__isl"))
+    )
+    joined = base.join(islands, id_col, "left").withColumn(
+        "__isl", F.coalesce("__isl", F.array().cast("array<struct<s:int,e:int>>"))
+    )
+    idx = F.sequence(F.lit(0), F.col("__nt") - 1)
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("__isl"), lambda iv: (i >= iv["s"]) & (i < iv["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept_idx, lambda i: F.element_at("__t", i + F.lit(1)))
+        ).alias("clean_text"),
+        F.col("__nt").alias("n_tokens"),
+        (F.col("__nt") - F.size(kept_idx)).alias("removed_tokens"),
+        F.size(kept_idx).alias("kept_tokens"),
+    )

@@ -399,3 +399,28 @@ def test_repeated_span_stats_island_merge(spark):
     assert rows[4].covered_tokens == 10
     assert rows[5].dup_islands == 1
     assert rows[5].covered_tokens == 10
+
+
+def test_excise_repeated_spans_micro(spark):
+    """The excision policy cuts exactly the merged island and keeps the
+    surroundings; untouched docs pass through verbatim (normalized)."""
+    from market_data_pipeline_spark.operators.text import excise_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f g h z"),
+            (3, "p q r s t u v w aa bb cc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in excise_repeated_spans(df, n=8, min_docs=2).collect()}
+    # doc 1: island [0, 8) removed -> "i j" remains
+    assert rows[1].clean_text == "i j"
+    assert rows[1].removed_tokens == 8 and rows[1].kept_tokens == 2
+    # doc 2: island [2, 10) removed -> "x y" + trailing "z"
+    assert rows[2].clean_text == "x y z"
+    assert rows[2].removed_tokens == 8 and rows[2].kept_tokens == 3
+    # doc 3: untouched
+    assert rows[3].clean_text == "p q r s t u v w aa bb cc"
+    assert rows[3].removed_tokens == 0
