@@ -331,18 +331,31 @@ def dup_groups(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
-    # distinct leaves edges hash(src, dst)-partitioned, which does NOT
-    # satisfy the per-round src-keyed join — re-key ONCE and pin it with
-    # the checkpoint so every propagation round joins without re-shuffling
-    # the (large) edge set; labels come out of a src-distinct, so they are
-    # already id-hash partitioned and stay so through each round's joins.
+    )
+    # No edge distinct: the emitters produce a distinct pair set with
+    # id_a < id_b, so fwd (src<dst) and bwd (src>dst) cannot collide and a
+    # distinct here would be a pure extra full-edge-set shuffle. Callers
+    # passing duplicated pairs only cost extra join rows — min() absorbs
+    # them, correctness is unchanged. The ONE edge shuffle is the src
+    # re-key below, pinned by the checkpoint so every propagation round
+    # joins without re-shuffling the (large) edge set.
     edges = edges.repartition(F.col("src")).localCheckpoint(eager=True)
+    # Round 0 is fused into initialization: with identity starting labels,
+    # the first neighbor-min is just min(neighbor id), so the initial label
+    # table is least(src, min(dst)) from ONE aggregation that rides the
+    # src partitioning pinned above — one fewer join+checkpoint+count
+    # action than initializing to identities and looping from round 0.
     labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
     ).localCheckpoint(eager=True)
+    prev_ckpt = labels
 
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -361,9 +374,23 @@ def dup_groups(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        # the previous round's checkpointed blocks are dead once the new
+        # round is materialized — drop them so a long session (bench loop,
+        # streaming foreachBatch reuse) doesn't accrete block-manager state
+        try:
+            prev_ckpt.unpersist()
+        except Exception:
+            pass
+        prev_ckpt = new_labels
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    # the edge set is only read by the loop itself; the returned labels are
+    # a standalone checkpoint, so the edge blocks can go too
+    try:
+        edges.unpersist()
+    except Exception:
+        pass
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
 
 
