@@ -6485,3 +6485,143 @@ FROM rebuilt
 """
 
 _REGISTRY.update({"inv_t_span_excise": (q_t_span_excise, SQL_T_SPAN_EXCISE)})
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 3) — Sennrich et al. 2016 subword merges
+# learned distributively: ONE corpus-sized pass (word_counts), then a merge
+# loop over the O(vocab) word table. The oracle unrolls the identical loop
+# as chained CTEs; replace() has the same greedy left-to-right
+# non-overlapping semantics in both engines over the ␟sym␞ wrapping.
+# The reference has no tokenizer at all — north-star LLM-pipeline op.
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_WORDS = 300
+_BPE_MERGES = 8
+
+
+def q_t_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    wc = (
+        text.word_counts(d)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_BPE_TOP_WORDS)
+    )
+    return text.bpe_train(wc, num_merges=_BPE_MERGES)
+
+
+def _bpe_sql(num_merges: int = _BPE_MERGES, top_words: int = _BPE_TOP_WORDS) -> str:
+    s_mark, e_mark = "␟", "␞"
+    parts = [
+        f"""toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {top_words}
+),
+words0 AS (
+  SELECT regexp_replace(word, '(.)', '{s_mark}\\1{e_mark}', 'g')
+           || '{s_mark}</w>{e_mark}' AS w,
+         cnt
+  FROM wc
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""pairs{k} AS (
+  SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(regexp_replace(w, '^{s_mark}|{e_mark}$', '', 'g'),
+                            '{e_mark}{s_mark}') AS s,
+               cnt
+        FROM words{p}) t,
+       unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+top{k} AS (
+  SELECT {k} AS step, lhs, rhs, pair_count FROM pairs{k}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+words{k} AS (
+  SELECT replace(w, '{s_mark}' || t.lhs || '{e_mark}{s_mark}' || t.rhs || '{e_mark}',
+                 '{s_mark}' || t.lhs || t.rhs || '{e_mark}') AS w,
+         cnt
+  FROM words{p}, top{k} t
+)"""
+        )
+    tops = " UNION ALL ".join(
+        f"SELECT * FROM top{k}" for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(step AS INT) AS step, lhs, rhs, lhs || rhs AS merged, pair_count
+FROM ({tops}) ORDER BY step"""
+    )
+
+
+_REGISTRY.update({"inv_t_bpe_merges": (q_t_bpe_merges, _bpe_sql())})
+
+
+def q_t_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Round trip: train the merge list, then encode every document with it
+    — per-doc whitespace-word and BPE-subword counts. The merge list is the
+    O(num_merges) model artifact (driver-held like broadcast centroids);
+    the encode pass is one pure expression chain over the corpus scan."""
+    d = _docs(spark, sf)
+    wc = (
+        text.word_counts(d)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_BPE_TOP_WORDS)
+    )
+    merges = text.bpe_train(wc, num_merges=_BPE_MERGES)
+    return text.bpe_apply(d, merges)
+
+
+def _bpe_encode_sql(num_merges: int = _BPE_MERGES) -> str:
+    s_mark, e_mark = "␟", "␞"
+    # reuse the training CTE chain (strip the trailing SELECT), then unroll
+    # the encode replaces over the wrapped documents with each step's winner
+    train = _bpe_sql(num_merges)
+    body = train[: train.rindex("\nSELECT CAST(step AS INT)")]
+    parts = [
+        body,
+        f""",
+enc0 AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split({_NORM_SQL}, ' '),
+                       w -> regexp_matches(w, '^[a-z]+$')),
+           w -> regexp_replace(w, '(.)', '{s_mark}\\1{e_mark}', 'g')
+                  || '{s_mark}</w>{e_mark}') AS wl
+  FROM documents
+),
+encw0 AS (
+  SELECT doc_id, CAST(len(wl) AS INT) AS n_words,
+         array_to_string(wl, '') AS w
+  FROM enc0
+)""",
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f""",
+encw{k} AS (
+  SELECT e.doc_id, e.n_words,
+         replace(e.w, '{s_mark}' || t.lhs || '{e_mark}{s_mark}' || t.rhs || '{e_mark}',
+                 '{s_mark}' || t.lhs || t.rhs || '{e_mark}') AS w
+  FROM encw{k - 1} e, top{k} t
+)"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+SELECT doc_id, n_words,
+       CAST(length(w) - length(replace(w, '{s_mark}', '')) AS INT) AS n_bpe_tokens
+FROM encw{num_merges}"""
+    )
+
+
+_REGISTRY.update({"inv_t_bpe_encode": (q_t_bpe_encode, _bpe_encode_sql())})

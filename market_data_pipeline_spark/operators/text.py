@@ -809,3 +809,189 @@ def excise_repeated_spans(
         (F.col("__nt") - F.size(kept_idx)).alias("removed_tokens"),
         F.size(kept_idx).alias("kept_tokens"),
     )
+
+
+def word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """(word, cnt) over the normalized corpus — the ONE corpus-sized pass
+    the BPE trainer needs. Everything after this operates on the O(vocab)
+    word table, so tokenizer training cost is independent of corpus size
+    beyond this single map-side-combined shuffle."""
+    w = F.explode(tokens(F.col(text_col))).alias("word")
+    return (
+        df.select(w)
+        .filter(F.col("word").rlike(pattern))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# symbol wrapping for the BPE merge loop: every symbol is stored as
+# ␟sym␞ inside the word string, so ONE literal replace('␟l␞␟r␞' ->
+# '␟lr␞') applies a merge with exactly greedy left-to-right
+# non-overlapping semantics ("aaaa" + (a,a) -> [aa][aa]) — and SQL
+# replace() in any engine has the same semantics, which is what makes
+# the trainer oracle-checkable. The markers are control-plane chars
+# (U+241F/U+241E) that word_counts' token pattern can never admit.
+_BPE_S = "␟"  # ␟ symbol start
+_BPE_E = "␞"  # ␞ symbol end
+_BPE_EOW = "</w>"  # end-of-word symbol (Sennrich et al. 2016)
+
+
+def bpe_train(
+    words: DataFrame,
+    num_merges: int = 8,
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training over a word-count table:
+    (step, lhs, rhs, merged, pair_count) — the learned merge list, most
+    frequent adjacent symbol pair first (count desc, then lexicographic
+    lhs/rhs for deterministic ties), per Sennrich et al. 2016 ("Neural
+    Machine Translation of Rare Words with Subword Units", public).
+
+    Scale design: the corpus never enters the loop — `word_counts` did the
+    one corpus pass, and every merge round runs over the O(vocab) word
+    table: an adjacency-pair aggregation (map-side combinable, weighted by
+    word count), a top-1 via TakeOrdered, and one literal replace() applied
+    under a broadcast of that single-row winner. No driver-side data path;
+    lineage is truncated per round (localCheckpoint) exactly like the
+    k-means loop. The reference has no tokenizer at all — this is a
+    north-star LLM-pipeline extension.
+    """
+    wrapped = (
+        words.filter(
+            ~F.col(word_col).contains(_BPE_S) & ~F.col(word_col).contains(_BPE_E)
+        )
+        .select(
+            F.concat(
+                F.regexp_replace(F.col(word_col), "(.)", f"{_BPE_S}$1{_BPE_E}"),
+                F.lit(f"{_BPE_S}{_BPE_EOW}{_BPE_E}"),
+            ).alias("w"),
+            F.col(count_col).cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_df = wrapped
+    rounds = []
+    prev_ckpts = []
+    for step in range(1, num_merges + 1):
+        syms = F.split(
+            F.regexp_replace(F.col("w"), f"^{_BPE_S}|{_BPE_E}$", ""),
+            f"{_BPE_E}{_BPE_S}",
+        )
+        top1 = (
+            w_df.select(syms.alias("s"), "cnt")
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(s, 1, size(s) - 1),"
+                        " (x, i) -> struct(x AS lhs, element_at(s, i + 2) AS rhs))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .withColumn("step", F.lit(step))
+        )
+        # ONE eager action per round: the winning pair rides the words
+        # checkpoint as carried columns (broadcast single-row crossJoin),
+        # so finding the pair and applying the merge share a job. If the
+        # vocabulary ever fully merges, top1 is empty and every later
+        # round's frame is empty — the merge list just comes out short.
+        new_w = (
+            w_df.crossJoin(F.broadcast(top1))
+            .select(
+                F.replace(
+                    F.col("w"),
+                    F.concat(
+                        F.lit(_BPE_S), F.col("lhs"), F.lit(_BPE_E + _BPE_S),
+                        F.col("rhs"), F.lit(_BPE_E),
+                    ),
+                    F.concat(
+                        F.lit(_BPE_S), F.col("lhs"), F.col("rhs"), F.lit(_BPE_E)
+                    ),
+                ).alias("w"),
+                "cnt",
+                "step",
+                "lhs",
+                "rhs",
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(new_w)
+        prev_ckpts.append(w_df)
+        w_df = new_w.select("w", "cnt")
+    for ck in prev_ckpts[1:]:  # dead intermediate rounds — free their blocks
+        try:
+            ck.unpersist()
+        except Exception:
+            pass
+    # every row of a round's frame carries the same winner — limit(1) per
+    # round is a scan of already-materialized blocks, not a recompute
+    out = rounds[0].select("step", "lhs", "rhs", "pair_count").limit(1)
+    for t in rounds[1:]:
+        out = out.unionByName(t.select("step", "lhs", "rhs", "pair_count").limit(1))
+    return out.select(
+        "step",
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        "pair_count",
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Encode documents with a learned BPE merge list: (doc_id, n_words,
+    n_bpe_tokens) — the trainer's round trip, and the honest token counter
+    a data pipeline budgets context windows with.
+
+    ``merges`` is the O(num_merges) model artifact: collecting it to the
+    driver and folding it into ONE nested replace() expression chain is the
+    same "broadcast the model" shape as k-means centroids or PQ distance
+    tables — never a data-sized collect. Applying merges to whole wrapped
+    documents (words concatenated) is safe because every word ends with the
+    </w> symbol and no learned pair can have </w> as its lhs — cross-word
+    merges are impossible by construction.
+    """
+    rows = sorted(
+        merges.select("step", "lhs", "rhs").collect(), key=lambda r: r.step
+    )
+    toks = tokens(F.col(text_col))
+    words = F.filter(toks, lambda t: t.rlike(pattern))
+    wrapped = F.concat_ws(
+        "",
+        F.transform(
+            words,
+            lambda t: F.concat(
+                F.regexp_replace(t, "(.)", f"{_BPE_S}$1{_BPE_E}"),
+                F.lit(f"{_BPE_S}{_BPE_EOW}{_BPE_E}"),
+            ),
+        ),
+    )
+    enc = wrapped
+    for r in rows:
+        enc = F.replace(
+            enc,
+            F.lit(f"{_BPE_S}{r.lhs}{_BPE_E}{_BPE_S}{r.rhs}{_BPE_E}"),
+            F.lit(f"{_BPE_S}{r.lhs}{r.rhs}{_BPE_E}"),
+        )
+    n_sym = F.length(enc) - F.length(F.replace(enc, F.lit(_BPE_S), F.lit("")))
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        n_sym.cast("int").alias("n_bpe_tokens"),
+    )

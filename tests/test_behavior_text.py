@@ -424,3 +424,38 @@ def test_excise_repeated_spans_micro(spark):
     # doc 3: untouched
     assert rows[3].clean_text == "p q r s t u v w aa bb cc"
     assert rows[3].removed_tokens == 0
+
+
+def test_bpe_train_sennrich_micro_case(spark):
+    """Hand-computed merges for the classic Sennrich et al. 2016 vocabulary
+    {low:5, lower:2, newest:6, widest:3} with </w> end-of-word symbols.
+    Round 1 has a 3-way tie at count 9 ((e,s), (s,t), (t,</w>)) broken
+    lexicographically; rounds 4-5 exercise a second tie and a merged
+    symbol ('lo') pairing onwards."""
+    wc = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, cnt long",
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in text.bpe_train(wc, num_merges=5).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "est", "</w>", "est</w>", 9),
+        (4, "l", "o", "lo", 7),
+        (5, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_train_exhausted_vocabulary_stops_short(spark):
+    """A vocabulary whose words fully merge before num_merges rounds just
+    yields a shorter merge list — later rounds emit nothing."""
+    wc = spark.createDataFrame([("ab", 4)], "word string, cnt long")
+    got = [
+        (r.step, r.merged)
+        for r in text.bpe_train(wc, num_merges=6).orderBy("step").collect()
+    ]
+    # ab</w> needs exactly 2 merges: (a,b) then (ab,</w>)
+    assert got == [(1, "ab"), (2, "ab</w>")]
