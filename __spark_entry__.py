@@ -6625,3 +6625,33 @@ FROM encw{num_merges}"""
 
 
 _REGISTRY.update({"inv_t_bpe_encode": (q_t_bpe_encode, _bpe_encode_sql())})
+
+
+# ---------------------------------------------------------------------------
+# ANN index self-evaluation (round 3): recall@k of the LSH search graded
+# against exact brute force in one plan — the tuning measurement for
+# n_planes/probes. Oracle composes the two existing constructions.
+# ---------------------------------------------------------------------------
+
+
+def q_sim_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.ann_recall(e, q, k=5, n_planes=8)
+
+
+SQL_SIM_ANN_RECALL = f"""
+WITH exact AS ({SQL_SIM_BF}),
+approx AS ({SQL_SIM_ANN})
+SELECT x.query_id,
+       CAST(count(*) AS INT) AS n_exact,
+       CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_hit,
+       round(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact x
+LEFT JOIN approx a ON x.query_id = a.query_id AND x.corpus_id = a.corpus_id
+GROUP BY x.query_id
+"""
+
+
+_REGISTRY.update({"inv_sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL)})

@@ -467,3 +467,35 @@ def cms_heavy_hitters(
         F.col("exact_count"),
         (F.col("cms_estimate") >= F.col("exact_count")).alias("never_undercounts"),
     )
+
+
+def observe_scan_metrics(
+    df: DataFrame,
+    numeric_cols: list[str] | None = None,
+    name: str = "scan_metrics",
+):
+    """Attach data-quality telemetry to a plan at ZERO extra cost:
+    ``df.observe`` computes the metrics as accumulator-style aggregates
+    piggybacked on whatever action the caller runs — no second scan, no
+    extra shuffle, works identically on batch and streaming plans.
+
+    Returns ``(observed_df, observation)``; after any action on the
+    returned frame, ``observation.get`` yields {n_rows, <col>_nulls,
+    <col>_min, <col>_max} — the counters a production pipeline exports
+    per stage to catch silent data loss (a filter dropping 99% of rows,
+    a join nulling a column) without paying for a profiling pass. At
+    100 TB a separate profile_table() scan costs a full read; this is
+    free with the write that runs anyway.
+    """
+    from pyspark.sql import Observation
+
+    numeric_cols = numeric_cols or []
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in numeric_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+        )
+        metrics.append(F.min(c).alias(f"{c}_min"))
+        metrics.append(F.max(c).alias(f"{c}_max"))
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

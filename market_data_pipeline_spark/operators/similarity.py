@@ -800,3 +800,43 @@ def pq_topk(
         .filter(F.col("rk") <= topk)
         .select("query_id", "corpus_id", "approx_dist", "rk")
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-quality self-evaluation: recall@k of the LSH ANN against exact
+    brute force, per query, in ONE lazy plan — (query_id, n_exact, n_hit,
+    recall). This is the measurement every ANN deployment tracks when
+    tuning n_planes / probes: the exact side is the |queries|×|corpus|
+    ground truth (affordable because the query batch is small — the same
+    broadcast shape as brute_force_topk), the ANN side is the bucketed
+    search being graded. n_exact can fall short of k on tiny corpora, so
+    recall divides by the achievable hits, not k.
+    """
+    exact = brute_force_topk(corpus, queries, k, vec_col, id_col).select(
+        "query_id", "corpus_id"
+    )
+    approx = ann_topk(corpus, queries, k, dim, n_planes, vec_col, id_col).select(
+        "query_id", "corpus_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("n_exact").cast("int").alias("n_exact"),
+            F.col("n_hit").cast("int").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

@@ -201,3 +201,18 @@ def test_cms_heavy_hitters_never_undercounts_and_collisions_overcount(spark):
 
     wide = quality.cms_heavy_hitters(df, "user_id", width=4096, depth=4, min_count=1)
     assert all(r.cms_estimate == r.exact_count for r in wide.collect())
+
+
+def test_observe_scan_metrics_free_telemetry(spark):
+    from market_data_pipeline_spark.operators.quality import observe_scan_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 4.5)], "id long, v double"
+    )
+    observed, obs = observe_scan_metrics(df.filter("id > 1"), ["v"])
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["v_nulls"] == 1
+    assert got["v_min"] == 4.5
+    assert got["v_max"] == 30.0
