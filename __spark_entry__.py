@@ -6655,3 +6655,32 @@ GROUP BY x.query_id
 
 
 _REGISTRY.update({"inv_sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL)})
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG round trip (round 3b): the lossy-codec path made REAL.
+# Geometry is exactly oracle-predictable; fidelity enters as a pinned
+# ok-flag (the sketch_accuracy contract — TRUE must hold or the driver
+# hash mismatches loudly).
+# ---------------------------------------------------------------------------
+
+
+def q_m_jpeg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import multimodal
+
+    d = _docs(spark, sf)
+    return multimodal.jpeg_roundtrip_stats(d, width=32, quality=90)
+
+
+SQL_M_JPEG_ROUNDTRIP = """
+SELECT doc_id AS media_id,
+       32 AS width,
+       CAST(greatest(1, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)) AS INT) AS height,
+       1 AS channels,
+       TRUE AS compressed,
+       TRUE AS psnr_ok
+FROM documents
+"""
+
+
+_REGISTRY.update({"inv_m_jpeg_roundtrip": (q_m_jpeg_roundtrip, SQL_M_JPEG_ROUNDTRIP)})

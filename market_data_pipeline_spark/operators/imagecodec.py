@@ -3,7 +3,9 @@
 The container ships no PIL/ffmpeg, but PNG and BMP are decodable with the
 standard library alone — so the multimodal decode path can be REAL for these
 two formats (round-3 verdict: "a real pipeline needs at least one true
-codec"). JPEG/audio/video stay behind NotImplementedError stubs.
+codec"). Baseline JPEG is real too (``jpegcodec.py``, dispatched from
+``decode`` below); audio/video have real PCM WAV / YUV4MPEG2 codecs in
+``avcodec.py``.
 
 Scope: PNG 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced, all five filter
 types, CRC-verified; BMP 24-bit uncompressed (BI_RGB), top-down or
@@ -27,24 +29,30 @@ _CHANNELS_TO_COLOR = {1: 0, 3: 2, 2: 4, 4: 6}
 
 
 def sniff(payload: bytes) -> str:
-    """'png' | 'bmp' | 'unknown' from magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'unknown' from magic bytes."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 
 def decode(payload: bytes) -> np.ndarray:
-    """Decode a PNG or BMP payload to (h, w, c) uint8. Raises
-    NotImplementedError for formats without a codec here (JPEG, ...)."""
+    """Decode a PNG, BMP, or baseline JPEG payload to (h, w, c) uint8.
+    Raises NotImplementedError for formats without a codec here."""
     kind = sniff(payload)
     if kind == "png":
         return png_decode(payload)
     if kind == "bmp":
         return bmp_decode(payload)
+    if kind == "jpeg":
+        from market_data_pipeline_spark.operators.jpegcodec import jpeg_decode
+
+        return jpeg_decode(payload)
     raise NotImplementedError(
-        f"no codec for payload with magic {payload[:4]!r} (PNG/BMP only)"
+        f"no codec for payload with magic {payload[:4]!r} (PNG/BMP/JPEG only)"
     )
 
 

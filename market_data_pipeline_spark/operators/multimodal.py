@@ -395,3 +395,73 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = (F.col("meta.n_bytes") / 100).cast("int") + 1
     frames = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select("media_id", F.explode(frames).alias("frame_no"))
+
+
+def jpeg_roundtrip_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 32,
+    quality: int = 90,
+    psnr_floor: float = 28.0,
+) -> DataFrame:
+    """REAL lossy-codec round trip: the document's UTF-8 bytes become a
+    ``width``-wide grayscale image, encoded to baseline JFIF by the
+    dependency-free JPEG codec (``jpegcodec.py``), decoded back, and
+    graded — (media_id, width, height, channels, n_jpeg_bytes ordering
+    flags, psnr_ok).
+
+    JPEG is lossy, so unlike the PNG round trip the decoded pixel sum is
+    not oracle-predictable; what IS exactly predictable — and pinned by
+    the SQL oracle via the same ok-flag contract as sketch_accuracy — is
+    the parsed geometry (width/height/channels from the decoded frame,
+    which must match the pre-encode construction exactly) and the
+    fidelity floor (PSNR > ``psnr_floor`` dB for text-byte images at the
+    default quality; a broken DCT/Huffman path craters PSNR immediately).
+    """
+    from market_data_pipeline_spark.operators import jpegcodec as jc
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("compressed", T.BooleanType(), True),
+            T.StructField("psnr_ok", T.BooleanType(), True),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = (txt or "").encode("utf-8")
+                h = max(1, -(-len(raw) // width))
+                buf = np.zeros(h * width, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+                img = buf.reshape(h, width, 1)
+                payload = jc.jpeg_encode(img, quality=quality)
+                dec = jc.jpeg_decode(payload)
+                dh, dw, dc = dec.shape
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "channels": dc,
+                        "compressed": len(payload) > 0,
+                        "psnr_ok": jc.psnr(img, dec) > psnr_floor,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "compressed", "psnr_ok",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(roundtrip, schema=out_schema)

@@ -87,3 +87,23 @@ def test_resize_nearest_samples_source_pixels(h, w, th, tw, seed):
     assert np.array_equal(out[0, 0], img[0, 0])
     src_rows = {bytes(r) for r in img.reshape(-1, 3)}
     assert all(bytes(p) in src_rows for p in out.reshape(-1, 3))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 3]),
+    q=st.integers(70, 100),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_round_trip_property(h, w, c, q, seed):
+    """JPEG is lossy, so the property is bounded error, not identity:
+    dims/channels survive exactly, PSNR stays above the worst-case floor
+    for uniform-random content at quality >= 70."""
+    from market_data_pipeline_spark.operators import jpegcodec as J
+
+    img = _img(h, w, c, seed)
+    dec = J.jpeg_decode(J.jpeg_encode(img, quality=q))
+    assert dec.shape == (h, w, c)
+    assert J.psnr(img, dec) > 20

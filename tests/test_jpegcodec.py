@@ -1,0 +1,75 @@
+"""Baseline JPEG codec contracts: structural validity of the emitted
+stream, lossy round-trip fidelity bounds, exactness where the math
+guarantees it, and loud rejection of unsupported JPEG variants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from market_data_pipeline_spark.operators import imagecodec as ic
+from market_data_pipeline_spark.operators import jpegcodec as J
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 / max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 / max(h - 1, 1)).astype(np.uint8),
+            ((xx + yy) * 255 / max(h + w - 2, 1)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def test_stream_structure_and_sniff():
+    enc = J.jpeg_encode(_gradient(16, 16), quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    assert enc[2:4] == b"\xff\xe0" and enc[6:11] == b"JFIF\x00"
+    assert ic.sniff(enc) == "jpeg"
+    # the generic dispatch decodes it too
+    assert ic.decode(enc).shape == (16, 16, 3)
+
+
+def test_color_round_trip_psnr():
+    img = _gradient(48, 64)
+    dec = J.jpeg_decode(J.jpeg_encode(img, quality=90))
+    assert dec.shape == img.shape
+    assert J.psnr(img, dec) > 40  # smooth content at q90 is near-transparent
+
+
+def test_noise_round_trip_psnr_floor():
+    img = np.random.RandomState(7).randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    dec = J.jpeg_decode(J.jpeg_encode(img, quality=95))
+    assert J.psnr(img, dec) > 30  # worst-case content still bounded
+
+
+def test_grayscale_and_nonmultiple_of_8_dims():
+    img = np.random.RandomState(3).randint(0, 256, (19, 13), dtype=np.uint8)
+    dec = J.jpeg_decode(J.jpeg_encode(img, quality=95))
+    assert dec.shape == (19, 13, 1)  # edge padding cropped back exactly
+    assert J.psnr(img[:, :, None], dec) > 30
+
+
+def test_uniform_image_exact_at_q100():
+    for level in (0, 77, 128, 255):
+        img = np.full((24, 24, 3), level, np.uint8)
+        dec = J.jpeg_decode(J.jpeg_encode(img, quality=100))
+        assert int(np.max(np.abs(dec.astype(int) - int(level)))) <= 1
+
+
+def test_quality_monotone_in_size():
+    img = _gradient(40, 40)
+    sizes = [len(J.jpeg_encode(img, quality=q)) for q in (10, 50, 95)]
+    assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+def test_rejects_progressive_and_truncation():
+    enc = bytearray(J.jpeg_encode(_gradient(16, 16)))
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        J.jpeg_decode(bytes(enc))
+    with pytest.raises(ValueError):
+        J.jpeg_decode(b"\x00\x01\x02\x03")
