@@ -6684,3 +6684,48 @@ FROM documents
 
 
 _REGISTRY.update({"inv_m_jpeg_roundtrip": (q_m_jpeg_roundtrip, SQL_M_JPEG_ROUNDTRIP)})
+
+
+# ---------------------------------------------------------------------------
+# Join-skew audit (round 3b): the pre-join diagnostic that decides
+# salting vs AQE skew-split at scale — one unpivoted pass, never a
+# per-column rescan.
+# ---------------------------------------------------------------------------
+
+
+def q_q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return quality.join_skew_report(
+        li, ["l_orderkey", "l_partkey", "l_suppkey"], top=5
+    )
+
+
+SQL_Q_SKEW = """
+WITH pairs AS (
+  SELECT 'l_orderkey' AS col, CAST(l_orderkey AS VARCHAR) AS key FROM lineitem
+  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+),
+counted AS (
+  SELECT col, key, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2
+),
+summary AS (
+  SELECT col, CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM counted GROUP BY col
+),
+topn AS (
+  SELECT col, key, cnt,
+         CAST(row_number() OVER (PARTITION BY col ORDER BY cnt DESC, key) AS INT) AS rk
+  FROM counted
+)
+SELECT t.col, t.key, t.rk, t.cnt,
+       round(t.cnt * 100.0 / s.total_rows, 4) AS share_pct,
+       round(s.max_cnt * s.n_keys / CAST(s.total_rows AS DOUBLE), 4) AS skew_ratio
+FROM topn t JOIN summary s USING (col)
+WHERE t.rk <= 5
+"""
+
+
+_REGISTRY.update({"inv_q_skew_report": (q_q_skew_report, SQL_Q_SKEW)})

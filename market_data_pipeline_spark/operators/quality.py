@@ -499,3 +499,59 @@ def observe_scan_metrics(
         metrics.append(F.max(c).alias(f"{c}_max"))
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def join_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 5,
+) -> DataFrame:
+    """Pre-join skew audit: for every candidate join key, the top-N
+    heaviest key values with their frequency share, plus the column's
+    skew ratio (max key count / mean key count) — the number that decides
+    whether a join needs salting or can lean on AQE's skew splitting.
+
+    ONE pass over the fact table: the key columns unpivot via explode
+    (narrow), a single (col, key) combine-aggregated shuffle counts them,
+    per-column summaries come from the O(distinct keys) aggregate (tiny,
+    broadcast back), and the top-N is WindowGroupLimit-pruned below its
+    sort. No per-column rescan of a 100 TB table.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("key"),
+                    )
+                    for c in key_cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.key")
+    counted = pairs.groupBy("col", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    summary = counted.groupBy("col").agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), "key")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top)
+        .join(F.broadcast(summary), "col")
+        .select(
+            "col",
+            "key",
+            "rk",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.col("total_rows"), 4).alias("share_pct"),
+            F.round(
+                F.col("max_cnt") * F.col("n_keys") / F.col("total_rows").cast("double"),
+                4,
+            ).alias("skew_ratio"),
+        )
+    )

@@ -140,3 +140,34 @@ def test_correctness_window_rotation():
     # registry floor: round-2 shipped 180 named queries; a silent
     # registration overwrite would show up as a drop below this
     assert len(m.queries()) >= 180
+
+
+def test_bench_contract_names_and_baseline():
+    """bench.py is driver-facing surface: every headline name must resolve
+    in queries(), every baseline entry must keep covering the headline set
+    (the gate compares over the intersection, so a renamed query would
+    silently fall out of the contract), and the gate math must stay sane."""
+    import json
+    import os
+
+    import bench
+    import __spark_entry__ as m
+
+    qs = set(m.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench names not in queries(): {missing}"
+
+    with open(os.path.join(os.path.dirname(bench.__file__), "BASELINE_BENCH.json")) as fh:
+        base = json.load(fh)
+    uncovered = [n for n in bench.HEADLINE if n not in base["queries"]]
+    assert not uncovered, f"headline queries missing a baseline budget: {uncovered}"
+
+    # gate: identical timings pass; a 4x-with-slack blowup on one query fails
+    ok = {n: float(v) for n, v in base["queries"].items()}
+    assert bench._gate(ok, base["sf"]) == 0
+    bad = dict(ok)
+    first = bench.HEADLINE[0]
+    bad[first] = ok[first] * 4.0 + 2.0
+    assert bench._gate(bad, base["sf"]) == 1
+    # off-SF runs never engage the gate (local iteration safety)
+    assert bench._gate(bad, 0.001) == 0
