@@ -52,8 +52,14 @@ def test_sniff_and_unknown_raises():
     img = _gradient(2, 2, 3)
     assert ic.sniff(ic.png_encode(img)) == "png"
     assert ic.sniff(ic.bmp_encode(img)) == "bmp"
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now dispatches to the REAL baseline codec — a truncated
+    # stream is a loud parse error, not an unimplemented format
+    assert ic.sniff(b"\xff\xd8\xff\xe0 fake jpeg") == "jpeg"
+    with pytest.raises(ValueError):
         ic.decode(b"\xff\xd8\xff\xe0 fake jpeg")
+    # genuinely unknown magic still names the gap
+    with pytest.raises(NotImplementedError):
+        ic.decode(b"GIF89a not a codec we ship")
 
 
 def test_resize_nearest():
