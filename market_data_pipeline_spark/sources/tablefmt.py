@@ -1,0 +1,209 @@
+"""A minimal versioned table format on plain parquet: snapshot manifests,
+optimistic-concurrency commits, time travel, and history-preserving
+compaction — the transactional core of Delta/Iceberg-style formats without
+the format dependency.
+
+``streaming/txn.py`` solved exactly-once for a SINGLE streaming writer via
+batch-keyed dirs + markers. This module generalizes it to a multi-writer
+BATCH table:
+
+- Every commit writes its data files into a fresh ``data/v{N}/`` directory
+  and describes the table's full file list in ``_manifests/v{N}.json``.
+- The manifest publishes via temp-write + rename; Hadoop rename refuses
+  an existing destination, so the rename is an atomic claim on version N
+  (object stores swap in a conditional put). Two concurrent writers
+  racing for N cannot both win: the loser re-reads the new head, rebases
+  its file list, retries with N+1 — Delta's log-record protocol reduced
+  to its core. A crash mid-write leaves an invisible temp file, never a
+  truncated manifest.
+- Readers resolve the newest manifest (or any historical one — time
+  travel) and read exactly its file list: half-written data directories
+  without a manifest are invisible, and compaction replaces the file list
+  in a NEW version so every old snapshot stays readable.
+
+Scale posture: a manifest is O(files), not O(rows); commits move metadata
+only (append never rewrites old data); readers plan from one small JSON.
+All paths go through the Hadoop FileSystem API so remote URIs behave like
+local ones.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from market_data_pipeline_spark.streaming.txn import _fs
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; rebase and retry."""
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    fs, mkpath = _fs(spark, path)
+    stream = fs.open(mkpath(path))
+    try:
+        # one JVM round trip for the whole (small) manifest — commons-io
+        # ships with Hadoop; a byte-at-a-time stream.read() would cost one
+        # py4j call per byte
+        jvm = spark.sparkContext._jvm
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        return json.loads(raw.decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _write_json_exclusive(spark: SparkSession, path: str, doc: dict) -> None:
+    """Publish a JSON file atomically: write a temp file, then rename onto
+    the final name. Hadoop rename does NOT overwrite an existing
+    destination (returns false), so the rename IS the commit point — and a
+    writer crashing mid-write leaves only an invisible temp, never a
+    truncated manifest a reader could parse."""
+    import uuid
+
+    fs, mkpath = _fs(spark, path)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    stream = fs.create(mkpath(tmp), True)
+    try:
+        stream.write(bytearray(json.dumps(doc, sort_keys=True).encode("utf-8")))
+    finally:
+        stream.close()
+    if not fs.rename(mkpath(tmp), mkpath(path)):
+        fs.delete(mkpath(tmp), False)
+        raise CommitConflict(path)
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    """Highest committed version, or None for an empty/absent table."""
+    fs, mkpath = _fs(spark, f"{path}/{_MANIFESTS}")
+    root = mkpath(f"{path}/{_MANIFESTS}")
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    return best
+
+
+def _manifest(spark: SparkSession, path: str, version: int) -> dict:
+    return _read_json(spark, f"{path}/{_MANIFESTS}/v{version}.json")
+
+
+def _list_parts(spark: SparkSession, data_dir: str) -> list[str]:
+    fs, mkpath = _fs(spark, data_dir)
+    out = []
+    for st in fs.listStatus(mkpath(data_dir)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") or (
+            name.startswith("part-") and not name.startswith("_")
+        ):
+            out.append(name)
+    return sorted(out)
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    op: str,
+    max_retries: int = 5,
+) -> int:
+    """Write df's files once, then race for the next version number —
+    on conflict only the metadata step retries (data files are already
+    safely in their own directory and simply join a later manifest)."""
+    import uuid
+
+    # the data directory is writer-unique: two racers computing the same
+    # next version must never share (and overwrite) one directory — the
+    # manifest references explicit paths, so the name needn't match the
+    # version that finally wins the commit race
+    data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
+    new_files = [f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")]
+
+    for _ in range(max_retries):
+        head = current_version(spark, path)
+        version = 0 if head is None else head + 1
+        if op == "append" and head is not None:
+            files = _manifest(spark, path, head)["files"] + new_files
+        else:
+            files = list(new_files)
+        doc = {
+            "version": version,
+            "parent": head,
+            "op": op,
+            "files": files,
+        }
+        try:
+            _write_json_exclusive(spark, f"{path}/{_MANIFESTS}/v{version}.json", doc)
+            return version
+        except CommitConflict:
+            continue  # another writer claimed this version; rebase on new head
+    raise CommitConflict(f"gave up after {max_retries} retries at {path}")
+
+
+def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Append df as a new snapshot (old files + new files). Returns the
+    committed version."""
+    return _commit(spark, path, df, "append")
+
+
+def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Replace the table contents in a new snapshot; every older version
+    stays readable (time travel)."""
+    return _commit(spark, path, df, "overwrite")
+
+
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest). Uncommitted data
+    directories are invisible — only manifest-listed files are planned."""
+    head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = head if version is None else version
+    man = _manifest(spark, path, v)
+    return spark.read.parquet(*[f"{path}/{f}" for f in man["files"]])
+
+
+def history(spark: SparkSession, path: str) -> list[dict]:
+    """All manifests oldest-first: (version, parent, op, n_files)."""
+    head = current_version(spark, path)
+    if head is None:
+        return []
+    out = []
+    for v in range(head + 1):
+        try:
+            m = _manifest(spark, path, v)
+        except Exception:
+            continue  # version number skipped by a conflict loser
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "op": m["op"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
+    """Rewrite the current snapshot into ``target_partitions`` files and
+    commit it as a NEW version (op=compact): readers of old versions are
+    untouched — compaction is a metadata swap, exactly how production
+    formats defragment small files without breaking time travel."""
+    head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"nothing to compact at {path}")
+    snapshot = read(spark, path, head).coalesce(target_partitions)
+    return _commit(spark, path, snapshot, "compact")

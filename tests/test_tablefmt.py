@@ -1,0 +1,80 @@
+"""Versioned-table-format contracts: snapshot isolation, time travel,
+conflict handling, crash invisibility, and history-preserving compaction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from market_data_pipeline_spark.sources import tablefmt as tf
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_read_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    v0 = tf.append(spark, path, _df(spark, 0, 5))
+    v1 = tf.append(spark, path, _df(spark, 5, 8))
+    assert (v0, v1) == (0, 1)
+    assert tf.read(spark, path).count() == 8          # latest
+    assert tf.read(spark, path, version=0).count() == 5  # time travel
+    assert tf.current_version(spark, path) == 1
+
+
+def test_overwrite_isolates_but_preserves_history(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    tf.append(spark, path, _df(spark, 0, 10))
+    tf.overwrite(spark, path, _df(spark, 100, 103))
+    assert tf.read(spark, path).count() == 3
+    assert tf.read(spark, path, version=0).count() == 10
+    ops = [h["op"] for h in tf.history(spark, path)]
+    assert ops == ["append", "overwrite"]
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    tf.append(spark, path, _df(spark, 0, 4))
+    # simulate a crashed writer: data files exist, no manifest
+    _df(spark, 50, 99).write.parquet(f"{path}/data/c-deadbeef")
+    assert tf.read(spark, path).count() == 4
+    # and a crashed manifest write: temp file must be ignored
+    with open(f"{path}/_manifests/v9.json.tmp-abc", "w") as fh:
+        fh.write("{ truncated")
+    assert tf.current_version(spark, path) == 0
+
+
+def test_conflict_rebases_to_next_version(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    tf.append(spark, path, _df(spark, 0, 4))
+    # another writer claims version 1 between our head read and commit:
+    # pre-create its manifest so the rename for v1 must lose
+    man1 = {"version": 1, "parent": 0, "op": "append", "files": []}
+    os.makedirs(f"{path}/_manifests", exist_ok=True)
+    with open(f"{path}/_manifests/v1.json", "w") as fh:
+        json.dump(man1, fh)
+    v = tf.append(spark, path, _df(spark, 4, 6))
+    assert v == 2  # rebased past the foreign commit
+    man2 = json.load(open(f"{path}/_manifests/v2.json"))
+    assert man2["parent"] == 1
+
+
+def test_compact_swaps_metadata_not_history(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    for i in range(3):
+        tf.append(spark, path, _df(spark, i * 10, i * 10 + 10).repartition(4))
+    before = tf.history(spark, path)[-1]["n_files"]
+    v = tf.compact(spark, path, target_partitions=1)
+    after = tf.history(spark, path)[-1]
+    assert after["op"] == "compact" and after["n_files"] < before
+    assert tf.read(spark, path, version=v).count() == 30
+    # old snapshots still resolve to their original files
+    assert tf.read(spark, path, version=1).count() == 20
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        tf.read(spark, str(tmp_path / "absent"))
