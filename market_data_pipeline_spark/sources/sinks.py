@@ -526,3 +526,60 @@ def write_sharded(
         .mode(mode)
         .parquet(path)
     )
+
+
+def refresh_rollup(
+    new_bars: DataFrame,
+    daily_store: str,
+    rollup_store: str,
+    grain: str = "week",
+) -> int:
+    """Incremental continuous-aggregate maintenance: after a daily-bar
+    batch lands (``merge_daily_partitions``), refresh the coarser-grain
+    rollup store by recomputing ONLY the periods the batch touches — the
+    hypertable continuous-aggregate refresh policy on plain parquet.
+
+    Mechanics: the touched period starts come from the batch (O(periods)
+    driver list, like the merge's date list); the daily store is pruned
+    with an explicit day-list predicate — ``d IN (days of touched
+    periods)`` pushes to the partition/row-group level, where a
+    ``trunc(d) IN periods`` predicate would not prune a d-partitioned
+    store — re-aggregated with the SAME ``rollup_bars`` the query surface
+    uses (one definition, two consumers), and dynamic-partition-overwrite
+    rewrites only those period partitions. A late tick for January never
+    re-aggregates February; cost is O(touched periods), not O(store).
+
+    Returns the number of refreshed periods.
+    """
+    import datetime
+
+    from market_data_pipeline_spark.sources.tables import rollup_bars
+
+    spark = new_bars.sparkSession
+    periods = [
+        r[0]
+        for r in new_bars.select(F.trunc("d", grain).alias("p")).distinct().collect()
+    ]
+    if not periods:
+        return 0
+    days: list[datetime.date] = []
+    for p in periods:
+        if grain == "week":
+            nxt = p + datetime.timedelta(days=7)
+        elif grain in ("month", "mon", "mm"):
+            nxt = (p.replace(day=1) + datetime.timedelta(days=32)).replace(day=1)
+        else:
+            raise ValueError(f"unsupported grain {grain!r} (week/month)")
+        cur = p
+        while cur < nxt:
+            days.append(cur)
+            cur += datetime.timedelta(days=1)
+    daily = spark.read.parquet(daily_store).filter(F.col("d").isin(days))
+    agg = rollup_bars(daily, grain=grain).localCheckpoint(eager=True)
+    (
+        agg.write.mode("overwrite")
+        .partitionBy("period_start")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(rollup_store)
+    )
+    return len(periods)

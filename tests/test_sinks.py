@@ -390,3 +390,80 @@ def test_write_sharded_deterministic_layout(spark, sf_dir, tmp_path):
         a = pq.read_table(glob.glob(os.path.join(target, f"shard={k}", "*.parquet"))[0])
         b = pq.read_table(glob.glob(os.path.join(target2, f"shard={k}", "*.parquet"))[0])
         assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+
+
+def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
+    """Continuous-aggregate maintenance: a late daily batch refreshes only
+    its touched weeks, untouched week partitions keep their bytes, and the
+    incrementally-maintained store equals a from-scratch rollup."""
+    import datetime
+    import os
+
+    from market_data_pipeline_spark.sources.sinks import (
+        merge_daily_partitions,
+        refresh_rollup,
+    )
+    from market_data_pipeline_spark.sources.tables import rollup_bars
+
+    daily = str(tmp_path / "daily")
+    rollup = str(tmp_path / "rollup")
+
+    def bars(rows):
+        return spark.createDataFrame(
+            [(s, datetime.date.fromisoformat(d), o, h, l, c, v, n)
+             for s, d, o, h, l, c, v, n in rows],
+            "symbol string, d date, open double, high double, low double,"
+            " close double, volume double, n_trades long",
+        )
+
+    # seed: two symbols, two weeks (2024-01-01 and 2024-01-08 are Mondays)
+    seed = bars([
+        ("AAA", "2024-01-01", 1.0, 2.0, 0.5, 1.5, 10.0, 3),
+        ("AAA", "2024-01-03", 1.5, 3.0, 1.0, 2.5, 20.0, 4),
+        ("AAA", "2024-01-08", 2.5, 4.0, 2.0, 3.0, 30.0, 5),
+        ("BBB", "2024-01-02", 9.0, 9.5, 8.0, 9.1, 5.0, 2),
+    ])
+    merge_daily_partitions(seed, daily, key_cols=("symbol", "d"))
+    assert refresh_rollup(seed, daily, rollup) == 2
+
+    def mtimes():
+        out = {}
+        for root, _dirs, files in os.walk(rollup):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    # late correction for week 1 only
+    late = bars([("AAA", "2024-01-02", 1.2, 5.0, 1.1, 4.0, 7.0, 1)])
+    merge_daily_partitions(late, daily, key_cols=("symbol", "d"))
+    assert refresh_rollup(late, daily, rollup) == 1
+    after = mtimes()
+
+    # week-2 partition files are byte-for-byte untouched (same path+mtime)
+    w2 = [p for p in before if "period_start=2024-01-08" in p]
+    assert w2 and all(p in after and after[p] == before[p] for p in w2)
+
+    # incrementally-maintained rollup == full recompute from the daily store
+    # (partitioned reads reorder columns — pin a canonical projection)
+    cols = ["symbol", "period_start", "open", "high", "low", "close",
+            "volume", "n_trades", "n_days"]
+    got = (
+        spark.read.parquet(rollup)
+        .select(cols)
+        .orderBy("symbol", "period_start")
+        .collect()
+    )
+    want = (
+        rollup_bars(spark.read.parquet(daily), grain="week")
+        .select(cols)
+        .orderBy("symbol", "period_start")
+        .collect()
+    )
+    norm = lambda rows: [tuple(r) for r in rows]
+    assert norm(got) == norm(want)
+    # and the late high propagated into week 1
+    w1 = [r for r in got if r.symbol == "AAA" and str(r.period_start) == "2024-01-01"]
+    assert w1[0].high == 5.0 and w1[0].n_days == 3
