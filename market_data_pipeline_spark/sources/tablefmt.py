@@ -207,3 +207,69 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
         raise FileNotFoundError(f"nothing to compact at {path}")
     snapshot = read(spark, path, head).coalesce(target_partitions)
     return _commit(spark, path, snapshot, "compact")
+
+
+def committed_batches(spark: SparkSession, path: str) -> set[int]:
+    """Streaming batch ids already recorded in some manifest's txn field."""
+    out: set[int] = set()
+    head = current_version(spark, path)
+    if head is None:
+        return out
+    for v in range(head + 1):
+        try:
+            m = _manifest(spark, path, v)
+        except Exception:
+            continue
+        txn = m.get("txn")
+        if txn is not None:
+            out.add(int(txn))
+    return out
+
+
+def streaming_sink(path: str):
+    """``writeStream.foreachBatch(tablefmt.streaming_sink(p))``: append each
+    micro-batch to the versioned table EXACTLY ONCE. foreachBatch is
+    at-least-once; idempotence comes from recording the batch id in the
+    committed manifest (Delta's txn-version trick): a replayed batch finds
+    its id in the log and skips, a batch that crashed pre-commit left only
+    an invisible data directory and re-runs cleanly. Unlike the marker
+    stores in streaming/txn.py, the result is a versioned TABLE — batch
+    history is time-travelable and concurrent batch writers (e.g. a
+    backfill job beside the stream) serialize through the same commit
+    protocol."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in committed_batches(spark, path):
+            return
+        import uuid
+
+        data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
+        batch_df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
+        new_files = [
+            f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")
+        ]
+        while True:
+            head = current_version(spark, path)
+            version = 0 if head is None else head + 1
+            files = (
+                _manifest(spark, path, head)["files"] if head is not None else []
+            ) + new_files
+            doc = {
+                "version": version,
+                "parent": head,
+                "op": "stream-append",
+                "txn": int(batch_id),
+                "files": files,
+            }
+            try:
+                _write_json_exclusive(
+                    spark, f"{path}/{_MANIFESTS}/v{version}.json", doc
+                )
+                return
+            except CommitConflict:
+                if batch_id in committed_batches(spark, path):
+                    return  # someone (a replay racing us) already landed it
+                continue
+
+    return write

@@ -78,3 +78,44 @@ def test_compact_swaps_metadata_not_history(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         tf.read(spark, str(tmp_path / "absent"))
+
+
+def test_streaming_sink_exactly_once_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once; the manifest txn field makes the
+    versioned table exactly-once: a replayed batch id is a no-op, a new
+    id lands, and batch history stays time-travelable."""
+    path = str(tmp_path / "stream_table")
+    sink = tf.streaming_sink(path)
+
+    sink(_df(spark, 0, 5), 0)
+    sink(_df(spark, 5, 8), 1)
+    assert tf.read(spark, path).count() == 8
+    # crash-replay of batch 1: same id, (possibly different) data → skipped
+    sink(_df(spark, 100, 200), 1)
+    assert tf.read(spark, path).count() == 8
+    # a genuinely new batch lands
+    sink(_df(spark, 8, 10), 2)
+    assert tf.read(spark, path).count() == 10
+    assert tf.committed_batches(spark, path) == {0, 1, 2}
+    ops = [h["op"] for h in tf.history(spark, path)]
+    assert ops == ["stream-append"] * 3
+    # time travel still sees the pre-batch-2 table
+    assert tf.read(spark, path, version=1).count() == 8
+
+
+def test_streaming_sink_drives_a_real_stream(spark, tmp_path):
+    """End-to-end through Structured Streaming: a rate-limited file stream
+    lands in the versioned table with one committed version per batch."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "stream_table2")
+    _df(spark, 0, 20).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, v long").parquet(src)
+        .writeStream.foreachBatch(tf.streaming_sink(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    assert tf.read(spark, path).count() == 20
+    assert len(tf.committed_batches(spark, path)) >= 1
