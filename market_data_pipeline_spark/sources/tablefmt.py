@@ -273,3 +273,33 @@ def streaming_sink(path: str):
                 continue
 
     return write
+
+
+def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
+    """Retire history: keep the newest ``keep_last`` snapshots, delete
+    older manifests and every data file no kept snapshot references.
+    Mirrors production vacuum semantics — time travel works within the
+    retention window, storage stops growing without bound. Deletion order
+    is manifest-first (a reader racing the vacuum can only resolve kept
+    versions, never a manifest whose files are already gone). Returns the
+    number of data files deleted."""
+    head = current_version(spark, path)
+    if head is None:
+        return 0
+    versions = [h["version"] for h in history(spark, path)]
+    keep = set(versions[-keep_last:])
+    drop = [v for v in versions if v not in keep]
+    if not drop:
+        return 0
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_manifest(spark, path, v)["files"])
+    doomed: set[str] = set()
+    for v in drop:
+        doomed.update(f for f in _manifest(spark, path, v)["files"] if f not in referenced)
+    fs, mkpath = _fs(spark, path)
+    for v in drop:
+        fs.delete(mkpath(f"{path}/{_MANIFESTS}/v{v}.json"), False)
+    for f in sorted(doomed):
+        fs.delete(mkpath(f"{path}/{f}"), False)
+    return len(doomed)

@@ -119,3 +119,20 @@ def test_streaming_sink_drives_a_real_stream(spark, tmp_path):
     stream.awaitTermination(120)
     assert tf.read(spark, path).count() == 20
     assert len(tf.committed_batches(spark, path)) >= 1
+
+
+def test_vacuum_retires_history_but_keeps_window(spark, tmp_path):
+    path = str(tmp_path / "t_vac")
+    tf.append(spark, path, _df(spark, 0, 4))        # v0
+    tf.overwrite(spark, path, _df(spark, 10, 20))   # v1 (v0 files now dead)
+    tf.append(spark, path, _df(spark, 20, 25))      # v2
+    deleted = tf.vacuum(spark, path, keep_last=2)
+    assert deleted > 0
+    # kept window still reads, incl. time travel to v1
+    assert tf.read(spark, path).count() == 15
+    assert tf.read(spark, path, version=1).count() == 10
+    # v0 manifest is gone
+    with pytest.raises(Exception):
+        tf.read(spark, path, version=0)
+    # idempotent once converged
+    assert tf.vacuum(spark, path, keep_last=2) == 0
