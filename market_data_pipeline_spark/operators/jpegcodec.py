@@ -247,24 +247,26 @@ def _extend(bits: int, size: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad (h, w) to multiples of 8 by edge replication, return
-    (n_blocks_y, n_blocks_x, 8, 8) float blocks level-shifted by -128."""
+def _block_grid(chan: np.ndarray, by: int, bx: int, qt: np.ndarray) -> np.ndarray:
+    """Pad (h, w) to exactly (by*8, bx*8) by edge replication, DCT and
+    quantize every 8x8 block: returns an int32 (by, bx, 8, 8) grid."""
     h, w = chan.shape
-    ph, pw = -h % 8, -w % 8
-    padded = np.pad(chan.astype(np.float64), ((0, ph), (0, pw)), mode="edge")
-    hh, ww = padded.shape
-    by, bx = hh // 8, ww // 8
+    padded = np.pad(
+        chan.astype(np.float64), ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+    )
     blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
-    return blocks, by, bx
-
-
-def _encode_channel_coeffs(chan: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    blocks, by, bx = _blocks(chan)
     # vectorized 2D DCT over all blocks: D @ B @ D.T
     coeffs = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
-    quant = np.rint(coeffs / qt).astype(np.int32)
-    return quant.reshape(by * bx, 8, 8)
+    return np.rint(coeffs / qt).astype(np.int32)
+
+
+def _box2(chan: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample (the 4:2:0 chroma reduction); odd edges
+    replicate before averaging."""
+    h, w = chan.shape
+    padded = np.pad(chan, ((0, h % 2), (0, w % 2)), mode="edge")
+    hh, ww = padded.shape
+    return padded.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
 
 
 def _zz(block: np.ndarray) -> np.ndarray:
@@ -290,79 +292,108 @@ def _run_lengths(zz: np.ndarray):
         yield None  # EOB
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (h, w[, c]) uint8 (c=1 gray or c=3 RGB) to baseline JFIF."""
+def jpeg_encode(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode (h, w[, c]) uint8 (c=1 gray or c=3 RGB) to baseline JFIF.
+
+    ``subsampling``: "444" keeps full-resolution chroma; "420" box-averages
+    chroma 2x2 (the near-universal photographic default — roughly halves
+    the payload for color content at a small chroma-fidelity cost)."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     if c not in (1, 3):
         raise ValueError(f"jpeg_encode: {c} channels unsupported (1 or 3)")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"jpeg_encode: subsampling {subsampling!r} (444 or 420)")
     qt_l = _quality_scale(QT_LUMA, quality)
     qt_c = _quality_scale(QT_CHROMA, quality)
     if c == 1:
         planes = [px[:, :, 0].astype(np.float64)]
         qts = [qt_l]
         qt_ids = [0]
+        samp = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(px)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "420":
+            planes = [y, _box2(cb), _box2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
         qts = [qt_l, qt_c, qt_c]
         qt_ids = [0, 1, 1]
 
-    per_comp = [_encode_channel_coeffs(p, q) for p, q in zip(planes, qts)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = [
+        _block_grid(p, mcus_y * sv, mcus_x * sh, q)
+        for p, (sh, sv), q in zip(planes, samp, qts)
+    ]
+
+    def mcu_blocks():
+        """(component index, quantized block) in interleaved MCU order —
+        the one ordering both the alphabet pass and the emission share."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    for r in range(sv):
+                        for q in range(sh):
+                            yield ci, grids[ci][my * sv + r, mx * sh + q]
 
     # First pass: gather symbol alphabets for the custom Huffman tables.
     dc_syms: list[set[int]] = [set(), set()]
     ac_syms: list[set[int]] = [set(), set()]
     comp_tbl = [0] + ([1, 1] if c == 3 else [])
-    for ci, blocks in enumerate(per_comp):
+    prev_dc_by_comp = [0] * c
+    for ci, b in mcu_blocks():
         t = comp_tbl[ci]
-        prev_dc = 0
-        for b in blocks:
-            zz = _zz(b)
-            size, _ = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            dc_syms[t].add(size)
-            for item in _run_lengths(zz):
-                if item is None:
-                    ac_syms[t].add(0x00)
-                else:
-                    run, v = item
-                    s, _ = _magnitude(v)
-                    ac_syms[t].add(run * 16 + s)
+        zz = _zz(b)
+        size, _ = _magnitude(int(zz[0]) - prev_dc_by_comp[ci])
+        prev_dc_by_comp[ci] = int(zz[0])
+        dc_syms[t].add(size)
+        for item in _run_lengths(zz):
+            if item is None:
+                ac_syms[t].add(0x00)
+            else:
+                run, v = item
+                s, _ = _magnitude(v)
+                ac_syms[t].add(run * 16 + s)
     n_tables = 2 if c == 3 else 1
     dc_tables = [_uniform_table(sorted(dc_syms[t])) for t in range(n_tables)]
     ac_tables = [_uniform_table(sorted(ac_syms[t])) for t in range(n_tables)]
     dc_codes = [_canonical_codes(*t) for t in dc_tables]
     ac_codes = [_canonical_codes(*t) for t in ac_tables]
 
-    # Entropy-coded segment (4:4:4 → MCU = one block per component).
+    # Entropy-coded segment in the same interleaved MCU order.
     bw = _BitWriter()
     prev_dc_by_comp = [0] * c
-    n_mcus = per_comp[0].shape[0]
-    for m in range(n_mcus):
-        for ci in range(c):
-            t = comp_tbl[ci]
-            zz = _zz(per_comp[ci][m])
-            diff = int(zz[0]) - prev_dc_by_comp[ci]
-            prev_dc_by_comp[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_codes[t][size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            for item in _run_lengths(zz):
-                if item is None:
-                    code, ln = ac_codes[t][0x00]
-                    bw.write(code, ln)
-                else:
-                    run, v = item
-                    s, vb = _magnitude(v)
-                    code, ln = ac_codes[t][run * 16 + s]
-                    bw.write(code, ln)
-                    if s:
-                        bw.write(vb, s)
+    for ci, b in mcu_blocks():
+        t = comp_tbl[ci]
+        zz = _zz(b)
+        diff = int(zz[0]) - prev_dc_by_comp[ci]
+        prev_dc_by_comp[ci] = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, ln = dc_codes[t][size]
+        bw.write(code, ln)
+        if size:
+            bw.write(bits, size)
+        for item in _run_lengths(zz):
+            if item is None:
+                code, ln = ac_codes[t][0x00]
+                bw.write(code, ln)
+            else:
+                run, v = item
+                s, vb = _magnitude(v)
+                code, ln = ac_codes[t][run * 16 + s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(vb, s)
     ecs = bw.flush()
 
     # Assemble the stream.
@@ -374,7 +405,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     # SOF0
     comps = b""
     for ci in range(c):
-        comps += bytes([ci + 1, 0x11, qt_ids[ci]])  # 1x1 sampling, qt id
+        sh, sv = samp[ci]
+        comps += bytes([ci + 1, (sh << 4) | sv, qt_ids[ci]])
     sof = struct.pack(">BHHB", 8, h, w, c) + comps
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT

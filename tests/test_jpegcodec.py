@@ -73,3 +73,24 @@ def test_rejects_progressive_and_truncation():
         J.jpeg_decode(bytes(enc))
     with pytest.raises(ValueError):
         J.jpeg_decode(b"\x00\x01\x02\x03")
+
+
+def test_420_subsampling_round_trip():
+    """4:2:0 exercises the decoder's generic MCU interleave + chroma
+    upsampling path: smaller payload than 4:4:4, luma-faithful output on
+    smooth content, exact geometry on odd (non-MCU-aligned) dims."""
+    img = _gradient(48, 64)
+    e444 = J.jpeg_encode(img, quality=90, subsampling="444")
+    e420 = J.jpeg_encode(img, quality=90, subsampling="420")
+    assert len(e420) < len(e444)
+    dec = J.jpeg_decode(e420)
+    assert dec.shape == img.shape
+    assert J.psnr(img, dec) > 35  # chroma halved, smooth content survives
+
+    odd = _gradient(21, 35)
+    d2 = J.jpeg_decode(J.jpeg_encode(odd, quality=95, subsampling="420"))
+    assert d2.shape == odd.shape
+    assert J.psnr(odd, d2) > 35
+
+    with pytest.raises(ValueError):
+        J.jpeg_encode(img, subsampling="422")
