@@ -315,14 +315,18 @@ FROM b
 def q_w8_returns_momentum(spark: SparkSession, sf: str) -> DataFrame:
     s = _series(spark, sf)
     df = indicators.add_returns_momentum(s, w=series_window(), horizons=(5, 21))
+    # +1e-9 before each round, mirrored in SQL_W8: dyadic test prices make
+    # exact .5-boundary ratios (e.g. 8.0046875) where engine round modes
+    # split — the shared nudge moves both off the boundary identically
+    eps = F.lit(1e-9)
     return df.select(
         "symbol",
         "time",
-        F.round("daily_return_pct", 6).alias("ret_pct"),
-        F.round("daily_return_abs", 4).alias("ret_abs"),
-        F.round("cumulative_return", 6).alias("cum_ret"),
-        F.round("momentum_5", 6).alias("momentum_5"),
-        F.round("momentum_1m", 6).alias("momentum_1m"),
+        F.round(F.col("daily_return_pct") + eps, 6).alias("ret_pct"),
+        F.round(F.col("daily_return_abs") + eps, 4).alias("ret_abs"),
+        F.round(F.col("cumulative_return") + eps, 6).alias("cum_ret"),
+        F.round(F.col("momentum_5") + eps, 6).alias("momentum_5"),
+        F.round(F.col("momentum_1m") + eps, 6).alias("momentum_1m"),
     )
 
 
@@ -337,11 +341,20 @@ r AS (
   FROM series
 )
 SELECT symbol, time,
-  round(ret, 6) AS ret_pct,
-  round(ret_abs, 4) AS ret_abs,
-  round(exp(sum(ln(1 + coalesce(ret, 0))) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1, 6) AS cum_ret,
-  round(m5, 6) AS momentum_5,
-  round(m21, 6) AS momentum_1m
+  round(ret + 1e-9, 6) AS ret_pct,
+  round(ret_abs + 1e-9, 4) AS ret_abs,
+  -- a close of 0 makes its factor 0: the cumulative product is 0 (cum
+  -- return −1) from that row on — pandas cumprod semantics, matching the
+  -- any-zero flag in helpers.cumprod1p_minus1 (ln of the zero factor is
+  -- excluded from the sum; DuckDB would error on ln(0)). The +1e-9
+  -- nudges mirror the Spark side off exact .5 rounding boundaries.
+  CASE WHEN max(CASE WHEN 1 + coalesce(ret, 0) <= 0 THEN 1 ELSE 0 END)
+         OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       THEN round(-1.0 + 1e-9, 6)
+       ELSE round(exp(coalesce(sum(CASE WHEN 1 + coalesce(ret, 0) > 0 THEN ln(1 + coalesce(ret, 0)) END) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) - 1 + 1e-9, 6)
+  END AS cum_ret,
+  round(m5 + 1e-9, 6) AS momentum_5,
+  round(m21 + 1e-9, 6) AS momentum_1m
 FROM r
 """
 
@@ -1674,7 +1687,7 @@ r AS (
 )
 SELECT doc_id, punct_ratio, stopword_hits, stopword_ratio,
   round(len_score, 6) AS len_score,
-  round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+  round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0) + 1e-9, 6) AS quality_score
 FROM r
 """
 
@@ -5092,10 +5105,10 @@ r AS (
   FROM s
 )
 SELECT r.doc_id, r.lang, CAST(n_tok AS INT) AS n_tokens,
-       round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+       round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0) + 1e-9, 6) AS quality_score
 FROM r JOIN kept ON r.doc_id = kept.doc_id
 WHERE n_tok BETWEEN 10 AND 10000
-  AND round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) >= 0.5
+  AND round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0) + 1e-9, 6) >= 0.5
 """.replace("{STOP_HITS}", _stop_hits_sql())
 
 
@@ -5627,7 +5640,7 @@ b AS (
   SELECT m.media_id, {_sql_byte_at('m.h', 'g.i')} AS byte
   FROM m JOIN g ON g.i < length(m.h) / 2
 ),
-a AS (SELECT media_id, round(avg(byte), 6) AS byte_mean FROM b GROUP BY media_id)
+a AS (SELECT media_id, round(avg(byte) + 1e-9, 6) AS byte_mean FROM b GROUP BY media_id)
 SELECT m.media_id,
        CAST(length(m.h) / 2 AS BIGINT) AS n_bytes,
        a.byte_mean,
@@ -6200,13 +6213,13 @@ r AS (
   FROM s
 )
 SELECT r.doc_id, r.lang, CAST(n_tok AS INT) AS n_tokens,
-       round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score,
+       round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0) + 1e-9, 6) AS quality_score,
        emb.label
 FROM r
 JOIN kept ON r.doc_id = kept.doc_id
 LEFT JOIN embeddings emb ON emb.vec_id = r.doc_id
 WHERE n_tok BETWEEN 10 AND 10000
-  AND round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0), 6) >= 0.5
+  AND round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0) + 1e-9, 6) >= 0.5
 """.replace("{STOP_HITS}", _stop_hits_sql())
 
 _REGISTRY.update({"inv_x_semantic_curation": (q_x_semantic_curation, SQL_X_SEMANTIC)})
@@ -6293,7 +6306,8 @@ s2 AS (SELECT doc_id, nt, len(string_split(nt, ' ')) AS n_tok,
 qual AS (
   SELECT doc_id,
          round(0.5 * least(length(nt) / 500.0, 1.0)
-               + 0.5 * least(round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) * 5.0, 1.0),
+               + 0.5 * least(round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) * 5.0, 1.0)
+               + 1e-9,
                6) AS quality_score
   FROM s2
 ),

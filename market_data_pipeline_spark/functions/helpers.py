@@ -94,8 +94,21 @@ def cumprod1p_minus1(ret: Column, w: WindowSpec) -> Column:
     """Cumulative return ``Π(1+r) − 1``
     (/root/reference/src/transformers/technical_indicators.py:184-186).
     No cumprod window aggregate exists; the exact log-space rewrite
-    ``exp(Σ log1p(r)) − 1`` is codegen-able and numerically stable."""
-    return F.exp(F.sum(F.log1p(ret)).over(w.rowsBetween(Window.unboundedPreceding, 0))) - 1
+    ``exp(Σ log1p(r)) − 1`` is codegen-able and numerically stable.
+
+    A −100% return (close hits 0) makes its factor 0, which log-space
+    cannot carry — and silently SKIPPING it (log1p(−1) → null, sum ignores
+    nulls) would resurrect the series. pandas cumprod semantics: once a
+    factor is 0, every later cumulative product is 0, i.e. the cumulative
+    return pins to −1 — reproduced with a running any-zero flag. (Factors
+    below 0 would need negative prices; the flag treats them as wiped out
+    too, which is the only sane reading for a price series.)"""
+    win = w.rowsBetween(Window.unboundedPreceding, 0)
+    wiped = F.max(F.when(ret <= -1.0, F.lit(1)).otherwise(F.lit(0))).over(win)
+    logsum = F.sum(F.when(ret > -1.0, F.log1p(ret))).over(win)
+    return F.when(wiped == 1, F.lit(-1.0)).otherwise(
+        F.exp(F.coalesce(logsum, F.lit(0.0))) - 1
+    )
 
 
 _SNAKE = re.compile(r"[^0-9a-zA-Z]+")

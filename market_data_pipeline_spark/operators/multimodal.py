@@ -91,7 +91,14 @@ def extract_media_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
                     {
                         "media_id": mid,
                         "n_bytes": len(raw),
-                        "byte_mean": round(sum(raw) / len(raw), 6) if raw else None,
+                        # +1e-9 before rounding, mirrored in the SQL oracle:
+                        # payload-length divisors make exact .5×10⁻⁶ means
+                        # (e.g. x/256), where Python's half-even and SQL's
+                        # half-up split — the nudge moves both sides off
+                        # the boundary identically
+                        "byte_mean": round(sum(raw) / len(raw) + 1e-9, 6)
+                        if raw
+                        else None,
                         # fingerprint of the head bytes, hashed via their
                         # UPPERCASE hex so any engine (DuckDB md5 is
                         # VARCHAR-only) can reproduce it byte-for-byte

@@ -75,7 +75,12 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         0.5 * F.col("len_score")
         + 0.5 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
     )
-    return df.withColumn("quality_score", F.round(quality, 6))
+    # +1e-9 before the 6dp round, mirrored in every SQL oracle: the blend
+    # can land on an exact .5×10⁻⁶ boundary, where Spark (HALF_UP on the
+    # double's shortest decimal repr) and double-space rounding in other
+    # engines legitimately split — the nudge moves both off the boundary
+    # identically (first observed at sf0.1; sf0.01 never hits one)
+    return df.withColumn("quality_score", F.round(quality + 1e-9, 6))
 
 
 def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
