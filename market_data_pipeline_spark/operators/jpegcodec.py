@@ -477,6 +477,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                # SOF1 permits 12-bit samples; the block decode below assumes
+                # 8-bit level shift, so anything else must be a named gap,
+                # never silent garbage
+                raise NotImplementedError(
+                    f"only 8-bit sample precision supported (got {prec})"
+                )
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i:9 + 3 * i]

@@ -209,9 +209,28 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
     return _commit(spark, path, snapshot, "compact")
 
 
+_TXN_SIDECAR = f"{_MANIFESTS}/_txns.json"
+
+
+def _sidecar_txns(spark: SparkSession, path: str) -> set[int]:
+    """Batch ids whose manifests were vacuumed away: vacuum folds each
+    dropped manifest's txn field into this sidecar so the exactly-once
+    dedup horizon survives history retirement (Delta keeps txn app
+    versions in snapshot state for the same reason)."""
+    fs, mkpath = _fs(spark, path)
+    p = mkpath(f"{path}/{_TXN_SIDECAR}")
+    if not fs.exists(p):
+        return set()
+    try:
+        return {int(t) for t in _read_json(spark, f"{path}/{_TXN_SIDECAR}")["txns"]}
+    except Exception:
+        return set()
+
+
 def committed_batches(spark: SparkSession, path: str) -> set[int]:
-    """Streaming batch ids already recorded in some manifest's txn field."""
-    out: set[int] = set()
+    """Streaming batch ids already recorded in some manifest's txn field,
+    plus ids preserved in the vacuum sidecar for retired manifests."""
+    out: set[int] = set(_sidecar_txns(spark, path))
     head = current_version(spark, path)
     if head is None:
         return out
@@ -249,7 +268,10 @@ def streaming_sink(path: str):
         new_files = [
             f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")
         ]
-        while True:
+        # bounded like _commit: a rename that fails for a non-conflict
+        # reason (permissions, quota, FS quirk) must fail the micro-batch
+        # loudly, not spin the stream forever
+        for _ in range(5):
             head = current_version(spark, path)
             version = 0 if head is None else head + 1
             files = (
@@ -271,6 +293,9 @@ def streaming_sink(path: str):
                 if batch_id in committed_batches(spark, path):
                     return  # someone (a replay racing us) already landed it
                 continue
+        raise CommitConflict(
+            f"gave up committing batch {batch_id} after 5 retries at {path}"
+        )
 
     return write
 
@@ -282,7 +307,12 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
     retention window, storage stops growing without bound. Deletion order
     is manifest-first (a reader racing the vacuum can only resolve kept
     versions, never a manifest whose files are already gone). Returns the
-    number of data files deleted."""
+    number of data files deleted. Batch ids (txn fields) of dropped
+    manifests are folded into a sidecar BEFORE any deletion so
+    committed_batches() never forgets them — a foreachBatch replay of a
+    vacuumed batch id must still be deduplicated."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     head = current_version(spark, path)
     if head is None:
         return 0
@@ -295,9 +325,32 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
     for v in keep:
         referenced.update(_manifest(spark, path, v)["files"])
     doomed: set[str] = set()
+    dropped_txns: set[int] = set(_sidecar_txns(spark, path))
     for v in drop:
-        doomed.update(f for f in _manifest(spark, path, v)["files"] if f not in referenced)
+        m = _manifest(spark, path, v)
+        doomed.update(f for f in m["files"] if f not in referenced)
+        if m.get("txn") is not None:
+            dropped_txns.add(int(m["txn"]))
     fs, mkpath = _fs(spark, path)
+    if dropped_txns:
+        # publish the sidecar before deleting anything: until the old
+        # manifests are gone their txn ids are still readable, so there is
+        # no window where a replayed batch id looks uncommitted
+        import uuid
+
+        sidecar = f"{path}/{_TXN_SIDECAR}"
+        tmp = f"{sidecar}.tmp-{uuid.uuid4().hex[:12]}"
+        stream = fs.create(mkpath(tmp), True)
+        try:
+            stream.write(bytearray(json.dumps(
+                {"txns": sorted(dropped_txns)}
+            ).encode("utf-8")))
+        finally:
+            stream.close()
+        fs.delete(mkpath(sidecar), False)
+        if not fs.rename(mkpath(tmp), mkpath(sidecar)):
+            fs.delete(mkpath(tmp), False)
+            raise CommitConflict(sidecar)
     for v in drop:
         fs.delete(mkpath(f"{path}/{_MANIFESTS}/v{v}.json"), False)
     for f in sorted(doomed):

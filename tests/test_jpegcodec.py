@@ -75,6 +75,16 @@ def test_rejects_progressive_and_truncation():
         J.jpeg_decode(b"\x00\x01\x02\x03")
 
 
+def test_rejects_non_8bit_sample_precision():
+    """SOF1 permits 12-bit samples; the decoder's level shift assumes 8,
+    so anything else must raise, never decode to silent garbage."""
+    enc = bytearray(J.jpeg_encode(_gradient(16, 16)))
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 4] = 12  # marker(2) + length(2) -> sample-precision byte
+    with pytest.raises(NotImplementedError, match="precision"):
+        J.jpeg_decode(bytes(enc))
+
+
 def test_420_subsampling_round_trip():
     """4:2:0 exercises the decoder's generic MCU interleave + chroma
     upsampling path: smaller payload than 4:4:4, luma-faithful output on

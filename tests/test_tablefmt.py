@@ -136,3 +136,50 @@ def test_vacuum_retires_history_but_keeps_window(spark, tmp_path):
         tf.read(spark, path, version=0)
     # idempotent once converged
     assert tf.vacuum(spark, path, keep_last=2) == 0
+
+
+def test_vacuum_rejects_keep_last_below_one(spark, tmp_path):
+    """keep_last=0 used to slice versions[-0:] == everything and silently
+    keep all history; it must be a loud contract error instead."""
+    path = str(tmp_path / "t_vac0")
+    tf.append(spark, path, _df(spark, 0, 4))
+    with pytest.raises(ValueError):
+        tf.vacuum(spark, path, keep_last=0)
+
+
+def test_vacuum_preserves_exactly_once_dedup_horizon(spark, tmp_path):
+    """Vacuuming a manifest with a txn field must NOT forget its batch id:
+    a foreachBatch replay of the vacuumed batch would otherwise re-append,
+    breaking exactly-once. The ids move into the _txns sidecar."""
+    path = str(tmp_path / "t_vac_txn")
+    sink = tf.streaming_sink(path)
+    sink(_df(spark, 0, 5), 0)    # v0 (will be vacuumed)
+    sink(_df(spark, 5, 8), 1)    # v1 (will be vacuumed)
+    sink(_df(spark, 8, 10), 2)   # v2 (kept)
+    tf.vacuum(spark, path, keep_last=1)
+    # manifests for batches 0/1 are gone, but their ids survive
+    assert tf.committed_batches(spark, path) == {0, 1, 2}
+    # a crash-replay of a vacuumed batch id is still a no-op
+    sink(_df(spark, 100, 200), 0)
+    assert tf.read(spark, path).count() == 10
+    # a second vacuum merges (not clobbers) the sidecar
+    sink(_df(spark, 10, 11), 3)  # v after vacuum
+    tf.vacuum(spark, path, keep_last=1)
+    assert tf.committed_batches(spark, path) == {0, 1, 2, 3}
+
+
+def test_streaming_sink_bounded_retries_fail_loudly(spark, tmp_path, monkeypatch):
+    """A rename that keeps failing for a non-conflict reason must surface
+    as CommitConflict after a bounded number of retries, not hang the
+    micro-batch forever."""
+    path = str(tmp_path / "t_stream_bound")
+    calls = {"n": 0}
+
+    def always_conflict(spark_, p, doc):
+        calls["n"] += 1
+        raise tf.CommitConflict(p)
+
+    monkeypatch.setattr(tf, "_write_json_exclusive", always_conflict)
+    with pytest.raises(tf.CommitConflict):
+        tf.streaming_sink(path)(_df(spark, 0, 3), 7)
+    assert calls["n"] == 5
