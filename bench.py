@@ -5,8 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes to completion through the noop sink (full plan runs,
 nothing collected to the driver — the honest distributed cost). Each is
-run twice and the min recorded (shared-box noise filter; no data caching
-between runs, see the loop comment).
+run three times; the min is recorded and gated, and the max-min spread
+is reported per query (shared-box noise filter; no data caching between
+runs, see the loop comment). The spread field exists so a cross-round
+comparison can tell a real regression from scheduler noise — round 3
+produced two phantom regressions that a recorded spread would have
+flagged immediately.
 
 Regression gate (round-1 verdict #6): BASELINE_BENCH.json pins the r1
 driver-recorded numbers; this script exits 1 (after printing the JSON line)
@@ -46,7 +50,14 @@ HEADLINE = [
     "inv_sim_ann_topk",
     "inv_t_tfidf",
     "inv_x_curated_corpus",
+    # the most expensive capstone in the repo (round-3 verdict #3): the
+    # SemDeDup-shaped embedding-cluster curation joins documents ⋈
+    # embeddings ⋈ LSH components in one plan — a regression here would
+    # otherwise go unnoticed by the gate.
+    "inv_x_semantic_curation",
 ]
+
+RUNS_PER_QUERY = 3
 
 
 def main() -> None:
@@ -71,28 +82,32 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Each query runs TWICE and the min is recorded. Rationale: this box is
-    # shared, and several queries (the label-propagation loops) run a
-    # handful of eager jobs whose fixed scheduling cost is noise-sensitive —
-    # a single CPU-contention spike can triple a sub-10s measurement. No
-    # data is cached between the two runs (noop sink, no .cache()), so the
-    # second run re-executes the full distributed plan; min-of-2 is the
-    # standard way to measure achievable latency rather than scheduler luck.
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
+    # Each query runs RUNS_PER_QUERY times; the min is recorded and gated,
+    # max-min is reported as the spread. Rationale: this box is shared, and
+    # several queries (the component-contraction loops) run a handful of
+    # eager jobs whose fixed scheduling cost is noise-sensitive — a single
+    # CPU-contention spike can triple a sub-10s measurement. No data is
+    # cached between runs (noop sink, no .cache()), so every run re-executes
+    # the full distributed plan; min-of-N measures achievable latency
+    # rather than scheduler luck, and the spread quantifies that luck.
+    def _measure(run) -> tuple[float, float]:
+        samples = []
+        for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            run()
+            samples.append(time.time() - t0)
+        return round(min(samples), 3), round(max(samples) - min(samples), 3)
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in names:
+        timings[name], spreads[name] = _measure(
+            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
     # the flagship daily path (entry) gets a tracked number too (verdict #8)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        entrymod.entry(spark).write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    timings["entry_flagship"] = round(best, 3)
+    timings["entry_flagship"], spreads["entry_flagship"] = _measure(
+        lambda: entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -101,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

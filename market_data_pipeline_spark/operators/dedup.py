@@ -318,80 +318,98 @@ def dup_groups(
 
     Pair emitters (LSH/SimHash/Jaccard) produce edges; dedup policy needs
     GROUPS ("keep one doc per duplicate cluster"), which is transitive
-    closure. Hash-min label propagation: every node starts labeled with its
-    own id; each round, a node takes the min label among itself and its
-    neighbors; fixpoint = components. Each round is one shuffle join + one
-    groupBy-min — no driver-side graph, so 100 TB edge sets stream through
-    the same two shuffles per round. Rounds needed = component diameter
-    (near-dup clusters are shallow: typically ≤ 3-4).
+    closure. Algorithm: alternating large-star / small-star contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"),
+    chosen over hash-min label propagation because label propagation needs
+    rounds = component DIAMETER — fine for shallow near-dup cliques, but a
+    low-threshold semantic-similarity graph already measured diameter ~11
+    at sf0.1, and a chain of borderline near-dups at 100 TB has no
+    diameter bound at all. Star contraction REWIRES the edge set toward
+    the component minimum every round and converges in O(log² n) rounds
+    regardless of shape (a path collapses exponentially, see the round
+    log in SCALECHECK.md), with every round a node-keyed groupBy-min +
+    equi-join + distinct — no driver-side graph, no collect, so 100 TB
+    edge sets stream through the same shuffles.
 
-    Convergence is checked with a changed-label count; lineage is truncated
-    per round (localCheckpoint) so the plan does not grow with iterations.
+    Invariant: edges are kept CANONICAL, (hi, lo) with hi > lo. One round =
+      large-star: every node u computes m = min(closed neighborhood);
+        each neighbor v > u is re-linked to m (emitted as (v, m), canonical
+        because m ≤ u < v);
+      small-star: over canonical edges grouped by hi, m = min(lo); every
+        smaller neighbor and hi itself re-link to m.
+    Both steps preserve connectivity and only ever link a node to a
+    SMALLER node of its own component, so the fixpoint — a set of disjoint
+    stars — has every component's nodes linked directly to the component
+    min, which is exactly the (doc_id, group_id) contract. Convergence is
+    set-stability (same count and no new edge), checked per round on the
+    materialized frames; lineage is truncated per round (localCheckpoint)
+    so the plan does not grow with iterations.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .localCheckpoint(eager=True)
     )
-    # No edge distinct: the emitters produce a distinct pair set with
-    # id_a < id_b, so fwd (src<dst) and bwd (src>dst) cannot collide and a
-    # distinct here would be a pure extra full-edge-set shuffle. Callers
-    # passing duplicated pairs only cost extra join rows — min() absorbs
-    # them, correctness is unchanged. The ONE edge shuffle is the src
-    # re-key below, pinned by the checkpoint so every propagation round
-    # joins without re-shuffling the (large) edge set.
-    edges = edges.repartition(F.col("src")).localCheckpoint(eager=True)
-    # Round 0 is fused into initialization: with identity starting labels,
-    # the first neighbor-min is just min(neighbor id), so the initial label
-    # table is least(src, min(dst)) from ONE aggregation that rides the
-    # src partitioning pinned above — one fewer join+checkpoint+count
-    # action than initializing to identities and looping from round 0.
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__mn"))
-        .select(
-            F.col("src").alias("id"),
-            F.least(F.col("src"), F.col("__mn")).alias("label"),
+    # The emitters produce distinct a<b pairs, so no distinct here; callers
+    # passing duplicated pairs only cost round-1 join rows — the per-round
+    # distinct absorbs them, correctness is unchanged.
+    prev_count = edges.count()
+    for _ in range(max_iter):
+        sym = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("m"))
         )
-    ).localCheckpoint(eager=True)
-    prev_ckpt = labels
-
-    for _ in range(max_iter - 1):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nlabel"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
         )
-        # carry the changed flag INTO the checkpointed frame: convergence
-        # is then a cheap scan of already-materialized rows instead of a
-        # second join job per round — one action per round, not two
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least("label", "nlabel").alias("label"),
-                (F.col("nlabel") < F.col("label")).alias("__chg"),
-            )
-            .localCheckpoint(eager=True)
+        small_min = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(small_min, "hi")
+            .select(F.col("lo").alias("w"), F.col("m"))
+            .union(small_min.select(F.col("hi").alias("w"), F.col("m")))
+            .filter(F.col("w") != F.col("m"))
+            .select(F.col("w").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
         )
-        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        # one action per round: both stars materialize as a single fused
+        # plan; the convergence probe below reads only materialized frames
+        new_edges = small.localCheckpoint(eager=True)
+        new_count = new_edges.count()
+        converged = new_count == prev_count and (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+        )
         # the previous round's checkpointed blocks are dead once the new
         # round is materialized — drop them so a long session (bench loop,
         # streaming foreachBatch reuse) doesn't accrete block-manager state
         try:
-            prev_ckpt.unpersist()
+            edges.unpersist()
         except Exception:
             pass
-        prev_ckpt = new_labels
-        labels = new_labels.drop("__chg")
-        if changed == 0:
+        edges = new_edges
+        prev_count = new_count
+        if converged:
             break
-    # the edge set is only read by the loop itself; the returned labels are
-    # a standalone checkpoint, so the edge blocks can go too
-    try:
-        edges.unpersist()
-    except Exception:
-        pass
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("group_id"))
+    # fixpoint is disjoint stars: hi values are the non-root members (one
+    # row each, pointing at their component min), lo values the roots
+    roots = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("group_id"))
+    )
+    return edges.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("group_id")
+    ).union(roots)
 
 
 def dedup_near_keep_one(

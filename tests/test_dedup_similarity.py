@@ -211,6 +211,29 @@ def test_dup_groups_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_dup_groups_chain_matches_union_find_in_log_rounds(spark):
+    """The star-contraction worst case the old hash-min propagation was
+    weak on: a long CHAIN with adversarially shuffled ids (diameter =
+    n-1, so label propagation would need ~n rounds). Star contraction
+    must (a) produce exactly the union-find components, and (b) converge
+    well inside the max_iter bound — max_iter=9 ≈ O(log n) rounds for
+    n=257 is far below the 256 rounds a diameter-bound algorithm needs,
+    so this test FAILS if dup_groups regresses to O(diameter)."""
+    import random
+
+    from market_data_pipeline_spark.operators.dedup import dup_groups
+
+    rng = random.Random(42)
+    perm = list(range(257))
+    rng.shuffle(perm)
+    chain = [(perm[i], perm[i + 1]) for i in range(256)]
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in chain], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.group_id for r in dup_groups(pairs, max_iter=9).collect()}
+    assert got == {n: 0 for n in range(257)}  # one component, min id 0
+
+
 def test_incremental_dedup_admits_only_novel_docs(spark, sf_dir):
     """Survivors of incremental dedup share no fingerprint with the store,
     and a store document re-submitted verbatim is always rejected."""
