@@ -87,6 +87,105 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def bucket_pair_candidates(
+    buckets: DataFrame,
+    id_col: str,
+    bucket_cols: tuple[str, ...],
+    order_col: str,
+    hot_bucket_cap: int | None = None,
+    chain_window: int = 8,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs (id_a < id_b always) from an LSH bucket
+    self-join, with an optional HOT-BUCKET CAP.
+
+    Without a cap, the self-join emits O(n²) pairs inside every bucket of
+    n members — fine for the hash-random buckets LSH produces on organic
+    text, degenerate at 100 TB when boilerplate-heavy web text lands one
+    pathological bucket with millions of members: that single bucket's
+    quadratic pair dump then dominates the stage. With a cap B, buckets
+    of n ≤ B members keep the exact all-pairs join, and hot buckets
+    (n > B) switch to CHAIN pairing: members are ordered by a
+    fine-grained similarity key (``order_col`` — the full minhash
+    signature, or a finer LSH signature — so near-identical members sort
+    adjacent) and each member pairs only with its next ``chain_window``
+    followers, bounding fan-out to W·n (linear).
+
+    Recall contract: group-forming consumers (connected components) lose
+    nothing in the adversarial all-near-identical hot bucket — the chain
+    connects the whole bucket transitively (pinned in
+    tests/test_dedup_similarity.py). A true pair separated by more than
+    ``chain_window`` dissimilar members in sort order, within every band
+    it collides in, is missed — the documented recall bound. Consumers
+    of the raw PAIR LIST leave the cap off (``None``, the default):
+    capping changes the emitted pair set.
+
+    Scale note: ranking a hot bucket is a row_number window over that
+    bucket — one task scans the bucket LINEARLY, versus the quadratic
+    blowup it replaces; the cold path's per-bucket work is capped at B².
+
+    ``payload_cols`` are carried through to the output as ``<c>_a`` /
+    ``<c>_b``, swapped consistently with the id ordering (so e.g. vector
+    columns line up with their ids for a downstream cosine verify).
+    """
+    from pyspark.sql import Window
+
+    def _allpairs(frame: DataFrame) -> DataFrame:
+        fa, fb = frame.alias("a"), frame.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in bucket_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return fa.join(fb, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+
+    if hot_bucket_cap is None:
+        return _allpairs(buckets)
+
+    counts = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("__n"))
+    tagged = buckets.join(counts, list(bucket_cols))
+    cold = tagged.filter(F.col("__n") <= hot_bucket_cap).drop("__n")
+    hot = tagged.filter(F.col("__n") > hot_bucket_cap).drop("__n")
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols]).orderBy(
+        F.col(order_col), F.col(id_col)
+    )
+    ranked = hot.withColumn("__r", F.row_number().over(w))
+    right = ranked.select(
+        *bucket_cols,
+        F.col(id_col).alias("__rid"),
+        F.col("__r").alias("__rr"),
+        *[F.col(c).alias(f"__rp_{c}") for c in payload_cols],
+    )
+    swap = F.col(id_col) > F.col("__rid")
+    hot_pairs = (
+        ranked.select(
+            *bucket_cols,
+            F.col(id_col),
+            *payload_cols,
+            F.explode(
+                F.sequence(F.col("__r") + 1, F.col("__r") + chain_window)
+            ).alias("__rr"),
+        )
+        .join(right, [*bucket_cols, "__rr"])
+        .select(
+            F.least(F.col(id_col), F.col("__rid")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("__rid")).alias("id_b"),
+            *[
+                F.when(swap, F.col(f"__rp_{c}")).otherwise(F.col(c)).alias(f"{c}_a")
+                for c in payload_cols
+            ],
+            *[
+                F.when(swap, F.col(c)).otherwise(F.col(f"__rp_{c}")).alias(f"{c}_b")
+                for c in payload_cols
+            ],
+        )
+    )
+    return _allpairs(cold).unionByName(hot_pairs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -94,13 +193,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    hot_bucket_cap: int | None = None,
+    chain_window: int = 8,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (rows = num_hashes/bands),
     bucket on md5(band contents), self-join buckets, emit ordered pairs.
 
     The banding turns near-dup search from O(n²) into a groupBy on bucket
     keys — the 100 TB path. Bucket skew (a viral shingle set) is handled by
-    AQE skew-join splitting.
+    AQE skew-join splitting; a degenerate hot bucket can additionally be
+    capped via ``hot_bucket_cap`` (see ``bucket_pair_candidates`` for the
+    recall contract — the default None keeps the exact pair list, which is
+    what consumers of the raw pairs want).
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -110,24 +214,24 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
         )
+    full_sig = F.concat_ws("|", *[F.col(f"mh_{k}") for k in range(num_hashes)])
     buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        F.col(id_col), full_sig.alias("__sig"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        id_col, "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return (
+        bucket_pair_candidates(
+            buckets,
+            id_col=id_col,
+            bucket_cols=("band", "bucket"),
+            order_col="__sig",
+            hot_bucket_cap=hot_bucket_cap,
+            chain_window=chain_window,
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -444,6 +548,8 @@ def near_dup_members(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    hot_bucket_cap: int | None = 1024,
+    chain_window: int = 8,
 ) -> DataFrame:
     """(doc_id, group_id) for EVERY document, group_id = its near-dup
     cluster's min id (a singleton labels itself, so survivors are exactly
@@ -466,6 +572,16 @@ def near_dup_members(
     coalesces to few partitions and the expensive hashing chain goes
     serial. Keying the one signature agg by fingerprint keeps the heavy
     work before the shuffle.
+
+    The clone collapse kills the COMMON quadratic (exact duplicates); the
+    residual one — many DISTINCT near-identical texts hashing to one hot
+    bucket — is bounded by ``hot_bucket_cap``: since this function's
+    output is GROUPS (connected components), hot buckets only need a
+    connected chain of candidate pairs, not the full clique, so members
+    over the cap pair with their ``chain_window`` nearest signature-sorted
+    neighbors (see ``bucket_pair_candidates``). The default cap (1024) is
+    ~15× the largest organic bucket observed at sf0.1, so results are
+    bitwise-unchanged at oracle scale and bounded on adversarial corpora.
     """
     keyed = df.select(
         F.col(id_col), F.col(text_col),
@@ -490,20 +606,31 @@ def near_dup_members(
         )
         for b in range(bands)
     ]
+    full_sig = F.concat_ws("|", *[F.col(f"mh_{k}") for k in range(num_hashes)])
     buckets = (
         sig.join(rep_ids, "__fp")
-        .select(F.col("rep_id"), F.explode(F.array(*band_cols)).alias("bb"))
-        .select("rep_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
-    a, b2 = buckets.alias("a"), buckets.alias("b")
-    pairs = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        .select(
+            F.col("rep_id"),
+            full_sig.alias("__sig"),
+            F.explode(F.array(*band_cols)).alias("bb"),
         )
-        .select(F.col("a.rep_id").alias("doc_a"), F.col("b.rep_id").alias("doc_b"))
+        .select(
+            "rep_id",
+            "__sig",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    pairs = (
+        bucket_pair_candidates(
+            buckets,
+            id_col="rep_id",
+            bucket_cols=("band", "bucket"),
+            order_col="__sig",
+            hot_bucket_cap=hot_bucket_cap,
+            chain_window=chain_window,
+        )
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
     rep_groups = dup_groups(pairs).select(

@@ -186,24 +186,55 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, dim: int = 64, vec_col: str = "
     return df.select(F.col(id_col), v.alias("vec"), best.cast("int").alias("cell"))
 
 
-def embedding_near_dups(df: DataFrame, threshold: float = 0.95, vec_col: str = "embedding", id_col: str = "vec_id", n_planes: int = 6, dim: int = 64) -> DataFrame:
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    dim: int = 64,
+    hot_bucket_cap: int | None = None,
+    chain_window: int = 8,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join, then the
-    exact cosine filter. The dedup counterpart of ann_topk."""
-    b = lsh_bucket(df, dim, n_planes, vec_col).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "lsh_bucket"
-    )
-    a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(
-            c,
-            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    exact cosine filter. The dedup counterpart of ann_topk.
+
+    ``hot_bucket_cap`` bounds the self-join's per-bucket fan-out for
+    degenerate buckets (see ``dedup.bucket_pair_candidates``): hot-bucket
+    members are ordered by a FINER 16-plane LSH signature (independent
+    seed), so near-identical vectors sort adjacent and chain pairing keeps
+    their clusters connected. Default off — the raw pair list is this
+    function's contract; group-forming callers (``semantic_dup_members``)
+    turn it on.
+    """
+    from market_data_pipeline_spark.operators.dedup import bucket_pair_candidates
+
+    if hot_bucket_cap is not None:
+        b = lsh_bucket(df, dim, 16, vec_col, seed=101).withColumnRenamed(
+            "lsh_bucket", "__fine"
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+    else:
+        # the order key is only read on the hot path; skip the 16 extra
+        # hyperplane dot products per row when the cap is off
+        b = df.withColumn("__fine", F.lit(0).cast("long"))
+    b = lsh_bucket(b, dim, n_planes, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "__fine", "lsh_bucket"
+    )
+    return (
+        bucket_pair_candidates(
+            b,
+            id_col=id_col,
+            bucket_cols=("lsh_bucket",),
+            order_col="__fine",
+            hot_bucket_cap=hot_bucket_cap,
+            chain_window=chain_window,
+            payload_cols=("v",),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
             "cos_sim",
         )
     )
@@ -216,6 +247,8 @@ def semantic_dup_members(
     id_col: str = "vec_id",
     n_planes: int = 6,
     dim: int = 64,
+    hot_bucket_cap: int | None = 1024,
+    chain_window: int = 8,
 ) -> DataFrame:
     """(id, group_id) for EVERY vector, group_id = its semantic near-dup
     cluster's min id (a singleton labels itself, so survivors are exactly
@@ -243,7 +276,15 @@ def semantic_dup_members(
     # this aggregate on both sides of the join
     reps = reps.localCheckpoint(eager=True)
     rep_vecs = reps.select(F.col("rep_id").alias(id_col), F.col("__v").alias(vec_col))
-    pairs = embedding_near_dups(rep_vecs, threshold, vec_col, id_col, n_planes, dim)
+    # cap on: this function's output is GROUPS, so hot buckets of DISTINCT
+    # near-identical vectors only need a connected chain of verified pairs,
+    # not the full clique (bucket_pair_candidates documents the bound); the
+    # default cap is far above any organic bucket at test scale, so oracle
+    # results are unchanged
+    pairs = embedding_near_dups(
+        rep_vecs, threshold, vec_col, id_col, n_planes, dim,
+        hot_bucket_cap=hot_bucket_cap, chain_window=chain_window,
+    )
     rep_groups = _dedup.dup_groups(pairs, id_a="vec_a", id_b="vec_b").select(
         F.col("doc_id").alias("rep_id"), F.col("group_id").alias("__rg")
     )

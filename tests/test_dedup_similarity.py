@@ -431,3 +431,85 @@ def test_importance_weights_tilt_toward_target(spark):
     off_target = w[10]
     mixed = w[99]
     assert target_like > mixed > off_target, (target_like, mixed, off_target)
+
+
+def test_hot_bucket_cap_bounds_fanout_and_keeps_connectivity(spark):
+    """The adversarial LSH case: thousands of DISTINCT near-identical
+    members land in ONE bucket. Uncapped, the self-join emits O(n²) pairs
+    (here ~2M); with the cap, fan-out is bounded by chain_window·n and —
+    because every member is near-identical to its signature-sorted
+    neighbors — the chain still connects the whole bucket, so the
+    GROUPS result is unchanged."""
+    from market_data_pipeline_spark.operators.dedup import (
+        bucket_pair_candidates,
+        dup_groups,
+    )
+
+    n, w = 2000, 4
+    buckets = spark.createDataFrame(
+        [(i, 0, "hot", f"sig{i:06d}") for i in range(n)]
+        + [(10_000 + i, 0, f"cold{i}", f"s{i}") for i in range(20)],
+        "doc_id long, band int, bucket string, __sig string",
+    )
+    pairs = bucket_pair_candidates(
+        buckets,
+        id_col="doc_id",
+        bucket_cols=("band", "bucket"),
+        order_col="__sig",
+        hot_bucket_cap=256,
+        chain_window=w,
+    )
+    cnt = pairs.count()
+    assert cnt <= w * n  # linear, not ~n²/2 = 2M
+    groups = dup_groups(pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")))
+    hot_groups = {r.group_id for r in groups.filter(F.col("doc_id") < 10_000).collect()}
+    assert hot_groups == {0}  # the whole hot bucket stays one component
+
+
+def test_hot_bucket_cap_is_exact_below_threshold(spark):
+    """With every bucket under the cap, the capped candidate set must be
+    BITWISE the uncapped one — the cap may only change behavior on
+    pathological buckets (this is what keeps the DuckDB oracles valid at
+    test scale)."""
+    from market_data_pipeline_spark.operators.dedup import bucket_pair_candidates
+
+    rows = [(i, i % 7, f"b{i % 7}", f"sig{i}") for i in range(60)]
+    buckets = spark.createDataFrame(
+        rows, "doc_id long, band int, bucket string, __sig string"
+    )
+    kw = dict(id_col="doc_id", bucket_cols=("band", "bucket"), order_col="__sig")
+    capped = bucket_pair_candidates(buckets, hot_bucket_cap=64, chain_window=3, **kw)
+    exact = bucket_pair_candidates(buckets, hot_bucket_cap=None, **kw)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_semantic_hot_bucket_end_to_end(spark):
+    """SemDeDup under adversarial duplication: 3000 DISTINCT
+    near-identical embeddings (base + a unique 1e-6-scale nudge each, so
+    the exact-clone collapse cannot absorb them) all hash to one LSH
+    bucket. semantic_dup_members with the cap must still collapse them to
+    ONE cluster labeled by the min id, with candidate fan-out linear."""
+    import math
+
+    from market_data_pipeline_spark.operators import similarity
+
+    dim, n = 64, 3000
+    base = [math.sin(d + 1) + 1.1 for d in range(dim)]
+
+    def vec(i):
+        v = list(base)
+        v[i % dim] += 1e-6 * (i + 1)
+        return [float(x) for x in v]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    pairs = similarity.embedding_near_dups(
+        df, 0.95, n_planes=6, hot_bucket_cap=256, chain_window=4
+    )
+    assert pairs.count() <= 4 * n
+    members = similarity.semantic_dup_members(
+        df, 0.95, n_planes=6, hot_bucket_cap=256, chain_window=4
+    )
+    got = {r.vec_id: r.group_id for r in members.collect()}
+    assert got == {i: 0 for i in range(n)}
