@@ -5570,14 +5570,26 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # round (one action per round) — r2-green dependents changed in r3
         "inv_d_dup_groups", "inv_d_dedup_near",
     ),
+    # round 5 (deferred from r4 so r4's 48 slots stay on never-checked
+    # queries, per the r3 verdict): greens whose implementation changed in
+    # r4 — near_dup_members now defaults to the hot-bucket cap
+    # (dedup.bucket_pair_candidates), so the group-forming dedup queries'
+    # green rows are stale evidence; r4 also rewired dup_groups onto star
+    # contraction, touching every consumer of connected components.
+    5: (
+        "inv_d_dup_groups", "inv_d_dedup_near", "inv_d_dedup_best",
+        "inv_d_minhash_lsh", "inv_sim_near_dups", "inv_d_incremental",
+    ),
 }
 
 # How many already-green queries are re-admitted into each round's window as a
 # rotating regression sample (r2 advice: a green query must be able to re-enter
 # the window, or a regression in it is never re-caught by the driver).
-# K=2 sized so the remaining never-checked queries complete full driver
-# coverage by round 4 (89 pending at r3 start, ~42/round through the window).
-_GREEN_RESAMPLE_K = 2
+# K=2 through round 4 so the never-checked queries drain first (48 of 69 in
+# the r4 window, the remaining 21 early in r5); from round 5 the pending set
+# no longer fills the window, so K rises to 5 and the stalest-first green
+# tail consumes the spare slots — every green row ends ≤2 rounds stale.
+_GREEN_RESAMPLE_K = 2 if _THIS_ROUND <= 4 else 5
 
 
 def _green_resample(green: list[str], rnd: int, k: int) -> list[str]:
