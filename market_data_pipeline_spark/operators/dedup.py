@@ -145,6 +145,17 @@ def bucket_pair_candidates(
     if hot_bucket_cap is None:
         return _allpairs(buckets)
 
+    # The capped plan references ``buckets`` four times (count agg, its
+    # join-back, and both sides of the cold self-join). Bucket keys are
+    # typically literal-heavy expressions (minhash bands, hyperplane
+    # signatures: hundreds of plan nodes), so replicating them 4× costs
+    # seconds of driver-side analysis and re-executes the hashing per
+    # reference. One lazy localCheckpoint truncates the expression out of
+    # every downstream copy for O(buckets) executor-local storage — the
+    # capped path feeds group-forming consumers that materialize their
+    # edge set immediately anyway (dup_groups), so the storage is
+    # transient and the recompute-on-executor-loss risk window is short.
+    buckets = buckets.localCheckpoint(eager=False)
     counts = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("__n"))
     tagged = buckets.join(counts, list(bucket_cols))
     cold = tagged.filter(F.col("__n") <= hot_bucket_cap).drop("__n")
@@ -449,18 +460,37 @@ def dup_groups(
     materialized frames; lineage is truncated per round (localCheckpoint)
     so the plan does not grow with iterations.
     """
+    def _materialize(frame: DataFrame) -> tuple[DataFrame, int, int]:
+        """LAZY localCheckpoint, then one agg action that both materializes
+        the checkpoint blocks and returns (count, sum-of-edge-hashes) —
+        one Spark job where eager-checkpoint-then-count was two. The hash
+        sum only GATES the exact convergence probe below (a changed edge
+        set almost surely changes it, so the probe is skipped for free);
+        convergence itself is never decided by the hash."""
+        frame = frame.localCheckpoint(eager=False)
+        row = frame.agg(
+            F.count(F.lit(1)), F.sum(F.xxhash64("hi", "lo"))
+        ).first()
+        return frame, int(row[0]), (0 if row[1] is None else int(row[1]))
+
+    # The emitters produce distinct a<b pairs, so no distinct here; callers
+    # passing duplicated pairs only cost round-1 join rows — the per-round
+    # distinct absorbs them, correctness is unchanged. The input frame is
+    # checkpoint-marked but NOT materialized by its own action: round 0's
+    # agg computes it (sharing the persisted blocks across its two sym
+    # references), and convergence detection simply cannot fire before
+    # round 1 — an already-converged input costs one no-op round, every
+    # real input saves one fixed-cost Spark job.
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
             F.least(F.col(id_a), F.col(id_b)).alias("lo"),
         )
         .filter(F.col("hi") != F.col("lo"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # The emitters produce distinct a<b pairs, so no distinct here; callers
-    # passing duplicated pairs only cost round-1 join rows — the per-round
-    # distinct absorbs them, correctness is unchanged.
-    prev_count = edges.count()
+    prev_count: int | None = None
+    prev_check = 0
     for _ in range(max_iter):
         sym = edges.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")
@@ -470,12 +500,17 @@ def dup_groups(
             .agg(F.min("v").alias("__mn"))
             .select("u", F.least("u", "__mn").alias("m"))
         )
+        # no distinct here: each sym edge with v > u joins exactly ONE mins
+        # row, so |large| = |edges| — bounded without it; duplicate (hi, lo)
+        # rows (same target reached via different u) are harmless to the
+        # min-aggregation below and collapsed by the round's final
+        # distinct, so skipping this exchange saves one full shuffle per
+        # round at identical output.
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
         )
         small_min = large.groupBy("hi").agg(F.min("lo").alias("m"))
         small = (
@@ -487,11 +522,18 @@ def dup_groups(
             .distinct()
         )
         # one action per round: both stars materialize as a single fused
-        # plan; the convergence probe below reads only materialized frames
-        new_edges = small.localCheckpoint(eager=True)
-        new_count = new_edges.count()
-        converged = new_count == prev_count and (
-            new_edges.exceptAll(edges).limit(1).count() == 0
+        # plan whose terminal agg doubles as the convergence fingerprint.
+        # The EXACT probe (counts equal ⇒ one-direction exceptAll empty ⇔
+        # sets equal) only runs when count AND hash-sum both match, which
+        # outside a hash collision happens exactly once, at the fixpoint —
+        # a collision merely runs the probe a round early and the probe
+        # answers exactly, so convergence is never probabilistic.
+        new_edges, new_count, new_check = _materialize(small)
+        converged = (
+            prev_count is not None
+            and new_count == prev_count
+            and new_check == prev_check
+            and new_edges.exceptAll(edges).limit(1).count() == 0
         )
         # the previous round's checkpointed blocks are dead once the new
         # round is materialized — drop them so a long session (bench loop,
@@ -501,7 +543,7 @@ def dup_groups(
         except Exception:
             pass
         edges = new_edges
-        prev_count = new_count
+        prev_count, prev_check = new_count, new_check
         if converged:
             break
     # fixpoint is disjoint stars: hi values are the non-root members (one

@@ -201,31 +201,25 @@ def embedding_near_dups(
 
     ``hot_bucket_cap`` bounds the self-join's per-bucket fan-out for
     degenerate buckets (see ``dedup.bucket_pair_candidates``): hot-bucket
-    members are ordered by a FINER 16-plane LSH signature (independent
-    seed), so near-identical vectors sort adjacent and chain pairing keeps
-    their clusters connected. Default off — the raw pair list is this
-    function's contract; group-forming callers (``semantic_dup_members``)
-    turn it on.
+    members are ordered by the raw vector itself (Spark orders arrays
+    lexicographically), so near-identical vectors sort adjacent and chain
+    pairing keeps their clusters connected — and the order key costs zero
+    extra compute (an earlier 16-plane fine-LSH order key added ~1.6 s of
+    Catalyst literal-expression overhead per run for no recall gain).
+    Default off — the raw pair list is this function's contract;
+    group-forming callers (``semantic_dup_members``) turn it on.
     """
     from market_data_pipeline_spark.operators.dedup import bucket_pair_candidates
 
-    if hot_bucket_cap is not None:
-        b = lsh_bucket(df, dim, 16, vec_col, seed=101).withColumnRenamed(
-            "lsh_bucket", "__fine"
-        )
-    else:
-        # the order key is only read on the hot path; skip the 16 extra
-        # hyperplane dot products per row when the cap is off
-        b = df.withColumn("__fine", F.lit(0).cast("long"))
-    b = lsh_bucket(b, dim, n_planes, vec_col).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "__fine", "lsh_bucket"
+    b = lsh_bucket(df, dim, n_planes, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "lsh_bucket"
     )
     return (
         bucket_pair_candidates(
             b,
             id_col=id_col,
             bucket_cols=("lsh_bucket",),
-            order_col="__fine",
+            order_col="v",
             hot_bucket_cap=hot_bucket_cap,
             chain_window=chain_window,
             payload_cols=("v",),
