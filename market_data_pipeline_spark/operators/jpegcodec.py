@@ -5,17 +5,21 @@ now REAL — a standards-compliant JFIF encoder and decoder in numpy + pure
 Python, no PIL/libjpeg/ffmpeg.
 
 Scope (honest):
-- Encoder: baseline sequential, 8-bit, grayscale or YCbCr 4:4:4 (no
-  subsampling), quality-scaled Annex-K-style quantization matrices, and
-  SELF-COMPUTED canonical Huffman tables written into DHT segments (JPEG
-  permits custom tables; uniform code lengths trade compression ratio for
-  zero reliance on memorized Annex K constants — any standard decoder
-  reads the output).
-- Decoder: baseline sequential (SOF0), any DHT, 1- or 3-component, 4:4:4
-  and 4:2:0/4:2:2 sampling (chroma upsampled by pixel replication),
-  0xFF00 byte unstuffing. Progressive (SOF2), arithmetic coding, and
-  restart intervals raise NotImplementedError — named gaps, not silent
-  corruption.
+- Encoder: baseline sequential (SOF0) or progressive (SOF2, spectral
+  selection + successive approximation, the jpegtran-style scan script),
+  8-bit, grayscale or YCbCr 4:4:4 / 4:2:0, optional restart intervals,
+  quality-scaled Annex-K-style quantization matrices, and SELF-COMPUTED
+  canonical Huffman tables written into DHT segments (JPEG permits custom
+  tables; uniform code lengths trade compression ratio for zero reliance
+  on memorized Annex K constants — any standard decoder reads the output).
+- Decoder: baseline sequential (SOF0/1) and progressive (SOF2) with full
+  spectral-selection + successive-approximation scan handling (EOBRUN,
+  AC refinement correction bits), restart intervals (DRI + RSTn), any
+  DHT including mid-stream redefinition, 1- or 3-component, 4:4:4 and
+  4:2:0/4:2:2 sampling (chroma upsampled by pixel replication), 0xFF00
+  byte unstuffing. Arithmetic coding (DAC), hierarchical/lossless frames,
+  and 12-bit precision raise NotImplementedError — named gaps, not
+  silent corruption.
 - JPEG is LOSSY: round-trip tests assert PSNR bounds and exactness only
   where the math guarantees it (block-constant images at quality 100
   survive DC-only quantization exactly when the DC step divides the
@@ -27,6 +31,7 @@ Pixels travel as (height, width, channels) uint8 arrays, matching
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -293,13 +298,24 @@ def _run_lengths(zz: np.ndarray):
 
 
 def jpeg_encode(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
-    """Encode (h, w[, c]) uint8 (c=1 gray or c=3 RGB) to baseline JFIF.
+    """Encode (h, w[, c]) uint8 (c=1 gray or c=3 RGB) to JFIF.
 
     ``subsampling``: "444" keeps full-resolution chroma; "420" box-averages
     chroma 2x2 (the near-universal photographic default — roughly halves
-    the payload for color content at a small chroma-fidelity cost)."""
+    the payload for color content at a small chroma-fidelity cost).
+    ``progressive``: emit SOF2 with the jpegtran-style scan script
+    (spectral selection + one successive-approximation refinement) instead
+    of a single sequential scan — identical quantized coefficients, so the
+    decoded pixels match the baseline encoding bit-for-bit.
+    ``restart_interval``: if > 0, emit DRI and split entropy data with
+    RSTn markers every N MCUs (the mechanism real encoders use so a
+    100 TB-scale reader can resync/parallelize within one scan)."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -336,65 +352,18 @@ def jpeg_encode(
         for p, (sh, sv), q in zip(planes, samp, qts)
     ]
 
-    def mcu_blocks():
-        """(component index, quantized block) in interleaved MCU order —
-        the one ordering both the alphabet pass and the emission share."""
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for ci, (sh, sv) in enumerate(samp):
-                    for r in range(sv):
-                        for q in range(sh):
-                            yield ci, grids[ci][my * sv + r, mx * sh + q]
-
-    # First pass: gather symbol alphabets for the custom Huffman tables.
-    dc_syms: list[set[int]] = [set(), set()]
-    ac_syms: list[set[int]] = [set(), set()]
     comp_tbl = [0] + ([1, 1] if c == 3 else [])
-    prev_dc_by_comp = [0] * c
-    for ci, b in mcu_blocks():
-        t = comp_tbl[ci]
-        zz = _zz(b)
-        size, _ = _magnitude(int(zz[0]) - prev_dc_by_comp[ci])
-        prev_dc_by_comp[ci] = int(zz[0])
-        dc_syms[t].add(size)
-        for item in _run_lengths(zz):
-            if item is None:
-                ac_syms[t].add(0x00)
-            else:
-                run, v = item
-                s, _ = _magnitude(v)
-                ac_syms[t].add(run * 16 + s)
-    n_tables = 2 if c == 3 else 1
-    dc_tables = [_uniform_table(sorted(dc_syms[t])) for t in range(n_tables)]
-    ac_tables = [_uniform_table(sorted(ac_syms[t])) for t in range(n_tables)]
-    dc_codes = [_canonical_codes(*t) for t in dc_tables]
-    ac_codes = [_canonical_codes(*t) for t in ac_tables]
-
-    # Entropy-coded segment in the same interleaved MCU order.
-    bw = _BitWriter()
-    prev_dc_by_comp = [0] * c
-    for ci, b in mcu_blocks():
-        t = comp_tbl[ci]
-        zz = _zz(b)
-        diff = int(zz[0]) - prev_dc_by_comp[ci]
-        prev_dc_by_comp[ci] = int(zz[0])
-        size, bits = _magnitude(diff)
-        code, ln = dc_codes[t][size]
-        bw.write(code, ln)
-        if size:
-            bw.write(bits, size)
-        for item in _run_lengths(zz):
-            if item is None:
-                code, ln = ac_codes[t][0x00]
-                bw.write(code, ln)
-            else:
-                run, v = item
-                s, vb = _magnitude(v)
-                code, ln = ac_codes[t][run * 16 + s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(vb, s)
-    ecs = bw.flush()
+    dims = (h, w, hmax, vmax, mcus_y, mcus_x)
+    if progressive:
+        script = _progressive_script(c)
+    else:
+        script = [(list(range(c)), 0, 63, 0, 0)]
+    scan_events = [
+        _scan_events(grids, samp, comp_tbl, sc, ss, se, ah, al,
+                     restart_interval, dims)
+        for (sc, ss, se, ah, al) in script
+    ]
+    tables, ecs_list = _serialize_scans(scan_events)
 
     # Assemble the stream.
     out = bytearray(b"\xff\xd8")  # SOI
@@ -402,28 +371,239 @@ def jpeg_encode(
     for qid, qt in ([(0, qt_l)] + ([(1, qt_c)] if c == 3 else [])):
         body = bytes([qid]) + bytes(int(x) for x in qt.reshape(64)[ZIGZAG])
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
-    # SOF0
     comps = b""
     for ci in range(c):
         sh, sv = samp[ci]
         comps += bytes([ci + 1, (sh << 4) | sv, qt_ids[ci]])
     sof = struct.pack(">BHHB", 8, h, w, c) + comps
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT
-    for cls, tables in ((0, dc_tables), (1, ac_tables)):
-        for tid, (bits, vals) in enumerate(tables):
-            body = bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals)
-            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    # SOS
-    sos = bytes([c])
-    for ci in range(c):
-        t = comp_tbl[ci]
-        sos += bytes([ci + 1, t * 16 + t])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += ecs
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
+    for (cls, tid), (bits, vals) in sorted(tables.items()):
+        body = bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for (sc, ss, se, ah, al), ecs in zip(script, ecs_list):
+        sos = bytes([len(sc)])
+        for ci in sc:
+            t = comp_tbl[ci]
+            sos += bytes([ci + 1, t * 16 + t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += ecs
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _progressive_script(c: int) -> list[tuple[list[int], int, int, int, int]]:
+    """jpegtran-shaped scan script (component list, Ss, Se, Ah, Al):
+    coarse DC for all components, coarse AC per component (luma split in
+    two bands so low frequencies render first), then one successive-
+    approximation refinement pass each (Ah=1 -> Al=0) — exercising every
+    progressive decode path including AC correction bits."""
+    comps = list(range(c))
+    script: list[tuple[list[int], int, int, int, int]] = [(comps, 0, 0, 0, 1)]
+    if c == 1:
+        script += [([0], 1, 63, 0, 1)]
+    else:
+        script += [([0], 1, 5, 0, 1), ([0], 6, 63, 0, 1),
+                   ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1)]
+    script.append((comps, 0, 0, 1, 0))
+    if c == 1:
+        script += [([0], 1, 63, 1, 0)]
+    else:
+        script += [([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0),
+                   ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+    return script
+
+
+def _comp_block_dims(fh, fw, sh, sv, hmax, vmax) -> tuple[int, int]:
+    """Block-grid dims of one component for NON-interleaved scans: per
+    T.81 A.2 they derive from the component's own sample dims, not the
+    MCU-padded frame grid (the two differ for subsampled frames whose
+    size is not an MCU multiple)."""
+    cw = -(-(fw * sh) // hmax)
+    chh = -(-(fh * sv) // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _scan_units(scan_comps, samp, dims):
+    """Yield one list of (ci, gy, gx) blocks per restart unit: the MCU for
+    interleaved scans (ns > 1), a single block in component raster order
+    otherwise."""
+    fh, fw, hmax, vmax, mcus_y, mcus_x = dims
+    if len(scan_comps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci in scan_comps:
+                    sh, sv = samp[ci]
+                    for r in range(sv):
+                        for q in range(sh):
+                            unit.append((ci, my * sv + r, mx * sh + q))
+                yield unit
+    else:
+        ci = scan_comps[0]
+        sh, sv = samp[ci]
+        by, bx = _comp_block_dims(fh, fw, sh, sv, hmax, vmax)
+        for gy in range(by):
+            for gx in range(bx):
+                yield [(ci, gy, gx)]
+
+
+def _scan_events(grids, samp, comp_tbl, scan_comps, ss, se, ah, al, ri, dims):
+    """Entropy events for one scan: ("sym", class, tid, symbol),
+    ("bits", value, nbits), ("rst",). The ss=0..63 Ah=Al=0 case is
+    baseline sequential; the progressive cases follow T.81 G.1.2 — the
+    AC-refinement pass mirrors the well-known libjpeg bit-buffering
+    discipline (correction bits ride after the next emitted symbol; the
+    tail of an end-of-band block defers behind the pending EOBRUN)."""
+    ev: list[tuple] = []
+    eobrun = 0
+    eob_bits: list[int] = []  # correction bits bound to the pending EOBRUN
+
+    def flush_eobrun(tid: int) -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ev.append(("sym", 1, tid, n << 4))
+            if n:
+                ev.append(("bits", eobrun - (1 << n), n))
+            eobrun = 0
+        if eob_bits:
+            ev.extend(("bits", b, 1) for b in eob_bits)
+            eob_bits.clear()
+
+    prev_dc = {ci: 0 for ci in scan_comps}
+    for ui, unit in enumerate(_scan_units(scan_comps, samp, dims)):
+        if ri and ui and ui % ri == 0:
+            if ss:
+                flush_eobrun(comp_tbl[scan_comps[0]])
+            ev.append(("rst",))
+            prev_dc = {ci: 0 for ci in scan_comps}
+        for ci, gy, gx in unit:
+            t = comp_tbl[ci]
+            zz = _zz(grids[ci][gy, gx])
+            if ss == 0 and se == 63:  # baseline sequential, full band
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                size, bits = _magnitude(diff)
+                ev.append(("sym", 0, t, size))
+                ev.append(("bits", bits, size))
+                for item in _run_lengths(zz):
+                    if item is None:
+                        ev.append(("sym", 1, t, 0x00))
+                    else:
+                        run, v = item
+                        s, vb = _magnitude(v)
+                        ev.append(("sym", 1, t, run * 16 + s))
+                        ev.append(("bits", vb, s))
+            elif ss == 0 and ah == 0:  # DC first: arithmetic >> Al
+                dc = int(zz[0]) >> al
+                diff = dc - prev_dc[ci]
+                prev_dc[ci] = dc
+                size, bits = _magnitude(diff)
+                ev.append(("sym", 0, t, size))
+                ev.append(("bits", bits, size))
+            elif ss == 0:  # DC refinement: one raw bit, no Huffman code
+                ev.append(("bits", (int(zz[0]) >> al) & 1, 1))
+            elif ah == 0:  # AC first: point transform is magnitude >> Al
+                band = [int(v) for v in zz[ss:se + 1]]
+                run = 0
+                for v in band:
+                    a = (-((-v) >> al)) if v < 0 else (v >> al)
+                    if a == 0:
+                        run += 1
+                        continue
+                    flush_eobrun(t)
+                    while run > 15:
+                        ev.append(("sym", 1, t, 0xF0))
+                        run -= 16
+                    s, vb = _magnitude(a)
+                    ev.append(("sym", 1, t, run * 16 + s))
+                    ev.append(("bits", vb, s))
+                    run = 0
+                if run:  # block ends in zeros -> member of an EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun(t)
+            else:  # AC refinement (Ah = Al + 1)
+                band = [int(v) for v in zz[ss:se + 1]]
+                absv = [(-v if v < 0 else v) >> al for v in band]
+                eob_pos = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob_pos = i
+                run = 0
+                cur_bits: list[int] = []  # bits owed after this block's next symbol
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    # ZRLs are emitted before ANY nonzero-history coefficient
+                    # once run exceeds 15 (and cannot fold into the EOB), so
+                    # buffered correction bits never span a ZRL window — the
+                    # decoder's 16-zero walk consumes exactly these bits.
+                    while run > 15 and i <= eob_pos:
+                        flush_eobrun(t)
+                        ev.append(("sym", 1, t, 0xF0))
+                        run -= 16
+                        ev.extend(("bits", b, 1) for b in cur_bits)
+                        cur_bits.clear()
+                    if a > 1:  # already-significant: correction bit only
+                        cur_bits.append(a & 1)
+                        continue
+                    flush_eobrun(t)
+                    ev.append(("sym", 1, t, run * 16 + 1))
+                    ev.append(("bits", 0 if band[i] < 0 else 1, 1))
+                    ev.extend(("bits", b, 1) for b in cur_bits)
+                    cur_bits.clear()
+                    run = 0
+                if run or cur_bits:
+                    eobrun += 1
+                    eob_bits.extend(cur_bits)
+                    if eobrun == 0x7FFF or len(eob_bits) > 900:
+                        flush_eobrun(t)
+    if ss:  # end of scan: flush any pending end-of-band run
+        flush_eobrun(comp_tbl[scan_comps[0]])
+    return ev
+
+
+def _serialize_scans(scan_events):
+    """Build the uniform Huffman tables from every symbol any scan emits,
+    then serialize each scan's events to its entropy-coded segment
+    (restart events split the bitstream and insert RSTn markers).
+    Returns ({(class, tid): (bits, huffval)}, [ecs bytes per scan])."""
+    syms: dict[tuple[int, int], set[int]] = {}
+    for ev_list in scan_events:
+        for e in ev_list:
+            if e[0] == "sym":
+                syms.setdefault((e[1], e[2]), set()).add(e[3])
+    tables = {k: _uniform_table(sorted(v)) for k, v in syms.items()}
+    codes = {k: _canonical_codes(*t) for k, t in tables.items()}
+    ecs_list = []
+    for ev_list in scan_events:
+        segs = []
+        bw = _BitWriter()
+        for e in ev_list:
+            if e[0] == "sym":
+                code, ln = codes[(e[1], e[2])][e[3]]
+                bw.write(code, ln)
+            elif e[0] == "bits":
+                if e[2]:
+                    bw.write(e[1], e[2])
+            else:  # restart boundary: byte-align and mark
+                segs.append(bw.flush())
+                bw = _BitWriter()
+        segs.append(bw.flush())
+        parts = []
+        for i, seg in enumerate(segs):
+            parts.append(seg)
+            if i < len(segs) - 1:
+                parts.append(bytes([0xFF, 0xD0 + (i % 8)]))
+        ecs_list.append(b"".join(parts))
+    return tables, ecs_list
 
 
 # --------------------------------------------------------------------------
@@ -431,15 +611,23 @@ def jpeg_encode(
 # --------------------------------------------------------------------------
 
 
+_RST_SPLIT = re.compile(b"\xff[\xd0-\xd7]")
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline sequential JPEG to (h, w, c) uint8 (c = 1 or 3)."""
+    """Decode baseline-sequential (SOF0/1) or progressive (SOF2) JPEG to
+    (h, w, c) uint8 (c = 1 or 3). Multi-scan: every SOS accumulates
+    coefficients (progressive scans refine them across passes); the IDCT
+    runs once at the end over the assembled coefficient grids."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
-    scan = None
+    progressive = False
+    ri = 0
+    scans: list[tuple] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -466,7 +654,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 qt = np.zeros(64)
                 qt[ZIGZAG] = vals
                 qts[tid] = qt.reshape(8, 8)
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — may be redefined between scans
             p = 0
             while p < len(seg):
                 cls, tid = seg[p] >> 4, seg[p] & 0xF
@@ -475,58 +663,119 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
-                # SOF1 permits 12-bit samples; the block decode below assumes
+                # SOF1 permits 12-bit samples; the block decode assumes an
                 # 8-bit level shift, so anything else must be a named gap,
                 # never silent garbage
                 raise NotImplementedError(
                     f"only 8-bit sample precision supported (got {prec})"
                 )
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, qid))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0/1) supported")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
-        elif marker == 0xDA:  # SOS
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only sequential (SOF0/1) and progressive (SOF2) JPEG supported"
+            )
+        elif marker == 0xCC:
+            raise NotImplementedError("arithmetic coding not supported")
+        elif marker == 0xDD:  # DRI
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS: capture scan params + entropy bytes
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             mapping = []
             for i in range(ns):
                 cid, tsel = seg[1 + 2 * i], seg[2 + 2 * i]
                 mapping.append((cid, tsel >> 4, tsel & 0xF))
-            scan = mapping
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             pos += seglen
-            ecs_start = pos
-            # entropy data runs to the next non-RST/stuffed marker
             p = pos
             while p < len(data) - 1:
-                if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (0xD0 <= data[p + 1] <= 0xD7):
+                if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
                     break
                 p += 1
-            ecs = data[ecs_start:p]
+            intervals = _RST_SPLIT.split(data[pos:p])
+            scans.append(
+                (mapping, ss, se, ahal >> 4, ahal & 0xF, dict(huff), ri, intervals)
+            )
             pos = p
-            return _decode_scan(frame, scan, qts, huff, ecs)
+            continue
         pos += seglen
-    raise ValueError("no SOS segment found")
+    if frame is None:
+        raise ValueError("no SOF segment found")
+    if not scans:
+        raise ValueError("no SOS segment found")
+    return _decode_frame(frame, progressive, qts, scans)
 
 
-def _decode_scan(frame, scan, qts, huff, ecs) -> np.ndarray:
+def _decode_frame(frame, progressive, qts, scans) -> np.ndarray:
     fh, fw, comps = frame
     hmax = max(ch for _, ch, _, _ in comps)
     vmax = max(cv for _, _, cv, _ in comps)
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
-    br = _BitReader(ecs)
-    comp_by_id = {cid: (ch, cv, qid) for cid, ch, cv, qid in comps}
-    planes = {}
-    for cid, ch, cv, qid in comps:
-        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
-    prev_dc = {cid: 0 for cid, *_ in comps}
+    dims = (fh, fw, hmax, vmax, mcus_y, mcus_x)
+    samp = [(ch, cv) for _, ch, cv, _ in comps]
+    idx_by_cid = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    coef = [
+        np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+        for _, ch, cv, _ in comps
+    ]
+    for mapping, ss, se, ah, al, huff, ri, intervals in scans:
+        if progressive and ss == 0 and se == 63:
+            raise ValueError("invalid progressive scan header (full band)")
+        if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("invalid sequential scan header")
+        _apply_scan(
+            coef, samp, idx_by_cid, mapping, ss, se, ah, al, huff, ri,
+            intervals, dims,
+        )
+
+    # Dequantize + IDCT vectorized across every block of each component.
+    out_planes = []
+    for (cid, ch, cv, qid), grid in zip(comps, coef):
+        qt = qts[qid]
+        gy, gx, _ = grid.shape
+        nat = np.zeros((gy, gx, 64))
+        nat[..., ZIGZAG] = grid
+        deq = nat.reshape(gy, gx, 8, 8) * qt
+        spat = np.einsum("ji,abjk,kl->abil", _DCT, deq, _DCT) + 128.0
+        plane = spat.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:  # upsample by replication, then crop
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:fh, :fw])
+    stacked = np.stack(out_planes, axis=-1)
+    if stacked.shape[-1] == 1:
+        return np.clip(np.rint(stacked), 0, 255).astype(np.uint8)
+    if stacked.shape[-1] == 3:
+        return _ycbcr_to_rgb(stacked)
+    raise NotImplementedError(f"{stacked.shape[-1]}-component JPEG unsupported")
+
+
+def _apply_scan(
+    coef, samp, idx_by_cid, mapping, ss, se, ah, al, huff, ri, intervals, dims
+) -> None:
+    """Decode one scan's entropy data into the coefficient grids.
+    Sequential full-band, progressive DC first/refine and AC first/refine
+    all share the unit iteration (and therefore restart handling): every
+    Ri units the reader jumps to the next RST-delimited interval and
+    resets the DC predictors and EOB run."""
+    scan_comps = [idx_by_cid[cid] for cid, _, _ in mapping]
+    tsel = {idx_by_cid[cid]: (dc, ac) for cid, dc, ac in mapping}
+    seg_iter = iter(intervals)
+    br = _BitReader(next(seg_iter))
+    prev_dc = {ci: 0 for ci in scan_comps}
+    eobrun = 0
 
     def read_symbol(table) -> int:
         code = 0
@@ -536,56 +785,117 @@ def _decode_scan(frame, scan, qts, huff, ecs) -> np.ndarray:
                 return table[(length, code)]
         raise ValueError("invalid Huffman code in entropy stream")
 
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for cid, dc_id, ac_id in scan:
-                ch, cv, qid = comp_by_id[cid]
-                dct = huff[(0, dc_id)]
-                act = huff[(1, ac_id)]
-                qt = qts[qid]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = read_symbol(dct)
-                        diff = _extend(br.read(s), s)
-                        prev_dc[cid] += diff
-                        zz[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            sym = read_symbol(act)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run exceeds block")
-                            zz[k] = _extend(br.read(size), size)
-                            k += 1
-                        block = np.zeros(64)
-                        block[ZIGZAG] = zz
-                        deq = block.reshape(8, 8) * qt
-                        spat = _DCT.T @ deq @ _DCT + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = spat
+    for ui, unit in enumerate(_scan_units(scan_comps, samp, dims)):
+        if ri and ui and ui % ri == 0:
+            seg = next(seg_iter, None)
+            if seg is None:
+                raise ValueError("missing restart marker in entropy stream")
+            br = _BitReader(seg)
+            prev_dc = {ci: 0 for ci in scan_comps}
+            eobrun = 0
+        for ci, gy, gx in unit:
+            dc_tid, ac_tid = tsel[ci]
+            block = coef[ci][gy, gx]
+            if ss == 0 and se == 63:  # baseline sequential full band
+                s = read_symbol(huff[(0, dc_tid)])
+                prev_dc[ci] += _extend(br.read(s), s)
+                block[0] = prev_dc[ci]
+                act = huff[(1, ac_tid)]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(act)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run exceeds block")
+                    block[k] = _extend(br.read(size), size)
+                    k += 1
+            elif ss == 0 and ah == 0:  # progressive DC first
+                s = read_symbol(huff[(0, dc_tid)])
+                prev_dc[ci] += _extend(br.read(s), s)
+                block[0] = prev_dc[ci] << al
+            elif ss == 0:  # progressive DC refinement: raw bit, no Huffman
+                if br.read_bit():
+                    block[0] |= 1 << al
+            elif ah == 0:  # progressive AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                act = huff[(1, ac_tid)]
+                k = ss
+                while k <= se:
+                    sym = read_symbol(act)
+                    r, s = sym >> 4, sym & 0xF
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run exceeds band")
+                        block[k] = _extend(br.read(s), s) << al
+                        k += 1
+                    elif r == 15:  # ZRL: 16 zeros (15 + loop advance)
+                        k += 16
+                    else:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        eobrun -= 1  # current block is part of the run
+                        break
+            else:  # progressive AC refinement
+                eobrun = _refine_ac(br, read_symbol, huff[(1, ac_tid)],
+                                    block, ss, se, al, eobrun)
 
-    out_planes = []
-    for cid, ch, cv, qid in comps:
-        p = planes[cid]
-        # upsample to full resolution by replication, then crop
-        ry, rx = vmax // cv, hmax // ch
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:fh, :fw])
-    stacked = np.stack(out_planes, axis=-1)
-    if stacked.shape[-1] == 1:
-        return np.clip(np.rint(stacked), 0, 255).astype(np.uint8)
-    if stacked.shape[-1] == 3:
-        return _ycbcr_to_rgb(stacked)
-    raise NotImplementedError(f"{stacked.shape[-1]}-component JPEG unsupported")
+
+def _refine_ac(br, read_symbol, act, block, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3 AC successive-approximation refinement of one block's
+    zigzag coefficients: newly-significant coefficients carry a sign bit;
+    every already-significant coefficient passed over reads one correction
+    bit; an EOBn covers blocks whose band tail is corrections only.
+    Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int, stop_zeros) -> int:
+        """Advance from k reading correction bits at nonzero coefficients;
+        with stop_zeros=N, stop AT the (N+1)-th zero coefficient."""
+        zeros = stop_zeros
+        while k <= se:
+            c = int(block[k])
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+            elif zeros is not None:
+                zeros -= 1
+                if zeros < 0:
+                    return k
+            k += 1
+        return k
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = read_symbol(act)
+            r, s = sym >> 4, sym & 0xF
+            newval = 0
+            if s:
+                newval = p1 if br.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                break  # rest of the block is EOB-tail corrections
+            k = correct(k, r)
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun:
+        correct(k, None)
+        eobrun -= 1
+    return eobrun
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

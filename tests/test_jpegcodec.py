@@ -65,14 +65,59 @@ def test_quality_monotone_in_size():
     assert sizes[0] <= sizes[1] <= sizes[2]
 
 
-def test_rejects_progressive_and_truncation():
-    enc = bytearray(J.jpeg_encode(_gradient(16, 16)))
-    i = bytes(enc).find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
-        J.jpeg_decode(bytes(enc))
+def test_progressive_round_trip_matches_baseline_exactly():
+    """SOF2 with the full jpegtran-style scan script (spectral selection +
+    successive approximation, incl. AC correction bits) quantizes the same
+    coefficients as SOF0, so the decoded pixels must be IDENTICAL — a far
+    stronger check than a PSNR bound."""
+    for img in (_gradient(48, 64),
+                np.random.RandomState(7).randint(0, 256, (32, 32, 3), np.uint8)):
+        for sub in ("444", "420"):
+            base = J.jpeg_decode(J.jpeg_encode(img, quality=95, subsampling=sub))
+            penc = J.jpeg_encode(img, quality=95, subsampling=sub, progressive=True)
+            i = penc.find(b"\xff\xc2")
+            assert i > 0 and penc.find(b"\xff\xc0") == -1  # really SOF2
+            assert penc.count(b"\xff\xda") == 10  # multi-scan script
+            assert np.array_equal(base, J.jpeg_decode(penc))
+
+
+def test_progressive_grayscale_and_flat_eobrun():
+    """Grayscale script (4 scans) plus a flat image whose all-zero AC
+    bands drive the EOBRUN accumulation/flush paths on both sides."""
+    gray = np.random.RandomState(3).randint(0, 256, (19, 13), np.uint8)
+    assert np.array_equal(
+        J.jpeg_decode(J.jpeg_encode(gray, quality=95)),
+        J.jpeg_decode(J.jpeg_encode(gray, quality=95, progressive=True)),
+    )
+    flat = np.full((40, 40, 3), 77, np.uint8)
+    assert np.array_equal(
+        J.jpeg_decode(J.jpeg_encode(flat, quality=90)),
+        J.jpeg_decode(J.jpeg_encode(flat, quality=90, progressive=True)),
+    )
+
+
+def test_restart_intervals_round_trip():
+    """DRI + RSTn: restart markers byte-align the stream and reset DC
+    prediction (and EOB runs) every N MCUs; decode must equal the
+    no-restart stream exactly, sequential and progressive alike."""
+    img = _gradient(48, 64)
+    ref = J.jpeg_decode(J.jpeg_encode(img, quality=90))
+    for ri in (1, 3):
+        for prog in (False, True):
+            enc = J.jpeg_encode(img, quality=90, progressive=prog,
+                                restart_interval=ri)
+            assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+            assert np.array_equal(ref, J.jpeg_decode(enc))
+
+
+def test_rejects_truncation_and_unsupported_frames():
     with pytest.raises(ValueError):
         J.jpeg_decode(b"\x00\x01\x02\x03")
+    enc = bytearray(J.jpeg_encode(_gradient(16, 16)))
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC3  # lossless sequential — a named gap
+    with pytest.raises(NotImplementedError):
+        J.jpeg_decode(bytes(enc))
 
 
 def test_rejects_non_8bit_sample_precision():
