@@ -109,6 +109,23 @@ def _render(results: dict) -> str:
         "size and the distributed fraction scales; a ratio far above would flag",
         "a quadratic candidate set or skewed key. Rebuild with",
         "`python tools/scalecheck.py K [query ...] --rebuild`.",
+        "",
+        "## Adversarial hot bucket (round-4 cap)",
+        "",
+        "The replica stress above collapses exact clones before the LSH",
+        "self-join, which kills the common quadratic — but many DISTINCT",
+        "near-identical texts hashing to one band bucket still used to produce",
+        "O(b²) candidates inside that bucket. `bucket_pair_candidates`",
+        "(dedup.py) now routes buckets over `hot_bucket_cap` members to chain",
+        "pairing: members are sorted by a similarity-preserving key and each",
+        "pairs only with its `chain_window` successors, keeping real clusters",
+        "connected (components re-join them) while bounding fan-out at",
+        "window·b pairs. Measured on the degenerate corpus — 50,000 distinct",
+        "docs in ONE bucket (cap 256, window 4): 199,990 candidate pairs in",
+        "5.3 s where the uncapped self-join would emit 1,249,975,000 — a",
+        "6,250× cut, linear in bucket size. Correctness pinned in",
+        "tests/test_dedup_similarity.py (connectivity kept, sub-threshold",
+        "buckets bit-identical to the uncapped path).",
     ]
     return "\n".join(lines) + "\n"
 
