@@ -23,6 +23,14 @@ BATCH table:
 
 Scale posture: a manifest is O(files), not O(rows); commits move metadata
 only (append never rewrites old data); readers plan from one small JSON.
+Commits additionally record per-file column min/max/null-count stats, and
+``scan(path, predicate)`` uses them for manifest-level FILE SKIPPING —
+files a predicate provably cannot match are never handed to the parquet
+reader (Delta/Iceberg data skipping): at 100 TB that is planning from
+manifest bytes instead of opening a million parquet footers. Pruning is
+conservative (only provable non-matches are dropped, unsupported
+predicate shapes prune nothing) and the full predicate is always
+re-applied, so scan() ≡ read().filter(predicate) by construction.
 All paths go through the Hadoop FileSystem API so remote URIs behave like
 local ones.
 """
@@ -30,6 +38,7 @@ local ones.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -111,6 +120,99 @@ def _list_parts(spark: SparkSession, data_dir: str) -> list[str]:
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# per-file column statistics (manifest-level file skipping, Delta/Iceberg-
+# style): the commit records min/max/null-count/row-count per column per
+# data file; scan() proves files irrelevant to a predicate from the manifest
+# alone and never hands them to the parquet reader. At 100 TB this is the
+# difference between planning over a handful of manifest bytes and opening
+# a million parquet footers.
+# ---------------------------------------------------------------------------
+
+def _stat_tag(dtype) -> str | None:
+    """Stats domain for a Spark type, or None for non-statable types
+    (arrays, maps, binary, structs)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType, T.DecimalType)):
+        return "numeric"
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, T.BooleanType):
+        return "bool"
+    if isinstance(dtype, T.DateType):
+        return "date"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return None
+
+
+def _stat_json(tag: str, v):
+    """JSON-portable stat value; dates/timestamps as ISO strings."""
+    if v is None:
+        return None
+    if tag == "numeric":
+        import decimal
+
+        return float(v) if isinstance(v, decimal.Decimal) else v
+    if tag in ("date", "timestamp"):
+        return v.isoformat()
+    return v
+
+
+def _collect_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict:
+    """One distributed pass over the freshly written files: per-file
+    min/max/nulls per statable column plus row count, keyed by the
+    manifest-relative file path. A real format gets these from the writer
+    for free; re-deriving them costs one scan of only the NEW files per
+    commit and keeps the writer Spark-native."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    if not rel_files:
+        return {}
+    sdf = spark.read.parquet(*[f"{path}/{f}" for f in rel_files])
+    cols = [(f.name, _stat_tag(f.dataType)) for f in sdf.schema.fields]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for name, tag in cols:
+        if tag is None:
+            continue
+        aggs += [
+            F.min(name).alias(f"__mn__{name}"),
+            F.max(name).alias(f"__mx__{name}"),
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(
+                f"__nl__{name}"
+            ),
+        ]
+    rows = (
+        sdf.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()  # O(new files), bounded metadata — not a data collect
+    )
+    stats: dict[str, dict] = {}
+    for r in rows:
+        uri = unquote(r["__file"])
+        rel = next((f for f in rel_files if uri.endswith(f)), None)
+        if rel is None:
+            continue
+        entry: dict[str, dict] = {}
+        for name, tag in cols:
+            if tag is None:
+                continue
+            entry[name] = {
+                "t": tag,
+                "min": _stat_json(tag, r[f"__mn__{name}"]),
+                "max": _stat_json(tag, r[f"__mx__{name}"]),
+                "nulls": int(r[f"__nl__{name}"]),
+                "rows": int(r["__rows"]),
+            }
+        stats[rel] = entry
+    return stats
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -130,19 +232,24 @@ def _commit(
     data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
     new_files = [f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")]
+    new_stats = _collect_stats(spark, path, new_files)
 
     for _ in range(max_retries):
         head = current_version(spark, path)
         version = 0 if head is None else head + 1
         if op == "append" and head is not None:
-            files = _manifest(spark, path, head)["files"] + new_files
+            parent_man = _manifest(spark, path, head)
+            files = parent_man["files"] + new_files
+            stats = {**parent_man.get("stats", {}), **new_stats}
         else:
             files = list(new_files)
+            stats = dict(new_stats)
         doc = {
             "version": version,
             "parent": head,
             "op": op,
             "files": files,
+            "stats": stats,
         }
         try:
             _write_json_exclusive(spark, f"{path}/{_MANIFESTS}/v{version}.json", doc)
@@ -173,6 +280,233 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     v = head if version is None else version
     man = _manifest(spark, path, v)
     return spark.read.parquet(*[f"{path}/{f}" for f in man["files"]])
+
+
+# --- predicate → file-skip evaluation ---------------------------------------
+# Conservative by construction: a file is skipped ONLY when some AND-conjunct
+# of the predicate provably matches no row given the file's [min, max] /
+# null-count stats. Anything the tiny parser does not understand (ORs,
+# parentheses, functions, column-vs-column) simply fails to prune — scan()
+# always re-applies the FULL predicate as a normal filter, so pruning can
+# never change results, only the file list.
+
+_CMP_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|!=|<>|<=|>=|<|>)\s*(.+?)\s*$"
+)
+_IN_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((.+)\)\s*$", re.I)
+_NULL_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(NOT\s+)?NULL\s*$", re.I
+)
+_UNPARSED = object()
+
+
+def _split_top(pred: str, sep: str) -> list[str]:
+    """Split on a top-level separator, respecting single-quoted strings
+    ('' is the SQL quote escape) and parentheses. ``sep`` is matched
+    case-insensitively and must include its own delimiting spaces (or be
+    a bare punctuation like ",")."""
+    parts, cur = [], []
+    depth = 0
+    i, n, w = 0, len(pred), len(sep)
+    up = sep.upper()
+    while i < n:
+        ch = pred[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if pred[j] == "'":
+                    if j + 1 < n and pred[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(pred[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and pred[i:i + w].upper() == up:
+            parts.append("".join(cur))
+            cur = []
+            i += w
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def _split_and(pred: str) -> list[str]:
+    return _split_top(pred, " AND ")
+
+
+def _parse_literal(s: str):
+    s = s.strip()
+    if len(s) >= 2 and s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("''", "'")
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return _UNPARSED
+
+
+def _stat_keys(entry: dict, lit):
+    """Coerce (min, max, literal) into one comparable domain, or None when
+    the literal cannot be compared against this column's stats (then the
+    conjunct cannot prune)."""
+    t = entry["t"]
+    mn, mx = entry["min"], entry["max"]
+    if mn is None or mx is None:
+        return None
+    if t == "numeric":
+        if isinstance(lit, bool) or not isinstance(lit, (int, float)):
+            return None
+        return float(mn), float(mx), float(lit)
+    if t == "bool":
+        if not isinstance(lit, bool):
+            return None
+        return int(mn), int(mx), int(lit)
+    if t == "string":
+        if not isinstance(lit, str):
+            return None
+        return mn, mx, lit
+    if t in ("date", "timestamp"):
+        if not isinstance(lit, str):
+            return None
+        from datetime import datetime
+
+        try:
+            kmn = datetime.fromisoformat(mn)
+            kmx = datetime.fromisoformat(mx)
+            kv = datetime.fromisoformat(lit)
+        except ValueError:
+            return None
+        if t == "date":
+            # mirror Spark's implicit cast of the string literal to DATE
+            # (time-of-day truncated) so pruning can never out-filter the
+            # engine's own comparison
+            return kmn.date(), kmx.date(), kv.date()
+        return kmn, kmx, kv
+    return None
+
+
+def _conjunct_may_match(conj: str, file_stats: dict) -> bool:
+    """True unless the conjunct PROVABLY matches no row of the file."""
+
+    def col_entry(name: str):
+        if name in file_stats:
+            return file_stats[name]
+        lname = name.lower()
+        for k, v in file_stats.items():
+            if k.lower() == lname:
+                return v
+        return None
+
+    m = _NULL_RE.match(conj)
+    if m:
+        entry = col_entry(m.group(1))
+        if entry is None:
+            return True
+        if m.group(2):  # IS NOT NULL: all-null file has no match
+            return entry["nulls"] < entry["rows"]
+        return entry["nulls"] > 0  # IS NULL: no nulls -> no match
+    m = _IN_RE.match(conj)
+    if m:
+        entry = col_entry(m.group(1))
+        if entry is None:
+            return True
+        if entry["nulls"] == entry["rows"]:
+            return False  # comparisons never match an all-null file
+        for lit_s in _split_top(m.group(2), ","):
+            lit = _parse_literal(lit_s)
+            if lit is _UNPARSED:
+                return True
+            keys = _stat_keys(entry, lit)
+            if keys is None:
+                return True
+            mn, mx, v = keys
+            if mn <= v <= mx:
+                return True
+        return False
+    m = _CMP_RE.match(conj)
+    if m:
+        name, op, lit_s = m.groups()
+        entry = col_entry(name)
+        if entry is None:
+            return True
+        lit = _parse_literal(lit_s)
+        if lit is _UNPARSED:
+            return True
+        if entry["nulls"] == entry["rows"]:
+            return False  # comparisons never match an all-null file
+        keys = _stat_keys(entry, lit)
+        if keys is None:
+            return True
+        mn, mx, v = keys
+        if op in ("=", "=="):
+            return mn <= v <= mx
+        if op in ("!=", "<>"):
+            return not (mn == v == mx)
+        if op == "<":
+            return mn < v
+        if op == "<=":
+            return mn <= v
+        if op == ">":
+            return mx > v
+        if op == ">=":
+            return mx >= v
+    return True  # unparsable conjunct: cannot prune
+
+
+def pruned_files(
+    spark: SparkSession, path: str, predicate: str, version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) manifest-relative file lists for a predicate,
+    decided from manifest stats alone (no parquet footer is opened)."""
+    head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _manifest(spark, path, head if version is None else version)
+    stats = man.get("stats", {})
+    conjuncts = _split_and(predicate)
+    kept, skipped = [], []
+    for f in man["files"]:
+        fstats = stats.get(f)
+        if fstats and not all(_conjunct_may_match(c, fstats) for c in conjuncts):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    predicate: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read the table with manifest-level file skipping: files whose
+    column stats prove the predicate false are never given to the parquet
+    reader; the full predicate is still applied as a filter, so results
+    are identical to read().filter(predicate) — just planned over fewer
+    files."""
+    if predicate is None:
+        return read(spark, path, version)
+    kept, _ = pruned_files(spark, path, predicate, version)
+    if not kept:
+        # schema-stable empty result without touching any data file list
+        return read(spark, path, version).filter(predicate).limit(0)
+    df = spark.read.parquet(*[f"{path}/{f}" for f in kept])
+    return df.filter(predicate)
 
 
 def history(spark: SparkSession, path: str) -> list[dict]:
@@ -268,21 +602,27 @@ def streaming_sink(path: str):
         new_files = [
             f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")
         ]
+        new_stats = _collect_stats(spark, path, new_files)
         # bounded like _commit: a rename that fails for a non-conflict
         # reason (permissions, quota, FS quirk) must fail the micro-batch
         # loudly, not spin the stream forever
         for _ in range(5):
             head = current_version(spark, path)
+            if head is not None:
+                parent_man = _manifest(spark, path, head)
+                files = parent_man["files"] + new_files
+                stats = {**parent_man.get("stats", {}), **new_stats}
+            else:
+                files = list(new_files)
+                stats = dict(new_stats)
             version = 0 if head is None else head + 1
-            files = (
-                _manifest(spark, path, head)["files"] if head is not None else []
-            ) + new_files
             doc = {
                 "version": version,
                 "parent": head,
                 "op": "stream-append",
                 "txn": int(batch_id),
                 "files": files,
+                "stats": stats,
             }
             try:
                 _write_json_exclusive(

@@ -183,3 +183,115 @@ def test_streaming_sink_bounded_retries_fail_loudly(spark, tmp_path, monkeypatch
     with pytest.raises(tf.CommitConflict):
         tf.streaming_sink(path)(_df(spark, 0, 3), 7)
     assert calls["n"] == 5
+
+
+# --- manifest-level file skipping (per-file column stats) -------------------
+
+
+def _partitioned_table(spark, tmp_path, name="skip"):
+    """Three commits with disjoint id/sym/day ranges -> >= 3 files whose
+    stats ranges are provably separable."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / name)
+    for lo, hi, sym, day in ((0, 100, "AAA", "2024-01-01"),
+                             (100, 200, "BBB", "2024-02-01"),
+                             (200, 300, "CCC", "2024-03-01")):
+        df = (
+            spark.range(lo, hi)
+            .coalesce(1)
+            .select(
+                "id",
+                F.lit(sym).alias("sym"),
+                F.lit(day).cast("date").alias("d"),
+                F.to_timestamp(F.lit(day + " 12:00:00")).alias("ts"),
+                (F.col("id") % 7 == 0).alias("flag"),
+                F.when(F.col("id") % 3 == 0, F.col("id") * 1.5).alias("price"),
+            )
+        )
+        tf.append(spark, path, df)
+    return path
+
+
+def test_scan_equals_read_filter_and_skips_files(spark, tmp_path):
+    path = _partitioned_table(spark, tmp_path)
+    cases = [
+        ("id >= 250", 1),                      # numeric range
+        ("sym = 'BBB'", 1),                    # string equality
+        ("id < 100 AND sym = 'AAA'", 1),       # conjunction
+        ("id IN (5, 205)", 2),                 # IN hits two files
+        ("d >= '2024-02-15'", 1),              # date vs string literal
+        ("ts < '2024-01-15 00:00:00'", 1),     # timestamp range
+        ("flag = true", 3),                    # bool spans all files
+    ]
+    for pred, max_kept in cases:
+        kept, skipped = tf.pruned_files(spark, path, pred)
+        assert len(kept) <= max_kept, (pred, kept)
+        got = {tuple(r) for r in tf.scan(spark, path, pred).collect()}
+        want = {tuple(r) for r in tf.read(spark, path).filter(pred).collect()}
+        assert got == want, pred
+        assert tf.scan(spark, path, pred).count() > 0  # none over-pruned
+
+
+def test_scan_never_prunes_what_it_cannot_prove(spark, tmp_path):
+    path = _partitioned_table(spark, tmp_path)
+    # OR, functions, column-vs-column, BETWEEN fragments: parser must keep
+    for pred in ("id < 10 OR id > 290", "abs(id) = 5",
+                 "id = price", "id BETWEEN 90 AND 110"):
+        kept, skipped = tf.pruned_files(spark, path, pred)
+        assert skipped == [], pred
+        got = {tuple(r) for r in tf.scan(spark, path, pred).collect()}
+        want = {tuple(r) for r in tf.read(spark, path).filter(pred).collect()}
+        assert got == want, pred
+
+
+def test_scan_null_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "nulls")
+    # file A: price entirely null; file B: price never null
+    tf.append(spark, path, spark.range(0, 50).coalesce(1).select(
+        "id", F.lit(None).cast("double").alias("price")))
+    tf.append(spark, path, spark.range(50, 100).coalesce(1).select(
+        "id", (F.col("id") * 1.0).alias("price")))
+    kept, skipped = tf.pruned_files(spark, path, "price IS NULL")
+    assert len(kept) == 1 and len(skipped) == 1
+    kept, skipped = tf.pruned_files(spark, path, "price IS NOT NULL")
+    assert len(kept) == 1 and len(skipped) == 1
+    # a comparison can never match the all-null file
+    kept, skipped = tf.pruned_files(spark, path, "price > 0")
+    assert len(kept) == 1
+    assert tf.scan(spark, path, "price > 0").count() == 50
+    # != only prunes a constant file
+    assert tf.scan(spark, path, "id != 75").count() == 99
+
+
+def test_scan_empty_result_keeps_schema(spark, tmp_path):
+    path = _partitioned_table(spark, tmp_path)
+    df = tf.scan(spark, path, "id > 100000")
+    assert df.count() == 0
+    assert df.columns == tf.read(spark, path).columns
+
+
+def test_scan_respects_time_travel_and_compaction(spark, tmp_path):
+    path = _partitioned_table(spark, tmp_path)
+    # version 0 had only the AAA file: predicate on CCC ids prunes ALL
+    kept, skipped = tf.pruned_files(spark, path, "id >= 250", version=0)
+    assert kept == [] and len(skipped) == 1
+    assert tf.scan(spark, path, "id >= 250", version=0).count() == 0
+    # compaction regenerates stats for the rewritten file layout
+    tf.compact(spark, path, target_partitions=2)
+    got = tf.scan(spark, path, "sym = 'CCC'").count()
+    assert got == 100
+
+
+def test_streaming_sink_records_stats(spark, tmp_path):
+    path = str(tmp_path / "stream_stats")
+    write = tf.streaming_sink(path)
+    write(_df(spark, 0, 10).coalesce(1), batch_id=0)
+    write(_df(spark, 10, 30).coalesce(1), batch_id=1)
+    man = tf._manifest(spark, path, tf.current_version(spark, path))
+    assert set(man["stats"]) == set(man["files"])
+    kept, skipped = tf.pruned_files(spark, path, "id >= 10")
+    assert len(skipped) == 1
+    assert tf.scan(spark, path, "id >= 10").count() == 20
