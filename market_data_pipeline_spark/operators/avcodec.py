@@ -1,14 +1,19 @@
-"""Dependency-free audio/video codecs: WAV (RIFF PCM) and Y4M (YUV4MPEG2).
+"""Dependency-free audio/video codecs: WAV (RIFF) and Y4M (YUV4MPEG2).
 
-Companions to ``imagecodec.py`` (round-3): with PNG/BMP for images, PCM WAV
+Companions to ``imagecodec.py`` (round-3): with PNG/BMP for images, WAV
 for audio and YUV4MPEG2 for video, every media family in the multimodal
 operators has at least one REAL parse path — no compressed codecs (no
 MP3/H.264; that genuinely needs ffmpeg), but the container/stream handling,
 chunk walking, and sample math are the true formats, byte-exact.
 
-Audio travels as (n_samples, channels) int16 numpy arrays + sample rate;
-video as (n_frames, h, w) uint8 luma arrays + fps (Cmono — the Y4M
-grayscale variant; C420 would add subsampled chroma planes).
+Audio travels as (n_samples, channels) numpy arrays + sample rate: int16
+for PCM-16/PCM-8 payloads, float32 for IEEE-float payloads (the decoder
+also resolves WAVE_FORMAT_EXTENSIBLE to its PCM/float subformat). Video
+travels as (n_frames, h, w) uint8 LUMA arrays + fps — the decoder reads
+Cmono and the planar C420*/C422/C444 colorspaces (chroma planes parsed
+for correct stream framing; luma is what the feature extractors use, so
+chroma is not returned). Compressed WAV payloads (ADPCM, µ-law) raise
+NotImplementedError — named gaps, not silent corruption.
 """
 
 from __future__ import annotations
@@ -19,33 +24,54 @@ import numpy as np
 
 Y4M_MAGIC = b"YUV4MPEG2 "
 
+_WAVE_PCM = 1
+_WAVE_FLOAT = 3
+_WAVE_EXTENSIBLE = 0xFFFE
 
-def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """(n, channels) or (n,) int16 → minimal RIFF/WAVE PCM file."""
-    s = np.asarray(samples, dtype="<i2")
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000, fmt: str = "pcm16"
+) -> bytes:
+    """(n, channels) or (n,) samples → minimal RIFF/WAVE file.
+
+    ``fmt``: "pcm16" (int16 payload, format tag 1) or "float32"
+    (IEEE-float payload, format tag 3)."""
+    if fmt == "pcm16":
+        s = np.asarray(samples, dtype="<i2")
+        tag, width = _WAVE_PCM, 2
+    elif fmt == "float32":
+        s = np.asarray(samples, dtype="<f4")
+        tag, width = _WAVE_FLOAT, 4
+    else:
+        raise ValueError(f"wav_encode fmt {fmt!r} (pcm16 or float32)")
     if s.ndim == 1:
         s = s[:, None]
     n, channels = s.shape
     data = s.tobytes()
-    block_align = channels * 2
-    fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    block_align = channels * width
+    fmt_body = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate,
+        sample_rate * block_align, block_align, width * 8,
     )
     body = (
         b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM-16 → ((n, channels) int16, sample_rate). Walks the
-    chunk list (tolerates extra chunks like LIST/INFO), validates sizes."""
+    """RIFF/WAVE → ((n, channels) samples, sample_rate). Walks the chunk
+    list (tolerates extra chunks like LIST/INFO), validates sizes.
+    PCM-16 → int16; PCM-8 (unsigned) → int16 (widened ×256, the standard
+    lossless embedding); IEEE float-32 → float32. WAVE_FORMAT_EXTENSIBLE
+    resolves to the subformat GUID's leading tag."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
     pos = 12
     fmt = None
+    ext = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -55,6 +81,7 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             if len(body) < 16:
                 raise ValueError(f"WAV fmt chunk truncated ({len(body)} bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            ext = body[16:]
         elif cid == b"data":
             raw = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
@@ -63,28 +90,83 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if channels < 1:
         raise ValueError(f"WAV declares {channels} channels")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(f"WAV format={audio_format} bits={bits} (PCM-16 only)")
-    usable = len(raw) - (len(raw) % (2 * channels))
-    s = np.frombuffer(raw[:usable], dtype="<i2").reshape(-1, channels)
+    if audio_format == _WAVE_EXTENSIBLE:
+        # fmt extension: cbSize(2) validBits(2) channelMask(4) GUID(16);
+        # the GUID's first two bytes are the effective format tag
+        if len(ext) < 10 or struct.unpack("<H", ext[:2])[0] < 22:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE missing subformat")
+        audio_format = struct.unpack("<H", ext[8:10])[0]
+    if audio_format == _WAVE_PCM and bits == 16:
+        width, dtype = 2, "<i2"
+    elif audio_format == _WAVE_PCM and bits == 8:
+        width, dtype = 1, np.uint8
+    elif audio_format == _WAVE_FLOAT and bits == 32:
+        width, dtype = 4, "<f4"
+    else:
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits} "
+            "(PCM-8/PCM-16/float-32 only)"
+        )
+    usable = len(raw) - (len(raw) % (width * channels))
+    s = np.frombuffer(raw[:usable], dtype=dtype).reshape(-1, channels)
+    if audio_format == _WAVE_PCM and bits == 8:
+        # unsigned 8-bit PCM is offset-binary; widen losslessly to int16
+        s = ((s.astype(np.int16) - 128) * 256).astype(np.int16)
     return s, sample_rate
 
 
-def y4m_encode(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
-    """(n_frames, h, w) uint8 luma → YUV4MPEG2 Cmono stream."""
+def _chroma_plane_bytes(colorspace: str, w: int, h: int) -> int | None:
+    """Total bytes of BOTH chroma planes per frame, or None when the
+    colorspace is unsupported. C420 variants (C420, C420jpeg, C420mpeg2,
+    C420paldv) share the plane LAYOUT — they differ only in chroma siting,
+    which is irrelevant to luma extraction and stream framing."""
+    if colorspace == "Cmono":
+        return 0
+    if colorspace.startswith("C420"):
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 needs even dims, got {w}x{h}")
+        return 2 * ((w // 2) * (h // 2))
+    if colorspace == "C422":
+        if w % 2:
+            raise ValueError(f"C422 needs even width, got {w}")
+        return 2 * ((w // 2) * h)
+    if colorspace == "C444":
+        return 2 * (w * h)
+    return None
+
+
+def y4m_encode(
+    frames: np.ndarray,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "Cmono",
+) -> bytes:
+    """(n_frames, h, w) uint8 luma → YUV4MPEG2 stream. For the planar
+    color spaces (C420/C422/C444) the chroma planes are written neutral
+    (128) — grayscale content in a color container, the standard way to
+    carry luma-only video through color-expecting tools."""
     f = np.ascontiguousarray(frames, dtype=np.uint8)
     if f.ndim != 3:
         raise ValueError("y4m_encode needs (n_frames, h, w)")
     n, h, w = f.shape
-    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()
+    cb = _chroma_plane_bytes(colorspace, w, h)
+    if cb is None:
+        raise ValueError(f"y4m_encode colorspace {colorspace!r}")
+    head = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    ).encode()
+    neutral = bytes([128]) * cb
     out = bytearray(head)
     for i in range(n):
-        out += b"FRAME\n" + f[i].tobytes()
+        out += b"FRAME\n" + f[i].tobytes() + neutral
     return bytes(out)
 
 
 def y4m_decode(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
-    """YUV4MPEG2 Cmono → ((n_frames, h, w) uint8, (fps_num, fps_den))."""
+    """YUV4MPEG2 → ((n_frames, h, w) uint8 LUMA, (fps_num, fps_den)).
+    Cmono and the planar C420*/C422/C444 spaces are framed correctly
+    (chroma planes advance the cursor; luma is returned — the multimodal
+    feature extractors are luma-based). Other colorspaces (C411,
+    interlaced chroma packings) raise NotImplementedError."""
     if not data.startswith(Y4M_MAGIC):
         raise ValueError("not a Y4M stream (bad magic)")
     nl = data.index(b"\n")
@@ -104,9 +186,13 @@ def y4m_decode(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             colorspace = p
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
-    if colorspace != "Cmono":
-        raise NotImplementedError(f"Y4M colorspace {colorspace} (Cmono only)")
-    frame_bytes = w * h
+    chroma = _chroma_plane_bytes(colorspace, w, h)
+    if chroma is None:
+        raise NotImplementedError(
+            f"Y4M colorspace {colorspace} (Cmono/C420*/C422/C444 only)"
+        )
+    luma_bytes = w * h
+    frame_bytes = luma_bytes + chroma
     frames = []
     pos = nl + 1
     while pos < len(data):
@@ -117,6 +203,8 @@ def y4m_decode(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         chunk = data[start : start + frame_bytes]
         if len(chunk) != frame_bytes:
             raise ValueError("Y4M truncated frame")
-        frames.append(np.frombuffer(chunk, np.uint8).reshape(h, w))
+        frames.append(
+            np.frombuffer(chunk[:luma_bytes], np.uint8).reshape(h, w)
+        )
         pos = start + frame_bytes
     return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
