@@ -295,3 +295,37 @@ def test_streaming_sink_records_stats(spark, tmp_path):
     kept, skipped = tf.pruned_files(spark, path, "id >= 10")
     assert len(skipped) == 1
     assert tf.scan(spark, path, "id >= 10").count() == 20
+
+
+def test_cluster_zorder_enables_multi_column_skipping(spark, tmp_path):
+    """Z-ordering makes per-file min/max tight on BOTH clustered columns:
+    a small query rectangle that pruned nothing on randomly-placed rows
+    must skip most files afterwards — with identical results."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zorder")
+    df = (
+        spark.range(0, 40_000)
+        .select(
+            (F.xxhash64("id") % 1000).alias("x"),
+            (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    tf.append(spark, path, df)
+    pred = "x >= 100 AND x < 200 AND y >= 100 AND y < 200"
+    kept0, skipped0 = tf.pruned_files(spark, path, pred)
+    assert len(kept0) == 8 and skipped0 == []  # random layout: no skipping
+    before = {tuple(r) for r in tf.scan(spark, path, pred).collect()}
+    tf.cluster(spark, path, ["x", "y"], target_partitions=8)
+    kept1, skipped1 = tf.pruned_files(spark, path, pred)
+    assert len(skipped1) >= 4, (kept1, skipped1)
+    after = {tuple(r) for r in tf.scan(spark, path, pred).collect()}
+    assert before == after and len(after) > 0
+    # history preserved; op recorded
+    assert [h["op"] for h in tf.history(spark, path)][-1] == "cluster"
+    with pytest.raises(ValueError):
+        tf.cluster(spark, path, [])
+    with pytest.raises(ValueError):
+        tf.cluster(spark, path, ["payload", "x", "y", "x", "y"])
