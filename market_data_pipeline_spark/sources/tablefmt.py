@@ -543,6 +543,128 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
     return _commit(spark, path, snapshot, "compact")
 
 
+def _replace_files(
+    spark: SparkSession,
+    path: str,
+    expected_head: int,
+    untouched: list[str],
+    new_df: DataFrame | None,
+    op: str,
+    max_retries: int = 5,
+) -> int:
+    """Commit a snapshot that KEEPS ``untouched`` files as-is (metadata
+    carry-over, their stats copied from the parent manifest) and replaces
+    the rest with ``new_df``'s files. File-level DML (delete/merge) plans
+    against a specific head; a concurrent commit invalidates that plan, so
+    unlike append we must NOT silently rebase — raise and let the caller
+    re-run the whole operation against the new head (serializable
+    isolation, the choice production formats make for row-rewriting ops)."""
+    import uuid
+
+    new_files: list[str] = []
+    new_stats: dict = {}
+    if new_df is not None:
+        data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
+        new_df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
+        new_files = [
+            f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")
+        ]
+        new_stats = _collect_stats(spark, path, new_files)
+    parent_man = _manifest(spark, path, expected_head)
+    parent_stats = parent_man.get("stats", {})
+    doc = {
+        "version": expected_head + 1,
+        "parent": expected_head,
+        "op": op,
+        "files": untouched + new_files,
+        "stats": {
+            **{f: parent_stats[f] for f in untouched if f in parent_stats},
+            **new_stats,
+        },
+    }
+    for _ in range(max_retries):
+        head = current_version(spark, path)
+        if head != expected_head:
+            raise CommitConflict(
+                f"{op} planned against v{expected_head} but head is v{head}; "
+                "re-run the operation"
+            )
+        try:
+            _write_json_exclusive(
+                spark, f"{path}/{_MANIFESTS}/v{expected_head + 1}.json", doc
+            )
+            return expected_head + 1
+        except CommitConflict:
+            continue  # loop re-reads head: a foreign commit raises above
+    raise CommitConflict(f"gave up after {max_retries} retries at {path}")
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
+    """Delete matching rows in a new snapshot (op=delete), rewriting ONLY
+    the files whose stats say the predicate may match — every other file
+    carries over by metadata. A delete whose predicate provably matches
+    nothing is a pure metadata no-op commit. Old versions stay readable."""
+    head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    affected, untouched = pruned_files(spark, path, predicate, head)
+    if not affected:
+        return _replace_files(spark, path, head, untouched, None, "delete")
+    survivors = (
+        spark.read.parquet(*[f"{path}/{f}" for f in affected])
+        .filter(f"NOT ({predicate})")
+    )
+    return _replace_files(spark, path, head, untouched, survivors, "delete")
+
+
+def merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> int:
+    """Upsert by key (op=merge): rows of ``updates`` replace current rows
+    with the same key tuple; new keys append. Only files whose key-column
+    stats overlap the updates' key RANGE are rewritten (join-pruned
+    file-level merge); the rest carry over by metadata. Clustering the
+    table on the key (cluster()) makes this touch few files even under
+    wide tables."""
+    from pyspark.sql import functions as F
+
+    head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    # bound the touched files by the updates' key envelope via the same
+    # stats evaluator scan() uses; non-statable key types prune nothing
+    bounds = updates.agg(
+        *[F.min(k).alias(f"mn_{k}") for k in keys],
+        *[F.max(k).alias(f"mx_{k}") for k in keys],
+    ).first()
+    import datetime as _dt
+
+    def _lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return "'" + v.isoformat() + "'"
+        return repr(v)
+
+    conj = []
+    for k in keys:
+        mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
+        if mn is None or mx is None:
+            continue
+        conj += [f"{k} >= {_lit(mn)}", f"{k} <= {_lit(mx)}"]
+    envelope = " AND ".join(conj) if conj else "1 = 1"
+    affected, untouched = pruned_files(spark, path, envelope, head)
+    if affected:
+        current = spark.read.parquet(*[f"{path}/{f}" for f in affected])
+        kept = current.join(
+            updates.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        new_df = kept.unionByName(updates)
+    else:
+        new_df = updates
+    return _replace_files(spark, path, head, untouched, new_df, "merge")
+
+
 def cluster(
     spark: SparkSession,
     path: str,

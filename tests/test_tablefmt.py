@@ -329,3 +329,78 @@ def test_cluster_zorder_enables_multi_column_skipping(spark, tmp_path):
         tf.cluster(spark, path, [])
     with pytest.raises(ValueError):
         tf.cluster(spark, path, ["payload", "x", "y", "x", "y"])
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
+    path = _partitioned_table(spark, tmp_path, "del")
+    n_before = len(tf._manifest(spark, path, 2)["files"])
+    v = tf.delete_where(spark, path, "id >= 250 AND sym = 'CCC'")
+    assert tf.history(spark, path)[-1]["op"] == "delete"
+    assert tf.read(spark, path).count() == 250
+    # only the CCC file was rewritten: the other originals carried over
+    man = tf._manifest(spark, path, v)
+    prev = set(tf._manifest(spark, path, 2)["files"])
+    assert len(set(man["files"]) & prev) == n_before - 1
+    # stats carried over still drive skipping on the new snapshot
+    kept, skipped = tf.pruned_files(spark, path, "sym = 'AAA'")
+    assert len(skipped) >= 1
+    # time travel to before the delete
+    assert tf.read(spark, path, version=2).count() == 300
+    # a provably-no-match delete is a metadata-only no-op commit
+    v2 = tf.delete_where(spark, path, "id >= 100000")
+    assert tf.read(spark, path, version=v2).count() == 250
+    assert tf._manifest(spark, path, v2)["files"] == man["files"]
+
+
+def test_merge_upsert_by_key(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = _partitioned_table(spark, tmp_path, "merge")
+    updates = (
+        spark.range(95, 105)  # straddles the AAA/BBB file boundary
+        .coalesce(1)
+        .select(
+            "id",
+            F.lit("ZZZ").alias("sym"),
+            F.lit("2024-06-01").cast("date").alias("d"),
+            F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("ts"),
+            F.lit(False).alias("flag"),
+            F.lit(9.9).alias("price"),
+        )
+    )
+    v = tf.merge_upsert(spark, path, updates, keys=["id"])
+    assert tf.history(spark, path)[-1]["op"] == "merge"
+    df = tf.read(spark, path, v)
+    assert df.count() == 300  # 10 replaced, 0 net new
+    assert df.filter("sym = 'ZZZ'").count() == 10
+    assert df.filter("id = 97 AND sym = 'AAA'").count() == 0
+    # the CCC file (ids 200-299) is outside the update envelope: untouched
+    man_prev = set(tf._manifest(spark, path, 2)["files"])
+    man_new = set(tf._manifest(spark, path, v)["files"])
+    assert len(man_prev & man_new) >= 1
+    # brand-new keys append
+    newbies = updates.withColumn("id", F.col("id") + 10_000)
+    v2 = tf.merge_upsert(spark, path, newbies, keys=["id"])
+    assert tf.read(spark, path, v2).count() == 310
+
+
+def test_file_dml_conflict_is_loud_not_lost(spark, tmp_path, monkeypatch):
+    """A concurrent commit between a delete's plan and its manifest write
+    must surface as CommitConflict (serializable), never silently rebase
+    onto files the delete did not scan."""
+    path = _partitioned_table(spark, tmp_path, "dmlc")
+    real_head = tf.current_version
+
+    calls = {"n": 0}
+
+    def racing_head(spark_, p):
+        v = real_head(spark_, p)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # foreign append lands right after the plan reads the head
+            tf.append(spark_, p, _df(spark_, 1000, 1001))
+        return v
+
+    monkeypatch.setattr(tf, "current_version", racing_head)
+    with pytest.raises(tf.CommitConflict):
+        tf.delete_where(spark, path, "id < 50")
