@@ -95,8 +95,13 @@ def test_bench_cli_contract(tmp_path):
     rec = json.loads(json_lines[0])
     assert rec["metric"] == "headline_queries_total"
     assert rec["unit"] == "sec" and rec["value"] > 0
-    assert rec["sf"] == 0.001 and len(rec["queries"]) == 17  # 16 headline + entry_flagship
-    assert "entry_flagship" in rec["queries"]
+    # every HEADLINE entry plus entry_flagship, never hard-coded: the r4
+    # failure mode was a literal count going stale when the headline grew
+    import bench as benchmod
+
+    assert rec["sf"] == 0.001
+    assert set(rec["queries"]) == set(benchmod.HEADLINE) | {"entry_flagship"}
+    assert set(rec["spread"]) == set(rec["queries"])
 
 
 def test_correctness_window_rotation():
