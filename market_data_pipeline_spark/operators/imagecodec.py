@@ -7,10 +7,13 @@ codec"). Baseline JPEG is real too (``jpegcodec.py``, dispatched from
 ``decode`` below); audio/video have real PCM WAV / YUV4MPEG2 codecs in
 ``avcodec.py``.
 
-Scope: PNG 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced, all five filter
-types, CRC-verified; BMP 24-bit uncompressed (BI_RGB), top-down or
-bottom-up. Encoders emit canonical minimal files (PNG filter 0; BMP
-bottom-up) — enough for loss-free round trips and test fixtures.
+Scope: PNG gray/gray+alpha/RGB/RGBA at depth 8 and 16 (16-bit scaled to
+the high byte), PALETTE images (color type 3, depths 1/2/4/8, tRNS alpha),
+sub-8-bit grayscale (depths 1/2/4), BOTH progressive layouts (sequential
+and Adam7 interlace), all five filter types, CRC-verified; BMP 24-bit
+uncompressed (BI_RGB), top-down or bottom-up. Encoders emit canonical
+files (any filter type, optional Adam7, optional palette) — enough for
+loss-free round trips of every decode path.
 
 Pixels travel as (height, width, channels) uint8 numpy arrays.
 """
@@ -61,47 +64,27 @@ def decode(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Real PNG decode: chunk walk with CRC verification, zlib inflate,
-    and full filter reconstruction (None/Sub/Up/Average/Paeth, RFC 2083)."""
-    if data[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG (bad magic)")
-    pos = 8
-    idat = bytearray()
-    w = h = depth = color = interlace = None
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
-        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        if typ == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif typ == b"IDAT":
-            idat += body
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or color not in _COLOR_TO_CHANNELS:
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} interlace={interlace} unsupported"
-        )
-    channels = _COLOR_TO_CHANNELS[color]
-    stride = w * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, in stream order.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int, offset: int = 0):
+    """RFC 2083 scanline reconstruction: h rows of `stride` bytes, each
+    preceded by a filter byte, starting at `offset`. Returns ((h, stride)
+    uint8, bytes consumed). Filtering is byte-wise with a byte-distance of
+    bpp regardless of sample depth — the spec's one rule that makes every
+    depth share this code."""
+    if len(raw) - offset < h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
+    pos = offset
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
         if ftype == 0:
             pass
         elif ftype == 1:  # Sub
@@ -128,24 +111,122 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {ftype} invalid")
         out[y] = np.frombuffer(bytes(row), np.uint8)
         prev = out[y]
-    return out.reshape(h, w, channels)
+        pos += 1 + stride
+    return out, pos - offset
 
 
-def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode (h, w, c) uint8 → minimal valid PNG. filter_type 0-4 applies
-    that filter to every row (non-zero types exist to exercise the decoder's
-    reconstruction paths in tests; 0 is the production default)."""
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, channels = px.shape
-    color = _CHANNELS_TO_COLOR[channels]
-    bpp = channels
-    flat = px.reshape(h, w * channels)
+def _rows_to_samples(rows: np.ndarray, pw: int, channels: int, depth: int):
+    """(ph, stride) reconstructed bytes → (ph, pw, channels) samples
+    (uint16 for depth 16, uint8 otherwise)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        b = rows[:, : pw * channels * 2].reshape(ph, pw * channels, 2)
+        v = (b[:, :, 0].astype(np.uint16) << 8) | b[:, :, 1]
+        return v.reshape(ph, pw, channels)
+    # depths 1/2/4 (gray or palette indices): MSB-first bit groups
+    bits = np.unpackbits(rows, axis=1)
+    nsamp = rows.shape[1] * 8 // depth
+    v = np.zeros((ph, nsamp), dtype=np.uint8)
+    for i in range(depth):
+        v = (v << 1) | bits[:, i::depth][:, :nsamp]
+    return v[:, :pw].reshape(ph, pw, 1)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Real PNG decode: chunk walk with CRC verification, zlib inflate,
+    full filter reconstruction (None/Sub/Up/Average/Paeth, RFC 2083),
+    sequential AND Adam7-interlaced layouts, depths 1/2/4/8/16, palette
+    (PLTE + tRNS alpha). 16-bit samples return their high byte (the
+    standard 8-bit reduction); sub-8-bit grayscale scales to full range."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos = 8
+    idat = bytearray()
+    plte = trns = None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"PLTE":
+            plte = bytes(body)
+        elif typ == b"tRNS":
+            trns = bytes(body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    valid = (
+        (color in (0, 3) and depth in (1, 2, 4, 8, 16) and not (color == 3 and depth == 16))
+        or (color in (2, 4, 6) and depth in (8, 16))
+    )
+    if not valid or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} unsupported"
+        )
+    channels = 1 if color == 3 else _COLOR_TO_CHANNELS[color]
+    bpp = max(1, channels * depth // 8)
+
+    def stride_for(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        rows, _ = _unfilter(raw, h, stride_for(w), bpp)
+        samples = _rows_to_samples(rows, w, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        samples = np.zeros(
+            (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _unfilter(raw, ph, stride_for(pw), bpp, off)
+            off += used
+            samples[y0::dy, x0::dx] = _rows_to_samples(rows, pw, channels, depth)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        out = pal[idx]
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            out = np.dstack([out, alpha[idx]])
+        return out
+    if depth == 16:
+        return (samples >> 8).astype(np.uint8)
+    if depth < 8:
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples
+
+
+def _filter_rows(byte_rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Mirror of _unfilter: apply one RFC 2083 filter to every row of a
+    (h, stride) uint8 byte image; returns the filter-byte-prefixed stream."""
+    h, stride = byte_rows.shape
     raw = bytearray()
-    prev = np.zeros(w * channels, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        row = flat[y]
+        row = byte_rows[y]
         raw.append(filter_type)
         if filter_type == 0:
             raw += row.tobytes()
@@ -169,22 +250,105 @@ def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         else:
             raise ValueError(f"filter_type {filter_type} invalid")
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return bytes(raw)
 
-    def chunk(typ: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + typ
-            + body
-            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
-        )
 
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, c) samples → (h, stride) byte rows at the given depth."""
+    h, w, c = samples.shape
+    if depth == 8:
+        return np.ascontiguousarray(samples, np.uint8).reshape(h, w * c)
+    if depth == 16:
+        be = np.ascontiguousarray(samples.astype(">u2"))
+        return be.view(np.uint8).reshape(h, w * c * 2)
+    # 1/2/4-bit single-channel: MSB-first bit packing, zero row padding
+    assert c == 1
+    bits = np.unpackbits(
+        np.ascontiguousarray(samples[:, :, 0], np.uint8)[:, :, None], axis=2
+    )[:, :, 8 - depth :]
+    return np.packbits(bits.reshape(h, w * depth), axis=1)
+
+
+def _png_assemble(samples, depth, color, filter_type, interlace, extra=b""):
+    h, w, c = samples.shape
+    bpp = max(1, c * depth // 8)
+    if not interlace:
+        raw = _filter_rows(_pack_rows(samples, depth), bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_rows(_pack_rows(sub, depth), bpp, filter_type))
+        raw = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def png_encode(
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    depth: int = 8,
+) -> bytes:
+    """Encode (h, w, c) samples → valid PNG. filter_type 0-4 applies that
+    filter to every row (non-zero types exercise the decoder's
+    reconstruction paths); ``interlace`` emits the Adam7 layout; ``depth``
+    16 stores big-endian 16-bit samples (pass uint16 pixels)."""
+    if depth == 16:
+        px = np.ascontiguousarray(pixels, dtype=np.uint16)
+    elif depth == 8:
+        px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    else:
+        raise ValueError(f"png_encode depth {depth} (8 or 16; palette covers 1/2/4)")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    color = _CHANNELS_TO_COLOR[px.shape[2]]
+    return _png_assemble(px, depth, color, filter_type, interlace)
+
+
+def png_encode_palette(
+    pixels: np.ndarray,
+    depth: int = 8,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w, 4) RGBA → palette PNG (color type 3)
+    at depth 1/2/4/8: distinct colors become PLTE entries (alpha goes to
+    tRNS), pixels become packed indices. Raises ValueError when the image
+    has more distinct colors than the depth can index."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth}")
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("png_encode_palette needs (h, w, 3|4)")
+    h, w, c = px.shape
+    flat = px.reshape(-1, c)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > (1 << depth):
+        raise ValueError(
+            f"{colors.shape[0]} distinct colors exceed depth-{depth} palette"
+        )
+    extra = _png_chunk(b"PLTE", colors[:, :3].astype(np.uint8).tobytes())
+    if c == 4:
+        extra += _png_chunk(b"tRNS", colors[:, 3].astype(np.uint8).tobytes())
+    samples = idx.astype(np.uint8).reshape(h, w, 1)
+    return _png_assemble(samples, depth, 3, filter_type, interlace, extra)
 
 
 # ---------------------------------------------------------------------------

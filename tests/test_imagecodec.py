@@ -72,3 +72,62 @@ def test_resize_nearest():
     assert up.shape == (20, 40, 3)
     # upscale duplicates, never invents values
     assert set(np.unique(up)).issubset(set(np.unique(img)))
+
+
+def test_png_adam7_interlace_round_trip():
+    """Adam7: seven independently-filtered sub-images; the deinterlaced
+    result must be bit-identical to the sequential layout for every
+    channel count, filter type, and awkward (pass-degenerate) dims."""
+    rng = np.random.RandomState(7)
+    for ft in (0, 2, 4):
+        for dims in ((13, 17, 3), (1, 1, 1), (3, 9, 4), (7, 2, 2)):
+            img = rng.randint(0, 256, dims, np.uint8)
+            enc = ic.png_encode(img, filter_type=ft, interlace=True)
+            assert np.array_equal(ic.png_decode(enc), img), (ft, dims)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    rng = np.random.RandomState(8)
+    img16 = rng.randint(0, 65536, (11, 5, 3)).astype(np.uint16)
+    for inter in (False, True):
+        dec = ic.png_decode(ic.png_encode(img16, depth=16, interlace=inter))
+        assert dec.dtype == np.uint8
+        assert np.array_equal(dec, (img16 >> 8).astype(np.uint8))
+
+
+def test_png_palette_round_trip_all_depths():
+    """Color type 3 at depths 1/2/4/8 (packed indices) with PLTE, plus
+    tRNS alpha for RGBA input — exact round trips."""
+    rng = np.random.RandomState(9)
+    for depth, ncol in ((8, 200), (4, 16), (2, 4), (1, 2)):
+        pal = rng.randint(0, 256, (ncol, 3), np.uint8)
+        img = pal[rng.randint(0, ncol, (10, 14))]
+        for inter in (False, True):
+            enc = ic.png_encode_palette(img, depth=depth, interlace=inter)
+            assert np.array_equal(ic.png_decode(enc), img), (depth, inter)
+    rgba = np.dstack([
+        pal[rng.randint(0, 2, (6, 6))],
+        rng.randint(0, 256, (6, 6), np.uint8),
+    ])
+    assert np.array_equal(ic.png_decode(ic.png_encode_palette(rgba)), rgba)
+    with pytest.raises(ValueError):
+        gradient = np.arange(3 * 300, dtype=np.uint8).reshape(10, 30, 3)
+        ic.png_encode_palette(gradient, depth=2)  # too many colors
+
+
+def test_png_sub8bit_grayscale_scales_to_full_range():
+    """Hand-built 1-bit grayscale stream: decoder unpacks MSB-first bits
+    and scales to 0/255 (RFC sample scaling)."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(10)
+    w, h = 10, 3
+    bits = rng.randint(0, 2, (h, w), np.uint8)
+    rows = np.packbits(bits, axis=1)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    png = (ic.PNG_MAGIC + ic._png_chunk(b"IHDR", ihdr)
+           + ic._png_chunk(b"IDAT", zlib.compress(raw))
+           + ic._png_chunk(b"IEND", b""))
+    assert np.array_equal(ic.png_decode(png)[:, :, 0], bits * 255)
