@@ -111,3 +111,65 @@ def test_jpeg_round_trip_property(h, w, c, q, seed):
     # padded 8x8 block is mostly extrapolation. Structured content is
     # covered by the tighter fixed-case floors in test_jpegcodec.py.
     assert J.psnr(img, dec) > 15
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    f=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_round_trip_property(h, w, c, f, seed):
+    """Interlaced layout must be bit-identical to sequential for any
+    shape — including dims where some Adam7 passes are empty."""
+    img = _img(h, w, c, seed)
+    enc = ic.png_encode(img, filter_type=f, interlace=True)
+    assert np.array_equal(ic.png_decode(enc), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    f=st.integers(0, 4),
+    inter=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_palette_round_trip_property(h, w, depth, f, inter, seed):
+    rng = np.random.RandomState(seed)
+    ncol = min(1 << depth, 1 + rng.randint(1, 1 << depth) if depth > 1 else 2)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, ncol, (h, w))]
+    enc = ic.png_encode_palette(img, depth=depth, filter_type=f, interlace=inter)
+    assert np.array_equal(ic.png_decode(enc), img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    gray=st.booleans(),
+    q=st.sampled_from([70, 90, 100]),
+    sub=st.sampled_from(["444", "420"]),
+    ri=st.sampled_from([0, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, gray, q, sub, ri, seed):
+    """Progressive and baseline quantize identical coefficients, so their
+    decodes must be IDENTICAL arrays for any shape/quality/subsampling/
+    restart interval."""
+    from market_data_pipeline_spark.operators import jpegcodec as J
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype(np.uint8)
+    base = J.jpeg_decode(
+        J.jpeg_encode(img, quality=q, subsampling=sub, restart_interval=ri)
+    )
+    prog = J.jpeg_decode(
+        J.jpeg_encode(img, quality=q, subsampling=sub, progressive=True,
+                      restart_interval=ri)
+    )
+    assert np.array_equal(base, prog)

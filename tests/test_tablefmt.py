@@ -404,3 +404,87 @@ def test_file_dml_conflict_is_loud_not_lost(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(tf, "current_version", racing_head)
     with pytest.raises(tf.CommitConflict):
         tf.delete_where(spark, path, "id < 50")
+
+
+# --- property: file pruning is conservative ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _pystats(col_rows, tag):
+    vals = [v for v in col_rows if v is not None]
+    return {
+        "t": tag,
+        "min": min(vals) if vals else None,
+        "max": max(vals) if vals else None,
+        "nulls": sum(v is None for v in col_rows),
+        "rows": len(col_rows),
+    }
+
+
+_STRS = ["", "a", "AAA", "b'c", "x AND y", "z,w", "Ω", "zz", "'"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_conjunct_pruning_never_drops_matching_rows(data):
+    """The ONE safety property of file skipping: whenever the evaluator
+    says a conjunct cannot match a file, NO row of that file satisfies it
+    under engine semantics (null comparisons false, lexicographic strings).
+    Structural conjuncts are rendered to SQL text, so the tiny parser is
+    exercised on quoting/escaping too."""
+    n = data.draw(st.integers(1, 25))
+    a_rows = data.draw(
+        st.lists(st.one_of(st.none(), st.integers(-50, 50)), min_size=n, max_size=n)
+    )
+    s_rows = data.draw(
+        st.lists(st.one_of(st.none(), st.sampled_from(_STRS)), min_size=n, max_size=n)
+    )
+    stats = {"a": _pystats(a_rows, "numeric"), "s": _pystats(s_rows, "string")}
+
+    kind = data.draw(st.sampled_from(
+        ["cmp_a", "cmp_s", "in_a", "in_s", "isnull", "notnull"]
+    ))
+    if kind == "cmp_a":
+        op = data.draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+        lit = data.draw(st.integers(-60, 60))
+        conj, col, matches = f"a {op} {lit}", a_rows, lambda v, op=op, lit=lit: _cmp(v, op, lit)
+    elif kind == "cmp_s":
+        op = data.draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+        lit = data.draw(st.sampled_from(_STRS))
+        q = "'" + lit.replace("'", "''") + "'"
+        conj, col, matches = f"s {op} {q}", s_rows, lambda v, op=op, lit=lit: _cmp(v, op, lit)
+    elif kind == "in_a":
+        lits = data.draw(st.lists(st.integers(-60, 60), min_size=1, max_size=4))
+        conj, col = f"a IN ({', '.join(map(str, lits))})", a_rows
+        matches = lambda v, lits=tuple(lits): v is not None and v in lits
+    elif kind == "in_s":
+        lits = data.draw(st.lists(st.sampled_from(_STRS), min_size=1, max_size=3))
+        q = ", ".join("'" + s.replace("'", "''") + "'" for s in lits)
+        conj, col = f"s IN ({q})", s_rows
+        matches = lambda v, lits=tuple(lits): v is not None and v in lits
+    elif kind == "isnull":
+        conj, col, matches = "a IS NULL", a_rows, lambda v: v is None
+    else:
+        conj, col, matches = "s IS NOT NULL", s_rows, lambda v: v is not None
+
+    if not tf._conjunct_may_match(conj, stats):
+        survivors = [v for v in col if matches(v)]
+        assert survivors == [], (conj, stats, survivors)
+
+
+def _cmp(v, op, lit):
+    if v is None:
+        return False  # SQL three-valued logic: comparisons with null are not true
+    if op == "=":
+        return v == lit
+    if op == "!=":
+        return v != lit
+    if op == "<":
+        return v < lit
+    if op == "<=":
+        return v <= lit
+    if op == ">":
+        return v > lit
+    return v >= lit
