@@ -509,6 +509,43 @@ def scan(
     return df.filter(predicate)
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    allow_rewrites: bool = False,
+) -> DataFrame:
+    """Rows ADDED between two snapshots — the files in ``to_version``'s
+    manifest that ``from_version``'s lacks, planned directly (no diff of
+    row sets, no full-table read): the incremental-consumption primitive a
+    downstream training-data job needs to process only what landed since
+    its last run. Exact row-level CDC for append-only history (append /
+    stream-append); when the range contains a rewriting op (overwrite,
+    delete, merge, compact, cluster) the added-file diff would double-count
+    rewritten rows, so it raises unless ``allow_rewrites`` opts into
+    file-level semantics."""
+    head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    to_v = head if to_version is None else to_version
+    if not allow_rewrites:
+        for item in history(spark, path):
+            if from_version < item["version"] <= to_v and item["op"] not in (
+                "append", "stream-append",
+            ):
+                raise ValueError(
+                    f"v{item['version']} is op={item['op']}: added-file diff is "
+                    "not row-level CDC across rewrites (allow_rewrites=True "
+                    "for file-level semantics)"
+                )
+    old = set(_manifest(spark, path, from_version)["files"])
+    added = [f for f in _manifest(spark, path, to_v)["files"] if f not in old]
+    if not added:
+        return read(spark, path, to_v).limit(0)
+    return spark.read.parquet(*[f"{path}/{f}" for f in added])
+
+
 def history(spark: SparkSession, path: str) -> list[dict]:
     """All manifests oldest-first: (version, parent, op, n_files)."""
     head = current_version(spark, path)

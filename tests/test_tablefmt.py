@@ -488,3 +488,26 @@ def _cmp(v, op, lit):
     if op == ">":
         return v > lit
     return v >= lit
+
+
+def test_read_changes_incremental_consumption(spark, tmp_path):
+    """A downstream job reads only what landed since its last version —
+    exact rows for append-only history, loud refusal across rewrites."""
+    path = str(tmp_path / "cdc")
+    tf.append(spark, path, _df(spark, 0, 5))       # v0
+    tf.append(spark, path, _df(spark, 5, 8))       # v1
+    sink = tf.streaming_sink(path)
+    sink(_df(spark, 8, 10), 0)                     # v2
+    got = {r.id for r in tf.read_changes(spark, path, 0).collect()}
+    assert got == set(range(5, 10))
+    got = {r.id for r in tf.read_changes(spark, path, 0, to_version=1).collect()}
+    assert got == set(range(5, 8))
+    # no new files between a version and itself
+    assert tf.read_changes(spark, path, 2).count() == 0
+    assert tf.read_changes(spark, path, 2).columns == ["id", "v"]
+    # rewriting ops in range refuse row-level semantics...
+    tf.compact(spark, path, target_partitions=1)   # v3
+    with pytest.raises(ValueError):
+        tf.read_changes(spark, path, 1)
+    # ...unless the caller opts into file-level semantics
+    assert tf.read_changes(spark, path, 1, allow_rewrites=True).count() == 10
