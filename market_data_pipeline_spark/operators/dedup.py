@@ -427,6 +427,7 @@ def dup_groups(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, group_id), where
     group_id is the minimum doc_id in the component.
@@ -459,6 +460,16 @@ def dup_groups(
     set-stability (same count and no new edge), checked per round on the
     materialized frames; lineage is truncated per round (localCheckpoint)
     so the plan does not grow with iterations.
+
+    ``local_finish_edges``: after each round's materializing agg (whose
+    count is already in hand, so the gate costs nothing), an edge set
+    measured at or below this bound finishes by exact union-find on the
+    driver — a bounded model-artifact-sized collect, same class as the
+    BPE merge table or broadcast k-means centroids — replacing O(log n)
+    further rounds of fixed-cost multi-stage jobs. At corpus scale the
+    contracted edge set is O(duplicate docs) and stays over the bound, so
+    the distributed loop carries it; the gate is a measured count, never
+    a guess. 0 disables.
     """
     def _materialize(frame: DataFrame) -> tuple[DataFrame, int, int]:
         """LAZY localCheckpoint, then one agg action that both materializes
@@ -546,6 +557,11 @@ def dup_groups(
         prev_count, prev_check = new_count, new_check
         if converged:
             break
+        if local_finish_edges and new_count <= local_finish_edges:
+            # the count is already in hand from the materializing agg, so
+            # this gate costs zero extra jobs; below the bound an exact
+            # driver union-find replaces every remaining round
+            return _local_components(edges)
     # fixpoint is disjoint stars: hi values are the non-root members (one
     # row each, pointing at their component min), lo values the roots
     roots = (
@@ -556,6 +572,44 @@ def dup_groups(
     return edges.select(
         F.col("hi").alias("doc_id"), F.col("lo").alias("group_id")
     ).union(roots)
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a MEASURED-small canonical (hi, lo) edge set
+    — the driver-side finish for dup_groups once contraction has shrunk
+    the graph under its bound. Roots stay at the component minimum (every
+    union links the larger root under the smaller), so the output is the
+    same (doc_id, group_id) rows the distributed fixpoint produces."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():  # bounded by local_finish_edges
+        hi, lo = row[0], row[1]
+        for v in (hi, lo):
+            if v not in parent:
+                parent[v] = v
+        a, b = find(hi), find(lo)
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", edges.schema.fields[0].dataType),
+            T.StructField("group_id", edges.schema.fields[1].dataType),
+        ]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def dedup_near_keep_one(

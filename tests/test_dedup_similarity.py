@@ -230,8 +230,43 @@ def test_dup_groups_chain_matches_union_find_in_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(int(a), int(b)) for a, b in chain], "doc_a long, doc_b long"
     )
-    got = {r.doc_id: r.group_id for r in dup_groups(pairs, max_iter=9).collect()}
+    # local_finish_edges=0 pins the DISTRIBUTED fixpoint: the driver
+    # union-find gate would otherwise absorb the chain after round 0 and
+    # this test would stop guarding the O(log n) convergence claim
+    got = {
+        r.doc_id: r.group_id
+        for r in dup_groups(pairs, max_iter=9, local_finish_edges=0).collect()
+    }
     assert got == {n: 0 for n in range(257)}  # one component, min id 0
+
+
+def test_dup_groups_local_finish_matches_distributed(spark):
+    """The measured-count gate (driver union-find once contraction shrinks
+    the graph) must return exactly the distributed fixpoint's rows on
+    adversarial shapes: shuffled chain, cliques, star, random multigraph."""
+    import random
+
+    from market_data_pipeline_spark.operators.dedup import dup_groups
+
+    rng = random.Random(7)
+    perm = list(range(80))
+    rng.shuffle(perm)
+    cases = [
+        [(perm[i], perm[i + 1]) for i in range(79)],
+        [(a, b) for a in range(6) for b in range(a)]
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a)],
+        [(0, i) for i in range(1, 40)],
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(200)],
+    ]
+    for rows in cases:
+        rows = [(int(a), int(b)) for a, b in rows if a != b]
+        pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        gated = {(r.doc_id, r.group_id) for r in dup_groups(pairs).collect()}
+        dist = {
+            (r.doc_id, r.group_id)
+            for r in dup_groups(pairs, local_finish_edges=0).collect()
+        }
+        assert gated == dist
 
 
 def test_incremental_dedup_admits_only_novel_docs(spark, sf_dir):
