@@ -213,12 +213,59 @@ def _collect_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict
     return stats
 
 
+def _merged_schema(parent_man: dict | None, df: DataFrame, evolve: bool) -> dict:
+    """Schema for the child manifest. Appends against an existing schema
+    must match it exactly unless ``evolve`` is set, in which case NEW
+    nullable columns are added at the end and MISSING columns are allowed
+    (readers fill them with null); a type change on an existing column is
+    always rejected — silent coercion is how lakes corrupt themselves."""
+    from pyspark.sql import types as T
+
+    new = df.schema
+    old_json = None if parent_man is None else parent_man.get("schema")
+    if old_json is None:
+        return json.loads(new.json())
+    old = T.StructType.fromJson(old_json)
+    old_by = {f.name.lower(): f for f in old.fields}
+    new_by = {f.name.lower(): f for f in new.fields}
+    for n, f in new_by.items():
+        if n in old_by and old_by[n].dataType != f.dataType:
+            raise ValueError(
+                f"column {f.name!r}: type {f.dataType.simpleString()} conflicts "
+                f"with table type {old_by[n].dataType.simpleString()}"
+            )
+    added = [f for f in new.fields if f.name.lower() not in old_by]
+    missing = [f.name for f in old.fields if f.name.lower() not in new_by]
+    if (added or missing) and not evolve:
+        raise ValueError(
+            f"append schema differs from table (added={[f.name for f in added]}, "
+            f"missing={missing}); pass evolve=True to evolve the table schema"
+        )
+    merged = T.StructType(list(old.fields) + added)
+    return json.loads(merged.json())
+
+
+def _schema_reader(spark: SparkSession, man: dict):
+    """A DataFrameReader pinned to the manifest's recorded schema when one
+    exists: files written before a column was added read as null, extra
+    physical columns are ignored, and NO parquet footer is opened for
+    schema discovery (mergeSchema would read every footer — at a million
+    files that is the planning bottleneck)."""
+    sj = man.get("schema")
+    if sj is None:
+        return spark.read
+    from pyspark.sql import types as T
+
+    return spark.read.schema(T.StructType.fromJson(sj))
+
+
 def _commit(
     spark: SparkSession,
     path: str,
     df: DataFrame,
     op: str,
     max_retries: int = 5,
+    evolve: bool = False,
 ) -> int:
     """Write df's files once, then race for the next version number —
     on conflict only the metadata step retries (data files are already
@@ -241,15 +288,18 @@ def _commit(
             parent_man = _manifest(spark, path, head)
             files = parent_man["files"] + new_files
             stats = {**parent_man.get("stats", {}), **new_stats}
+            schema = _merged_schema(parent_man, df, evolve)
         else:
             files = list(new_files)
             stats = dict(new_stats)
+            schema = json.loads(df.schema.json())
         doc = {
             "version": version,
             "parent": head,
             "op": op,
             "files": files,
             "stats": stats,
+            "schema": schema,
         }
         try:
             _write_json_exclusive(spark, f"{path}/{_MANIFESTS}/v{version}.json", doc)
@@ -259,10 +309,14 @@ def _commit(
     raise CommitConflict(f"gave up after {max_retries} retries at {path}")
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession, path: str, df: DataFrame, evolve: bool = False
+) -> int:
     """Append df as a new snapshot (old files + new files). Returns the
-    committed version."""
-    return _commit(spark, path, df, "append")
+    committed version. A df whose schema differs from the table's is
+    rejected unless ``evolve=True`` (new nullable columns append to the
+    schema, missing ones read as null; type changes always reject)."""
+    return _commit(spark, path, df, "append", evolve=evolve)
 
 
 def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -273,13 +327,15 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest). Uncommitted data
-    directories are invisible — only manifest-listed files are planned."""
+    directories are invisible — only manifest-listed files are planned,
+    under that version's RECORDED schema (so time travel sees the shape
+    the table had then, and schema-evolved files coexist)."""
     head = current_version(spark, path)
     if head is None:
         raise FileNotFoundError(f"no committed version at {path}")
     v = head if version is None else version
     man = _manifest(spark, path, v)
-    return spark.read.parquet(*[f"{path}/{f}" for f in man["files"]])
+    return _schema_reader(spark, man).parquet(*[f"{path}/{f}" for f in man["files"]])
 
 
 # --- predicate → file-skip evaluation ---------------------------------------
@@ -505,7 +561,9 @@ def scan(
     if not kept:
         # schema-stable empty result without touching any data file list
         return read(spark, path, version).filter(predicate).limit(0)
-    df = spark.read.parquet(*[f"{path}/{f}" for f in kept])
+    head = current_version(spark, path)
+    man = _manifest(spark, path, head if version is None else version)
+    df = _schema_reader(spark, man).parquet(*[f"{path}/{f}" for f in kept])
     return df.filter(predicate)
 
 
@@ -540,10 +598,11 @@ def read_changes(
                     "for file-level semantics)"
                 )
     old = set(_manifest(spark, path, from_version)["files"])
-    added = [f for f in _manifest(spark, path, to_v)["files"] if f not in old]
+    to_man = _manifest(spark, path, to_v)
+    added = [f for f in to_man["files"] if f not in old]
     if not added:
         return read(spark, path, to_v).limit(0)
-    return spark.read.parquet(*[f"{path}/{f}" for f in added])
+    return _schema_reader(spark, to_man).parquet(*[f"{path}/{f}" for f in added])
 
 
 def history(spark: SparkSession, path: str) -> list[dict]:
@@ -648,7 +707,8 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     if not affected:
         return _replace_files(spark, path, head, untouched, None, "delete")
     survivors = (
-        spark.read.parquet(*[f"{path}/{f}" for f in affected])
+        _schema_reader(spark, _manifest(spark, path, head))
+        .parquet(*[f"{path}/{f}" for f in affected])
         .filter(f"NOT ({predicate})")
     )
     return _replace_files(spark, path, head, untouched, survivors, "delete")
@@ -692,7 +752,9 @@ def merge_upsert(
     envelope = " AND ".join(conj) if conj else "1 = 1"
     affected, untouched = pruned_files(spark, path, envelope, head)
     if affected:
-        current = spark.read.parquet(*[f"{path}/{f}" for f in affected])
+        current = _schema_reader(spark, _manifest(spark, path, head)).parquet(
+            *[f"{path}/{f}" for f in affected]
+        )
         kept = current.join(
             updates.select(*keys).distinct(), on=keys, how="left_anti"
         )
@@ -841,9 +903,13 @@ def streaming_sink(path: str):
                 parent_man = _manifest(spark, path, head)
                 files = parent_man["files"] + new_files
                 stats = {**parent_man.get("stats", {}), **new_stats}
+                # streams are strict: a drifted batch schema must fail the
+                # micro-batch loudly, never silently evolve the table
+                schema = _merged_schema(parent_man, batch_df, evolve=False)
             else:
                 files = list(new_files)
                 stats = dict(new_stats)
+                schema = json.loads(batch_df.schema.json())
             version = 0 if head is None else head + 1
             doc = {
                 "version": version,
@@ -852,6 +918,7 @@ def streaming_sink(path: str):
                 "txn": int(batch_id),
                 "files": files,
                 "stats": stats,
+                "schema": schema,
             }
             try:
                 _write_json_exclusive(

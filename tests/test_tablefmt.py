@@ -397,8 +397,9 @@ def test_file_dml_conflict_is_loud_not_lost(spark, tmp_path, monkeypatch):
         v = real_head(spark_, p)
         if calls["n"] == 0:
             calls["n"] += 1
-            # foreign append lands right after the plan reads the head
-            tf.append(spark_, p, _df(spark_, 1000, 1001))
+            # foreign append (schema-compatible) lands right after the
+            # plan reads the head
+            tf.append(spark_, p, tf.read(spark_, p, 0).limit(1))
         return v
 
     monkeypatch.setattr(tf, "current_version", racing_head)
@@ -511,3 +512,45 @@ def test_read_changes_incremental_consumption(spark, tmp_path):
         tf.read_changes(spark, path, 1)
     # ...unless the caller opts into file-level semantics
     assert tf.read_changes(spark, path, 1, allow_rewrites=True).count() == 10
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """Appends must match the table schema unless evolve=True: new columns
+    join the recorded schema (old files read as null), type changes always
+    reject, and time travel sees each version's OWN shape."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolve")
+    tf.append(spark, path, _df(spark, 0, 5))                       # id, v
+    wider = _df(spark, 5, 8).withColumn("w", F.lit("x"))
+    with pytest.raises(ValueError, match="evolve"):
+        tf.append(spark, path, wider)
+    v1 = tf.append(spark, path, wider, evolve=True)
+    df = tf.read(spark, path, v1)
+    assert df.columns == ["id", "v", "w"]
+    assert df.filter("w IS NULL").count() == 5    # pre-evolution files
+    assert df.filter("w = 'x'").count() == 3
+    # time travel reads version 0 in its original shape
+    assert tf.read(spark, path, 0).columns == ["id", "v"]
+    # a narrower append (missing column) also needs evolve, then reads null
+    v2 = tf.append(spark, path, _df(spark, 8, 10), evolve=True)
+    assert tf.read(spark, path, v2).filter("w IS NULL").count() == 7
+    # type conflicts are rejected even with evolve
+    bad = spark.range(1).selectExpr("id", "CAST(1.5 AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="conflicts"):
+        tf.append(spark, path, bad, evolve=True)
+    # scan / delete still work across mixed-schema files
+    assert tf.scan(spark, path, "id >= 5").count() == 5
+    tf.delete_where(spark, path, "id = 6")
+    assert tf.read(spark, path).count() == 9
+
+
+def test_streaming_sink_rejects_schema_drift(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "strict_stream")
+    sink = tf.streaming_sink(path)
+    sink(_df(spark, 0, 5), 0)
+    with pytest.raises(ValueError):
+        sink(_df(spark, 5, 8).withColumn("extra", F.lit(1)), 1)
+    assert tf.read(spark, path).count() == 5  # nothing half-landed
