@@ -5579,6 +5579,11 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
     5: (
         "inv_d_dup_groups", "inv_d_dedup_near", "inv_d_dedup_best",
         "inv_d_minhash_lsh", "inv_sim_near_dups", "inv_d_incremental",
+        # late r4: dup_groups gained the measured-count local-finish gate
+        # and the capstones consume it — their green rows predate that
+        "inv_x_curated_corpus", "inv_x_semantic_curation",
+        # late r4: jpeg decoder rewritten multi-scan (progressive support)
+        "inv_m_jpeg_roundtrip",
     ),
 }
 
