@@ -12,6 +12,7 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -169,6 +170,26 @@ def main():
         f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only"
         + (f"; failures: {failures}" if failures else "")
     )
+    # archive every gate run (full runs only — partial query lists are
+    # working iterations, not evidence): one JSONL row per run so the
+    # per-round verification record lives in git, not in a terminal
+    # scrollback (verify skill: "gate output archived per round")
+    if not only:
+        import datetime
+
+        rec = {
+            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf_dir": sf_dir,
+            "pass": n_pass,
+            "fail": n_fail,
+            "rows_only": n_rowsonly,
+            "failures": failures,
+        }
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "VERIFY_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
