@@ -444,8 +444,10 @@ def dup_groups(
     the component minimum every round and converges in O(log² n) rounds
     regardless of shape (a path collapses exponentially, see the round
     log in SCALECHECK.md), with every round a node-keyed groupBy-min +
-    equi-join + distinct — no driver-side graph, no collect, so 100 TB
-    edge sets stream through the same shuffles.
+    equi-join + distinct — no unbounded driver-side state, so 100 TB
+    edge sets stream through the same shuffles (the ONLY collect is the
+    ``local_finish_edges``-gated finish below, bounded by a measured
+    count).
 
     Invariant: edges are kept CANONICAL, (hi, lo) with hi > lo. One round =
       large-star: every node u computes m = min(closed neighborhood);
