@@ -6760,3 +6760,54 @@ WHERE t.rk <= 5
 
 
 _REGISTRY.update({"inv_q_skew_report": (q_q_skew_report, SQL_Q_SKEW)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the versioned table format under the DRIVER oracle — every prior
+# tablefmt contract was pytest-only. This query drives the full lifecycle
+# (two appends, the second schema-EVOLVING; a stats-pruned DELETE; a Z-order
+# CLUSTER rewrite; a file-skipping SCAN) against the documents table in a
+# process-keyed temp dir, and its result must equal plain SQL over the raw
+# table — so commit atomicity, schema pinning, pruning conservatism, and
+# the cluster rewrite are all value-checked end to end, not just unit-tested.
+# (sources/tablefmt.py; reference has no table format — beyond-parity.)
+# ---------------------------------------------------------------------------
+
+
+def q_s_versioned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+
+    d = _docs(spark, sf).select("doc_id", "lang", "source", "n_chars")
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), f"mdp_versioned_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild per run
+    path = f"{base}/t"
+    tf.append(spark, path, d.filter(F.col("doc_id") % 2 == 0))
+    tf.append(
+        spark,
+        path,
+        d.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "odd_rank", F.col("doc_id") % 7
+        ),
+        evolve=True,
+    )
+    tf.delete_where(spark, path, "lang = 'de'")
+    tf.cluster(spark, path, ["doc_id", "n_chars"], target_partitions=4)
+    return tf.scan(spark, path, "n_chars >= 100 AND lang != 'zh'")
+
+
+SQL_S_VERSIONED = """
+SELECT doc_id, lang, source, n_chars,
+       CASE WHEN doc_id % 2 = 1 THEN doc_id % 7 ELSE NULL END AS odd_rank
+FROM documents
+WHERE lang != 'de' AND n_chars >= 100 AND lang != 'zh'
+"""
+
+
+_REGISTRY.update({"inv_s_versioned_scan": (q_s_versioned_scan, SQL_S_VERSIONED)})

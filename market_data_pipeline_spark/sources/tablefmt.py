@@ -677,6 +677,11 @@ def _replace_files(
             **{f: parent_stats[f] for f in untouched if f in parent_stats},
             **new_stats,
         },
+        # DML rewrites rows, never the table SHAPE — the parent's recorded
+        # schema must carry forward, or a post-delete read would fall back
+        # to parquet-footer inference and could drop an evolved column
+        # whose null-filled files don't physically store it
+        "schema": parent_man.get("schema"),
     }
     for _ in range(max_retries):
         head = current_version(spark, path)

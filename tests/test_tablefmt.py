@@ -542,7 +542,13 @@ def test_schema_evolution_append(spark, tmp_path):
     # scan / delete still work across mixed-schema files
     assert tf.scan(spark, path, "id >= 5").count() == 5
     tf.delete_where(spark, path, "id = 6")
-    assert tf.read(spark, path).count() == 9
+    after = tf.read(spark, path)
+    assert after.count() == 9
+    # regression (found by the sf0.001 oracle run): DML manifests must
+    # carry the recorded schema forward — without it this read falls back
+    # to footer inference and may drop the evolved column entirely
+    assert after.columns == ["id", "v", "w"]
+    assert after.filter("w = 'x'").count() == 2  # id=6 was a w='x' row
 
 
 def test_streaming_sink_rejects_schema_drift(spark, tmp_path):
