@@ -475,14 +475,18 @@ def dup_groups(
     """
     def _materialize(frame: DataFrame) -> tuple[DataFrame, int, int]:
         """LAZY localCheckpoint, then one agg action that both materializes
-        the checkpoint blocks and returns (count, sum-of-edge-hashes) —
+        the checkpoint blocks and returns (count, xor-of-edge-hashes) —
         one Spark job where eager-checkpoint-then-count was two. The hash
-        sum only GATES the exact convergence probe below (a changed edge
+        xor only GATES the exact convergence probe below (a changed edge
         set almost surely changes it, so the probe is skipped for free);
         convergence itself is never decided by the hash."""
         frame = frame.localCheckpoint(eager=False)
+        # bit_xor, not sum: summing signed 64-bit hashes overflows, which
+        # ANSI mode (the Spark 4 default in foreign sessions) turns into
+        # ARITHMETIC_OVERFLOW; xor is wrap-free, order-insensitive, and an
+        # equally good set fingerprint over the round's distinct edges
         row = frame.agg(
-            F.count(F.lit(1)), F.sum(F.xxhash64("hi", "lo"))
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(hi, lo))")
         ).first()
         return frame, int(row[0]), (0 if row[1] is None else int(row[1]))
 

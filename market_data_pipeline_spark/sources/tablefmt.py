@@ -148,15 +148,39 @@ def _stat_tag(dtype) -> str | None:
     return None
 
 
+# Lexicographically monotonic (fixed-width, zero-padded), so string min/max
+# of the formatted column IS the formatted min/max of the timestamps.
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _qcol(name: str):
+    """Column reference with backtick quoting, so a legal Spark column
+    literally named ``bid.price`` resolves as a column and not as a struct
+    field path inside the stats aggregation."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _stat_json(tag: str, v):
-    """JSON-portable stat value; dates/timestamps as ISO strings."""
+    """JSON-portable stat value; dates as ISO strings (timestamps arrive
+    pre-formatted as session-timezone strings from the stats query)."""
     if v is None:
         return None
     if tag == "numeric":
         import decimal
 
-        return float(v) if isinstance(v, decimal.Decimal) else v
-    if tag in ("date", "timestamp"):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        # NaN poisons ordered pruning: Spark sorts NaN greatest, so any
+        # NaN in a float column surfaces as max (or min when all-NaN) and
+        # every mn <= lit <= mx test would go False and wrongly skip the
+        # file. A NaN bound means "no usable range" — record None so the
+        # evaluator never prunes on this column for this file.
+        if isinstance(v, float) and v != v:
+            return None
+        return v
+    if tag == "date":
         return v.isoformat()
     return v
 
@@ -179,10 +203,18 @@ def _collect_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict
     for name, tag in cols:
         if tag is None:
             continue
+        c = _qcol(name)
+        if tag == "timestamp":
+            # format in the SESSION timezone: collected python datetimes
+            # would be shifted to the DRIVER's local timezone
+            # (fromtimestamp), while predicate literals are interpreted in
+            # the session timezone — stats and literals must share one
+            # clock or pruning drops matching files whenever they differ
+            c = F.date_format(c, _TS_FMT)
         aggs += [
-            F.min(name).alias(f"__mn__{name}"),
-            F.max(name).alias(f"__mx__{name}"),
-            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(
+            F.min(c).alias(f"__mn__{name}"),
+            F.max(c).alias(f"__mx__{name}"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(
                 f"__nl__{name}"
             ),
         ]
@@ -207,9 +239,10 @@ def _collect_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict
                 "min": _stat_json(tag, r[f"__mn__{name}"]),
                 "max": _stat_json(tag, r[f"__mx__{name}"]),
                 "nulls": int(r[f"__nl__{name}"]),
-                "rows": int(r["__rows"]),
             }
-        stats[rel] = entry
+        # row count once per FILE, not once per column — a 50-column table
+        # would otherwise store the same number 50× in every manifest
+        stats[rel] = {"rows": int(r["__rows"]), "cols": entry}
     return stats
 
 
@@ -259,6 +292,58 @@ def _schema_reader(spark: SparkSession, man: dict):
     return spark.read.schema(T.StructType.fromJson(sj))
 
 
+def _write_data(spark: SparkSession, path: str, df: DataFrame) -> tuple[list[str], dict]:
+    """Write df's parquet files into a writer-unique data directory and
+    return (manifest-relative file list, their stats). The directory is
+    unique per writer: two racers computing the same next version must
+    never share (and overwrite) one directory — manifests reference
+    explicit paths, so the name needn't match the version that finally
+    wins the commit race."""
+    import uuid
+
+    data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
+    new_files = [f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")]
+    return new_files, _collect_stats(spark, path, new_files)
+
+
+def _append_doc(
+    spark: SparkSession,
+    path: str,
+    head: int | None,
+    df: DataFrame,
+    new_files: list[str],
+    new_stats: dict,
+    op: str,
+    evolve: bool,
+    txn: int | None = None,
+) -> tuple[int, dict]:
+    """(version, manifest doc) for an append-shaped commit — ONE builder
+    for batch append and stream-append, so a manifest-format change lands
+    once instead of drifting between two hand-copied loops."""
+    if head is not None:
+        parent_man = _manifest(spark, path, head)
+        files = parent_man["files"] + new_files
+        stats = {**parent_man.get("stats", {}), **new_stats}
+        schema = _merged_schema(parent_man, df, evolve)
+    else:
+        files = list(new_files)
+        stats = dict(new_stats)
+        schema = json.loads(df.schema.json())
+    version = 0 if head is None else head + 1
+    doc = {
+        "version": version,
+        "parent": head,
+        "op": op,
+        "files": files,
+        "stats": stats,
+        "schema": schema,
+    }
+    if txn is not None:
+        doc["txn"] = int(txn)
+    return version, doc
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -270,37 +355,24 @@ def _commit(
     """Write df's files once, then race for the next version number —
     on conflict only the metadata step retries (data files are already
     safely in their own directory and simply join a later manifest)."""
-    import uuid
-
-    # the data directory is writer-unique: two racers computing the same
-    # next version must never share (and overwrite) one directory — the
-    # manifest references explicit paths, so the name needn't match the
-    # version that finally wins the commit race
-    data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
-    df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
-    new_files = [f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")]
-    new_stats = _collect_stats(spark, path, new_files)
+    new_files, new_stats = _write_data(spark, path, df)
 
     for _ in range(max_retries):
         head = current_version(spark, path)
-        version = 0 if head is None else head + 1
-        if op == "append" and head is not None:
-            parent_man = _manifest(spark, path, head)
-            files = parent_man["files"] + new_files
-            stats = {**parent_man.get("stats", {}), **new_stats}
-            schema = _merged_schema(parent_man, df, evolve)
+        if op == "append":
+            version, doc = _append_doc(
+                spark, path, head, df, new_files, new_stats, op, evolve
+            )
         else:
-            files = list(new_files)
-            stats = dict(new_stats)
-            schema = json.loads(df.schema.json())
-        doc = {
-            "version": version,
-            "parent": head,
-            "op": op,
-            "files": files,
-            "stats": stats,
-            "schema": schema,
-        }
+            version = 0 if head is None else head + 1
+            doc = {
+                "version": version,
+                "parent": head,
+                "op": op,
+                "files": list(new_files),
+                "stats": dict(new_stats),
+                "schema": json.loads(df.schema.json()),
+            }
         try:
             _write_json_exclusive(spark, f"{path}/{_MANIFESTS}/v{version}.json", doc)
             return version
@@ -451,18 +523,27 @@ def _stat_keys(entry: dict, lit):
             # (time-of-day truncated) so pruning can never out-filter the
             # engine's own comparison
             return kmn.date(), kmx.date(), kv.date()
+        if kv.tzinfo is not None:
+            # stats are session-timezone wall-clock strings; an
+            # offset-aware literal would need the engine's cast rules to
+            # compare (and naive-vs-aware comparison raises) — no pruning
+            return None
         return kmn, kmx, kv
     return None
 
 
 def _conjunct_may_match(conj: str, file_stats: dict) -> bool:
-    """True unless the conjunct PROVABLY matches no row of the file."""
+    """True unless the conjunct PROVABLY matches no row of the file.
+    ``file_stats`` is one manifest stats entry: ``{"rows": N, "cols":
+    {name: {t, min, max, nulls}}}``."""
+    rows = file_stats["rows"]
+    cols = file_stats["cols"]
 
     def col_entry(name: str):
-        if name in file_stats:
-            return file_stats[name]
+        if name in cols:
+            return cols[name]
         lname = name.lower()
-        for k, v in file_stats.items():
+        for k, v in cols.items():
             if k.lower() == lname:
                 return v
         return None
@@ -473,14 +554,14 @@ def _conjunct_may_match(conj: str, file_stats: dict) -> bool:
         if entry is None:
             return True
         if m.group(2):  # IS NOT NULL: all-null file has no match
-            return entry["nulls"] < entry["rows"]
+            return entry["nulls"] < rows
         return entry["nulls"] > 0  # IS NULL: no nulls -> no match
     m = _IN_RE.match(conj)
     if m:
         entry = col_entry(m.group(1))
         if entry is None:
             return True
-        if entry["nulls"] == entry["rows"]:
+        if entry["nulls"] == rows:
             return False  # comparisons never match an all-null file
         for lit_s in _split_top(m.group(2), ","):
             lit = _parse_literal(lit_s)
@@ -502,7 +583,7 @@ def _conjunct_may_match(conj: str, file_stats: dict) -> bool:
         lit = _parse_literal(lit_s)
         if lit is _UNPARSED:
             return True
-        if entry["nulls"] == entry["rows"]:
+        if entry["nulls"] == rows:
             return False  # comparisons never match an all-null file
         keys = _stat_keys(entry, lit)
         if keys is None:
@@ -523,15 +604,10 @@ def _conjunct_may_match(conj: str, file_stats: dict) -> bool:
     return True  # unparsable conjunct: cannot prune
 
 
-def pruned_files(
-    spark: SparkSession, path: str, predicate: str, version: int | None = None
-) -> tuple[list[str], list[str]]:
-    """(kept, skipped) manifest-relative file lists for a predicate,
-    decided from manifest stats alone (no parquet footer is opened)."""
-    head = current_version(spark, path)
-    if head is None:
-        raise FileNotFoundError(f"no committed version at {path}")
-    man = _manifest(spark, path, head if version is None else version)
+def _pruned(man: dict, predicate: str) -> tuple[list[str], list[str]]:
+    """(kept, skipped) file lists for a predicate against one already-read
+    manifest — the shared core, so callers that hold the manifest (scan,
+    delete_where, merge_upsert) never re-read it from storage."""
     stats = man.get("stats", {})
     conjuncts = _split_and(predicate)
     kept, skipped = [], []
@@ -544,6 +620,18 @@ def pruned_files(
     return kept, skipped
 
 
+def pruned_files(
+    spark: SparkSession, path: str, predicate: str, version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) manifest-relative file lists for a predicate,
+    decided from manifest stats alone (no parquet footer is opened)."""
+    head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _manifest(spark, path, head if version is None else version)
+    return _pruned(man, predicate)
+
+
 def scan(
     spark: SparkSession,
     path: str,
@@ -554,15 +642,28 @@ def scan(
     column stats prove the predicate false are never given to the parquet
     reader; the full predicate is still applied as a filter, so results
     are identical to read().filter(predicate) — just planned over fewer
-    files."""
+    files. One directory listing + one manifest read per call."""
     if predicate is None:
         return read(spark, path, version)
-    kept, _ = pruned_files(spark, path, predicate, version)
-    if not kept:
-        # schema-stable empty result without touching any data file list
-        return read(spark, path, version).filter(predicate).limit(0)
     head = current_version(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no committed version at {path}")
     man = _manifest(spark, path, head if version is None else version)
+    kept, _ = _pruned(man, predicate)
+    if not kept:
+        # schema-stable empty result without touching any data file
+        sj = man.get("schema")
+        if sj is not None:
+            from pyspark.sql import types as T
+
+            empty = spark.createDataFrame([], T.StructType.fromJson(sj))
+            return empty.filter(predicate)
+        return (
+            _schema_reader(spark, man)
+            .parquet(*[f"{path}/{f}" for f in man["files"]])
+            .filter(predicate)
+            .limit(0)
+        )
     df = _schema_reader(spark, man).parquet(*[f"{path}/{f}" for f in kept])
     return df.filter(predicate)
 
@@ -636,7 +737,10 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
     if head is None:
         raise FileNotFoundError(f"nothing to compact at {path}")
     snapshot = read(spark, path, head).coalesce(target_partitions)
-    return _commit(spark, path, snapshot, "compact")
+    # serializable like delete/merge: compaction's file list is a rewrite
+    # of the head it READ — a rebase onto a newer head (what _commit's
+    # append loop does) would silently erase a concurrent append's rows
+    return _replace_files(spark, path, head, [], snapshot, "compact")
 
 
 def _replace_files(
@@ -647,26 +751,23 @@ def _replace_files(
     new_df: DataFrame | None,
     op: str,
     max_retries: int = 5,
+    parent_man: dict | None = None,
 ) -> int:
     """Commit a snapshot that KEEPS ``untouched`` files as-is (metadata
     carry-over, their stats copied from the parent manifest) and replaces
-    the rest with ``new_df``'s files. File-level DML (delete/merge) plans
-    against a specific head; a concurrent commit invalidates that plan, so
-    unlike append we must NOT silently rebase — raise and let the caller
-    re-run the whole operation against the new head (serializable
-    isolation, the choice production formats make for row-rewriting ops)."""
-    import uuid
-
+    the rest with ``new_df``'s files. Any op that plans against a specific
+    head (delete/merge/compact/cluster) is invalidated by a concurrent
+    commit, so unlike append we must NOT silently rebase — raise and let
+    the caller re-run the whole operation against the new head
+    (serializable isolation, the choice production formats make for
+    row-rewriting ops). Callers that already read the parent manifest pass
+    it via ``parent_man`` to avoid a redundant storage round trip."""
     new_files: list[str] = []
     new_stats: dict = {}
     if new_df is not None:
-        data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
-        new_df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
-        new_files = [
-            f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")
-        ]
-        new_stats = _collect_stats(spark, path, new_files)
-    parent_man = _manifest(spark, path, expected_head)
+        new_files, new_stats = _write_data(spark, path, new_df)
+    if parent_man is None:
+        parent_man = _manifest(spark, path, expected_head)
     parent_stats = parent_man.get("stats", {})
     doc = {
         "version": expected_head + 1,
@@ -708,15 +809,24 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     head = current_version(spark, path)
     if head is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    affected, untouched = pruned_files(spark, path, predicate, head)
+    man = _manifest(spark, path, head)
+    affected, untouched = _pruned(man, predicate)
     if not affected:
-        return _replace_files(spark, path, head, untouched, None, "delete")
+        return _replace_files(
+            spark, path, head, untouched, None, "delete", parent_man=man
+        )
     survivors = (
-        _schema_reader(spark, _manifest(spark, path, head))
+        _schema_reader(spark, man)
         .parquet(*[f"{path}/{f}" for f in affected])
-        .filter(f"NOT ({predicate})")
+        # SQL DELETE removes rows where the predicate is TRUE; a row where
+        # it evaluates NULL survives (and rows in stats-pruned files keep
+        # theirs untouched) — a bare NOT(pred) would drop NULL-evaluating
+        # rows, but only in rewritten files: nondeterministic data loss
+        .filter(f"NOT coalesce(({predicate}), false)")
     )
-    return _replace_files(spark, path, head, untouched, survivors, "delete")
+    return _replace_files(
+        spark, path, head, untouched, survivors, "delete", parent_man=man
+    )
 
 
 def merge_upsert(
@@ -733,11 +843,20 @@ def merge_upsert(
     head = current_version(spark, path)
     if head is None:
         raise FileNotFoundError(f"no committed version at {path}")
+    man = _manifest(spark, path, head)
     # bound the touched files by the updates' key envelope via the same
-    # stats evaluator scan() uses; non-statable key types prune nothing
+    # stats evaluator scan() uses; non-statable key types prune nothing.
+    # Timestamp keys are formatted in the SESSION timezone like the stats
+    # themselves — a collected python datetime would be driver-local
+    tags = {f.name: _stat_tag(f.dataType) for f in updates.schema.fields}
+
+    def _kexpr(k: str):
+        c = _qcol(k)
+        return F.date_format(c, _TS_FMT) if tags.get(k) == "timestamp" else c
+
     bounds = updates.agg(
-        *[F.min(k).alias(f"mn_{k}") for k in keys],
-        *[F.max(k).alias(f"mx_{k}") for k in keys],
+        *[F.min(_kexpr(k)).alias(f"mn_{k}") for k in keys],
+        *[F.max(_kexpr(k)).alias(f"mx_{k}") for k in keys],
     ).first()
     import datetime as _dt
 
@@ -755,9 +874,9 @@ def merge_upsert(
             continue
         conj += [f"{k} >= {_lit(mn)}", f"{k} <= {_lit(mx)}"]
     envelope = " AND ".join(conj) if conj else "1 = 1"
-    affected, untouched = pruned_files(spark, path, envelope, head)
+    affected, untouched = _pruned(man, envelope)
     if affected:
-        current = _schema_reader(spark, _manifest(spark, path, head)).parquet(
+        current = _schema_reader(spark, man).parquet(
             *[f"{path}/{f}" for f in affected]
         )
         kept = current.join(
@@ -766,7 +885,9 @@ def merge_upsert(
         new_df = kept.unionByName(updates)
     else:
         new_df = updates
-    return _replace_files(spark, path, head, untouched, new_df, "merge")
+    return _replace_files(
+        spark, path, head, untouched, new_df, "merge", parent_man=man
+    )
 
 
 def cluster(
@@ -836,25 +957,46 @@ def cluster(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    return _commit(spark, path, clustered, "cluster")
+    # serializable, same reasoning as compact(): the rewrite replaces the
+    # file list of the head it read, so a concurrent commit must conflict
+    return _replace_files(spark, path, head, [], clustered, "cluster")
 
 
-_TXN_SIDECAR = f"{_MANIFESTS}/_txns.json"
+# generation files `_txns-<uuid>.json` (the bare legacy `_txns.json` is
+# still read): vacuum publishes a NEW superset generation before deleting
+# older ones, so there is never a moment without a complete sidecar — the
+# single-file delete-then-rename scheme had a crash window where every
+# previously folded batch id became invisible and a replay re-appended
+_TXN_SIDECAR_RE = re.compile(r"^_txns(-[0-9a-f]+)?\.json$")
+
+
+def _sidecar_paths(spark: SparkSession, path: str) -> list[str]:
+    fs, mkpath = _fs(spark, f"{path}/{_MANIFESTS}")
+    root = mkpath(f"{path}/{_MANIFESTS}")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if _TXN_SIDECAR_RE.match(name):
+            out.append(f"{path}/{_MANIFESTS}/{name}")
+    return sorted(out)
 
 
 def _sidecar_txns(spark: SparkSession, path: str) -> set[int]:
     """Batch ids whose manifests were vacuumed away: vacuum folds each
-    dropped manifest's txn field into this sidecar so the exactly-once
-    dedup horizon survives history retirement (Delta keeps txn app
-    versions in snapshot state for the same reason)."""
-    fs, mkpath = _fs(spark, path)
-    p = mkpath(f"{path}/{_TXN_SIDECAR}")
-    if not fs.exists(p):
-        return set()
-    try:
-        return {int(t) for t in _read_json(spark, f"{path}/{_TXN_SIDECAR}")["txns"]}
-    except Exception:
-        return set()
+    dropped manifest's txn field into a sidecar generation so the
+    exactly-once dedup horizon survives history retirement (Delta keeps
+    txn app versions in snapshot state for the same reason). All extant
+    generations are unioned — every one is a superset of its elders, so a
+    crash that leaves several behind only costs redundant reads."""
+    out: set[int] = set()
+    for p in _sidecar_paths(spark, path):
+        try:
+            out.update(int(t) for t in _read_json(spark, p)["txns"])
+        except Exception:
+            continue
+    return out
 
 
 def committed_batches(spark: SparkSession, path: str) -> set[int]:
@@ -891,40 +1033,18 @@ def streaming_sink(path: str):
         spark = batch_df.sparkSession
         if batch_id in committed_batches(spark, path):
             return
-        import uuid
-
-        data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
-        batch_df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
-        new_files = [
-            f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")
-        ]
-        new_stats = _collect_stats(spark, path, new_files)
+        new_files, new_stats = _write_data(spark, path, batch_df)
         # bounded like _commit: a rename that fails for a non-conflict
         # reason (permissions, quota, FS quirk) must fail the micro-batch
         # loudly, not spin the stream forever
         for _ in range(5):
             head = current_version(spark, path)
-            if head is not None:
-                parent_man = _manifest(spark, path, head)
-                files = parent_man["files"] + new_files
-                stats = {**parent_man.get("stats", {}), **new_stats}
-                # streams are strict: a drifted batch schema must fail the
-                # micro-batch loudly, never silently evolve the table
-                schema = _merged_schema(parent_man, batch_df, evolve=False)
-            else:
-                files = list(new_files)
-                stats = dict(new_stats)
-                schema = json.loads(batch_df.schema.json())
-            version = 0 if head is None else head + 1
-            doc = {
-                "version": version,
-                "parent": head,
-                "op": "stream-append",
-                "txn": int(batch_id),
-                "files": files,
-                "stats": stats,
-                "schema": schema,
-            }
+            # evolve=False — streams are strict: a drifted batch schema
+            # must fail the micro-batch loudly, never silently evolve
+            version, doc = _append_doc(
+                spark, path, head, batch_df, new_files, new_stats,
+                "stream-append", evolve=False, txn=batch_id,
+            )
             try:
                 _write_json_exclusive(
                     spark, f"{path}/{_MANIFESTS}/v{version}.json", doc
@@ -974,24 +1094,23 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
             dropped_txns.add(int(m["txn"]))
     fs, mkpath = _fs(spark, path)
     if dropped_txns:
-        # publish the sidecar before deleting anything: until the old
-        # manifests are gone their txn ids are still readable, so there is
-        # no window where a replayed batch id looks uncommitted
+        # publish a NEW sidecar generation (superset of every older one,
+        # since dropped_txns starts from _sidecar_txns) BEFORE deleting
+        # anything: the old generations and the doomed manifests are still
+        # readable until it lands, so at no instant — including a crash
+        # between any two steps — does a previously committed batch id
+        # look uncommitted to a foreachBatch replay
         import uuid
 
-        sidecar = f"{path}/{_TXN_SIDECAR}"
-        tmp = f"{sidecar}.tmp-{uuid.uuid4().hex[:12]}"
-        stream = fs.create(mkpath(tmp), True)
-        try:
-            stream.write(bytearray(json.dumps(
-                {"txns": sorted(dropped_txns)}
-            ).encode("utf-8")))
-        finally:
-            stream.close()
-        fs.delete(mkpath(sidecar), False)
-        if not fs.rename(mkpath(tmp), mkpath(sidecar)):
-            fs.delete(mkpath(tmp), False)
-            raise CommitConflict(sidecar)
+        old_sidecars = _sidecar_paths(spark, path)
+        new_sidecar = (
+            f"{path}/{_MANIFESTS}/_txns-{uuid.uuid4().hex[:12]}.json"
+        )
+        _write_json_exclusive(
+            spark, new_sidecar, {"txns": sorted(dropped_txns)}
+        )
+        for p in old_sidecars:
+            fs.delete(mkpath(p), False)
     for v in drop:
         fs.delete(mkpath(f"{path}/{_MANIFESTS}/v{v}.json"), False)
     for f in sorted(doomed):

@@ -548,3 +548,24 @@ def test_semantic_hot_bucket_end_to_end(spark):
     )
     got = {r.vec_id: r.group_id for r in members.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_dup_groups_survives_ansi_mode(spark):
+    """The convergence fingerprint xors xxhash64 values; the previous
+    sum-based form overflowed long arithmetic, which a foreign session
+    running ANSI mode (the Spark 4 default outside this repo's pinned
+    sessions) turns into ARITHMETIC_OVERFLOW mid-loop. dup_groups must be
+    session-independent."""
+    from market_data_pipeline_spark.operators.dedup import dup_groups
+
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        pairs = spark.createDataFrame(
+            [(a, a + 1) for a in range(1, 40)] + [(100, 101), (102, 101)],
+            "doc_a long, doc_b long",
+        )
+        got = {r.doc_id: r.group_id for r in dup_groups(pairs).collect()}
+        assert got[39] == 1 and got[102] == 100
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

@@ -420,7 +420,6 @@ def _pystats(col_rows, tag):
         "min": min(vals) if vals else None,
         "max": max(vals) if vals else None,
         "nulls": sum(v is None for v in col_rows),
-        "rows": len(col_rows),
     }
 
 
@@ -442,7 +441,10 @@ def test_conjunct_pruning_never_drops_matching_rows(data):
     s_rows = data.draw(
         st.lists(st.one_of(st.none(), st.sampled_from(_STRS)), min_size=n, max_size=n)
     )
-    stats = {"a": _pystats(a_rows, "numeric"), "s": _pystats(s_rows, "string")}
+    stats = {
+        "rows": n,
+        "cols": {"a": _pystats(a_rows, "numeric"), "s": _pystats(s_rows, "string")},
+    }
 
     kind = data.draw(st.sampled_from(
         ["cmp_a", "cmp_s", "in_a", "in_s", "isnull", "notnull"]
@@ -560,3 +562,161 @@ def test_streaming_sink_rejects_schema_drift(spark, tmp_path):
     with pytest.raises(ValueError):
         sink(_df(spark, 5, 8).withColumn("extra", F.lit(1)), 1)
     assert tf.read(spark, path).count() == 5  # nothing half-landed
+
+
+# --- round-4 review regressions ---------------------------------------------
+
+
+def test_delete_where_keeps_null_predicate_rows_uniformly(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE; NULL-evaluating
+    rows survive. NOT(pred) alone dropped them — but only in REWRITTEN
+    files, so the same row lived or died depending on which file held it."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "del_null")
+    # file A: x values straddle the cut (will be rewritten) with one NULL
+    a = spark.createDataFrame([(1, 10.0), (2, None), (3, 99.0)], "id long, x double")
+    # file B: all-NULL x (stats-pruned, carried over untouched)
+    b = spark.createDataFrame([(4, None), (5, None)], "id long, x double")
+    tf.append(spark, path, a.coalesce(1))
+    tf.append(spark, path, b.coalesce(1))
+    tf.delete_where(spark, path, "x > 50")
+    got = {r.id for r in tf.read(spark, path).collect()}
+    assert got == {1, 2, 4, 5}  # only id=3 (x=99) deleted; every NULL row kept
+
+
+def test_nan_stats_never_prune_matching_rows(spark, tmp_path):
+    """Spark sorts NaN greatest, so a NaN-bearing float column surfaces
+    NaN as its file max; every ordered comparison against NaN is False and
+    the file would be wrongly skipped. NaN bounds must record as None."""
+    path = str(tmp_path / "nan_stats")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan"))], "id long, price double"
+    )
+    tf.append(spark, path, df.coalesce(1))
+    man = tf._manifest(spark, path, 0)
+    (entry,) = man["stats"].values()
+    # Spark's max surfaces the NaN (NaN sorts greatest) -> recorded None;
+    # the evaluator needs BOTH bounds, so the file can never be pruned
+    assert entry["cols"]["price"]["max"] is None
+    assert entry["cols"]["price"]["min"] == 5.0
+    # scan() keeps its contract: identical to read().filter()
+    kept, skipped = tf.pruned_files(spark, path, "price = 5.0")
+    assert skipped == []
+    assert tf.scan(spark, path, "price = 5.0").count() == 1
+    # Spark orders NaN greater than every number, so the engine ITSELF
+    # matches the NaN row here — the reason a stats-pruned skip of this
+    # file would have been wrong, not just conservative
+    assert tf.scan(spark, path, "price > 100").count() == 1
+    assert (
+        tf.scan(spark, path, "price > 100").count()
+        == tf.read(spark, path).filter("price > 100").count()
+    )
+
+
+def test_compact_and_cluster_conflict_is_loud_not_lost(spark, tmp_path, monkeypatch):
+    """compact/cluster rewrite the file list of the head they READ; a
+    concurrent append landing in between must raise CommitConflict —
+    the rebase-and-retry loop would silently erase the appended rows."""
+    path = str(tmp_path / "rewrite_conflict")
+    tf.append(spark, path, _df(spark, 0, 6))
+    real_head = tf.current_version
+    state = {"raced": False}
+
+    def racing_head(spark_, p):
+        v = real_head(spark_, p)
+        if not state["raced"]:
+            state["raced"] = True
+            tf.append(spark_, p, _df(spark_, 6, 9))
+        return v
+
+    monkeypatch.setattr(tf, "current_version", racing_head)
+    with pytest.raises(tf.CommitConflict):
+        tf.compact(spark, path)
+    monkeypatch.undo()
+    assert tf.read(spark, path).count() == 9  # nothing lost
+
+    state["raced"] = False
+    monkeypatch.setattr(tf, "current_version", racing_head)
+    with pytest.raises(tf.CommitConflict):
+        tf.cluster(spark, path, by=["id"])
+    monkeypatch.undo()
+    assert tf.read(spark, path).count() == 12
+
+
+def test_vacuum_sidecar_generations_survive_partial_cleanup(spark, tmp_path):
+    """Vacuum publishes a superset generation BEFORE deleting older ones:
+    a crash between the two steps leaves several generations whose UNION
+    is still complete, and the next vacuum collapses them. The old
+    delete-then-rename single file had a window with NO sidecar at all."""
+    import json as _json
+
+    path = str(tmp_path / "vac_gen")
+    sink = tf.streaming_sink(path)
+    for b in range(3):
+        sink(_df(spark, b * 3, b * 3 + 3), b)
+    tf.vacuum(spark, path, keep_last=1)
+    assert tf.committed_batches(spark, path) == {0, 1, 2}
+    # simulate the crash remnant: a stale older generation left on disk
+    with open(f"{path}/_manifests/_txns-00deadbeef0.json", "w") as fh:
+        _json.dump({"txns": [0]}, fh)
+    assert tf.committed_batches(spark, path) == {0, 1, 2}  # union, no clobber
+    # next vacuum folds everything into one fresh generation and removes
+    # the remnant
+    sink(_df(spark, 9, 12), 3)
+    tf.vacuum(spark, path, keep_last=1)
+    assert tf.committed_batches(spark, path) == {0, 1, 2, 3}
+    gens = tf._sidecar_paths(spark, path)
+    assert len(gens) == 1
+
+
+def test_stats_handle_dotted_column_names(spark, tmp_path):
+    """A legal Spark column literally named 'bid.price' must not be read
+    as a struct field path inside the stats aggregation."""
+    df = spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS `bid.price`")
+    path = str(tmp_path / "dotted")
+    tf.append(spark, path, df)
+    man = tf._manifest(spark, path, 0)
+    per_file_max = [e["cols"]["bid.price"]["max"] for e in man["stats"].values()]
+    assert max(per_file_max) == 2.0
+
+
+def test_timestamp_stats_are_session_timezone_strings(spark, tmp_path):
+    """Timestamp stats are date_format()-ed in the SESSION timezone, not
+    collected as driver-local datetimes: with a driver TZ differing from
+    the session's, naive-collected bounds shift by the offset and pruning
+    drops files the engine's own filter would match. Assert the stored
+    form and the scan() == read().filter() contract on a boundary
+    predicate, with the python-side local timezone deliberately shifted."""
+    import os
+    import time
+
+    path = str(tmp_path / "ts_stats")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00")], "id long, ts string"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-5: a shift any driver may have
+    time.tzset()
+    try:
+        tf.append(spark, path, df)
+        man = tf._manifest(spark, path, 0)
+        (entry,) = man["stats"].values()
+        # stored as a session-timezone (UTC here) wall-clock string,
+        # unshifted by the driver's local timezone
+        assert entry["cols"]["ts"]["min"] == "2024-01-01 02:00:00.000000"
+        # boundary predicate: a driver-local collection would have shifted
+        # the max to 2023-12-31 21:00 and pruned the file
+        kept, skipped = tf.pruned_files(spark, path, "ts >= '2024-01-01 00:00:00'")
+        assert skipped == []
+        assert tf.scan(spark, path, "ts >= '2024-01-01 00:00:00'").count() == 1
+        # conservative: offset-aware literals never prune
+        assert tf.scan(spark, path, "ts >= '2024-01-01 00:00:00+05:00'").count() == (
+            tf.read(spark, path).filter("ts >= '2024-01-01 00:00:00+05:00'").count()
+        )
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
