@@ -6811,3 +6811,106 @@ WHERE lang != 'de' AND n_chars >= 100 AND lang != 'zh'
 
 
 _REGISTRY.update({"inv_s_versioned_scan": (q_s_versioned_scan, SQL_S_VERSIONED)})
+
+
+# ---------------------------------------------------------------------------
+# Late round 4: the table format's DML + incremental-read surface under the
+# DRIVER oracle. Lifecycle: append a flagged base -> merge_upsert (key
+# replacement + brand-new keys through the stats-bounded envelope) ->
+# delete_where with a predicate that is NULL on part of the table (SQL
+# DELETE semantics: NULL-evaluating rows must survive uniformly — the
+# round-4 review fix this value-checks end to end) -> append a final batch
+# -> read_changes() consumes exactly that batch and annotates the final
+# read. (sources/tablefmt.py; reference has no table format — beyond-parity.)
+# ---------------------------------------------------------------------------
+
+
+def q_s_versioned_merge(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+
+    d = _docs(spark, sf).select("doc_id", "lang", "source", "n_chars")
+
+    def flagged(df: DataFrame) -> DataFrame:
+        # NULL for every doc_id % 5 == 0 row: the delete predicate below
+        # evaluates NULL there, and those rows must survive the DELETE
+        return df.withColumn(
+            "flag",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("n_chars")
+            ),
+        )
+
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), f"mdp_versioned_merge_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild per run
+    path = f"{base}/t"
+    tf.append(spark, path, flagged(d))
+    updates = flagged(
+        d.filter(F.col("doc_id") % 10 == 3).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        )
+    )
+    newbies = flagged(
+        d.filter(F.col("doc_id") % 100 == 7).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    tf.merge_upsert(spark, path, updates.unionByName(newbies), keys=["doc_id"])
+    v_del = tf.delete_where(spark, path, "flag < 200")
+    batch3 = flagged(
+        d.filter(F.col("doc_id") % 100 == 11).withColumn(
+            "doc_id", F.col("doc_id") + 2000000
+        )
+    )
+    tf.append(spark, path, batch3)
+    new_ids = tf.read_changes(spark, path, from_version=v_del).select("doc_id")
+    return (
+        tf.read(spark, path)
+        .join(new_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .withColumn("is_new", F.col("__n").isNotNull())
+        .drop("__n")
+    )
+
+
+SQL_S_VERSIONED_MERGE = """
+WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+merged AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+  FROM base WHERE doc_id % 100 = 7
+),
+flagged AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS flag
+  FROM merged
+),
+surviving AS (
+  -- SQL DELETE semantics: rows where the predicate is NULL survive
+  SELECT * FROM flagged WHERE NOT coalesce(flag < 200, false)
+),
+batch3 AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS flag
+  FROM (
+    SELECT doc_id + 2000000 AS doc_id, lang, source, n_chars
+    FROM base WHERE doc_id % 100 = 11
+  )
+)
+SELECT doc_id, lang, source, n_chars, flag, FALSE AS is_new FROM surviving
+UNION ALL
+SELECT doc_id, lang, source, n_chars, flag, TRUE AS is_new FROM batch3
+"""
+
+
+_REGISTRY.update(
+    {"inv_s_versioned_merge": (q_s_versioned_merge, SQL_S_VERSIONED_MERGE)}
+)
