@@ -6914,3 +6914,173 @@ SELECT doc_id, lang, source, n_chars, flag, TRUE AS is_new FROM batch3
 _REGISTRY.update(
     {"inv_s_versioned_merge": (q_s_versioned_merge, SQL_S_VERSIONED_MERGE)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): graph analytics over the derived co-purchase graph
+# (operators/graph.py — beyond-parity; the reference has no graph surface).
+# Edge derivation = ONE basket aggregation + per-row pair expansion (no
+# self-join); triangles via degree-ordered orientation (hub-proof wedge
+# join); PageRank as the canonical checkpointed iterative-join loop with
+# in-loop 1e-10 quantization so a chained-CTE DuckDB unrolling matches
+# every rank bit-exactly (the kmeans_fit oracle pattern).
+# ---------------------------------------------------------------------------
+
+# Shared oracle fragment: the co-purchase edge list. The Spark side caps
+# baskets at the 64 smallest part ids before pairing (fan-out bound); the
+# oracle mirrors the cap so capped semantics stay value-checked even on
+# data where it binds.
+_SQL_G_EDGES = """
+li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+li AS (
+  SELECT ok, pk FROM (
+    SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+    FROM li0
+  ) WHERE rn <= 64
+),
+e AS (
+  SELECT a.pk AS src, b.pk AS dst, count(*) AS weight
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+)"""
+
+
+def q_g_copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    return graph.copurchase_edges(spark, sf, min_weight=2)
+
+
+SQL_G_EDGES_W2 = f"""
+WITH {_SQL_G_EDGES}
+SELECT src, dst, weight FROM e WHERE weight >= 2
+"""
+
+
+def q_g_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    return graph.degree_histogram(graph.copurchase_edges(spark, sf))
+
+
+SQL_G_DEGREE_HIST = f"""
+WITH {_SQL_G_EDGES},
+deg AS (
+  SELECT n, count(*) AS degree FROM (
+    SELECT src AS n FROM e UNION ALL SELECT dst FROM e
+  ) GROUP BY n
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_g_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    return graph.triangle_stats(graph.copurchase_edges(spark, sf))
+
+
+# The oracle counts triangles by id-orientation (each triangle a<b<c seen
+# once); the Spark side counts by degree-orientation — the count is
+# orientation-invariant, only the join fan-out differs.
+SQL_G_TRIANGLES = f"""
+WITH {_SQL_G_EDGES},
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT src AS n FROM e UNION ALL SELECT dst FROM e
+  ) GROUP BY n
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3
+    ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT
+  (SELECT count(*) FROM deg) AS n_nodes,
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+  (SELECT t FROM tri) AS n_triangles,
+  round(3.0 * (SELECT t FROM tri)
+        / (SELECT sum(deg * (deg - 1) / 2) FROM deg) + 1e-13, 6) AS clustering_coef
+"""
+
+
+def q_g_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    pr = graph.pagerank(graph.copurchase_edges(spark, sf), iterations=10)
+    return pr.orderBy(F.col("pr").desc(), F.col("node")).limit(50)
+
+
+def _pagerank_sql(iterations: int = 10) -> str:
+    """Chained-CTE unrolling of the quantized PageRank loop — exact
+    because the Spark side quantizes every rank to 10 decimals in-loop
+    (summation order can't leak into the iterate)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT sym.d AS node,
+         round(0.15 / (SELECT cnt FROM n) + 0.85 * sum(r.pr / dg.deg) + 1e-13, 10) AS pr
+  FROM sym JOIN {prev} r ON sym.s = r.node JOIN deg dg ON sym.s = dg.s
+  GROUP BY sym.d)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {_SQL_G_EDGES},
+sym AS (SELECT src AS s, dst AS d FROM e UNION ALL SELECT dst AS s, src AS d FROM e),
+deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+n AS (SELECT count(*) AS cnt FROM deg),
+r0 AS (SELECT s AS node, round(1.0 / (SELECT cnt FROM n) + 1e-13, 10) AS pr FROM deg),
+{','.join(steps)}
+SELECT node, pr FROM {prev} ORDER BY pr DESC, node LIMIT 50
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_g_copurchase_edges": (q_g_copurchase_edges, SQL_G_EDGES_W2),
+        "inv_g_degree_hist": (q_g_degree_hist, SQL_G_DEGREE_HIST),
+        "inv_g_triangles": (q_g_triangles, SQL_G_TRIANGLES),
+        "inv_g_pagerank": (q_g_pagerank, _pagerank_sql()),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): deterministic weighted sampling without replacement —
+# Efraimidis–Spirakis exponential-race keys over the shared Knuth uniform
+# (operators/features.py:weighted_sample). One projection + local top-k per
+# partition (TakeOrderedAndProject); the selected SET is weight-proportional
+# and engine-portable, so the oracle replays the identical key formula.
+# ---------------------------------------------------------------------------
+
+
+def q_x_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    d = _docs(spark, sf)
+    return features.weighted_sample(d, "doc_id", "n_chars", 50).select(
+        "doc_id", "n_chars", "es_key"
+    )
+
+
+SQL_X_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       round(ln(((doc_id * 2654435761) % 1048576 + 0.5) / 1048576.0)
+             / n_chars + 1e-12, 9) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id
+LIMIT 50
+"""
+
+
+_REGISTRY.update(
+    {"inv_x_weighted_sample": (q_x_weighted_sample, SQL_X_WEIGHTED_SAMPLE)}
+)

@@ -97,6 +97,36 @@ def stratified_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFram
     return df.filter(bucket < int(fraction * 10000))
 
 
+def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows, deterministic:
+    Efraimidis–Spirakis A-ES (Inf. Proc. Letters 2006). Each row gets the
+    exponential-race key ln(u)/w (u a deterministic per-id uniform from
+    the shared Knuth hash); the k LARGEST keys are exactly a weight-
+    proportional sample without replacement.
+
+    Scale shape: one projection + TakeOrderedAndProject — each partition
+    keeps its local top-k and only k·partitions candidate rows ever move,
+    never a global sort. This is THE one-pass distributed weighted
+    sampler: df.sample can't do weights, and rejection sampling needs the
+    total weight up front (a second pass).
+
+    Determinism contract: u is a pure function of the id (reproducible
+    lineage for dataset curation); the key is quantized to 9 decimals
+    (+1e-12 boundary nudge, both engines) and ties break by id, so the
+    selected row SET is engine-portable and oracle-checkable. Rows with
+    non-positive weight are dropped (ln(u)/w flips sign there; A-ES is
+    defined for w > 0).
+    """
+    u = (_knuth_bucket(key, 1 << 20) + F.lit(0.5)) / F.lit(float(1 << 20))
+    es = F.round(F.log(u) / F.col(weight_col) + F.lit(1e-12), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", es)
+        .orderBy(F.col("es_key").desc(), F.col(key))
+        .limit(k)
+    )
+
+
 def balanced_downsample(
     df: DataFrame,
     by: str,

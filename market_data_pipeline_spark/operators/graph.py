@@ -1,0 +1,281 @@
+"""Graph analytics over derived relationship graphs — the co-purchase
+graph (parts linked by appearing in the same order) and anything else
+shaped (src, dst[, weight]).
+
+North-star operators (BASELINE.json): a 100 TB training-data pipeline
+runs link-graph analytics constantly — host-level PageRank as a document
+quality prior (the Common Crawl ranking signal), degree distributions to
+find spam hubs, triangle counts / clustering coefficients to separate
+organic link neighborhoods from farms. The reference has no graph surface
+at all (its analytics stop at per-symbol indicators) — this module is
+beyond-parity, built from the TPC-H-ish tables the driver provides.
+
+Scale design, per operator:
+
+- ``copurchase_edges``: ONE groupBy(order) with collect_set (map-side
+  combinable, baskets are small), pair generation as a per-row
+  higher-order array expression (no self-join, no explode-then-join),
+  then one (src,dst) aggregation. Two shuffles total at any scale. The
+  ``max_basket`` cap bounds the quadratic pair fan-out per basket: a
+  degenerate 100k-item basket would otherwise emit 5e9 pairs from one
+  row — capped baskets keep the deterministic ``max_basket`` smallest
+  ids (documented recall bound, mirrored in the SQL oracle).
+- ``triangle_stats``: degree-ordered orientation (Latapy / Schank-Wagner)
+  — every edge points from the (degree, id)-smaller endpoint to the
+  larger, so out-degree is O(sqrt(m)) and the wedge self-join is
+  sum(outdeg²) ≪ sum(deg²); the id-ordered naive join would quadratically
+  blow up on hub nodes exactly where a 100 TB graph has them.
+- ``pagerank``: the canonical iterative-join loop — ranks live keyed by
+  node, contributions shuffle on dst once per iteration, the rank frame
+  is localCheckpoint-ed every round so lineage stays O(1) (the same
+  discipline as k-means and connected components). In-loop 1e-10
+  quantization (the quantized-Lloyd's trick from ``similarity.kmeans_fit``)
+  makes the iterate independent of floating-point summation order, so the
+  whole fixpoint is bit-reproducible across partitionings AND engines —
+  which is what lets a chained-CTE SQL unrolling (DuckDB oracle) match
+  every rank exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.sources.tables import load_table
+
+# Shared rounding nudge: moves values that land within float noise of an
+# exact .5 decimal-rounding boundary off it identically on both engines
+# (see __spark_entry__.SQL_W8 for the convention's origin).
+_EPS = 1e-13
+
+
+def edges_from_baskets(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_weight: int = 1,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Undirected co-occurrence edges from (basket, item) rows: items
+    a < b linked with weight = number of baskets containing both.
+
+    Plan: groupBy(basket) → sorted distinct item array (collect_set is
+    map-side combinable; baskets are bounded) → pairs via a nested
+    ``transform`` over the sorted array (pure expression, runs inside
+    codegen, no join) → groupBy(src, dst) count. Two shuffles total.
+
+    ``max_basket`` keeps the N smallest item ids per basket before
+    pairing: per-row fan-out is then ≤ C(max_basket, 2) however
+    degenerate the basket — a 100k-item basket would otherwise emit 5e9
+    pairs from one row. The cap is deterministic (smallest ids) and
+    mirrored in the SQL oracle so capped semantics stay value-checked.
+    """
+    baskets = items.groupBy(F.col(basket_col).alias("__bk")).agg(
+        F.slice(F.array_sort(F.collect_set(item_col)), 1, max_basket).alias("parts")
+    )
+    # pairs (parts[i], parts[j]) for i < j — the array is sorted, so
+    # src < dst holds and each unordered pair appears exactly once
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("parts"),
+                            i + F.lit(2),
+                            F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("e")
+    )
+    return (
+        pairs.groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    min_weight: int = 1,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Co-purchase edges over ``lineitem``: parts a < b linked with
+    weight = number of orders containing both (see edges_from_baskets).
+    At TPC-H shapes (≤ a dozen lines per order) the basket cap never
+    binds; it exists for the open-world case."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    return edges_from_baskets(li, "ok", "pk", min_weight, max_basket)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of an undirected (src, dst) edge frame:
+    (degree, n_nodes). Output is O(max_degree) rows at any graph size;
+    both aggregations partial-aggregate map-side."""
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census over an undirected simple graph (src < dst
+    per input row): one row — n_nodes, n_edges, n_wedges, n_triangles,
+    global clustering coefficient.
+
+    Degree-ordered orientation: edge (u,v) points from the (degree, id)-
+    smaller endpoint to the larger. The orientation is acyclic and every
+    triangle has exactly one vertex with two outgoing triangle edges, so
+    counting (u→v, u→w, v→w) with v before w in the same order counts
+    each triangle once. Out-degrees under this orientation are O(sqrt(m)),
+    which bounds total wedge fan-out at sum(outdeg²) — the hub-proof
+    shape; the naive id-orientation puts all of a hub's wedges on the hub.
+
+    Plan: the edge frame is localCheckpoint-ed once (it feeds four
+    subtrees — degrees, orientation, edge count, closure side — and Spark
+    does not share common subplans across DataFrame reuse), wedges are
+    generated by PER-ROW pair expansion over each node's sorted out-
+    neighbor ARRAY (one groupBy(u) of the m oriented edges; no self-join
+    shuffle; fan-out bounded by the sqrt(m) out-degree cap), and the
+    closure check is an equi-join of the wedge stream against the oriented
+    edges on (v, w) — deliberately unhinted so AQE broadcasts the edge
+    side when it fits and falls back to shuffle when the graph outgrows
+    memory (the dedup anti-join discipline).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # O(V) rows, read by two subtrees
+    )
+    # attach degrees to both endpoints, then orient
+    withdeg = (
+        e.join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "ds"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dd"), "dst")
+    )
+    src_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    o = withdeg.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    # out-neighbors of u sorted by the SAME (deg, id) total order; pairs
+    # (v, w) with v before w in that order, expanded inside codegen
+    nbrs = o.groupBy("u").agg(
+        F.array_sort(F.collect_list(F.struct("dv", "v"))).alias("ns")
+    )
+    wedges = nbrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ns",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ns"),
+                            i + F.lit(2),
+                            F.greatest(F.size("ns") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x.getField("v").alias("v"), y.getField("v").alias("w")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    tri = wedges.join(
+        o.select(F.col("u").alias("v"), F.col("v").alias("w")), ["v", "w"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    nedges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        counts.crossJoin(nedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges") + F.lit(_EPS), 6
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected graph (each edge walked both ways), a
+    fixed number of iterations: (node, pr).
+
+    Per iteration: contributions = adjacency ⋈ ranks on src (adjacency is
+    checkpointed once, hash-partitioned by src; ranks arrive partitioned
+    the same way, so AQE plans the join without re-shuffling the big
+    side), then one dst-keyed sum with map-side combine. Rank frame is
+    localCheckpoint-ed per round — lineage does not grow with iterations.
+
+    In-loop quantization: every rank is rounded to 10 decimals (with the
+    shared boundary nudge) after each update, so the next iterate depends
+    only on the quantized values, not on summation order — bit-identical
+    across partitionings and engines, hence the exact chained-CTE DuckDB
+    oracle. Symmetrized edges mean no dangling nodes: every node in the
+    frame has out-degree ≥ 1, so no rank mass leaks.
+    """
+    # checkpoint the symmetrized edges once: they feed the degree frame and
+    # the adjacency build, and the degree frame in turn feeds the rank
+    # init AND the node count — without the checkpoints the upstream edge
+    # derivation would re-execute once per consumer (Spark shares no
+    # common subplans across DataFrame reuse)
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        sym.join(outdeg, "src")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    n = outdeg.count()  # one small driver scalar, fixed per run
+    ranks = outdeg.select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / n + F.lit(_EPS), 10).alias("pr"),
+    ).localCheckpoint(eager=True)
+    teleport = F.lit(1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = adj.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+        ranks = (
+            contribs.groupBy("node")
+            .agg(
+                F.round(
+                    teleport + F.lit(damping) * F.sum("c") + F.lit(_EPS), 10
+                ).alias("pr")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1,0 +1,158 @@
+"""Graph analytics (operators/graph.py): hand-computed micro-graphs for
+triangle census and PageRank, the basket-cap fan-out bound, and the
+degree histogram. The cross-engine value checks live in the driver
+oracle (`inv_g_*` in __spark_entry__.py); these tests pin the math on
+graphs small enough to verify by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def test_triangle_stats_k4_plus_pendant(spark):
+    # K4 on {1,2,3,4} (4 triangles) plus pendant edge (4,5).
+    # degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1. wedges = 3*C(3,2)+C(4,2)+0 = 15.
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)])
+    row = graph.triangle_stats(e).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_wedges"] == 15
+    assert row["n_triangles"] == 4
+    assert abs(row["clustering_coef"] - 3 * 4 / 15) < 1e-6
+
+
+def test_triangle_stats_triangle_free(spark):
+    # 4-cycle: wedges but zero triangles
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    row = graph.triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 4
+    assert row["clustering_coef"] == 0.0
+
+
+def test_pagerank_matches_pure_python_replica(spark):
+    # path 1-2-3 plus triangle 3-4-5: asymmetric enough that ranks differ.
+    pairs = [(1, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(_edges(spark, pairs), iterations=10).collect()
+    }
+
+    # pure-Python replica of the quantized loop (same nudge + rounding)
+    sym: dict[int, list[int]] = {}
+    for a, b in pairs:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    n = len(sym)
+    pr = {v: round(1.0 / n + 1e-13, 10) for v in sym}
+    for _ in range(10):
+        nxt = {v: 0.0 for v in sym}
+        for u, outs in sym.items():
+            for v in outs:
+                nxt[v] += pr[u] / len(outs)
+        pr = {v: round(0.15 / n + 0.85 * s + 1e-13, 10) for v, s in nxt.items()}
+    assert got == pr
+    # rank mass stays ~1 (no dangling leakage on a symmetric graph)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_symmetric_star_orders_hub_first(spark):
+    # star: hub 0 with leaves 1..4 — the hub must outrank every leaf
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)]), iterations=10
+        ).collect()
+    }
+    hub, leaves = got[0], [got[i] for i in (1, 2, 3, 4)]
+    assert all(hub > leaf for leaf in leaves)
+    assert len(set(leaves)) == 1  # symmetry: identical leaf ranks
+
+
+def test_edges_from_baskets_weights_and_order(spark):
+    items = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 20), (2, 10), (2, 10)],  # dup line
+        "bk long, it long",
+    )
+    rows = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in graph.edges_from_baskets(items, "bk", "it").collect()
+    }
+    # (10,20) in both baskets; dup (2,10) line must not double-count
+    assert rows == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_edges_from_baskets_cap_bounds_fanout(spark):
+    # one degenerate 10-item basket, cap 3: only the 3 smallest ids pair
+    items = spark.createDataFrame(
+        [(1, i) for i in range(10)], "bk long, it long"
+    )
+    rows = sorted(
+        (r["src"], r["dst"])
+        for r in graph.edges_from_baskets(items, "bk", "it", max_basket=3).collect()
+    )
+    assert rows == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_degree_histogram_micro(spark):
+    # star hub deg 3, leaves deg 1
+    hist = {
+        r["degree"]: r["n_nodes"]
+        for r in graph.degree_histogram(
+            _edges(spark, [(0, 1), (0, 2), (0, 3)])
+        ).collect()
+    }
+    assert hist == {3: 1, 1: 3}
+
+
+def test_copurchase_edges_src_lt_dst(spark, sf_dir):
+    e = graph.copurchase_edges(spark, sf_dir)
+    assert e.filter(F.col("src") >= F.col("dst")).count() == 0
+    assert e.filter(F.col("weight") < 1).count() == 0
+
+
+# -- weighted sampling (features.weighted_sample) lives here with the other
+# -- round-4 additions: replica-exactness + weight-proportionality contract
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    import math
+
+    from market_data_pipeline_spark.operators import features
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)] + [(200, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [
+        (r["id"], r["es_key"])
+        for r in features.weighted_sample(df, "id", "w", 25).collect()
+    ]
+
+    def key(i, w):
+        u = ((i * 2654435761) % (1 << 20) + 0.5) / (1 << 20)
+        return round(math.log(u) / w + 1e-12, 9)
+
+    want = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    assert got == want  # zero-weight row 200 must never appear
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # two strata with identical id-hash distribution (ids interleaved):
+    # weight-1000 rows must dominate a k=50 sample over weight-1 rows
+    from market_data_pipeline_spark.operators import features
+
+    rows = [(i, 1000.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = features.weighted_sample(df, "id", "w", 50).collect()
+    heavy = sum(1 for r in picked if r["w"] == 1000.0)
+    assert heavy >= 45
