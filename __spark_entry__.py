@@ -7084,3 +7084,87 @@ LIMIT 50
 _REGISTRY.update(
     {"inv_x_weighted_sample": (q_x_weighted_sample, SQL_X_WEIGHTED_SAMPLE)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): EXACT Jaccard threshold self-join via prefix
+# filtering (dedup.jaccard_prefix_join — AllPairs/PPJoin family). The
+# deterministic all-near-duplicates complement to MinHash-LSH: candidate
+# generation joins only each doc's globally-rarest prefix tokens, the
+# verify intersects token arrays, and the result provably equals the
+# brute-force all-pairs join the oracle runs.
+# ---------------------------------------------------------------------------
+
+
+def q_d_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return dedup.jaccard_prefix_join(_docs(spark, sf), threshold=0.9)
+
+
+# Brute force in the oracle: every token-sharing pair's exact Jaccard —
+# prefix filtering is complete, so the filtered result sets are equal.
+SQL_D_JACCARD_PREFIX = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '[\\s\\v]+')) AS tok
+  FROM documents
+),
+toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks_ne GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM toks_ne a JOIN toks_ne b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b, n_common,
+         n_common * 1.0 / (sa.sz + sb.sz - n_common) AS jac
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_common, round(jac + 1e-12, 6) AS jaccard
+FROM j WHERE jac >= 0.9
+"""
+
+
+_REGISTRY.update(
+    {"inv_d_jaccard_prefix": (q_d_jaccard_prefix, SQL_D_JACCARD_PREFIX)}
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): per-group weighted sampling — the per-language /
+# per-domain corpus quota draw (features.weighted_sample_per_group). Same
+# Efraimidis–Spirakis keys as inv_x_weighted_sample, per-group top-k via a
+# WindowGroupLimit-pruned rank filter.
+# ---------------------------------------------------------------------------
+
+
+def q_x_weighted_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    d = _docs(spark, sf)
+    return features.weighted_sample_per_group(
+        d, "lang", "doc_id", "n_chars", 10
+    ).select("doc_id", "lang", "n_chars", "es_key")
+
+
+SQL_X_WEIGHTED_GROUP_SAMPLE = """
+SELECT doc_id, lang, n_chars,
+       round(ln(((doc_id * 2654435761) % 1048576 + 0.5) / 1048576.0)
+             / n_chars + 1e-12, 9) AS es_key
+FROM documents
+WHERE n_chars > 0
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) <= 10
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_x_weighted_group_sample": (
+            q_x_weighted_group_sample,
+            SQL_X_WEIGHTED_GROUP_SAMPLE,
+        )
+    }
+)

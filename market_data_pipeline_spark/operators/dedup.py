@@ -324,6 +324,92 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT token-Jaccard threshold self-join via prefix filtering
+    (AllPairs / PPJoin family, Bayardo et al. WWW'07): every pair with
+    Jaccard ≥ threshold over distinct whitespace-token sets, with NO
+    probabilistic recall loss — the deterministic complement to the
+    MinHash-LSH path when the SLA says "find ALL near-duplicates".
+
+    Completeness: order the vocabulary globally by (document frequency,
+    token) — rarest first — and keep each doc's first
+    |T| − ceil(t·|T|) + 1 tokens in that order. J(A,B) ≥ t implies
+    |A∩B| ≥ t·max(|A|,|B|), and two sets sharing ≥ c elements under a
+    COMMON total order must intersect within their (size − c + 1)-
+    prefixes (pigeonhole) — so the prefix equi-join yields a candidate
+    superset, and the exact set-intersection verify keeps truth only.
+
+    Scale shape: candidate generation joins PREFIX tokens only — by
+    construction the globally rarest per doc, so per-token bucket sizes
+    in the self-join stay small exactly where a naive token self-join
+    explodes (stopwords are never anyone's prefix at t ≥ ~0.3). Verify
+    is linear in candidates over per-doc token ARRAYS (array_intersect,
+    no second shuffle per pair). Degenerate corpora of thousands of
+    EXACT clones still pair quadratically — that is the output's own
+    size; collapse exact duplicates first (exact_duplicates) when that
+    profile is expected, the same discipline as near_dup_members.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window as _W
+
+    rarity = _W.partitionBy(id_col).orderBy("__df", "tok")
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("__rn", F.row_number().over(rarity))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select(id_col, "tok")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("doc_a"), "tok")
+        .join(prefix.select(F.col(id_col).alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = toks.groupBy(id_col).agg(F.array_sort(F.collect_set("tok")).alias("__set"))
+    verified = (
+        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("__set").alias("__sa")), "doc_a")
+        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("__set").alias("__sb")), "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long"),
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.size("__sa") + F.size("__sb") - F.col("n_common")).cast("double"),
+        )
+        # threshold on the UNROUNDED ratio (integer inputs + one division:
+        # bit-identical on any engine); round only the reported value
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("jaccard_raw") + 1e-12, 6).alias("jaccard"),
+        )
+    )
+    return verified
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """SimHash 64-bit signature per document, fully NATIVE (no UDF).
 

@@ -127,6 +127,32 @@ def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int) -> DataFra
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame, group_col: str, key: str, weight_col: str, k: int
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: the k rows with
+    the largest Efraimidis–Spirakis keys WITHIN each group — per-domain /
+    per-language corpus quotas where quality scores weight the draw.
+
+    Same determinism contract as ``weighted_sample``; the per-group top-k
+    runs as a rank-filter window, which Spark prunes with WindowGroupLimit
+    (each partition keeps only k candidates per group before the
+    exchange) — never a global sort, never a per-group collect.
+    """
+    from pyspark.sql import Window as _W
+
+    u = (_knuth_bucket(key, 1 << 20) + F.lit(0.5)) / F.lit(float(1 << 20))
+    es = F.round(F.log(u) / F.col(weight_col) + F.lit(1e-12), 9)
+    w_spec = _W.partitionBy(group_col).orderBy(F.desc("es_key"), F.col(key))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", es)
+        .withColumn("__rn", F.row_number().over(w_spec))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def balanced_downsample(
     df: DataFrame,
     by: str,

@@ -569,3 +569,51 @@ def test_dup_groups_survives_ansi_mode(spark):
         assert got[39] == 1 and got[102] == 100
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+# -- exact Jaccard threshold join via prefix filtering (round 4) -----------
+
+
+def test_jaccard_prefix_join_micro(spark, dup_docs):
+    # docs 1,2,3 normalize to identical token sets (J=1); doc 4 differs by
+    # one token of nine distinct -> J = 8/10 = 0.8; doc 5 shares nothing
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_join(dup_docs, threshold=0.75).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 4)] - 0.8) < 1e-6
+    # raising the threshold above 0.8 must drop exactly the doc-4 pairs
+    tight = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_prefix_join(dup_docs, threshold=0.85).collect()
+    }
+    assert tight == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_jaccard_prefix_join_complete_vs_bruteforce(spark):
+    # randomized-ish corpus (deterministic seed): prefix filtering must
+    # find EXACTLY the brute-force set at every threshold tried
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randint(5, 15)))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in rows}
+    for t in (0.3, 0.5, 0.7):
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= t:
+                want.add((a, b))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.jaccard_prefix_join(df, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"

@@ -156,3 +156,21 @@ def test_weighted_sample_favors_heavy_rows(spark):
     picked = features.weighted_sample(df, "id", "w", 50).collect()
     heavy = sum(1 for r in picked if r["w"] == 1000.0)
     assert heavy >= 45
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark):
+    from market_data_pipeline_spark.operators import features
+
+    rows = [(i, "a" if i < 100 else "b", float(1 + i % 7)) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = features.weighted_sample_per_group(df, "g", "id", "w", 5).collect()
+    by_g: dict[str, list] = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert sorted(by_g) == ["a", "b"]
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+    # determinism: a second run selects the identical ids
+    out2 = features.weighted_sample_per_group(df, "g", "id", "w", 5).collect()
+    assert sorted((r["g"], r["id"]) for r in out) == sorted(
+        (r["g"], r["id"]) for r in out2
+    )

@@ -46,6 +46,8 @@ QUERIES = [
     "inv_x_semantic_curation",  # quality gate + embedding-cluster collapse
     "inv_x_importance_weights", # hashed-unigram LM log-likelihood ratios
     "inv_x_curated_corpus",     # quality gate + text near-dup cluster collapse
+    "inv_g_degree_hist",        # basket pair expansion + two keyed aggs
+    "inv_g_pagerank",           # checkpointed iterative join loop
 ]
 
 
@@ -67,6 +69,11 @@ def build_replica(spark, k: int, out_dir: str) -> None:
     replicate("events", {"user_id": 100_000, "event_id": 1_000_000_000})
     replicate("documents", {"doc_id": 10_000_000})
     replicate("embeddings", {"vec_id": 10_000_000})
+    # fresh ORDERS per copy over the SAME part catalog: the co-purchase
+    # graph densifies (more baskets, fixed node set) — the realistic
+    # growth mode for a product/link graph, and the harder one (edge
+    # weights and degrees grow, not just row count)
+    replicate("lineitem", {"l_orderkey": 100_000_000})
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
