@@ -7168,3 +7168,45 @@ _REGISTRY.update(
         )
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): bounded multi-source BFS over the co-purchase graph
+# (graph.hop_distances) — seed-set reach by hop count. Integer-only state;
+# the oracle is a recursive CTE bounded at the same hop limit (UNION
+# semantics keep the walk table at distinct (node, d) rows, so the
+# recursion is V·hops-bounded, never path-enumerating).
+# ---------------------------------------------------------------------------
+
+
+def q_g_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    edges = graph.copurchase_edges(spark, sf)
+    seeds = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") % 500 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    d = graph.hop_distances(edges, seeds, max_hops=3)
+    return d.groupBy("hops").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+SQL_G_BFS_HOPS = f"""
+WITH {_SQL_G_EDGES},
+sym AS (SELECT src AS s, dst AS d FROM e UNION ALL SELECT dst AS s, src AS d FROM e),
+seeds AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
+walk AS (
+  WITH RECURSIVE w(node, hops) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT sym.d, w.hops + 1 FROM w JOIN sym ON sym.s = w.node WHERE w.hops < 3
+  )
+  SELECT node, min(hops) AS hops FROM w GROUP BY node
+)
+SELECT hops, count(*) AS n_nodes FROM walk GROUP BY hops
+"""
+
+
+_REGISTRY.update({"inv_g_bfs_hops": (q_g_bfs_hops, SQL_G_BFS_HOPS)})

@@ -174,3 +174,86 @@ def test_weighted_sample_per_group_quota_and_determinism(spark):
     assert sorted((r["g"], r["id"]) for r in out) == sorted(
         (r["g"], r["id"]) for r in out2
     )
+
+
+# -- plan-shape pins for the round-4 additions ----------------------------
+
+
+def test_weighted_sample_plan_is_local_topk(spark):
+    from market_data_pipeline_spark.operators import features
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    plan = (
+        features.weighted_sample(df, "id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # per-partition top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_weighted_group_sample_plan_prunes_with_window_group_limit(spark):
+    from market_data_pipeline_spark.operators import features
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    plan = (
+        features.weighted_sample_per_group(df, "g", "id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_triangle_closure_join_is_equi_join(spark):
+    # the wedge-closure join must be a hash/merge EQUI-join on (v, w) —
+    # never an unkeyed cartesian over the wedge stream. (The single-row
+    # scalar assembly at the top IS a broadcast cross of 1-row aggregates;
+    # that's the cheap, intended shape.)
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    plan = (
+        graph.triangle_stats(e)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin [v#" in plan) or ("BroadcastHashJoin [v#" in plan)
+
+
+def test_hop_distances_path_graph(spark):
+    # path 1-2-3-4-5, seed {1}, max 3 hops: node 5 is unreached
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.hop_distances(e, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_hop_distances_multi_source_takes_min(spark):
+    # seeds at both ends of the path: middle node is 2 hops from either
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.hop_distances(e, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_hop_distances_isolated_seed_survives(spark):
+    # a seed with no edges still reports hops 0 (reach defined per seed)
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(99,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.hop_distances(e, seeds, max_hops=2).collect()
+    }
+    assert got == {99: 0}
