@@ -7210,3 +7210,73 @@ SELECT hops, count(*) AS n_nodes FROM walk GROUP BY hops
 
 
 _REGISTRY.update({"inv_g_bfs_hops": (q_g_bfs_hops, SQL_G_BFS_HOPS)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): connected components over the co-purchase graph —
+# the dedup star-contraction machinery (dedup.dup_groups) applied to a
+# NON-dedup edge set, proving the components operator is generic. Output is
+# the component roster (root id + size), reachability-CTE oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_g_components(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    strong = graph.copurchase_edges(spark, sf, min_weight=3).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    comps = dedup.dup_groups(strong)
+    return comps.groupBy(F.col("group_id").alias("component_root")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+SQL_G_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_G_EDGES.lstrip()},
+ew AS (SELECT src, dst FROM e WHERE weight >= 3),
+sym2 AS (SELECT src, dst FROM ew UNION SELECT dst, src FROM ew),
+reach(id, r) AS (
+  SELECT src, src FROM sym2
+  UNION
+  SELECT reach.id, x.dst FROM reach JOIN sym2 x ON reach.r = x.src
+),
+g AS (SELECT id, min(r) AS gid FROM reach GROUP BY id)
+SELECT gid AS component_root, CAST(count(*) AS BIGINT) AS n_nodes
+FROM g GROUP BY gid
+"""
+
+
+_REGISTRY.update({"inv_g_components": (q_g_components, SQL_G_COMPONENTS)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): temperature-scaled mixture shares (mT5 α-sampling) —
+# derive per-language target weights from the corpus itself
+# (features.temperature_mixture_rates). One agg pass + broadcast totals.
+# ---------------------------------------------------------------------------
+
+
+def q_x_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    return features.temperature_mixture_rates(
+        _docs(spark, sf), "lang", alpha=0.3, weight_col="n_chars"
+    )
+
+
+SQL_X_TEMPERATURE_MIX = """
+WITH g AS (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+t AS (SELECT sum(n) AS tot, sum(pow(n, 0.3)) AS tot_a FROM g)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       round(n / tot + 1e-9, 6) AS share,
+       round(pow(n, 0.3) / tot_a + 1e-9, 6) AS temp_share,
+       round((pow(n, 0.3) / tot_a) / (n / tot) + 1e-9, 6) AS boost
+FROM g, t
+"""
+
+
+_REGISTRY.update({"inv_x_temperature_mix": (q_x_temperature_mix, SQL_X_TEMPERATURE_MIX)})

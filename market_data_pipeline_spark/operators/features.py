@@ -328,6 +328,48 @@ def mixture_plan(
     )
 
 
+def temperature_mixture_rates(
+    df: DataFrame,
+    by: str,
+    alpha: float = 0.3,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture shares: target share of group g ∝
+    p_g^alpha (p_g the observed share) — the mT5 / multilingual-LM
+    α-sampling rule that upweights rare languages without letting any
+    group dominate (alpha 1 = natural mix, alpha 0 = uniform).
+
+    Where ``mixture_plan`` takes target weights as INPUT, this DERIVES
+    them from the corpus itself. Output per group: size, natural share,
+    temperature share, and boost = temp_share / share — the number a
+    sampler (stratified_sample_rates) multiplies into per-group keep
+    fractions. ONE aggregation pass (count or sum of ``weight_col``) plus
+    a broadcast 1-row totals join; output is O(groups) at any corpus
+    size, and the fact table is never sorted.
+    """
+    n = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).cast("double")
+    g = df.groupBy(by).agg(n.alias("n"))
+    totals = g.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(F.pow("n", F.lit(alpha))).alias("__tot_a"),
+    )
+    eps = F.lit(1e-9)
+    share = F.col("n") / F.col("__tot")
+    temp = F.pow("n", F.lit(alpha)) / F.col("__tot_a")
+    return (
+        g.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(by),
+            F.col("n").cast("long").alias("n"),
+            F.round(share + eps, 6).alias("share"),
+            F.round(temp + eps, 6).alias("temp_share"),
+            F.round(temp / share + eps, 6).alias("boost"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 256,

@@ -257,3 +257,38 @@ def test_hop_distances_isolated_seed_survives(spark):
         for r in graph.hop_distances(e, seeds, max_hops=2).collect()
     }
     assert got == {99: 0}
+
+
+def test_graph_components_match_union_find(spark):
+    # two triangles bridged to nothing + an isolated edge
+    from market_data_pipeline_spark.operators import dedup
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["group_id"] for r in dedup.dup_groups(e).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_temperature_mixture_rates_limits(spark):
+    from market_data_pipeline_spark.operators import features
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "id long, g string",
+    )
+    # alpha=1: natural shares, boost 1
+    nat = {r["g"]: r for r in features.temperature_mixture_rates(df, "g", 1.0).collect()}
+    assert abs(nat["big"]["share"] - 0.9) < 1e-6
+    assert abs(nat["big"]["boost"] - 1.0) < 1e-6
+    # alpha=0: uniform temp shares regardless of size
+    uni = {r["g"]: r for r in features.temperature_mixture_rates(df, "g", 0.0).collect()}
+    assert abs(uni["big"]["temp_share"] - 0.5) < 1e-6
+    assert abs(uni["small"]["temp_share"] - 0.5) < 1e-6
+    # intermediate alpha boosts the rare group above natural share
+    mid = {r["g"]: r for r in features.temperature_mixture_rates(df, "g", 0.3).collect()}
+    assert mid["small"]["boost"] > 1.0 > mid["big"]["boost"]
+    assert abs(mid["big"]["temp_share"] + mid["small"]["temp_share"] - 1.0) < 1e-5
