@@ -7280,3 +7280,67 @@ FROM g, t
 
 
 _REGISTRY.update({"inv_x_temperature_mix": (q_x_temperature_mix, SQL_X_TEMPERATURE_MIX)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): PERSONALIZED PageRank — teleport mass returns only to
+# a seed set (TrustRank-style "quality radiates from trusted hubs"). Same
+# quantized loop and chained-CTE oracle as inv_g_pagerank, with the
+# teleport term a per-node value from the broadcast seed frame.
+# ---------------------------------------------------------------------------
+
+
+def q_g_pagerank_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    edges = graph.copurchase_edges(spark, sf)
+    seeds = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") % 500 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    pr = graph.pagerank(edges, iterations=10, seeds=seeds)
+    return pr.orderBy(F.col("pr").desc(), F.col("node")).limit(50)
+
+
+def _pagerank_seeded_sql(iterations: int = 10) -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT t.node,
+         round(t.tele + 0.85 * coalesce(c.sum_c, 0.0) + 1e-13, 10) AS pr
+  FROM tele t LEFT JOIN (
+    SELECT sym.d AS node, sum(r.pr / dg.deg) AS sum_c
+    FROM sym JOIN {prev} r ON sym.s = r.node JOIN deg dg ON sym.s = dg.s
+    GROUP BY sym.d
+  ) c ON t.node = c.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {_SQL_G_EDGES},
+sym AS (SELECT src AS s, dst AS d FROM e UNION ALL SELECT dst AS s, src AS d FROM e),
+deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+nodes AS (SELECT s AS node FROM deg),
+seeds AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
+sc AS (SELECT count(*) AS cnt FROM seeds),
+tele AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT cnt FROM sc) ELSE 0.0 END AS tele
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+),
+r0 AS (
+  SELECT n.node,
+         round(CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT cnt FROM sc) ELSE 0.0 END + 1e-13, 10) AS pr
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+),
+{','.join(steps)}
+SELECT node, pr FROM {prev} ORDER BY pr DESC, node LIMIT 50
+"""
+
+
+_REGISTRY.update(
+    {"inv_g_pagerank_seeded": (q_g_pagerank_seeded, _pagerank_seeded_sql())}
+)

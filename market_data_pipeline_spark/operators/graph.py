@@ -269,9 +269,20 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the undirected graph (each edge walked both ways), a
     fixed number of iterations: (node, pr).
+
+    With ``seeds`` (single-column frame ``node``): PERSONALIZED PageRank —
+    the teleport mass returns only to the seed set instead of spreading
+    uniformly, so ranks measure proximity to the seeds (the "quality
+    radiates from trusted hubs" signal: TrustRank-style host scoring,
+    seed-anchored recommendations). Init mass and per-iteration teleport
+    both concentrate on seeds; everything else about the loop — plan
+    shape, checkpointing, in-loop quantization, the chained-CTE oracle —
+    is unchanged, with the teleport term becoming a per-node literal
+    joined from the broadcast seed frame.
 
     Per iteration: contributions = adjacency ⋈ ranks on src (adjacency is
     checkpointed once, hash-partitioned by src; ranks arrive partitioned
@@ -307,22 +318,62 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = outdeg.count()  # one small driver scalar, fixed per run
-    ranks = outdeg.select(
-        F.col("src").alias("node"),
-        F.round(F.lit(1.0) / n + F.lit(_EPS), 10).alias("pr"),
-    ).localCheckpoint(eager=True)
+    nodes = outdeg.select(F.col("src").alias("node"))
+    if seeds is None:
+        init = F.round(F.lit(1.0) / n + F.lit(_EPS), 10)
+        base = nodes.select("node", init.alias("pr"))
+        tele_frame = None
+    else:
+        seed_set = seeds.select("node").distinct().localCheckpoint(eager=True)
+        s = seed_set.count()
+        marked = nodes.join(
+            F.broadcast(seed_set.withColumn("__seed", F.lit(1))), "node", "left"
+        )
+        base = marked.select(
+            "node",
+            F.round(
+                F.when(F.col("__seed").isNotNull(), F.lit(1.0) / s).otherwise(
+                    F.lit(0.0)
+                )
+                + F.lit(_EPS),
+                10,
+            ).alias("pr"),
+        )
+        # per-node teleport column: (1-d)/|seeds| on seeds, 0 elsewhere
+        tele_frame = marked.select(
+            "node",
+            F.when(
+                F.col("__seed").isNotNull(), F.lit(1.0 - damping) / s
+            ).otherwise(F.lit(0.0)).alias("__tele"),
+        ).localCheckpoint(eager=True)
+    ranks = base.localCheckpoint(eager=True)
     teleport = F.lit(1.0 - damping) / n
     for _ in range(iterations):
         contribs = adj.join(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
-        ranks = (
-            contribs.groupBy("node")
-            .agg(
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("__s"))
+        if tele_frame is None:
+            ranks = summed.select(
+                "node",
                 F.round(
-                    teleport + F.lit(damping) * F.sum("c") + F.lit(_EPS), 10
-                ).alias("pr")
+                    teleport + F.lit(damping) * F.col("__s") + F.lit(_EPS), 10
+                ).alias("pr"),
+            ).localCheckpoint(eager=True)
+        else:
+            # left join from the FULL node set: a node whose in-neighbors
+            # all have rank 0 this round still keeps its teleport share
+            ranks = (
+                tele_frame.join(summed, "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.col("__tele")
+                        + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+                        + F.lit(_EPS),
+                        10,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
     return ranks

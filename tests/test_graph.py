@@ -292,3 +292,50 @@ def test_temperature_mixture_rates_limits(spark):
     mid = {r["g"]: r for r in features.temperature_mixture_rates(df, "g", 0.3).collect()}
     assert mid["small"]["boost"] > 1.0 > mid["big"]["boost"]
     assert abs(mid["big"]["temp_share"] + mid["small"]["temp_share"] - 1.0) < 1e-5
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    # symmetric path 1-2-3-4-5; seeding node 1 must break the symmetry
+    # between nodes 1 and 5 (equal by structure) and decay with distance
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(e, iterations=10, seeds=seeds).collect()
+    }
+    assert got[1] > got[2] > got[3] > got[4] >= got[5]
+    # rank mass still ~1 (teleport mass conserved on the seed)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_personalized_pagerank_matches_python_replica(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    seeds = spark.createDataFrame([(2,), (5,)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            _edges(spark, pairs), iterations=10, seeds=seeds
+        ).collect()
+    }
+
+    sym: dict[int, list[int]] = {}
+    for a, b in pairs:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    sset = {2, 5}
+    pr = {
+        v: round((1.0 / len(sset) if v in sset else 0.0) + 1e-13, 10)
+        for v in sym
+    }
+    for _ in range(10):
+        nxt = {v: 0.0 for v in sym}
+        for u, outs in sym.items():
+            for v in outs:
+                nxt[v] += pr[u] / len(outs)
+        pr = {
+            v: round(
+                (0.15 / len(sset) if v in sset else 0.0) + 0.85 * s + 1e-13, 10
+            )
+            for v, s in nxt.items()
+        }
+    assert got == pr
