@@ -55,6 +55,11 @@ HEADLINE = [
     # embeddings ⋈ LSH components in one plan — a regression here would
     # otherwise go unnoticed by the gate.
     "inv_x_semantic_curation",
+    # round-4 additions, gated by the same "most expensive queries must be
+    # in the regression gate" rule: the exact Jaccard prefix join (output-
+    # bound on the clone-saturated corpus) and the iterative PageRank loop.
+    "inv_d_jaccard_prefix",
+    "inv_g_pagerank",
 ]
 
 RUNS_PER_QUERY = 3

@@ -347,26 +347,27 @@ def temperature_mixture_rates(
     a broadcast 1-row totals join; output is O(groups) at any corpus
     size, and the fact table is never sorted.
     """
+    from pyspark.sql import Window as _W
+
     n = (
         F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
     ).cast("double")
     g = df.groupBy(by).agg(n.alias("n"))
-    totals = g.agg(
-        F.sum("n").alias("__tot"),
-        F.sum(F.pow("n", F.lit(alpha))).alias("__tot_a"),
-    )
+    # totals via a whole-frame window over the O(groups) table — the fact
+    # table is scanned ONCE (a separate totals aggregate would re-execute
+    # the scan for its second subtree; Spark shares no common subplans)
+    whole = _W.partitionBy()
+    tot = F.sum("n").over(whole)
+    tot_a = F.sum(F.pow("n", F.lit(alpha))).over(whole)
     eps = F.lit(1e-9)
-    share = F.col("n") / F.col("__tot")
-    temp = F.pow("n", F.lit(alpha)) / F.col("__tot_a")
-    return (
-        g.crossJoin(F.broadcast(totals))
-        .select(
-            F.col(by),
-            F.col("n").cast("long").alias("n"),
-            F.round(share + eps, 6).alias("share"),
-            F.round(temp + eps, 6).alias("temp_share"),
-            F.round(temp / share + eps, 6).alias("boost"),
-        )
+    share = F.col("n") / tot
+    temp = F.pow("n", F.lit(alpha)) / tot_a
+    return g.select(
+        F.col(by),
+        F.col("n").cast("long").alias("n"),
+        F.round(share + eps, 6).alias("share"),
+        F.round(temp + eps, 6).alias("temp_share"),
+        F.round(temp / share + eps, 6).alias("boost"),
     )
 
 

@@ -61,6 +61,48 @@ def read_csv_pinned(spark: SparkSession, path: str, schema, header: bool = True)
     return spark.read.option("header", header).schema(schema).csv(path)
 
 
+def read_jsonl_quarantined(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with corrupt-record quarantine: returns
+    (good, bad) — parsed rows matching the pinned schema, and the raw
+    text of every line that failed to parse.
+
+    The crawl-dump reality: a 100 TB JSONL drop always contains some
+    malformed lines, and the two failure modes to avoid are (a) schema
+    inference (a full extra pass, and one bad line can flip a column to
+    string) and (b) silent drops (DROPMALFORMED loses data with no audit
+    trail). Implementation reads lines as text and parses with
+    ``from_json`` carrying an embedded corrupt-record field — one scan,
+    pure expressions, and it sidesteps the analyzer restriction on
+    querying ``spark.read.json``'s corrupt column alone (SPARK-21610:
+    that path requires a cache, which is exactly wrong at 100 TB). Good
+    rows flow on; bad lines land in a quarantine frame the pipeline can
+    count, alert on, and replay after a parser fix.
+    """
+    from pyspark.sql import types as T
+
+    pinned = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            pinned,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("__p"),
+    )
+    good = (
+        parsed.filter(F.col("__p._corrupt_record").isNull())
+        .select([F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields])
+    )
+    bad = parsed.filter(F.col("__p._corrupt_record").isNotNull()).select(
+        F.col("value").alias("raw_line")
+    )
+    return good, bad
+
+
 def snapshot_write(df: DataFrame, path: str, snapshot_date: _dt.date | None = None) -> None:
     """S13 — day-scoped snapshot cache (ticker-universe day-cache,
     src/utils/market_scanner.py:131-148): stamp every row with the snapshot

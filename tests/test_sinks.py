@@ -467,3 +467,39 @@ def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
     # and the late high propagated into week 1
     w1 = [r for r in got if r.symbol == "AAA" and str(r.period_start) == "2024-01-01"]
     assert w1[0].high == 5.0 and w1[0].n_days == 3
+
+
+def test_read_jsonl_quarantined_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from market_data_pipeline_spark.sources import sinks
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"id": 1, "text": "ok"}',
+                '{"id": 2, "text": "fine", "extra": "ignored"}',
+                "not json at all",
+                '{"id": "notanint", "text": "typed"}',
+                '{"id": 4}',
+            ]
+        )
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, bad = sinks.read_jsonl_quarantined(spark, str(p), schema)
+    # extra fields ignored, missing fields null, schema pinned
+    assert sorted((r["id"], r["text"]) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "fine"),
+        (4, None),
+    ]
+    assert good.schema == schema
+    # malformed JSON and type-mismatched rows both quarantine with the
+    # verbatim source line (replayable after a parser fix)
+    assert sorted(r["raw_line"] for r in bad.collect()) == [
+        "not json at all",
+        '{"id": "notanint", "text": "typed"}',
+    ]
