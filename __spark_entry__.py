@@ -7324,7 +7324,10 @@ WITH {_SQL_G_EDGES},
 sym AS (SELECT src AS s, dst AS d FROM e UNION ALL SELECT dst AS s, src AS d FROM e),
 deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
 nodes AS (SELECT s AS node FROM deg),
-seeds AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
+seeds0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 500 = 0),
+-- seeds normalized to those PRESENT in the graph (mirrors graph.pagerank:
+-- an absent seed can't receive rank, so it must not hold teleport mass)
+seeds AS (SELECT s.node FROM seeds0 s JOIN nodes n ON s.node = n.node),
 sc AS (SELECT count(*) AS cnt FROM seeds),
 tele AS (
   SELECT n.node,
@@ -7344,3 +7347,70 @@ SELECT node, pr FROM {prev} ORDER BY pr DESC, node LIMIT 50
 _REGISTRY.update(
     {"inv_g_pagerank_seeded": (q_g_pagerank_seeded, _pagerank_seeded_sql())}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): Newman modularity — EVALUATE a partition's community
+# quality (graph.modularity). The query scores the weight>=3 strong-tie
+# components as communities of the weight>=2 co-purchase graph: bridges
+# that only ever co-occur twice cross communities and cost Q.
+# ---------------------------------------------------------------------------
+
+
+def q_g_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    # derive the edge list ONCE (weight >= 3 is a subset of weight >= 2)
+    # and checkpoint it — the strong-tie filter and the scored graph both
+    # read the materialized frame instead of re-running the lineitem scan
+    # + basket expansion twice
+    g2 = graph.copurchase_edges(spark, sf, min_weight=2).localCheckpoint(
+        eager=True
+    )
+    strong = g2.filter(F.col("weight") >= 3).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    comps = dedup.dup_groups(strong).select(
+        F.col("doc_id").alias("node"), F.col("group_id").alias("g")
+    )
+    return graph.modularity(g2, comps)
+
+
+SQL_G_MODULARITY = f"""
+WITH RECURSIVE {_SQL_G_EDGES.lstrip()},
+e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+ew AS (SELECT src, dst FROM e WHERE weight >= 3),
+sym3 AS (SELECT src, dst FROM ew UNION SELECT dst, src FROM ew),
+reach(id, r) AS (
+  SELECT src, src FROM sym3
+  UNION
+  SELECT reach.id, x.dst FROM reach JOIN sym3 x ON reach.r = x.src
+),
+asg AS (SELECT id AS node, min(r) AS g FROM reach GROUP BY id),
+m AS (SELECT count(*) AS m FROM e2),
+lab AS (
+  SELECT e2.src, e2.dst,
+         coalesce(sa.g, -e2.src - 1) AS ga,
+         coalesce(sb.g, -e2.dst - 1) AS gb
+  FROM e2 LEFT JOIN asg sa ON e2.src = sa.node LEFT JOIN asg sb ON e2.dst = sb.node
+),
+intra AS (SELECT ga AS g, count(*) AS m_c FROM lab WHERE ga = gb GROUP BY ga),
+degs AS (
+  SELECT g, count(*) AS d_c FROM (
+    SELECT ga AS g FROM lab UNION ALL SELECT gb FROM lab
+  ) GROUP BY g
+),
+per_c AS (
+  SELECT degs.g, coalesce(intra.m_c, 0) AS m_c, degs.d_c
+  FROM degs LEFT JOIN intra ON degs.g = intra.g
+)
+SELECT (SELECT m FROM m) AS m_edges,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       round(sum(m_c / (SELECT CAST(m AS DOUBLE) FROM m)
+                 - pow(d_c / (2.0 * (SELECT m FROM m)), 2.0)) + 1e-9, 6) AS q_modularity
+FROM per_c
+"""
+
+
+_REGISTRY.update({"inv_g_modularity": (q_g_modularity, SQL_G_MODULARITY)})

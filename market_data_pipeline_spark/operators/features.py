@@ -97,6 +97,16 @@ def stratified_hash_sample(df: DataFrame, key: str, fraction: float) -> DataFram
     return df.filter(bucket < int(fraction * 10000))
 
 
+def _es_key(key: str, weight_col: str):
+    """The Efraimidis–Spirakis exponential-race key: ln(u)/w with u a
+    deterministic per-id uniform from the shared Knuth hash, quantized to
+    9 decimals with the +1e-12 boundary nudge. Engine-portability-
+    critical — the DuckDB oracles replay this formula literally, so both
+    samplers MUST share this single definition."""
+    u = (_knuth_bucket(key, 1 << 20) + F.lit(0.5)) / F.lit(float(1 << 20))
+    return F.round(F.log(u) / F.col(weight_col) + F.lit(1e-12), 9)
+
+
 def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k rows, deterministic:
     Efraimidis–Spirakis A-ES (Inf. Proc. Letters 2006). Each row gets the
@@ -117,11 +127,9 @@ def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int) -> DataFra
     non-positive weight are dropped (ln(u)/w flips sign there; A-ES is
     defined for w > 0).
     """
-    u = (_knuth_bucket(key, 1 << 20) + F.lit(0.5)) / F.lit(float(1 << 20))
-    es = F.round(F.log(u) / F.col(weight_col) + F.lit(1e-12), 9)
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("es_key", es)
+        .withColumn("es_key", _es_key(key, weight_col))
         .orderBy(F.col("es_key").desc(), F.col(key))
         .limit(k)
     )
@@ -141,12 +149,10 @@ def weighted_sample_per_group(
     """
     from pyspark.sql import Window as _W
 
-    u = (_knuth_bucket(key, 1 << 20) + F.lit(0.5)) / F.lit(float(1 << 20))
-    es = F.round(F.log(u) / F.col(weight_col) + F.lit(1e-12), 9)
     w_spec = _W.partitionBy(group_col).orderBy(F.desc("es_key"), F.col(key))
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("es_key", es)
+        .withColumn("es_key", _es_key(key, weight_col))
         .withColumn("__rn", F.row_number().over(w_spec))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
@@ -343,9 +349,10 @@ def temperature_mixture_rates(
     them from the corpus itself. Output per group: size, natural share,
     temperature share, and boost = temp_share / share — the number a
     sampler (stratified_sample_rates) multiplies into per-group keep
-    fractions. ONE aggregation pass (count or sum of ``weight_col``) plus
-    a broadcast 1-row totals join; output is O(groups) at any corpus
-    size, and the fact table is never sorted.
+    fractions. ONE aggregation pass (count or sum of ``weight_col``),
+    with totals via a whole-frame window over the O(groups) result;
+    output is O(groups) at any corpus size, and the fact table is never
+    sorted or re-scanned.
     """
     from pyspark.sql import Window as _W
 

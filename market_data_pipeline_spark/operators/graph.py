@@ -49,6 +49,28 @@ from market_data_pipeline_spark.sources.tables import load_table
 _EPS = 1e-13
 
 
+def _ordered_pairs(array_col: str, pair):
+    """All ordered pairs (a[i], a[j]) with i < j from a sorted array
+    column, expanded per-row inside codegen (no join, no explode-then-
+    join); ``pair(x, y)`` builds the output struct. The fiddly slice
+    arithmetic — 1-based start i+2, length size−i−1, floor at 0 for the
+    last element — lives here once for both the basket pair expansion and
+    the triangle wedge generation."""
+    return F.flatten(
+        F.transform(
+            array_col,
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col(array_col),
+                    i + F.lit(2),
+                    F.greatest(F.size(array_col) - i - 1, F.lit(0)),
+                ),
+                lambda y: pair(x, y),
+            ),
+        )
+    )
+
+
 def edges_from_baskets(
     items: DataFrame,
     basket_col: str,
@@ -77,18 +99,8 @@ def edges_from_baskets(
     # src < dst holds and each unordered pair appears exactly once
     pairs = baskets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    "parts",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("parts"),
-                            i + F.lit(2),
-                            F.greatest(F.size("parts") - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                    ),
-                )
+            _ordered_pairs(
+                "parts", lambda x, y: F.struct(x.alias("src"), y.alias("dst"))
             )
         ).alias("e")
     )
@@ -178,20 +190,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
     wedges = nbrs.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    "ns",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ns"),
-                            i + F.lit(2),
-                            F.greatest(F.size("ns") - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.struct(
-                            x.getField("v").alias("v"), y.getField("v").alias("w")
-                        ),
-                    ),
-                )
+            _ordered_pairs(
+                "ns",
+                lambda x, y: F.struct(
+                    x.getField("v").alias("v"), y.getField("v").alias("w")
+                ),
             )
         ).alias("p")
     ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
@@ -215,6 +218,77 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                 3.0 * F.col("n_triangles") / F.col("n_wedges") + F.lit(_EPS), 6
             ).alias("clustering_coef"),
         )
+    )
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected simple
+    graph: Q = Σ_c [ m_c/m − (d_c/2m)² ] — how much denser communities
+    are than a degree-preserving random rewiring (Q≈0: no structure;
+    Q→1: strong communities). The standard objective for judging a
+    clustering of a similarity / co-occurrence graph.
+
+    ``assignment``: (node, group_id) — e.g. dup_groups output. Nodes
+    without an assignment form singleton communities implicitly (they
+    contribute no intra-edges and their degree term is counted via the
+    coalesced node id), so partial clusterings score correctly.
+
+    One row out. Three keyed aggregations, all map-side combinable:
+    intra-community edge counts (join both endpoints to the assignment),
+    per-community degree sums, and the global reduce. No iteration — Q
+    EVALUATES a partition; producing one is dup_groups' job.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    asg = assignment.select(
+        F.col(assignment.columns[0]).alias("node"),
+        F.col(assignment.columns[1]).alias("g"),
+    ).localCheckpoint(eager=True)
+    m = e.count()
+    # one label row per DISTINCT node (joining a per-edge frame would fan
+    # out); unassigned nodes become their own singleton community
+    # (negative key space so real group ids can't collide)
+    lab = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(asg, "node", "left")
+        .select(
+            F.col("node"),
+            F.coalesce(F.col("g"), -F.col("node") - 1).alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    labeled = (
+        e.join(lab.withColumnRenamed("node", "src").withColumnRenamed("g", "ga"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("g", "gb"), "dst")
+    )
+    intra = (
+        labeled.filter(F.col("ga") == F.col("gb"))
+        .groupBy(F.col("ga").alias("g"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    degs = (
+        labeled.select(F.col("src").alias("node"), F.col("ga").alias("g"))
+        .unionAll(labeled.select(F.col("dst").alias("node"), F.col("gb").alias("g")))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    per_c = degs.join(intra, "g", "left").select(
+        "g",
+        F.coalesce(F.col("m_c"), F.lit(0)).alias("m_c"),
+        "d_c",
+    )
+    return per_c.agg(
+        F.lit(m).cast("long").alias("m_edges"),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.round(
+            F.sum(
+                F.col("m_c") / F.lit(float(m))
+                - F.pow(F.col("d_c") / F.lit(2.0 * m), F.lit(2.0))
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("q_modularity"),
     )
 
 
@@ -247,8 +321,11 @@ def hop_distances(
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    dist = sources.select(F.col("node"), F.lit(0).alias("hops")).localCheckpoint(
-        eager=True
+    dist = (
+        sources.select("node")
+        .distinct()  # duplicate seed rows must not duplicate hop-0 output
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
     )
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
@@ -324,7 +401,16 @@ def pagerank(
         base = nodes.select("node", init.alias("pr"))
         tele_frame = None
     else:
-        seed_set = seeds.select("node").distinct().localCheckpoint(eager=True)
+        # normalize by seeds PRESENT in the graph: a seed with no edges
+        # can never receive or emit rank, and dividing by the raw seed
+        # count would silently delete its share of the mass (rank would
+        # sum to (s-absent)/s, not 1)
+        seed_set = (
+            seeds.select("node")
+            .distinct()
+            .join(nodes, "node")
+            .localCheckpoint(eager=True)
+        )
         s = seed_set.count()
         marked = nodes.join(
             F.broadcast(seed_set.withColumn("__seed", F.lit(1))), "node", "left"

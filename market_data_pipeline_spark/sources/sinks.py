@@ -93,13 +93,14 @@ def read_jsonl_quarantined(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("__p"),
     )
-    good = (
-        parsed.filter(F.col("__p._corrupt_record").isNull())
-        .select([F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields])
+    # from_json returns a NULL struct (not a struct with the corrupt field
+    # set) for blank lines and literal JSON null — both must quarantine,
+    # or they'd surface as phantom all-null "good" rows
+    ok = F.col("__p").isNotNull() & F.col("__p._corrupt_record").isNull()
+    good = parsed.filter(ok).select(
+        [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
     )
-    bad = parsed.filter(F.col("__p._corrupt_record").isNotNull()).select(
-        F.col("value").alias("raw_line")
-    )
+    bad = parsed.filter(~ok).select(F.col("value").alias("raw_line"))
     return good, bad
 
 

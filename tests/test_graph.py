@@ -339,3 +339,57 @@ def test_personalized_pagerank_matches_python_replica(spark):
             for v, s in nxt.items()
         }
     assert got == pr
+
+
+def test_modularity_two_triangles_with_bridge(spark):
+    # triangles {1,2,3} and {4,5,6} bridged by (3,4); perfect partition:
+    # Q = 6/7 - 2*(7/14)^2 = 0.357143
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)])
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, g long"
+    )
+    row = graph.modularity(e, asg).collect()[0]
+    assert row["m_edges"] == 7
+    assert row["n_communities"] == 2
+    assert abs(row["q_modularity"] - (6 / 7 - 2 * (7 / 14) ** 2)) < 1e-5
+
+
+def test_modularity_unassigned_nodes_are_singletons(spark):
+    # same graph, but only the first triangle assigned: nodes 4,5,6 become
+    # singleton communities (no intra edges), which must lower Q
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)])
+    full = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, g long"
+    )
+    part = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "node long, g long")
+    q_full = graph.modularity(e, full).collect()[0]["q_modularity"]
+    q_part = graph.modularity(e, part).collect()[0]["q_modularity"]
+    assert q_part < q_full
+    assert graph.modularity(e, part).collect()[0]["n_communities"] == 4
+
+
+def test_personalized_pagerank_ignores_absent_seeds(spark):
+    # a seed not in the edge set can't hold rank: mass must still sum to 1
+    e = _edges(spark, [(1, 2), (2, 3)])
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(e, iterations=10, seeds=seeds).collect()
+    }
+    assert 99 not in got
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # and equals the run seeded with {1} alone (99 contributed nothing)
+    alone = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            e, iterations=10, seeds=spark.createDataFrame([(1,)], "node long")
+        ).collect()
+    }
+    assert got == alone
+
+
+def test_hop_distances_duplicate_seed_rows_collapse(spark):
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(1,), (1,), (1,)], "node long")
+    rows = graph.hop_distances(e, seeds, max_hops=1).collect()
+    assert sorted((r["node"], r["hops"]) for r in rows) == [(1, 0), (2, 1)]

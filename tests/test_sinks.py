@@ -483,6 +483,8 @@ def test_read_jsonl_quarantined_splits_good_and_bad(spark, tmp_path):
                 "not json at all",
                 '{"id": "notanint", "text": "typed"}',
                 '{"id": 4}',
+                "",  # blank line: NULL struct from from_json, must quarantine
+                "null",  # literal JSON null: same
             ]
         )
     )
@@ -500,6 +502,8 @@ def test_read_jsonl_quarantined_splits_good_and_bad(spark, tmp_path):
     # malformed JSON and type-mismatched rows both quarantine with the
     # verbatim source line (replayable after a parser fix)
     assert sorted(r["raw_line"] for r in bad.collect()) == [
+        "",
         "not json at all",
+        "null",
         '{"id": "notanint", "text": "typed"}',
     ]
