@@ -61,6 +61,36 @@ def read_csv_pinned(spark: SparkSession, path: str, schema, header: bool = True)
     return spark.read.option("header", header).schema(schema).csv(path)
 
 
+def jsonl_split(lines: DataFrame, schema) -> tuple[DataFrame, DataFrame]:
+    """Split a text frame (column ``value``, one JSON document per row)
+    into (good, bad) under a pinned schema — the parsing core shared by
+    the batch reader (read_jsonl_quarantined) and the streaming ingest
+    job (streaming/jobs.streaming_jsonl_ingest). Works identically on
+    batch and streaming frames (pure expressions, no action)."""
+    from pyspark.sql import types as T
+
+    pinned = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            pinned,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("__p"),
+    )
+    # from_json returns a NULL struct (not a struct with the corrupt field
+    # set) for blank lines and literal JSON null — both must quarantine,
+    # or they'd surface as phantom all-null "good" rows
+    ok = F.col("__p").isNotNull() & F.col("__p._corrupt_record").isNull()
+    good = parsed.filter(ok).select(
+        [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    bad = parsed.filter(~ok).select(F.col("value").alias("raw_line"))
+    return good, bad
+
+
 def read_jsonl_quarantined(
     spark: SparkSession, path: str, schema
 ) -> tuple[DataFrame, DataFrame]:
@@ -80,28 +110,7 @@ def read_jsonl_quarantined(
     rows flow on; bad lines land in a quarantine frame the pipeline can
     count, alert on, and replay after a parser fix.
     """
-    from pyspark.sql import types as T
-
-    pinned = T.StructType(
-        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
-    )
-    parsed = spark.read.text(path).select(
-        F.col("value"),
-        F.from_json(
-            "value",
-            pinned,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
-        ).alias("__p"),
-    )
-    # from_json returns a NULL struct (not a struct with the corrupt field
-    # set) for blank lines and literal JSON null — both must quarantine,
-    # or they'd surface as phantom all-null "good" rows
-    ok = F.col("__p").isNotNull() & F.col("__p._corrupt_record").isNull()
-    good = parsed.filter(ok).select(
-        [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
-    )
-    bad = parsed.filter(~ok).select(F.col("value").alias("raw_line"))
-    return good, bad
+    return jsonl_split(spark.read.text(path), schema)
 
 
 def snapshot_write(df: DataFrame, path: str, snapshot_date: _dt.date | None = None) -> None:

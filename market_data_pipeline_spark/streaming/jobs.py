@@ -481,3 +481,54 @@ def streaming_quote_signals(
             "tick_vol", "total_volume", "n_ticks",
         )
     )
+
+
+def streaming_jsonl_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    schema,
+    table_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous JSONL ingestion into the versioned table format with a
+    corrupt-line quarantine — the crawl-drop landing zone as a stream:
+    new .jsonl files appearing under ``in_dir`` are picked up by the file
+    source, split by the SAME pinned-schema parser as the batch reader
+    (sinks.jsonl_split — schema drift in good rows fails loudly, bad
+    lines keep their verbatim text), and appended EXACTLY ONCE: both the
+    main table and the quarantine are tablefmt tables whose manifests
+    record the micro-batch id (Delta's txn trick), so a foreachBatch
+    replay after a crash skips work already committed — per table
+    independently, which makes the two-table write safe (a crash between
+    the appends replays into skip + apply).
+
+    Per-batch cost scales with the BATCH only; the quarantine is a
+    time-travelable table an operator can diff across versions to watch
+    parser health. Returns the started StreamingQuery.
+    """
+    from market_data_pipeline_spark.sources import sinks as _sinks
+    from market_data_pipeline_spark.sources import tablefmt as _tf
+
+    stream = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "*.jsonl")
+        .load(in_dir)
+    )
+    good_sink = _tf.streaming_sink(table_path)
+    bad_sink = _tf.streaming_sink(quarantine_path)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = _sinks.jsonl_split(batch_df, schema)
+        if not good.isEmpty():
+            good_sink(good, batch_id)
+        if not bad.isEmpty():
+            bad_sink(bad, batch_id)
+
+    writer = stream.writeStream.foreachBatch(write).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

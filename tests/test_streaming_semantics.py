@@ -915,3 +915,48 @@ def test_sketch_store_gc_keeps_newest_two_versions(spark, tmp_path):
     assert txn.committed_ids(spark, store) == [1, 2]
     got_mass = sum(r.cnt for r in txn.read_versioned(spark, store).collect())
     assert got_mass == 2 * 3  # depth × all events ever seen
+
+
+def test_streaming_jsonl_ingest_exactly_once_two_runs(spark, tmp_path):
+    """Crawl-drop ingestion: files land incrementally, good rows append to
+    a versioned table, bad lines to a quarantine table, and a second run
+    over the same checkpoint picks up only NEW files (no duplicates)."""
+    from pyspark.sql import types as T
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+    from market_data_pipeline_spark.streaming.jobs import streaming_jsonl_ingest
+
+    in_dir = tmp_path / "drop"
+    in_dir.mkdir()
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    (in_dir / "a.jsonl").write_text(
+        '{"id": 1, "text": "one"}\nBROKEN\n{"id": 2, "text": "two"}'
+    )
+    args = (
+        spark,
+        str(in_dir),
+        schema,
+        str(tmp_path / "table"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt"),
+    )
+    q = streaming_jsonl_ingest(*args)
+    q.awaitTermination(120)
+    assert sorted(
+        (r["id"], r["text"]) for r in tf.read(spark, str(tmp_path / "table")).collect()
+    ) == [(1, "one"), (2, "two")]
+    assert [r["raw_line"] for r in tf.read(spark, str(tmp_path / "quarantine")).collect()] == [
+        "BROKEN"
+    ]
+
+    # second drop + second availableNow run over the SAME checkpoint:
+    # only the new file is processed, nothing duplicates
+    (in_dir / "b.jsonl").write_text('{"id": 3, "text": "three"}')
+    q2 = streaming_jsonl_ingest(*args)
+    q2.awaitTermination(120)
+    assert sorted(
+        r["id"] for r in tf.read(spark, str(tmp_path / "table")).collect()
+    ) == [1, 2, 3]
+    assert tf.read(spark, str(tmp_path / "quarantine")).count() == 1
