@@ -7414,3 +7414,82 @@ FROM per_c
 
 
 _REGISTRY.update({"inv_g_modularity": (q_g_modularity, SQL_G_MODULARITY)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): per-symbol return autocorrelation at multiple lags —
+# the momentum/mean-reversion diagnostic (indicators.return_autocorrelation).
+# One window pass builds the return + all lagged copies in a single
+# symbol-keyed sort; ONE groupBy computes every lag's corr as sibling
+# aggregates.
+# ---------------------------------------------------------------------------
+
+
+def q_w_acf(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    return indicators.return_autocorrelation(s, lags=(1, 2, 3, 5, 10))
+
+
+def _acf_sql(lags=(1, 2, 3, 5, 10)) -> str:
+    lag_cols = ",\n    ".join(
+        f"lag(r, {k}) OVER ({_WIN}) AS r{k}" for k in lags
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT symbol, {k} AS lag, round(corr(r, r{k}) + 1e-9, 6) AS acf,"
+        f" count(CASE WHEN r IS NOT NULL AND r{k} IS NOT NULL THEN 1 END) AS n_obs"
+        f" FROM l GROUP BY symbol"
+        for k in lags
+    )
+    return f"""
+WITH {SERIES_SQL},
+r AS (
+  SELECT symbol, time,
+         close / nullif(lag(close, 1) OVER ({_WIN}), 0) - 1 AS r
+  FROM series
+),
+l AS (
+  SELECT symbol, r,
+    {lag_cols}
+  FROM r
+)
+{arms}
+"""
+
+
+_REGISTRY.update({"inv_w_acf": (q_w_acf, _acf_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): daily cross-sectional information coefficient —
+# Spearman rank-IC of the 5-bar momentum signal vs next-bar return
+# (indicators.information_coefficient). Ranks are SQL-standard rank() with
+# a deterministic symbol tiebreak, mirrored literally in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_a_ic_momentum(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    return indicators.information_coefficient(s, signal_lag=5)
+
+
+SQL_A_IC = f"""
+WITH {SERIES_SQL},
+r AS (
+  SELECT symbol, time,
+         close / nullif(lag(close, 5) OVER ({_WIN}), 0) - 1 AS sig,
+         lead(close, 1) OVER ({_WIN}) / nullif(close, 0) - 1 AS fwd
+  FROM series
+),
+pairs AS (SELECT * FROM r WHERE sig IS NOT NULL AND fwd IS NOT NULL),
+ranked AS (
+  SELECT time,
+         CAST(rank() OVER (PARTITION BY time ORDER BY sig, symbol) AS DOUBLE) AS rs,
+         CAST(rank() OVER (PARTITION BY time ORDER BY fwd, symbol) AS DOUBLE) AS rf
+  FROM pairs
+)
+SELECT time, round(corr(rs, rf) + 1e-9, 6) AS ic, count(*) AS n_symbols
+FROM ranked GROUP BY time
+"""
+
+
+_REGISTRY.update({"inv_a_ic_momentum": (q_a_ic_momentum, SQL_A_IC)})

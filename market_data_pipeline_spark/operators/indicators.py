@@ -473,6 +473,103 @@ def add_adjusted_close(
     )
 
 
+def return_autocorrelation(
+    df: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3, 5, 10),
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-symbol autocorrelation of daily returns at the given lags —
+    the momentum/mean-reversion diagnostic (significantly negative lag-1
+    ACF ⇒ reverting series; positive ⇒ trending): (symbol, lag, acf,
+    n_obs).
+
+    One window pass builds the return and all its lagged copies in the
+    same symbol-keyed sort (single exchange), then ONE groupBy(symbol)
+    computes corr(ret, ret_lag_k) for every k as sibling aggregates —
+    never a per-lag re-scan, never a self-join. Output is
+    O(symbols · lags); corr ignores null pairs on both engines, so the
+    k leading rows each lag loses drop out consistently.
+    """
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(symbol_col).orderBy(time_col)
+    ret = F.col(close_col) / F.lag(close_col, 1).over(w) - 1
+    base = df.withColumn("__r", ret)
+    for k in lags:
+        base = base.withColumn(f"__r{k}", F.lag("__r", k).over(w))
+    aggs = []
+    for k in lags:
+        aggs.append(F.corr("__r", f"__r{k}").alias(f"acf_{k}"))
+        aggs.append(
+            F.count(F.when(F.col("__r").isNotNull() & F.col(f"__r{k}").isNotNull(), 1)).alias(
+                f"n_{k}"
+            )
+        )
+    wide = base.groupBy(symbol_col).agg(*aggs)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"acf_{k}").alias("acf"),
+                F.col(f"n_{k}").alias("n_obs"),
+            )
+            for k in lags
+        ]
+    )
+    return wide.select(symbol_col, F.explode(arms).alias("__a")).select(
+        symbol_col,
+        F.col("__a.lag").alias("lag"),
+        F.round(F.col("__a.acf") + F.lit(1e-9), 6).alias("acf"),
+        F.col("__a.n_obs").alias("n_obs"),
+    )
+
+
+def information_coefficient(
+    df: DataFrame,
+    signal_lag: int = 5,
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+    close_col: str = "close",
+) -> DataFrame:
+    """Daily cross-sectional information coefficient: Spearman rank
+    correlation, per time step, between a momentum signal
+    (``signal_lag``-bar return known at t) and the NEXT bar's return —
+    the standard "does this signal predict returns" factor diagnostic:
+    (time, ic, n_symbols).
+
+    Two window families, each one exchange: symbol-keyed lag/lead build
+    the signal and the forward return; time-keyed rank() turns both into
+    cross-sectional ranks (ties get SQL-standard rank on both engines —
+    deterministic, mirrored in the oracle); then one groupBy(time)
+    Pearson-of-ranks = Spearman. Output is O(time steps) at any symbol
+    count, and nothing ever sorts the full panel globally.
+    """
+    from pyspark.sql import Window as _W
+
+    ws = _W.partitionBy(symbol_col).orderBy(time_col)
+    sig = F.col(close_col) / F.lag(close_col, signal_lag).over(ws) - 1
+    fwd = F.lead(close_col, 1).over(ws) / F.col(close_col) - 1
+    both = (
+        df.withColumn("__sig", sig)
+        .withColumn("__fwd", fwd)
+        .filter(F.col("__sig").isNotNull() & F.col("__fwd").isNotNull())
+    )
+    wt_sig = _W.partitionBy(time_col).orderBy("__sig", symbol_col)
+    wt_fwd = _W.partitionBy(time_col).orderBy("__fwd", symbol_col)
+    ranked = both.withColumn("__rs", F.rank().over(wt_sig).cast("double")).withColumn(
+        "__rf", F.rank().over(wt_fwd).cast("double")
+    )
+    return (
+        ranked.groupBy(time_col)
+        .agg(
+            F.round(F.corr("__rs", "__rf") + F.lit(1e-9), 6).alias("ic"),
+            F.count(F.lit(1)).alias("n_symbols"),
+        )
+    )
+
+
 def twap_daily(series: DataFrame, time_col: str = "time", price_col: str = "close") -> DataFrame:
     """Time-weighted average price per (symbol, day) over IRREGULAR ticks:
     each tick's price is weighted by the seconds until the next tick that

@@ -263,3 +263,61 @@ def test_adjusted_close_same_day_actions_pre_multiplied(spark):
     assert len(out) == 2, "bar rows must not duplicate on same-day actions"
     got = {r.d.day: round(r.adj_close, 9) for r in out}
     assert got == {1: 40.0, 2: 100.0}  # 100 * 0.5 * 0.8 before the ex-date
+
+
+def test_return_autocorrelation_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from market_data_pipeline_spark.operators import indicators
+
+    rng = np.random.RandomState(11)
+    px = 100 * np.cumprod(1 + rng.normal(0, 0.02, 120))
+    rows = [
+        ("AAA", float(i), float(p)) for i, p in enumerate(px)
+    ] + [("BBB", float(i), float(100 + (i % 7))) for i in range(60)]
+    df = spark.createDataFrame(rows, "symbol string, time double, close double")
+    got = {
+        (r["symbol"], r["lag"]): (r["acf"], r["n_obs"])
+        for r in indicators.return_autocorrelation(df, lags=(1, 3)).collect()
+    }
+
+    for sym, prices in (("AAA", px), ("BBB", [100 + (i % 7) for i in range(60)])):
+        s = pd.Series(prices, dtype=float).pct_change()
+        for k in (1, 3):
+            want = s.corr(s.shift(k))  # pandas pearson, pairwise-complete
+            acf, n = got[(sym, k)]
+            assert abs(acf - round(want + 1e-9, 6)) < 1e-6, (sym, k)
+            assert n == len(prices) - 1 - k
+
+
+def test_information_coefficient_matches_pandas_spearman(spark):
+    import numpy as np
+    import pandas as pd
+
+    from market_data_pipeline_spark.operators import indicators
+
+    rng = np.random.RandomState(3)
+    syms = [f"S{i}" for i in range(8)]
+    rows = []
+    prices = {}
+    for s in syms:
+        px = 100 * np.cumprod(1 + rng.normal(0, 0.03, 30))
+        prices[s] = px
+        rows += [(s, float(t), float(p)) for t, p in enumerate(px)]
+    df = spark.createDataFrame(rows, "symbol string, time double, close double")
+    got = {
+        r["time"]: (r["ic"], r["n_symbols"])
+        for r in indicators.information_coefficient(df, signal_lag=5).collect()
+    }
+
+    pdf = pd.DataFrame(prices)
+    sig = pdf / pdf.shift(5) - 1
+    fwd = pdf.shift(-1) / pdf - 1
+    for t in range(5, 29):  # both signal and forward defined
+        # spearman = pearson of ranks (scipy-free; data is tie-free)
+        want = sig.iloc[t].rank().corr(fwd.iloc[t].rank())
+        ic, n = got[float(t)]
+        assert n == 8
+        # continuous data -> no rank ties -> tiebreak-free Spearman
+        assert abs(ic - round(want + 1e-9, 6)) < 1e-6, t
