@@ -349,17 +349,41 @@ def jaccard_prefix_join(
     in the self-join stay small exactly where a naive token self-join
     explodes (stopwords are never anyone's prefix at t ≥ ~0.3). Verify
     is linear in candidates over per-doc token ARRAYS (array_intersect,
-    no second shuffle per pair). Degenerate corpora of thousands of
-    EXACT clones still pair quadratically — that is the output's own
-    size; collapse exact duplicates first (exact_duplicates) when that
-    profile is expected, the same discipline as near_dup_members.
+    no second shuffle per pair). Exact clones (identical NORMALIZED
+    text ⇒ identical distinct-token set) are collapsed to one
+    representative BEFORE any pairwise work, the same discipline as
+    near_dup_members: the prefix join and the per-pair verify run over
+    representatives only, then cluster members are expanded back into
+    pairs afterward — cross-cluster values depend only on the
+    representatives, and within-cluster pairs are Jaccard 1.0 BY
+    CONSTRUCTION. A clone-saturated corpus thus pays quadratic cost
+    only in the final row EXPANSION (the output's own size — a join
+    that just materializes rows), never in hashing, shuffling, or
+    array intersection.
     """
+    # --- exact-clone collapse: one representative per distinct
+    # normalized text; `members` is O(docs) with three narrow columns,
+    # reused by three branches (rep filter, cross expansion, within
+    # expansion) — checkpoint it once
+    fp = df.select(
+        F.col(id_col), F.md5(normalized(F.col(text_col))).alias("__fp")
+    )
+    members = (
+        fp.join(
+            fp.groupBy("__fp").agg(F.min(id_col).alias("__rep")), "__fp"
+        )
+        .localCheckpoint(eager=True)
+    )
+    rep_docs = df.join(
+        members.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+    )
     # the distinct token frame feeds FOUR subtrees (sizes, document
     # frequency, prefix ranking, verify sets) — checkpoint it once or the
     # scan + explode + distinct re-executes per consumer (Spark shares no
     # common subplans across DataFrame reuse)
     toks = (
-        df.select(
+        rep_docs.select(
             F.col(id_col),
             F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
         )
@@ -378,21 +402,71 @@ def jaccard_prefix_join(
     # and (b) gives AQE real sizes so the verify joins broadcast the set
     # side instead of sort-merging the multi-million-row candidate stream
     # (measured 106 s → ~35 s at sf0.1 on the clone-saturated corpus)
+    # the 1e-9 inside ceil() guards the float boundary: 0.9 * 20 is
+    # 18.000000000000004 in binary, and a bare ceil would demand overlap
+    # ≥ 19 where the exact bound is 18 — shortening the prefix BELOW the
+    # completeness guarantee. Subtracting epsilon can only lengthen the
+    # prefix (more candidates, never fewer), so completeness is safe in
+    # both rounding directions.
     prefix = (
         toks.join(dfreq, "tok")
         .withColumn("__rn", F.row_number().over(rarity))
         .join(sizes, id_col)
         .filter(
             F.col("__rn")
-            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+            <= F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9))
+            + 1
         )
-        .select(id_col, "tok")
+        .select(id_col, "tok", "__rn", "__sz")
         .localCheckpoint(eager=True)
     )
+    # Two classic AllPairs/PPJoin prunes applied ROW-LEVEL on the joined
+    # prefix stream, BEFORE the distinct shuffle and the per-pair verify:
+    # (a) length filter — J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|);
+    # (b) positional filter — at the pair's FIRST common token (ranks
+    #     i, j in the global rarity order) every other common token is
+    #     ranked after it in BOTH docs, so |A∩B| ≤ 1 + min(|A|−i, |B|−j),
+    #     which must reach the equivalent overlap bound t/(1+t)·(|A|+|B|).
+    # The positional bound is only valid at the first common token, but
+    # that token is always in both prefixes whenever ANY common token is
+    # (prefixes are downward-closed in the rarity order), so each true
+    # pair survives via that row and the post-filter distinct keeps it —
+    # completeness intact, candidate volume cut before it is ever
+    # shuffled. Epsilons keep both prunes conservative at float
+    # boundaries.
+    t_over = float(threshold) / (1.0 + float(threshold))
     cand = (
-        prefix.select(F.col(id_col).alias("doc_a"), "tok")
-        .join(prefix.select(F.col(id_col).alias("doc_b"), "tok"), "tok")
+        prefix.select(
+            F.col(id_col).alias("doc_a"),
+            "tok",
+            F.col("__rn").alias("__rna"),
+            F.col("__sz").alias("__sa"),
+        )
+        .join(
+            prefix.select(
+                F.col(id_col).alias("doc_b"),
+                "tok",
+                F.col("__rn").alias("__rnb"),
+                F.col("__sz").alias("__sb"),
+            ),
+            "tok",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("__sa", "__sb")
+            >= F.lit(threshold) * F.greatest("__sa", "__sb") - F.lit(1e-9)
+        )
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("__sa") - F.col("__rna"),
+                    F.col("__sb") - F.col("__rnb"),
+                )
+            )
+            >= F.lit(t_over) * (F.col("__sa") + F.col("__sb")) - F.lit(1e-9)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -423,7 +497,56 @@ def jaccard_prefix_join(
             F.round(F.col("jaccard_raw") + 1e-12, 6).alias("jaccard"),
         )
     )
-    return verified
+    # --- expansion back to document-level pairs. Cross-cluster: every
+    # (member of A) × (member of B) pair inherits the representatives'
+    # n_common/jaccard verbatim (identical token sets); clusters are
+    # disjoint so least/greatest emits each unordered pair exactly once.
+    cross = (
+        verified.join(
+            members.select(
+                F.col("__rep").alias("doc_a"), F.col(id_col).alias("__ida")
+            ),
+            "doc_a",
+        )
+        .join(
+            members.select(
+                F.col("__rep").alias("doc_b"), F.col(id_col).alias("__idb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    # Within-cluster: identical token sets ⇒ n_common = |set|, J = 1.0.
+    # The inner join against `sets` (reps with ≥1 token only) excludes
+    # empty-token docs, which by contract never pair with anything.
+    within = (
+        members.select("__fp", F.col(id_col).alias("__wa"), "__rep")
+        .join(
+            members.select("__fp", F.col(id_col).alias("__wb")), "__fp"
+        )
+        .filter(F.col("__wa") < F.col("__wb"))
+        .join(
+            sets.select(
+                F.col(id_col).alias("__rep"),
+                F.size("__set").cast("long").alias("n_common"),
+            ),
+            "__rep",
+        )
+        .select(
+            F.col("__wa").alias("doc_a"),
+            F.col("__wb").alias("doc_b"),
+            "n_common",
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

@@ -592,6 +592,31 @@ def test_jaccard_prefix_join_micro(spark, dup_docs):
     assert tight == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_jaccard_prefix_join_float_boundary(spark):
+    # Exact-threshold boundary regression: B's 7 tokens are a subset of
+    # A's 25, so J = 7/25 = 0.28 EXACTLY at threshold 0.28. In binary
+    # floating point 0.28 * 25 = 7.000000000000001, and a bare ceil()
+    # demands overlap >= 8, shortening A's prefix from the completeness
+    # bound of 19 tokens to 18. A's 18 extra tokens are globally rarest
+    # (df=1 vs df=2 for the shared ones), so the buggy 18-token prefix
+    # is exactly the unique tokens — the first shared token sits at rank
+    # 19 — and the pair is silently MISSED. The epsilon inside ceil()
+    # restores the bound (it can only lengthen the prefix, so
+    # completeness is safe in both rounding directions).
+    shared = [f"s{i:02d}" for i in range(7)]
+    uniq = [f"zz{i:02d}" for i in range(18)]
+    rows = [
+        (1, " ".join(uniq + shared)),
+        (2, " ".join(shared)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.jaccard_prefix_join(df, threshold=0.28).collect()
+    }
+    assert got == {(1, 2): (7, 0.28)}
+
+
 def test_jaccard_prefix_join_complete_vs_bruteforce(spark):
     # randomized-ish corpus (deterministic seed): prefix filtering must
     # find EXACTLY the brute-force set at every threshold tried
