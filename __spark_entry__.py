@@ -7493,3 +7493,83 @@ FROM ranked GROUP BY time
 
 
 _REGISTRY.update({"inv_a_ic_momentum": (q_a_ic_momentum, SQL_A_IC)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): record linkage / entity resolution
+# (operators/linkage.py). Exact edit-distance threshold self-join over the
+# DISTINCT part-name domain — q-gram multiset count filtering + native
+# levenshtein verify — and connected-component entity ids on top (the
+# typo-level complement to token-Jaccard: the reference's universe
+# stitching joins listing names across sources, which is this problem one
+# substitution away). The oracle runs brute-force levenshtein over the
+# same domain, so candidate-set completeness is value-checked.
+# ---------------------------------------------------------------------------
+
+
+def q_er_editdist_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    from market_data_pipeline_spark.operators import linkage
+
+    p = load_table(spark, sf, "part")
+    return linkage.edit_distance_join(p, col="p_name", max_dist=2)
+
+
+SQL_ER_EDITDIST_PAIRS = """
+WITH nm AS (SELECT DISTINCT p_name AS val FROM part WHERE p_name IS NOT NULL)
+SELECT a.val AS name_a, b.val AS name_b,
+       CAST(levenshtein(a.val, b.val) AS INTEGER) AS dist
+FROM nm a JOIN nm b
+  ON a.val < b.val AND abs(length(a.val) - length(b.val)) <= 2
+WHERE levenshtein(a.val, b.val) <= 2
+"""
+
+
+_REGISTRY.update(
+    {"inv_er_editdist_pairs": (q_er_editdist_pairs, SQL_ER_EDITDIST_PAIRS)}
+)
+
+
+def q_er_entities(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    from market_data_pipeline_spark.operators import linkage
+
+    p = load_table(spark, sf, "part")
+    return linkage.resolve_entities(
+        p, col="p_name", id_col="p_partkey", max_dist=2
+    )
+
+
+# Transitive closure over the value graph via a recursive reach CTE
+# (64-value domain at any SF — the oracle's quadratic closure is bounded
+# by the attribute domain, not the corpus); entity id = min record id
+# over the reachable value set, matching dup_groups' min-root contract.
+SQL_ER_ENTITIES = """
+WITH RECURSIVE
+nm AS (
+  SELECT p_name AS val, min(p_partkey) AS rep
+  FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+),
+pairs AS (
+  SELECT a.val AS va, b.val AS vb
+  FROM nm a JOIN nm b
+    ON a.val < b.val AND abs(length(a.val) - length(b.val)) <= 2
+   AND levenshtein(a.val, b.val) <= 2
+),
+sym AS (SELECT va, vb FROM pairs UNION SELECT vb, va FROM pairs),
+reach(id, r) AS (
+  SELECT val, val FROM nm
+  UNION
+  SELECT reach.id, s.vb FROM reach JOIN sym s ON reach.r = s.va
+),
+ent AS (
+  SELECT reach.id AS val, min(m.rep) AS entity_id
+  FROM reach JOIN nm m ON reach.r = m.val
+  GROUP BY reach.id
+)
+SELECT p.p_partkey, p.p_name, e.entity_id
+FROM part p JOIN ent e ON p.p_name = e.val
+"""
+
+
+_REGISTRY.update({"inv_er_entities": (q_er_entities, SQL_ER_ENTITIES)})
