@@ -48,6 +48,12 @@ QUERIES = [
     "inv_x_curated_corpus",     # quality gate + text near-dup cluster collapse
     "inv_g_degree_hist",        # basket pair expansion + two keyed aggs
     "inv_g_pagerank",           # checkpointed iterative join loop
+    "inv_d_jaccard_prefix",     # exact-Jaccard prefix join (clone-collapsed;
+                                # output itself is quadratic in clones, like
+                                # the SimHash pair dump)
+    "inv_er_entities",          # edit-distance entity resolution: record
+                                # volume grows K×, the 64-value name domain
+                                # does not — pairwise cost must stay flat
 ]
 
 
@@ -74,6 +80,10 @@ def build_replica(spark, k: int, out_dir: str) -> None:
     # growth mode for a product/link graph, and the harder one (edge
     # weights and degrees grow, not just row count)
     replicate("lineitem", {"l_orderkey": 100_000_000})
+    # fresh part RECORDS over the SAME 64-name attribute domain: the
+    # linkage stress — entity resolution's pairwise work lives in the
+    # value domain, so K× more records must not grow the join
+    replicate("part", {"p_partkey": 100_000_000})
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
