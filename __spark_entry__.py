@@ -7573,3 +7573,91 @@ FROM part p JOIN ent e ON p.p_name = e.val
 
 
 _REGISTRY.update({"inv_er_entities": (q_er_entities, SQL_ER_ENTITIES)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): LSH recall self-evaluation — the dedup twin of
+# inv_sim_ann_recall's "measure, don't guess" contract. Ground truth is
+# the EXACT token-Jaccard pair set from the prefix join (provably
+# complete); the candidate set is token-level MinHash banding (12 hashes,
+# 4 bands: detection probability 1-(1-s^3)^4, ≈0.995 at s=0.9). One plan
+# computes truth, candidates, their intersection, and the recall — so the
+# banding config's quality claim is a measured number in the registry,
+# not a formula in a docstring. Scoped to one source shard: the estimate
+# is statistically identical and the truth join stays cheap at any SF.
+# ---------------------------------------------------------------------------
+
+
+def q_d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    d = _docs(spark, sf).filter(F.col("source") == "src0")
+    truth = dedup.jaccard_prefix_join(d, threshold=0.9).select("doc_a", "doc_b")
+    cand = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4, shingle_n=1)
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    tagged = (
+        truth.select(F.lit("t").alias("k"))
+        .unionAll(cand.select(F.lit("c").alias("k")))
+        .unionAll(hit.select(F.lit("h").alias("k")))
+    )
+    counts = tagged.groupBy().agg(
+        F.sum(F.when(F.col("k") == "t", 1).otherwise(0)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("k") == "c", 1).otherwise(0)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("k") == "h", 1).otherwise(0)).cast("long").alias("n_hit"),
+    )
+    return counts.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.col("n_hit")
+            / F.when(F.col("n_true") == 0, F.lit(None)).otherwise(F.col("n_true"))
+            + F.lit(1e-9),
+            6,
+        ).alias("recall"),
+    )
+
+
+# Truth side mirrors jaccard_prefix_join's convention (empty tokens
+# dropped); the MinHash side mirrors shingles(n=1) which keeps whatever
+# split() produced — two CTE families (shf vs sh) keep each mirror exact.
+SQL_D_LSH_RECALL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE source = 'src0'
+),
+tk AS (
+  SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS shingle FROM norm
+),
+sh AS (SELECT doc_id, shingle FROM tk),
+shf AS (SELECT doc_id, shingle FROM tk WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.9
+),
+{_minhash_sig_sql()},
+{_band_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit) * 1.0
+             / nullif((SELECT count(*) FROM truth), 0) + 1e-9, 6) AS recall
+"""
+
+
+_REGISTRY.update({"inv_d_lsh_recall": (q_d_lsh_recall, SQL_D_LSH_RECALL)})
