@@ -377,3 +377,52 @@ def test_equidepth_histogram_has_no_single_partition_stage(spark, sf_dir):
     assert "SinglePartition" not in plan, "equi-depth rank collapsed to one task"
     assert "Window" not in plan, "global window snuck back into the rank pass"
     assert "MapInPandas" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_store(spark, sf_dir, tmp_path):
+    """A fact table laid out with partitionBy(key) must be pruned AT
+    PLANNING/RUNTIME when joined to a dim carrying a selective predicate:
+    Catalyst injects a DynamicPruning subquery on the fact scan's
+    partition column, so only the partitions whose keys survive the dim
+    filter are ever listed or read. At 100 TB this is the storage-level
+    twin of the runtime Bloom filter — whole directories skipped, not
+    rows. Pinned here because the engine's own stores write
+    partitionBy(symbol)/partitionBy(date) layouts (pipeline.persist_to,
+    merge_daily_partitions) and the 1000-executor read path relies on the
+    pruning actually firing."""
+    store = str(tmp_path / "events_by_region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    # a fact store partitioned by nation key (25 dirs)
+    cust.write.mode("overwrite").partitionBy("c_nationkey").parquet(store)
+    fact = spark.read.parquet(store)
+    dim = nation.filter(F.col("n_name") == "NATION_7")
+    confs = {
+        # local testdata is far under the broadcast threshold; DPP via
+        # broadcast reuse is the production path, so let it broadcast
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            fact.join(dim, fact.c_nationkey == dim.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum("c_acctbal").alias("bal"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the pruning must sit on the partitioned fact scan's
+        # partition column
+        idx = plan.lower().index("dynamicpruning")
+        assert "c_nationkey" in plan[max(0, idx - 500): idx + 500]
+        # semantics: one nation's customers only
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["n_name"] == "NATION_7"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
