@@ -7661,3 +7661,81 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
 
 
 _REGISTRY.update({"inv_d_lsh_recall": (q_d_lsh_recall, SQL_D_LSH_RECALL)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): supervised text classification health check —
+# add-1 multinomial Naive Bayes (text.nb_confusion), the
+# fastText/WebText-classifier shape reduced to pure counting. Trained on
+# the shared Knuth-hash 80% split, evaluated as a confusion matrix on the
+# held-out 20%; every score is counts + ln, so the SQL twin is exact
+# under the round-both-sides discipline.
+# ---------------------------------------------------------------------------
+
+
+def q_t_nb_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    return text.nb_confusion(_docs(spark, sf))
+
+
+SQL_T_NB_CONFUSION = f"""
+WITH norm AS (
+  SELECT doc_id, lang, {_NORM_SQL} AS nt,
+         (doc_id * 2654435761) % 100 < 80 AS is_train
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, is_train, unnest(string_split(nt, ' ')) AS w
+  FROM norm
+),
+tokne AS (SELECT * FROM tok WHERE w <> ''),
+ct AS (
+  SELECT lang AS c, w, count(*) AS cnt
+  FROM tokne WHERE is_train GROUP BY 1, 2
+),
+nc AS (SELECT c, sum(cnt) AS n FROM ct GROUP BY c),
+v AS (SELECT count(DISTINCT w) AS vv FROM tokne WHERE is_train),
+pri AS (
+  SELECT lang AS c, count(*) AS nd FROM norm WHERE is_train GROUP BY 1
+),
+tot AS (SELECT sum(nd) AS ntr FROM pri),
+consts AS (
+  SELECT p.c, ln(p.nd / tot.ntr) AS ln_prior, ln(nc.n + v.vv) AS ln_denom
+  FROM pri p CROSS JOIN tot CROSS JOIN v
+  JOIN nc ON nc.c = p.c
+),
+tf AS (
+  SELECT doc_id, lang AS true_label, w, count(*) AS tf
+  FROM tokne WHERE NOT is_train GROUP BY 1, 2, 3
+),
+seen AS (
+  SELECT tf.doc_id, ct.c, sum(tf.tf * ln(ct.cnt + 1)) AS s
+  FROM tf JOIN ct ON tf.w = ct.w GROUP BY 1, 2
+),
+dlen AS (
+  SELECT n.doc_id, n.lang AS true_label,
+         coalesce(t.len, 0) AS len
+  FROM norm n
+  LEFT JOIN (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+  ) t ON n.doc_id = t.doc_id
+  WHERE NOT n.is_train
+),
+scores AS (
+  SELECT dl.doc_id, dl.true_label, k.c,
+         round(k.ln_prior - dl.len * k.ln_denom + coalesce(s.s, 0) + 1e-9, 6)
+           AS score
+  FROM dlen dl CROSS JOIN consts k
+  LEFT JOIN seen s ON s.doc_id = dl.doc_id AND s.c = k.c
+),
+pred AS (
+  SELECT doc_id, true_label, c AS pred_label,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+  FROM scores
+)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+_REGISTRY.update({"inv_t_nb_confusion": (q_t_nb_confusion, SQL_T_NB_CONFUSION)})

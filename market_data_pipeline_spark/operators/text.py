@@ -8,7 +8,7 @@ expressions — whole-stage-codegen'd, no Python in the loop, scan-bound.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A small English stopword set for ratio features — fixed so results are
@@ -1000,3 +1000,116 @@ def bpe_apply(
         F.size(words).alias("n_words"),
         n_sym.cast("int").alias("n_bpe_tokens"),
     )
+
+
+def nb_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+) -> DataFrame:
+    """Supervised text classification as a pipeline health check: an
+    add-1-smoothed multinomial Naive Bayes classifier trained on the
+    deterministic hash split's train fraction, evaluated as a confusion
+    matrix (true_label, pred_label, n_docs) on the held-out remainder —
+    the fastText/WebText-classifier shape (train a cheap supervised
+    scorer on labeled docs, score the corpus) reduced to pure counting,
+    so every number has an exact SQL twin.
+
+    Math: score(d, c) = ln P(c) + Σ_w tf_d(w)·ln P(w|c) with
+    P(w|c) = (C(w,c)+1)/(N_c+V). The unseen-token branch folds away:
+    ln((0+1)/(N_c+V)) = −ln(N_c+V), so
+    score = ln_prior_c − len_d·ln(N_c+V) + Σ_{seen (w,c)} tf·ln(C+1) —
+    the Σ needs only an INNER join of test-token rows against the
+    trained count table (unseen pairs contribute ln 1 = 0), and the two
+    per-class constants ride in on a broadcast class-constant frame.
+
+    Scale shape: count tables are vocabulary×classes (map-side
+    combined); the scoring join keys on the token string; the class
+    constants are a classes-row broadcast; prediction is one
+    row_number window per doc over |classes| rows. Argmax ties break on
+    class name ascending over 6dp-rounded scores — deterministic on any
+    engine (the shared round-both-sides discipline).
+
+    Train/eval split uses the shared Knuth-hash convention
+    (features.split_column): bucket < train_pct trains, the rest
+    evaluates — reproducible lineage, never rand().
+    """
+    from market_data_pipeline_spark.operators.features import _knuth_bucket
+
+    is_train = _knuth_bucket(id_col, 100) < F.lit(train_pct)
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("__true"),
+        tokens(F.col(text_col)).alias("__t"),
+        is_train.alias("__train"),
+    )
+    occ = base.select(
+        id_col, "__true", "__train", F.explode("__t").alias("__w")
+    ).filter(F.col("__w") != "")
+    train_occ = occ.filter(F.col("__train"))
+    ct = train_occ.groupBy(
+        F.col("__true").alias("__c"), "__w"
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    nc = ct.groupBy("__c").agg(F.sum("__cnt").alias("__n"))
+    vocab = train_occ.select("__w").distinct().agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    pri = base.filter(F.col("__train")).groupBy(
+        F.col("__true").alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__nd"))
+    ntr = pri.agg(F.sum("__nd").alias("__ntr"))
+    consts = (
+        pri.join(nc, "__c")
+        .crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__c",
+            F.log(F.col("__nd") / F.col("__ntr")).alias("__ln_prior"),
+            F.log(F.col("__n") + F.col("__v")).alias("__ln_denom"),
+        )
+    )
+    tf = (
+        occ.filter(~F.col("__train"))
+        .groupBy(id_col, "__true", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    # per-(doc, class) sum over SEEN trained tokens only
+    seen = (
+        tf.join(ct, "__w")
+        .groupBy(id_col, "__c")
+        .agg(F.sum(F.col("__tf") * F.log(F.col("__cnt") + 1)).alias("__s"))
+    )
+    # every test doc (incl. zero-token ones) × every class
+    dl = base.filter(~F.col("__train")).select(
+        id_col,
+        "__true",
+        F.size(F.filter("__t", lambda w: w != "")).cast("long").alias("__len"),
+    )
+    scores = (
+        dl.crossJoin(F.broadcast(consts))
+        .join(seen, [id_col, "__c"], "left")
+        .select(
+            id_col,
+            "__true",
+            "__c",
+            F.round(
+                F.col("__ln_prior")
+                - F.col("__len") * F.col("__ln_denom")
+                + F.coalesce(F.col("__s"), F.lit(0.0))
+                + F.lit(1e-9),
+                6,
+            ).alias("__score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("__c").asc()
+    )
+    pred = scores.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return pred.groupBy(
+        F.col("__true").alias("true_label"),
+        F.col("__c").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

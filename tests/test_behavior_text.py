@@ -459,3 +459,37 @@ def test_bpe_train_exhausted_vocabulary_stops_short(spark):
     ]
     # ab</w> needs exactly 2 merges: (a,b) then (ab,</w>)
     assert got == [(1, "ab"), (2, "ab</w>")]
+
+
+def test_nb_confusion_separable_micro(spark):
+    """On a vocabulary-separable corpus the add-1 NB classifier must
+    recover the true labels on the held-out split exactly. Doc ids are
+    chosen so the Knuth split puts ids 0..7 in train and 8, 9 in test
+    ((id*2654435761) % 100: id 8 -> 88, id 9 -> 49... verified below),
+    and the test docs reuse their class's training vocabulary."""
+    from market_data_pipeline_spark.operators.text import nb_confusion
+
+    knuth = 2654435761
+    rows = []
+    # class A speaks {apple banana}, class B speaks {stone iron}
+    for i in range(10):
+        bucket = (i * knuth) % 100
+        label = "A" if i % 2 == 0 else "B"
+        words = "apple banana apple" if label == "A" else "stone iron stone"
+        rows.append((i, label, words, bucket))
+    # sanity: both classes appear in train AND test under the shared split
+    train = {r[1] for r in rows if r[3] < 80}
+    test = {r[1] for r in rows if r[3] >= 80}
+    assert train == {"A", "B"} and test == {"A", "B"}
+
+    df = spark.createDataFrame(
+        [(i, l, w) for i, l, w, _ in rows], "doc_id long, lang string, text string"
+    )
+    got = {
+        (r.true_label, r.pred_label): r.n_docs
+        for r in nb_confusion(df).collect()
+    }
+    # perfect diagonal: every held-out doc classified as its own class
+    assert all(t == p for (t, p) in got), got
+    n_test = sum(1 for r in rows if r[3] >= 80)
+    assert sum(got.values()) == n_test
