@@ -7739,3 +7739,60 @@ FROM pred WHERE rn = 1 GROUP BY 1, 2
 
 
 _REGISTRY.update({"inv_t_nb_confusion": (q_t_nb_confusion, SQL_T_NB_CONFUSION)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): k-core decomposition (graph.kcore) — iterative
+# peeling of nodes under degree k over the weight>=2 co-purchase graph.
+# The densest-region detector a link-graph curation pass runs (spam rings
+# sit in high cores; organic hubs shed early). Semantics pinned to 12
+# peel rounds so the chained-CTE unrolling below is exact; the Spark loop
+# breaks early at the fixpoint, which equals every longer unroll.
+# ---------------------------------------------------------------------------
+
+
+def q_g_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    # k=70 sits just under the co-purchase graph's median degree (~119 at
+    # both SFs): the peel cascades meaningfully (nodes whose neighborhoods
+    # thin out drop in waves) yet converges to a non-trivial core within
+    # the 12-round pin — higher k collapses the whole near-random graph
+    # (the classic G(n,p) core phase transition), lower k peels nothing.
+    edges = graph.copurchase_edges(spark, sf, min_weight=1)
+    return graph.kcore(edges, k=70, max_rounds=12)
+
+
+def _kcore_sql(k: int = 70, rounds: int = 12) -> str:
+    parts = [
+        "ew AS (SELECT src, dst FROM e WHERE weight >= 1)",
+        "s0 AS MATERIALIZED (SELECT src, dst FROM ew UNION ALL SELECT dst, src FROM ew)",
+    ]
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        # AS MATERIALIZED: every s{r} is referenced twice (degree CTE +
+        # next round) — without the hint DuckDB inlines the chain and the
+        # plan tree doubles per round (2^rounds scans of lineitem)
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT src AS node FROM {prev} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT t.src, t.dst FROM {prev} t "
+            f"JOIN n{r} a ON t.src = a.node JOIN n{r} b ON t.dst = b.node)"
+        )
+        prev = f"s{r}"
+    return ",\n".join(parts) + f"""
+SELECT_TAIL SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM {prev} GROUP BY src HAVING count(*) >= {k}
+""".replace("SELECT_TAIL", "")
+
+
+SQL_G_KCORE = f"""
+WITH {_SQL_G_EDGES},
+{_kcore_sql()}
+"""
+
+
+_REGISTRY.update({"inv_g_kcore": (q_g_kcore, SQL_G_KCORE)})

@@ -471,3 +471,57 @@ def pagerank(
         if (it + 1) % _CADENCE == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete nodes
+    with degree < k (undirected, each edge walked both ways) until stable
+    or ``max_rounds`` peels — (node, deg) for the surviving core, deg the
+    node's degree INSIDE the core.
+
+    Why a curation pipeline wants it: the k-core isolates densely
+    interlinked regions — on a web/link graph the spam farms and mutual-
+    promotion rings sit in high cores while organic pages shed early
+    (degree alone cannot see this: a hub with k spokes has high degree
+    and no core). The peel is the standard O(rounds · E) shape.
+
+    Semantics are pinned to ``max_rounds`` peels so the chained-CTE SQL
+    unrolling is exact: the loop breaks early when a round removes
+    nothing (the fixpoint equals every longer unroll), and a graph still
+    shrinking at the cap simply reports the ``max_rounds``-peel state on
+    BOTH engines. Per round: one degree aggregation + two semi-joins,
+    edge frame localCheckpoint-ed (lazy, materialized by the round's
+    count action) so lineage stays O(1); node counts are monotone
+    decreasing, so count-stability IS the fixpoint test.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev_nodes: int | None = None
+    for _ in range(max_rounds):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        keep = keep.localCheckpoint(eager=False)
+        n = keep.count()
+        if prev_nodes is not None and n == prev_nodes:
+            break
+        prev_nodes = n
+        sym = (
+            sym.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )

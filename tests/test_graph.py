@@ -393,3 +393,21 @@ def test_hop_distances_duplicate_seed_rows_collapse(spark):
     seeds = spark.createDataFrame([(1,), (1,), (1,)], "node long")
     rows = graph.hop_distances(e, seeds, max_hops=1).collect()
     assert sorted((r["node"], r["hops"]) for r in rows) == [(1, 0), (2, 1)]
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    # K5 clique (nodes 1..5) with a pendant path 5-10-11: the path nodes
+    # have degree <= 2 and peel away in waves; the clique survives as the
+    # 3-core with every member at degree 4. Node 10's degree drops only
+    # AFTER 11 is removed — two peel rounds, exercising the cascade.
+    import itertools
+
+    edges = list(itertools.combinations([1, 2, 3, 4, 5], 2)) + [(5, 10), (10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg for r in graph.kcore(e, k=3).collect()}
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+    # k above the clique degree peels everything
+    assert graph.kcore(e, k=5).count() == 0
+    # k=1 keeps the whole graph with full degrees
+    all_deg = {r.node: r.deg for r in graph.kcore(e, k=1).collect()}
+    assert all_deg[10] == 2 and all_deg[11] == 1 and all_deg[5] == 5
