@@ -7796,3 +7796,70 @@ WITH {_SQL_G_EDGES},
 
 
 _REGISTRY.update({"inv_g_kcore": (q_g_kcore, SQL_G_KCORE)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): as-of NEAREST join — completes the as-of family
+# (backward / forward / nearest, the three pandas merge_asof directions).
+# Each tick gains the bar whose day boundary is CLOSEST in absolute time,
+# ties to backward; tolerance bounds both sides. The Spark side stays the
+# union-fill shape (one key exchange, two window passes, no join); the
+# oracle brute-forces per-key candidates and picks by (gap, backward-
+# first) rank — quadratic per key, oracle-only.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import asof
+
+    s = _series(spark, sf).drop("event_id")
+    b = _bars(spark, sf).select(
+        "symbol",
+        F.col("d").cast("timestamp").alias("bar_ts"),
+        F.col("d").alias("bar_d"),
+        F.col("close").alias("bar_close"),
+    )
+    out = asof.asof_join(
+        s, b, key="symbol", left_time="time", right_time="bar_ts",
+        payload=["bar_d", "bar_close"], direction="nearest",
+        tolerance_seconds=86400.0,
+    )
+    return out.select(
+        "symbol", "time",
+        F.round("close", 4).alias("close"),
+        "bar_d",
+        F.round("bar_close", 4).alias("bar_close"),
+    )
+
+
+SQL_ASOF_NEAREST = f"""
+WITH {BARS_SQL},
+ev AS (
+  SELECT user_id AS symbol, ts AS time, value AS close FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+marks AS (
+  SELECT symbol, CAST(d AS TIMESTAMP) AS bar_ts, d AS bar_d, close AS bar_close
+  FROM bars
+),
+cand AS (
+  SELECT e.symbol, e.time, e.close, m.bar_d, m.bar_close,
+         abs(epoch(e.time) - epoch(m.bar_ts)) AS gap,
+         (m.bar_ts <= e.time) AS is_b,
+         row_number() OVER (
+           PARTITION BY e.symbol, e.time
+           ORDER BY abs(epoch(e.time) - epoch(m.bar_ts)),
+                    (m.bar_ts <= e.time) DESC, m.bar_ts
+         ) AS rn
+  FROM ev e JOIN marks m ON e.symbol = m.symbol
+  WHERE abs(epoch(e.time) - epoch(m.bar_ts)) <= 86400
+),
+best AS (SELECT * FROM cand WHERE rn = 1)
+SELECT e.symbol, e.time, round(e.close, 4) AS close, b.bar_d,
+       round(b.bar_close, 4) AS bar_close
+FROM ev e
+LEFT JOIN best b ON e.symbol = b.symbol AND e.time = b.time
+"""
+
+
+_REGISTRY.update({"inv_asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST)})

@@ -47,8 +47,14 @@ def asof_join(
     keep-last dedupe upstream otherwise (equal-instant right rows have no
     deterministic winner in any engine's as-of join).
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, key, left_time, right_time, payload, tolerance_seconds
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lcols = left.columns
     l = left.withColumn("__t", F.col(left_time).cast("timestamp")).withColumn(
         "__side", F.lit(1)
@@ -90,3 +96,83 @@ def asof_join(
     for c in payload:
         out = out.withColumnRenamed(f"__p_{c}", c)
     return out
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    """direction='nearest': the closer of the backward and forward match,
+    ties to backward (pandas merge_asof convention). ONE union-fill pass
+    computes both sides — the same (key)-partitioned sort serves an
+    ascending last-ignorenulls window (backward candidates) and its
+    descending twin (forward candidates); a per-row conditional picks the
+    smaller absolute gap. Same scale shape as the directional join: one
+    exchange on key, two window passes over it, no join at all.
+
+    Tolerance applies per side BEFORE the pick (a side beyond tolerance
+    is not a candidate), matching pandas.
+    """
+    lcols = left.columns
+    l = left.withColumn("__t", F.col(left_time).cast("timestamp")).withColumn(
+        "__side", F.lit(1)
+    )
+    for c in payload:
+        l = l.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("__p___rt", F.lit(None).cast("timestamp"))
+    r = right.select(
+        F.col(key),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    ).withColumn("__p___rt", F.col("__t"))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
+    filled = [*payload, "__rt"]
+    u = l.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled]).unionByName(
+        r.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled])
+    )
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").desc(), "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in filled:
+        u = u.withColumn(f"__b_{c}", F.last(f"__p_{c}", ignorenulls=True).over(wb))
+        u = u.withColumn(f"__f_{c}", F.last(f"__p_{c}", ignorenulls=True).over(wf))
+    out = u.filter(F.col("__side") == 1).drop("__side")
+    # cast-to-double keeps MICROSECONDS (unix_timestamp truncates to whole
+    # seconds, which flips the winning side for left rows within a second
+    # of the midpoint between two right rows — found by the sf0.1 oracle
+    # sweep); DuckDB's epoch() mirrors the fractional-seconds double
+    gap_b = F.col("__t").cast("double") - F.col("__b___rt").cast("double")
+    gap_f = F.col("__f___rt").cast("double") - F.col("__t").cast("double")
+    valid_b = F.col("__b___rt").isNotNull()
+    valid_f = F.col("__f___rt").isNotNull()
+    if tolerance_seconds is not None:
+        valid_b = valid_b & (gap_b <= F.lit(tolerance_seconds))
+        valid_f = valid_f & (gap_f <= F.lit(tolerance_seconds))
+    take_b = valid_b & (~valid_f | (gap_b <= gap_f))
+    for c in payload:
+        out = out.withColumn(
+            c,
+            F.when(take_b, F.col(f"__b_{c}")).when(valid_f, F.col(f"__f_{c}")),
+        )
+    drop = (
+        ["__t"]
+        + [f"__p_{c}" for c in filled]
+        + [f"__b_{c}" for c in filled]
+        + [f"__f_{c}" for c in filled]
+    )
+    return out.drop(*drop)

@@ -159,6 +159,50 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
         assert got[(row.sym, row.t, row.v)] == expect
 
 
+@given(asof_case())
+@SETTLE
+def test_asof_nearest_matches_pandas_merge_asof(spark, case):
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import asof
+
+    left_rows, right_rows = case
+    right_rows = list({(s, m): (s, m, v) for s, m, v in right_rows}.values())
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], "sym string, t timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [(s, ts(m), v) for s, m, v in right_rows], "sym string, mt timestamp, mark double"
+    )
+    got = {
+        (r.sym, r.t, r.v): r.mark
+        for r in asof.asof_join(
+            left, right, "sym", "t", "mt", ["mark"], direction="nearest"
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], columns=["sym", "t", "v"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(s, ts(m), v) for s, m, v in right_rows], columns=["sym", "mt", "mark"]
+    ).sort_values("mt", kind="mergesort")
+    if rp.empty:
+        assert all(v is None for v in got.values())
+        return
+    rp = rp.drop_duplicates(subset=["sym", "mt"], keep="last")
+    exp_df = pd.merge_asof(
+        lp, rp, left_on="t", right_on="mt", by="sym", direction="nearest"
+    )
+    for row in exp_df.itertuples(index=False):
+        expect = None if pd.isna(row.mark) else row.mark
+        assert got[(row.sym, row.t, row.v)] == expect
+
+
 @st.composite
 def edge_sets(draw):
     n_nodes = draw(st.integers(2, 12))
