@@ -7863,3 +7863,77 @@ LEFT JOIN best b ON e.symbol = b.symbol AND e.time = b.time
 
 
 _REGISTRY.update({"inv_asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): two classic volume-indicator windows rounding out
+# the W-family — on-balance volume (cumulative signed volume) and the
+# Money Flow Index (volume-weighted RSI over typical price). Both are one
+# symbol-window chain, no joins; oracles mirror the window algebra
+# literally under the shared rounding nudge.
+# ---------------------------------------------------------------------------
+
+
+def q_w_obv(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    return indicators.add_obv(b).select("symbol", "d", "obv")
+
+
+SQL_W_OBV = f"""
+WITH {BARS_SQL},
+x AS (
+  SELECT symbol, d, close, volume,
+         lag(close) OVER (PARTITION BY symbol ORDER BY d) AS pc
+  FROM bars
+),
+s AS (
+  SELECT symbol, d,
+         CASE WHEN pc IS NULL OR close = pc THEN 0.0
+              WHEN close > pc THEN volume ELSE -volume END AS sv
+  FROM x
+)
+SELECT symbol, d,
+       round(sum(sv) OVER (PARTITION BY symbol ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) + 1e-9, 4) AS obv
+FROM s
+"""
+
+
+def q_w_mfi(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    return indicators.add_mfi(b).select("symbol", "d", "mfi")
+
+
+SQL_W_MFI = f"""
+WITH {BARS_SQL},
+y AS (
+  SELECT symbol, d, (high + low + close) / 3 AS tp, volume,
+         lag((high + low + close) / 3) OVER (PARTITION BY symbol ORDER BY d) AS tpp
+  FROM bars
+),
+z AS (
+  SELECT symbol, d,
+         CASE WHEN tpp IS NOT NULL AND tp > tpp THEN tp * volume ELSE 0.0 END AS pos,
+         CASE WHEN tpp IS NOT NULL AND tp < tpp THEN tp * volume ELSE 0.0 END AS neg,
+         CASE WHEN tpp IS NULL THEN 0 ELSE 1 END AS hasprev
+  FROM y
+)
+SELECT symbol, d,
+       CASE WHEN c >= 14 AND p + n > 0
+            THEN round(100.0 * p / (p + n) + 1e-9, 6) END AS mfi
+FROM (
+  SELECT symbol, d,
+         sum(pos) OVER f AS p, sum(neg) OVER f AS n, sum(hasprev) OVER f AS c
+  FROM z
+  WINDOW f AS (PARTITION BY symbol ORDER BY d
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_w_obv": (q_w_obv, SQL_W_OBV),
+        "inv_w_mfi": (q_w_mfi, SQL_W_MFI),
+    }
+)

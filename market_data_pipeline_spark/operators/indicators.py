@@ -648,3 +648,58 @@ def add_rolling_median(
         out_col,
         F.when(F.count(F.col(col)).over(frame) == period, est),
     )
+
+
+def add_obv(
+    df: DataFrame,
+    close_col: str = "close",
+    vol_col: str = "volume",
+    w: WindowSpec | None = None,
+) -> DataFrame:
+    """On-balance volume: running sum of signed volume — +v on an up
+    close, −v on a down close, 0 when flat or on the first bar. One
+    symbol-partitioned window chain (lag + cumulative sum), no joins.
+    OBV is the classic volume-confirmation signal: price moves backed by
+    volume build the line, moves without volume do not."""
+    w = w or series_window(time_col="d")
+    prev = F.lag(close_col).over(w)
+    signed = (
+        F.when(prev.isNull() | (F.col(close_col) == prev), F.lit(0.0))
+        .when(F.col(close_col) > prev, F.col(vol_col))
+        .otherwise(-F.col(vol_col))
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("obv", F.round(F.sum(signed).over(cum) + F.lit(1e-9), 4))
+
+
+def add_mfi(
+    df: DataFrame,
+    period: int = 14,
+    w: WindowSpec | None = None,
+) -> DataFrame:
+    """Money Flow Index: volume-weighted RSI over the typical price
+    (h+l+c)/3. Raw money flow tp·v splits positive/negative by tp vs its
+    lag; MFI = 100·pos/(pos+neg) over the trailing ``period`` bars (null
+    until a full window and when pos+neg is zero). Same single
+    symbol-window chain as the RSI family."""
+    w = w or series_window(time_col="d")
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3
+    out = df.withColumn("__tp", tp).withColumn(
+        "__tp_prev", F.lag("__tp").over(w)
+    )
+    flow = F.col("__tp") * F.col("volume")
+    pos = F.when(F.col("__tp") > F.col("__tp_prev"), flow).otherwise(F.lit(0.0))
+    neg = F.when(F.col("__tp") < F.col("__tp_prev"), flow).otherwise(F.lit(0.0))
+    frame = w.rowsBetween(-(period - 1), 0)
+    out = (
+        out.withColumn("__pos", F.sum(pos).over(frame))
+        .withColumn("__neg", F.sum(neg).over(frame))
+        .withColumn("__n", F.count("__tp_prev").over(frame))
+    )
+    mfi = F.when(
+        (F.col("__n") >= period) & (F.col("__pos") + F.col("__neg") > 0),
+        F.lit(100.0) * F.col("__pos") / (F.col("__pos") + F.col("__neg")),
+    )
+    return out.withColumn("mfi", F.round(mfi + F.lit(1e-9), 6)).drop(
+        "__tp", "__tp_prev", "__pos", "__neg", "__n"
+    )

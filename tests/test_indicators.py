@@ -321,3 +321,41 @@ def test_information_coefficient_matches_pandas_spearman(spark):
         assert n == 8
         # continuous data -> no rank ties -> tiebreak-free Spearman
         assert abs(ic - round(want + 1e-9, 6)) < 1e-6, t
+
+
+def test_obv_hand_computed(spark):
+    # closes 10, 11, 11, 9, 12 with volumes 100..500:
+    # signs: first 0, up +200, flat 0, down -400, up +500 -> obv cum
+    import datetime as dt
+
+    rows = [
+        (1, dt.date(2024, 1, i + 1), c, v)
+        for i, (c, v) in enumerate(
+            [(10.0, 100.0), (11.0, 200.0), (11.0, 300.0), (9.0, 400.0), (12.0, 500.0)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "symbol long, d date, close double, volume double")
+    from market_data_pipeline_spark.operators.indicators import add_obv
+
+    got = {r.d.day: r.obv for r in add_obv(df).collect()}
+    assert got == {1: 0.0, 2: 200.0, 3: 200.0, 4: -200.0, 5: 300.0}
+
+
+def test_mfi_two_flow_window(spark):
+    # period=2: MFI over the last two bars' flows; tp rises then falls
+    import datetime as dt
+
+    rows = [
+        (1, dt.date(2024, 1, 1), 10.0, 10.0, 10.0, 100.0),
+        (1, dt.date(2024, 1, 2), 12.0, 12.0, 12.0, 100.0),  # tp 12 up, flow 1200
+        (1, dt.date(2024, 1, 3), 9.0, 9.0, 9.0, 100.0),     # tp 9 down, flow 900
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol long, d date, high double, low double, close double, volume double"
+    )
+    from market_data_pipeline_spark.operators.indicators import add_mfi
+
+    got = {r.d.day: r.mfi for r in add_mfi(df, period=2).collect()}
+    # day 2: only one flow in the 2-row frame -> null; day 3: pos 1200 neg 900
+    assert got[1] is None and got[2] is None
+    assert abs(got[3] - round(100 * 1200 / 2100, 6)) < 1e-9
