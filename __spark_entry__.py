@@ -7937,3 +7937,175 @@ _REGISTRY.update(
         "inv_w_mfi": (q_w_mfi, SQL_W_MFI),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): cross-source duplication matrix — which sources
+# near-duplicate which (the snapshot-contamination question a crawl
+# pipeline asks before mixing dumps). Composes the MinHash banding pair
+# stream with the documents' source labels: one broadcast-sized label
+# join per side, one (source_a, source_b) aggregation; least/greatest
+# canonicalizes the unordered source pair.
+# ---------------------------------------------------------------------------
+
+
+def q_d_cross_source(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
+    lab = d.select("doc_id", "source")
+    return (
+        pairs.join(lab.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")), "doc_a")
+        .join(lab.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")), "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_D_CROSS_SOURCE = f"""
+WITH {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN documents da ON cand.doc_a = da.doc_id
+JOIN documents db ON cand.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+_REGISTRY.update({"inv_d_cross_source": (q_d_cross_source, SQL_D_CROSS_SOURCE)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): rolling cross-series correlation — the pairs-
+# trading / lead-lag diagnostic. The two smallest symbol ids' bar series
+# align on date (inner join), daily returns correlate over a trailing
+# 10-session window (null until full; the synthetic calendar is 30
+# distinct days, so a 10-session window leaves a real output tail). The aligned pair series is
+# O(trading days) rows at any corpus size, so the unpartitioned window
+# is bounded by the calendar — the same whole-frame-over-aggregate
+# pattern as the market summary (W20), documented there.
+# ---------------------------------------------------------------------------
+
+
+def q_w_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    lo = b.agg(F.min("symbol").alias("m")).first()["m"]
+    lo2 = b.filter(F.col("symbol") > lo).agg(F.min("symbol").alias("m")).first()["m"]
+    a = b.filter(F.col("symbol") == lo).select("d", F.col("close").alias("__ca"))
+    c = b.filter(F.col("symbol") == lo2).select("d", F.col("close").alias("__cb"))
+    j = a.join(c, "d")
+    wo = Window.orderBy("d")
+    ra = F.col("__ca") / F.lag("__ca").over(wo) - 1
+    rb = F.col("__cb") / F.lag("__cb").over(wo) - 1
+    j = j.select("d", ra.alias("__ra"), rb.alias("__rb"))
+    frame = wo.rowsBetween(-9, 0)
+    corr = F.when(
+        F.count("__ra").over(frame) >= 10, F.corr("__ra", "__rb").over(frame)
+    )
+    return j.select(
+        "d", F.round(corr + F.lit(1e-9), 6).alias("corr_10d")
+    ).filter(F.col("corr_10d").isNotNull())
+
+
+SQL_W_ROLLING_CORR = f"""
+WITH {BARS_SQL},
+syms AS (
+  SELECT (SELECT min(symbol) FROM bars) AS lo,
+         (SELECT min(symbol) FROM bars
+          WHERE symbol > (SELECT min(symbol) FROM bars)) AS lo2
+),
+j AS (
+  SELECT a.d, a.close AS ca, b.close AS cb
+  FROM bars a JOIN bars b ON a.d = b.d, syms
+  WHERE a.symbol = syms.lo AND b.symbol = syms.lo2
+),
+r AS (
+  SELECT d,
+         ca / lag(ca) OVER (ORDER BY d) - 1 AS ra,
+         cb / lag(cb) OVER (ORDER BY d) - 1 AS rb
+  FROM j
+),
+c AS (
+  SELECT d,
+         CASE WHEN count(ra) OVER f >= 10 THEN corr(ra, rb) OVER f END AS cc
+  FROM r
+  WINDOW f AS (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT d, round(cc + 1e-9, 6) AS corr_10d FROM c WHERE cc IS NOT NULL
+"""
+
+
+_REGISTRY.update({"inv_w_rolling_corr": (q_w_rolling_corr, SQL_W_ROLLING_CORR)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): bipartite HITS (graph.hits_bipartite) — hubs are
+# orders, authorities parts, Kleinberg's mutual reinforcement on the
+# basket→item graph (the projected co-purchase graph is undirected, where
+# HITS degenerates to hubs ≡ authorities). L1-normalized, 10dp-quantized
+# per half-step, so the chained-CTE unrolling is exact — the pagerank
+# contract. AS MATERIALIZED on every per-round CTE: each is referenced
+# twice (scalar total + projection), and DuckDB would otherwise inline
+# the chain multiplicatively.
+# ---------------------------------------------------------------------------
+
+
+def q_g_hits(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    return graph.hits_bipartite(li, "ok", "pk", iterations=8)
+
+
+def _hits_sql(iterations: int = 8) -> str:
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT li.pk AS i, sum(h.v) AS raw
+  FROM li JOIN {prev_h} h ON li.ok = h.b GROUP BY li.pk),
+a{i} AS MATERIALIZED (
+  SELECT i, round(raw / (SELECT sum(raw) FROM ar{i}) + 1e-13, 10) AS v
+  FROM ar{i}),
+hr{i} AS MATERIALIZED (
+  SELECT li.ok AS b, sum(a.v) AS raw
+  FROM li JOIN a{i} a ON li.pk = a.i GROUP BY li.ok),
+h{i} AS MATERIALIZED (
+  SELECT b, round(raw / (SELECT sum(raw) FROM hr{i}) + 1e-13, 10) AS v
+  FROM hr{i})"""
+        )
+        prev_h = f"h{i}"
+    return f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+li AS MATERIALIZED (
+  SELECT ok, pk FROM (
+    SELECT ok, pk, row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+    FROM li0
+  ) WHERE rn <= 64
+),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT ok AS b,
+         round(1.0 / (SELECT count(DISTINCT ok) FROM li) + 1e-13, 10) AS v
+  FROM li
+),
+{','.join(steps)}
+SELECT i AS item, v AS auth FROM a{iterations}
+"""
+
+
+_REGISTRY.update({"inv_g_hits": (q_g_hits, _hits_sql())})

@@ -525,3 +525,69 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .filter(F.col("deg") >= k)
     )
+
+
+def hits_bipartite(
+    items: DataFrame,
+    basket_col: str = "ok",
+    item_col: str = "pk",
+    iterations: int = 8,
+    max_basket: int = 64,
+) -> DataFrame:
+    """HITS over the bipartite basket→item graph: hubs are baskets
+    (orders), authorities are items (parts) — "authority parts sit in
+    many strong baskets; strong baskets hold many authority parts", the
+    Kleinberg mutual-reinforcement fixpoint. On the PROJECTED co-purchase
+    graph HITS degenerates (undirected ⇒ hubs ≡ authorities); the
+    bipartite form is the one with information in it.
+
+    Per iteration: authority = edge ⋈ hub → item-keyed sum, L1-normalized
+    (scalar total via a 1-row broadcast, the bigram-vocab pattern), then
+    the mirrored half-step for hubs; every value is quantized to 10
+    decimals after normalization so the iterate is independent of
+    summation order — the chained-CTE SQL unrolling is exact, the same
+    contract as pagerank. Edge frame checkpointed once; score frames
+    checkpoint on a 2-round cadence (job-count discipline, values
+    unchanged). L1 (not L2) normalization keeps the oracle sqrt-free;
+    rankings are identical under any positive scaling.
+
+    Returns (item, auth) for every item."""
+    edges = (
+        items.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .groupBy("__b")
+        .agg(F.slice(F.array_sort(F.collect_set("__i")), 1, max_basket).alias("__arr"))
+        .select("__b", F.explode("__arr").alias("__i"))
+        .localCheckpoint(eager=True)
+    )
+    baskets = edges.select("__b").distinct()
+    nb = baskets.count()
+    hubs = baskets.select(
+        "__b", F.round(F.lit(1.0) / nb + F.lit(_EPS), 10).alias("__h")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for it in range(iterations):
+        araw = (
+            edges.join(hubs, "__b")
+            .groupBy("__i")
+            .agg(F.sum("__h").alias("__raw"))
+        )
+        atot = araw.agg(F.sum("__raw").alias("__t"))
+        auth = araw.crossJoin(F.broadcast(atot)).select(
+            "__i",
+            F.round(F.col("__raw") / F.col("__t") + F.lit(_EPS), 10).alias("__a"),
+        )
+        hraw = (
+            edges.join(auth, "__i")
+            .groupBy("__b")
+            .agg(F.sum("__a").alias("__raw"))
+        )
+        htot = hraw.agg(F.sum("__raw").alias("__t"))
+        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+            "__b",
+            F.round(F.col("__raw") / F.col("__t") + F.lit(_EPS), 10).alias("__h"),
+        )
+        if it % 2 == 1 and it + 1 < iterations:
+            hubs = hubs.localCheckpoint(eager=True)
+    return auth.select(F.col("__i").alias("item"), F.col("__a").alias("auth"))

@@ -411,3 +411,15 @@ def test_kcore_peels_tail_keeps_clique(spark):
     # k=1 keeps the whole graph with full degrees
     all_deg = {r.node: r.deg for r in graph.kcore(e, k=1).collect()}
     assert all_deg[10] == 2 and all_deg[11] == 1 and all_deg[5] == 5
+
+
+def test_hits_bipartite_mutual_reinforcement(spark):
+    # part 100 sits in both baskets, parts 200/300 in one each: the shared
+    # part must out-rank the singletons, and scores L1-normalize to ~1
+    rows = [(1, 100), (1, 200), (2, 100), (2, 300)]
+    e = spark.createDataFrame(rows, "ok long, pk long")
+    got = {r.item: r.auth for r in graph.hits_bipartite(e, iterations=4).collect()}
+    assert set(got) == {100, 200, 300}
+    assert got[100] > got[200] and got[100] > got[300]
+    assert abs(got[200] - got[300]) < 1e-9  # symmetric singletons
+    assert abs(sum(got.values()) - 1.0) < 1e-6
