@@ -8109,3 +8109,116 @@ SELECT i AS item, v AS auth FROM a{iterations}
 
 
 _REGISTRY.update({"inv_g_hits": (q_g_hits, _hits_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): two data-quality diagnostics. Calendar-gap
+# detection — per symbol, how many sessions of the global trading
+# calendar are missing and the longest consecutive missing run (the
+# dead-feed / partial-backfill detector: a symbol quietly absent for a
+# stretch corrupts every window indicator over it). One distinct-dates
+# frame (O(days)) broadcast against per-symbol presence; the longest run
+# computes via the gaps-and-islands rank difference, all native windows.
+# ---------------------------------------------------------------------------
+
+
+def q_q_calendar_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf).select("symbol", "d")
+    cal = b.select("d").distinct()
+    grid = b.select("symbol").distinct().crossJoin(F.broadcast(cal))
+    missing = grid.join(b, ["symbol", "d"], "left_anti")
+    w = Window.partitionBy("symbol").orderBy("d")
+    wall = Window.partitionBy("symbol")
+    runs = (
+        missing.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__grp", F.date_sub(F.col("d"), F.col("__rn")))
+        .groupBy("symbol", "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    return (
+        runs.groupBy("symbol")
+        .agg(
+            F.sum("__run").cast("long").alias("n_missing"),
+            F.max("__run").cast("long").alias("longest_gap"),
+        )
+    )
+
+
+SQL_Q_CALENDAR_GAPS = f"""
+WITH {BARS_SQL},
+cal AS (SELECT DISTINCT d FROM bars),
+syms AS (SELECT DISTINCT symbol FROM bars),
+miss AS (
+  SELECT s.symbol, c.d FROM syms s CROSS JOIN cal c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bars b WHERE b.symbol = s.symbol AND b.d = c.d
+  )
+),
+g AS (
+  SELECT symbol,
+         d - CAST(row_number() OVER (PARTITION BY symbol ORDER BY d) AS INTEGER) AS grp
+  FROM miss
+),
+per AS (SELECT symbol, grp, count(*) AS run FROM g GROUP BY symbol, grp)
+SELECT symbol, CAST(sum(run) AS BIGINT) AS n_missing,
+       CAST(max(run) AS BIGINT) AS longest_gap
+FROM per GROUP BY symbol
+"""
+
+
+_REGISTRY.update({"inv_q_calendar_gaps": (q_q_calendar_gaps, SQL_Q_CALENDAR_GAPS)})
+
+
+# Benford first-digit distribution over traded values — the classic
+# fabricated-data screen: organic multiplicative quantities follow
+# log10(1+1/d); per digit, observed share vs Benford expectation and the
+# chi-square contribution. One scan + one 9-row aggregation.
+
+
+def q_q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    digit = F.substring(
+        F.regexp_replace(F.format_number(F.col("value").cast("double"), 10), r"[0.,-]", ""),
+        1,
+        1,
+    ).cast("int")
+    counts = e.select(digit.alias("digit")).filter(F.col("digit") > 0).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__t") + F.lit(1e-9), 6).alias("observed"),
+            F.round(expected + F.lit(1e-9), 6).alias("benford"),
+            F.round(
+                F.pow(F.col("n") / F.col("__t") - expected, 2) / expected
+                + F.lit(1e-9),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+SQL_Q_BENFORD = """
+WITH v AS (
+  SELECT TRY_CAST(substr(regexp_replace(format('{:.10f}', CAST(value AS DOUBLE)), '[0.,-]', '', 'g'), 1, 1) AS INTEGER) AS digit
+  FROM events WHERE value IS NOT NULL AND value > 0
+),
+c AS (SELECT digit, count(*) AS n FROM v WHERE digit > 0 GROUP BY digit),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / tot + 1e-9, 6) AS observed,
+       round(log10(1.0 + 1.0 / digit) + 1e-9, 6) AS benford,
+       round(pow(n / tot - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit) + 1e-9, 6) AS chi2_term
+FROM c CROSS JOIN t
+"""
+
+
+_REGISTRY.update({"inv_q_benford": (q_q_benford, SQL_Q_BENFORD)})
