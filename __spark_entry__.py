@@ -7567,8 +7567,9 @@ ent AS (
   FROM reach JOIN nm m ON reach.r = m.val
   GROUP BY reach.id
 )
-SELECT p.p_partkey, p.p_name, e.entity_id
-FROM part p JOIN ent e ON p.p_name = e.val
+SELECT p.p_partkey, p.p_name,
+       coalesce(e.entity_id, p.p_partkey) AS entity_id
+FROM part p LEFT JOIN ent e ON p.p_name = e.val
 """
 
 
@@ -7591,8 +7592,18 @@ _REGISTRY.update({"inv_er_entities": (q_er_entities, SQL_ER_ENTITIES)})
 def q_d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     tune_existing(spark)
     d = _docs(spark, sf).filter(F.col("source") == "src0")
-    truth = dedup.jaccard_prefix_join(d, threshold=0.9).select("doc_a", "doc_b")
-    cand = dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4, shingle_n=1)
+    # both pair frames feed TWO consumers (the hit join and the tagged
+    # union) — checkpoint them once or the multi-million-row candidate
+    # distinct / verify / banding plans re-execute per consumer (Spark
+    # shares no common subplans across DataFrame reuse)
+    truth = (
+        dedup.jaccard_prefix_join(d, threshold=0.9)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = dedup.minhash_lsh_pairs(
+        d, num_hashes=12, bands=4, shingle_n=1
+    ).localCheckpoint(eager=True)
     hit = truth.join(cand, ["doc_a", "doc_b"])
     tagged = (
         truth.select(F.lit("t").alias("k"))
@@ -7743,7 +7754,7 @@ _REGISTRY.update({"inv_t_nb_confusion": (q_t_nb_confusion, SQL_T_NB_CONFUSION)})
 
 # ---------------------------------------------------------------------------
 # Round 4 (continued): k-core decomposition (graph.kcore) — iterative
-# peeling of nodes under degree k over the weight>=2 co-purchase graph.
+# peeling of nodes under degree k over the weight>=1 co-purchase graph.
 # The densest-region detector a link-graph curation pass runs (spam rings
 # sit in high cores; organic hubs shed early). Semantics pinned to 12
 # peel rounds so the chained-CTE unrolling below is exact; the Spark loop
@@ -8128,7 +8139,6 @@ def q_q_calendar_gaps(spark: SparkSession, sf: str) -> DataFrame:
     grid = b.select("symbol").distinct().crossJoin(F.broadcast(cal))
     missing = grid.join(b, ["symbol", "d"], "left_anti")
     w = Window.partitionBy("symbol").orderBy("d")
-    wall = Window.partitionBy("symbol")
     runs = (
         missing.withColumn("__rn", F.row_number().over(w))
         .withColumn("__grp", F.date_sub(F.col("d"), F.col("__rn")))

@@ -552,6 +552,8 @@ def hits_bipartite(
     rankings are identical under any positive scaling.
 
     Returns (item, auth) for every item."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     edges = (
         items.select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")

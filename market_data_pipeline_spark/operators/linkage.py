@@ -191,6 +191,11 @@ def resolve_entities(
     components, and records re-attach by one equi-join on the value.
     Everything pairwise happens in the value domain — record volume only
     ever flows through scans and equi-joins.
+
+    NULL attribute values cannot link to anything (no distance is
+    defined), so a null-named record is its own singleton entity:
+    re-attach is a LEFT join and entity_id falls back to the record's
+    own id — never silent record loss.
     """
     reps = df.groupBy(F.col(col).alias("val")).agg(
         F.min(id_col).alias("__rep")
@@ -209,7 +214,9 @@ def resolve_entities(
         F.coalesce("group_id", "__rep").alias("entity_id"),
     )
     return df.join(
-        rep_entity.withColumnRenamed("val", col), col
+        rep_entity.withColumnRenamed("val", col), col, "left"
     ).select(
-        F.col(id_col), F.col(col), F.col("entity_id")
+        F.col(id_col),
+        F.col(col),
+        F.coalesce("entity_id", id_col).alias("entity_id"),
     )

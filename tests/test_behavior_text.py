@@ -463,10 +463,11 @@ def test_bpe_train_exhausted_vocabulary_stops_short(spark):
 
 def test_nb_confusion_separable_micro(spark):
     """On a vocabulary-separable corpus the add-1 NB classifier must
-    recover the true labels on the held-out split exactly. Doc ids are
-    chosen so the Knuth split puts ids 0..7 in train and 8, 9 in test
-    ((id*2654435761) % 100: id 8 -> 88, id 9 -> 49... verified below),
-    and the test docs reuse their class's training vocabulary."""
+    recover the true labels on the held-out split exactly. Under the
+    Knuth split ((id*2654435761) % 100 >= 80 holds out), ids 3 (bucket
+    83, class B) and 8 (bucket 88, class A) are the test docs — one per
+    class, asserted below rather than assumed — and the test docs reuse
+    their class's training vocabulary."""
     from market_data_pipeline_spark.operators.text import nb_confusion
 
     knuth = 2654435761

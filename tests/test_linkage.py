@@ -120,3 +120,15 @@ def test_resolve_entities_transitive_chain(spark):
         ).collect()
     }
     assert got == {10: 3, 3: 3, 7: 3, 5: 5, 8: 3}
+
+
+def test_resolve_entities_null_name_is_singleton(spark):
+    # a NULL attribute cannot link to anything: the record must still
+    # appear, as its own singleton entity (left-join fallback)
+    rows = [(1, "acme"), (2, None), (3, "acme")]
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    got = {
+        r.record_id: r.entity_id
+        for r in linkage.resolve_entities(df, "name", "record_id").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}
