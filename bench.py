@@ -60,6 +60,10 @@ HEADLINE = [
     # bound on the clone-saturated corpus) and the iterative PageRank loop.
     "inv_d_jaccard_prefix",
     "inv_g_pagerank",
+    # late round 4: bipartite HITS became the most expensive unbenched
+    # query after its scalar-broadcast normalization was rewritten as a
+    # whole-frame window (16.9 -> ~8 s at 5 rounds); same gate rule.
+    "inv_g_hits",
 ]
 
 RUNS_PER_QUERY = 3

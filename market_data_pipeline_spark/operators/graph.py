@@ -542,14 +542,17 @@ def hits_bipartite(
     bipartite form is the one with information in it.
 
     Per iteration: authority = edge ⋈ hub → item-keyed sum, L1-normalized
-    (scalar total via a 1-row broadcast, the bigram-vocab pattern), then
-    the mirrored half-step for hubs; every value is quantized to 10
-    decimals after normalization so the iterate is independent of
-    summation order — the chained-CTE SQL unrolling is exact, the same
-    contract as pagerank. Edge frame checkpointed once; score frames
-    checkpoint on a 2-round cadence (job-count discipline, values
-    unchanged). L1 (not L2) normalization keeps the oracle sqrt-free;
-    rankings are identical under any positive scaling.
+    via a whole-frame window over the ALREADY-AGGREGATED O(items) frame
+    (the temperature-share pattern — a separate scalar-total consumer
+    would re-execute the half-step's whole lineage once for the 1-row
+    broadcast and again for the main plan, measured 3× slower), then the
+    mirrored half-step for hubs; every value is quantized to 10 decimals
+    after normalization so the iterate is independent of summation order
+    — the chained-CTE SQL unrolling is exact, the same contract as
+    pagerank. Edge frame checkpointed once; score frames checkpoint on a
+    2-round cadence (job-count discipline, values unchanged). L1 (not
+    L2) normalization keeps the oracle sqrt-free; rankings are identical
+    under any positive scaling.
 
     Returns (item, auth) for every item."""
     if iterations < 1:
@@ -568,6 +571,9 @@ def hits_bipartite(
     hubs = baskets.select(
         "__b", F.round(F.lit(1.0) / nb + F.lit(_EPS), 10).alias("__h")
     ).localCheckpoint(eager=True)
+    from pyspark.sql import Window as _W
+
+    whole = _W.partitionBy()
     auth = None
     for it in range(iterations):
         araw = (
@@ -575,20 +581,22 @@ def hits_bipartite(
             .groupBy("__i")
             .agg(F.sum("__h").alias("__raw"))
         )
-        atot = araw.agg(F.sum("__raw").alias("__t"))
-        auth = araw.crossJoin(F.broadcast(atot)).select(
+        auth = araw.select(
             "__i",
-            F.round(F.col("__raw") / F.col("__t") + F.lit(_EPS), 10).alias("__a"),
+            F.round(
+                F.col("__raw") / F.sum("__raw").over(whole) + F.lit(_EPS), 10
+            ).alias("__a"),
         )
         hraw = (
             edges.join(auth, "__i")
             .groupBy("__b")
             .agg(F.sum("__a").alias("__raw"))
         )
-        htot = hraw.agg(F.sum("__raw").alias("__t"))
-        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+        hubs = hraw.select(
             "__b",
-            F.round(F.col("__raw") / F.col("__t") + F.lit(_EPS), 10).alias("__h"),
+            F.round(
+                F.col("__raw") / F.sum("__raw").over(whole) + F.lit(_EPS), 10
+            ).alias("__h"),
         )
         if it % 2 == 1 and it + 1 < iterations:
             hubs = hubs.localCheckpoint(eager=True)
