@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -335,6 +336,7 @@ def _append_doc(
         "version": version,
         "parent": head,
         "op": op,
+        "ts": time.time(),
         "files": files,
         "stats": stats,
         "schema": schema,
@@ -369,6 +371,7 @@ def _commit(
                 "version": version,
                 "parent": head,
                 "op": op,
+                "ts": time.time(),
                 "files": list(new_files),
                 "stats": dict(new_stats),
                 "schema": json.loads(df.schema.json()),
@@ -397,15 +400,38 @@ def overwrite(spark: SparkSession, path: str, df: DataFrame) -> int:
     return _commit(spark, path, df, "overwrite")
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Read the table at ``version`` (default: latest). Uncommitted data
-    directories are invisible — only manifest-listed files are planned,
-    under that version's RECORDED schema (so time travel sees the shape
-    the table had then, and schema-evolved files coexist)."""
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Read the table at ``version`` (default: latest), or — the
+    timestamp-travel form — at ``as_of`` (epoch seconds): the NEWEST
+    version whose commit timestamp is ≤ as_of, exactly Delta's
+    ``timestampAsOf`` resolution. Uncommitted data directories are
+    invisible — only manifest-listed files are planned, under that
+    version's RECORDED schema (so time travel sees the shape the table
+    had then, and schema-evolved files coexist). Manifests written
+    before commit timestamps existed resolve as infinitely old (always
+    eligible), so as_of never breaks on an upgraded table."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version or as_of, not both")
     head = current_version(spark, path)
     if head is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    v = head if version is None else version
+    if as_of is not None:
+        v = None
+        for h in history(spark, path):
+            ts = h.get("ts")
+            if ts is None or float(ts) <= float(as_of):
+                v = h["version"]
+        if v is None:
+            raise ValueError(
+                f"no version committed at or before as_of={as_of} at {path}"
+            )
+    else:
+        v = head if version is None else version
     man = _manifest(spark, path, v)
     return _schema_reader(spark, man).parquet(*[f"{path}/{f}" for f in man["files"]])
 
@@ -722,6 +748,7 @@ def history(spark: SparkSession, path: str) -> list[dict]:
                 "version": m["version"],
                 "parent": m["parent"],
                 "op": m["op"],
+                "ts": m.get("ts"),
                 "n_files": len(m["files"]),
             }
         )
@@ -773,6 +800,7 @@ def _replace_files(
         "version": expected_head + 1,
         "parent": expected_head,
         "op": op,
+        "ts": time.time(),
         "files": untouched + new_files,
         "stats": {
             **{f: parent_stats[f] for f in untouched if f in parent_stats},

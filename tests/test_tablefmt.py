@@ -720,3 +720,30 @@ def test_timestamp_stats_are_session_timezone_strings(spark, tmp_path):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read(as_of=...) resolves the newest version committed at or before
+    the given epoch — Delta's timestampAsOf rule — and refuses a time
+    before the first commit."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    tf.append(spark, path, spark.range(3).toDF("id"))
+    t_between = _time.time()
+    _time.sleep(0.05)
+    tf.append(spark, path, spark.range(3, 6).toDF("id"))
+    # between the commits -> v0 contents
+    assert tf.read(spark, path, as_of=t_between).count() == 3
+    # now -> head
+    assert tf.read(spark, path, as_of=_time.time()).count() == 6
+    # before the table existed -> explicit error
+    with pytest.raises(ValueError):
+        tf.read(spark, path, as_of=t_between - 1e6)
+    # both selectors at once -> explicit error
+    with pytest.raises(ValueError):
+        tf.read(spark, path, version=0, as_of=t_between)
+    # history carries the commit timestamps
+    hs = tf.history(spark, path)
+    assert all(h["ts"] is not None for h in hs)
+    assert hs[0]["ts"] <= hs[1]["ts"]
