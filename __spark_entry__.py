@@ -8238,3 +8238,96 @@ FROM c CROSS JOIN t
 
 
 _REGISTRY.update({"inv_q_benford": (q_q_benford, SQL_Q_BENFORD)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): two curation-statistics projections. Rank
+# normalization — quality scores mapped to their per-language percentile
+# (percent_rank), the engine-portable "uniformize the score before
+# thresholding across heterogeneous domains" transform (raw quality
+# distributions differ by language; a single global cutoff over- or
+# under-prunes whole languages). Lexical diversity — per-doc type/token
+# ratio and hapax share, the classic repetitiveness screens.
+# ---------------------------------------------------------------------------
+
+
+def q_x_rank_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    d = text.add_quality_score(text.add_token_stats(_docs(spark, sf)))
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("quality_pct"),
+    )
+
+
+SQL_X_RANK_NORMALIZE = f"""
+WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
+s AS (SELECT doc_id, lang, nt, len(string_split(nt, ' ')) AS n_tok,
+             {{STOP_HITS}} AS stop_hits FROM n),
+r AS (
+  SELECT doc_id, lang,
+         least(length(nt) / 500.0, 1.0) AS len_score,
+         round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS stopword_ratio
+  FROM s
+),
+q AS (
+  SELECT doc_id, lang,
+         round(0.5 * len_score + 0.5 * least(stopword_ratio * 5.0, 1.0) + 1e-9, 6)
+           AS quality_score
+  FROM r
+)
+SELECT doc_id, lang, quality_score,
+       round(percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality_score, doc_id) + 1e-9, 6)
+         AS quality_pct
+FROM q
+""".replace("{STOP_HITS}", _stop_hits_sql())
+
+
+_REGISTRY.update({"inv_x_rank_normalize": (q_x_rank_normalize, SQL_X_RANK_NORMALIZE)})
+
+
+def q_t_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(text.normalized(F.col("text")), " ")).alias("__w"),
+    ).filter(F.col("__w") != "")
+    per_tok = toks.groupBy("doc_id", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens") + F.lit(1e-9), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types") + F.lit(1e-9), 6).alias("hapax_share"),
+        )
+    )
+
+
+SQL_T_LEXICAL_DIVERSITY = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM n),
+tokne AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+per AS (SELECT doc_id, w, count(*) AS c FROM tokne GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(count(*) * 1.0 / sum(c) + 1e-9, 6) AS ttr,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 6)
+         AS hapax_share
+FROM per GROUP BY doc_id
+"""
+
+
+_REGISTRY.update(
+    {"inv_t_lexical_diversity": (q_t_lexical_diversity, SQL_T_LEXICAL_DIVERSITY)}
+)
