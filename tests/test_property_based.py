@@ -369,3 +369,33 @@ def test_distribution_drift_properties(spark, xs, ys):
     assert row.n_a == len(xs) and row.n_b == len(ys)
     assert row.kl_ab >= 0.0 and row.kl_ba >= 0.0
     assert 0.0 <= row.tvd <= 1.0
+
+
+@given(edge_sets(), st.integers(1, 4))
+@SETTLE
+def test_kcore_matches_python_peel(spark, edges, k):
+    """graph.kcore == the textbook iterative peel on arbitrary small
+    graphs: same surviving node set, same in-core degrees."""
+    from market_data_pipeline_spark.operators import graph
+
+    # python replica: peel to fixpoint over the deduped undirected graph
+    adj: dict[int, set[int]] = {}
+    for a, b in set(edges):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # NOTE kcore counts PARALLEL edges separately only if the input has
+    # duplicates; feed it the deduped edge list so both sides see the
+    # same simple graph
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, ns in adj.items() if len(ns) < k]:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+            changed = True
+    want = {n: len(ns) for n, ns in adj.items()}
+
+    e = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    got = {r.node: r.deg for r in graph.kcore(e, k=k, max_rounds=30).collect()}
+    assert got == want
