@@ -532,3 +532,76 @@ def streaming_jsonl_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup_admission_table(
+    stream_docs: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+    trigger_available_now: bool = True,
+):
+    """``streaming_dedup_admission`` with the VERSIONED TABLE as the
+    store: the admission loop is identical (in-batch exact dedupe, exact
+    + MinHash-band admission against the accumulated corpus), but
+    survivors append through ``tablefmt``'s manifest-txn commit instead
+    of marker-file parquet dirs. What that buys at 100 TB: admission
+    history is time-travelable (which batch admitted which docs is a
+    version diff / ``read_changes`` call), a backfill job can write
+    BESIDE the live stream and serialize through the same optimistic
+    commit protocol, and vacuum retires old snapshots without forgetting
+    batch ids (the txn sidecar). Exactly-once comes from the manifest
+    txn field — a replayed batch finds its id in the log and skips.
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+    from market_data_pipeline_spark.operators import dedup as _dedup
+    from market_data_pipeline_spark.operators.text import normalized
+    from market_data_pipeline_spark.sources import tablefmt as _tf
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if batch_id in _tf.committed_batches(spark, table_path):
+            return  # replayed batch — already applied
+        w = Window.partitionBy(F.md5(normalized(F.col(text_col)))).orderBy(id_col)
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            store = _tf.read(spark, table_path)
+        except FileNotFoundError:
+            store = None
+        if store is not None:
+            kept_ids = _dedup.incremental_dedup(
+                batch.select(id_col, text_col),
+                store.select(id_col, text_col),
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                threshold=threshold,
+            ).select(id_col)
+            kept = batch.join(kept_ids, id_col, "semi")
+        else:
+            kept = batch
+        # the tablefmt sink re-checks committed_batches and appends with
+        # txn=batch_id under the optimistic-commit loop; an all-rejected
+        # batch still commits (an empty append), recording the batch id
+        # so a replay skips the admission work
+        _tf.streaming_sink(table_path)(kept, batch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

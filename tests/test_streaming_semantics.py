@@ -960,3 +960,62 @@ def test_streaming_jsonl_ingest_exactly_once_two_runs(spark, tmp_path):
         r["id"] for r in tf.read(spark, str(tmp_path / "table")).collect()
     ) == [1, 2, 3]
     assert tf.read(spark, str(tmp_path / "quarantine")).count() == 1
+
+
+def test_streaming_dedup_admission_into_versioned_table(spark, tmp_path):
+    """The table-store twin: admission semantics identical to the marker-
+    file variant, but the corpus is a versioned TABLE — each admitted
+    batch is a time-travelable version carrying its batch id as txn, and
+    a replay with a fresh checkpoint admits nothing twice."""
+    from market_data_pipeline_spark.sources import tablefmt as tf
+    from market_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "docs_src")
+    table = str(tmp_path / "corpus_table")
+    schema = "doc_id long, text string"
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest before sunset arrives tonight"
+    )
+    other = (
+        "completely different subject matter entirely about spark shuffle "
+        "partitions and adaptive query execution at massive scale"
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_dedup_admission_table(stream, table, ckpt)
+        q.awaitTermination()
+
+    ckpt = str(tmp_path / "ck1")
+    write([(1, base), (2, other), (3, base)])
+    run_once(ckpt)
+    assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2}
+
+    near = base.replace("green", "golden")
+    brand_new = (
+        "tabular training data curation requires deduplication language "
+        "identification quality scoring and careful mixture weighting"
+    )
+    write([(10, base), (11, near), (12, brand_new)])
+    run_once(ckpt)
+    assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2, 12}
+
+    # versions: one stream-append per admitted batch; txn ids recorded
+    hist = tf.history(spark, table)
+    assert [h["op"] for h in hist] == ["stream-append", "stream-append"]
+    assert len(tf.committed_batches(spark, table)) == 2
+
+    # replay the whole source with a FRESH checkpoint: batch ids 0,1 are
+    # already in the manifest log, so nothing is admitted twice and no
+    # new version appears
+    run_once(str(tmp_path / "ck2"))
+    assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2, 12}
+    assert len(tf.history(spark, table)) == 2
+
+    # time travel: version 0 is exactly batch 1's admitted set
+    assert {r.doc_id for r in tf.read(spark, table, version=0).collect()} == {1, 2}
