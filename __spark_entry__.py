@@ -8331,3 +8331,64 @@ FROM per GROUP BY doc_id
 _REGISTRY.update(
     {"inv_t_lexical_diversity": (q_t_lexical_diversity, SQL_T_LEXICAL_DIVERSITY)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): decile factor backtest — the canonical quant
+# evaluation: each session, rank symbols into deciles by trailing
+# 5-session momentum, hold one session, report each decile's mean
+# forward return and hit rate across all sessions. A monotone
+# decile→return profile is what validates a signal before any screener
+# consumes it (the aggregate twin of the rank-IC diagnostic). All native
+# windows: two lag/lead passes over the symbol exchange, one ntile over
+# the date partition, one final 10-row aggregation.
+# ---------------------------------------------------------------------------
+
+
+def q_a_decile_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    s = _series(spark, sf)
+    w = Window.partitionBy("symbol").orderBy("time")
+    r = s.select(
+        "symbol",
+        "time",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("__sig"),
+        (F.lead("close", 1).over(w) / F.col("close") - 1).alias("__fwd"),
+    ).filter(F.col("__sig").isNotNull() & F.col("__fwd").isNotNull())
+    wd = Window.partitionBy("time").orderBy("__sig", "symbol")
+    dec = r.withColumn("decile", F.ntile(10).over(wd))
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.round(F.avg("__fwd") + F.lit(1e-9), 6).alias("mean_fwd_ret"),
+            F.round(
+                F.avg(F.when(F.col("__fwd") > 0, 1.0).otherwise(0.0))
+                + F.lit(1e-9),
+                6,
+            ).alias("hit_rate"),
+        )
+    )
+
+
+SQL_A_DECILE_BACKTEST = f"""
+WITH {SERIES_SQL},
+r AS (
+  SELECT symbol, time,
+         close / lag(close, 5) OVER ({_WIN}) - 1 AS sig,
+         lead(close, 1) OVER ({_WIN}) / close - 1 AS fwd
+  FROM series
+),
+ok AS (SELECT * FROM r WHERE sig IS NOT NULL AND fwd IS NOT NULL),
+dec AS (
+  SELECT fwd,
+         ntile(10) OVER (PARTITION BY time ORDER BY sig, symbol) AS decile
+  FROM ok
+)
+SELECT CAST(decile AS INTEGER) AS decile, CAST(count(*) AS BIGINT) AS n_obs,
+       round(avg(fwd) + 1e-9, 6) AS mean_fwd_ret,
+       round(avg(CASE WHEN fwd > 0 THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS hit_rate
+FROM dec GROUP BY decile
+"""
+
+
+_REGISTRY.update({"inv_a_decile_backtest": (q_a_decile_backtest, SQL_A_DECILE_BACKTEST)})
