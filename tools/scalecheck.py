@@ -54,6 +54,10 @@ QUERIES = [
     "inv_er_entities",          # edit-distance entity resolution: record
                                 # volume grows K×, the 64-value name domain
                                 # does not — pairwise cost must stay flat
+    "inv_g_hits",               # bipartite HITS: K× baskets over the same
+                                # part catalog densifies the graph — the
+                                # iterative join loop must stay linear in
+                                # edges
 ]
 
 
