@@ -8392,3 +8392,126 @@ FROM dec GROUP BY decile
 
 
 _REGISTRY.update({"inv_a_decile_backtest": (q_a_decile_backtest, SQL_A_DECILE_BACKTEST)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): LSH banding sweep — the tuning twin of
+# inv_d_lsh_recall. The bands/rows split of a fixed 12-hash signature is
+# THE MinHash knob (more bands = higher recall and more candidates);
+# this query measures all three legal configs (2×6, 4×3, 6×2) against
+# the SAME exact truth set in one plan, so the knob's tradeoff curve is
+# a registry artifact instead of an s-curve plot in a notebook. Truth
+# and per-config candidate frames are checkpointed once each (multi-
+# consumer discipline).
+# ---------------------------------------------------------------------------
+
+
+def q_d_lsh_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    d = _docs(spark, sf).filter(F.col("source") == "src0")
+    truth = (
+        dedup.jaccard_prefix_join(d, threshold=0.9)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.count()
+    outs = []
+    for bands in (2, 4, 6):
+        cand = dedup.minhash_lsh_pairs(
+            d, num_hashes=12, bands=bands, shingle_n=1
+        ).localCheckpoint(eager=True)
+        hit = truth.join(cand, ["doc_a", "doc_b"])
+        tagged = cand.select(F.lit("c").alias("k")).unionAll(
+            hit.select(F.lit("h").alias("k"))
+        )
+        outs.append(
+            tagged.groupBy().agg(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(12 // bands).cast("int").alias("rows_per_band"),
+                F.lit(n_true).cast("long").alias("n_true"),
+                F.sum(F.when(F.col("k") == "c", 1).otherwise(0))
+                .cast("long")
+                .alias("n_candidates"),
+                F.sum(F.when(F.col("k") == "h", 1).otherwise(0))
+                .cast("long")
+                .alias("n_hit"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "bands",
+        "rows_per_band",
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.col("n_hit")
+            / F.when(F.col("n_true") == 0, F.lit(None)).otherwise(F.col("n_true"))
+            + F.lit(1e-9),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _band_sweep_sql() -> str:
+    parts = []
+    for bands in (2, 4, 6):
+        rows = 12 // bands
+        band_selects = []
+        for b in range(bands):
+            cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+            band_selects.append(
+                f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig"
+            )
+        parts.append(
+            f"buckets{bands} AS ({' UNION ALL '.join(band_selects)}),\n"
+            f"cand{bands} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+            f"  FROM buckets{bands} a JOIN buckets{bands} b\n"
+            f"    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),\n"
+            f"hit{bands} AS MATERIALIZED (\n"
+            f"  SELECT t.doc_a FROM truth t JOIN cand{bands} c\n"
+            f"    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)"
+        )
+    selects = []
+    for bands in (2, 4, 6):
+        selects.append(
+            f"""SELECT {bands} AS bands, {12 // bands} AS rows_per_band,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand{bands}) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hit{bands}) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM hit{bands}) * 1.0
+             / nullif((SELECT count(*) FROM truth), 0) + 1e-9, 6) AS recall"""
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_D_LSH_BAND_SWEEP = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL} AS nt FROM documents WHERE source = 'src0'
+),
+tk AS (
+  SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS shingle FROM norm
+),
+sh AS (SELECT doc_id, shingle FROM tk),
+shf AS (SELECT doc_id, shingle FROM tk WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.9
+),
+{_minhash_sig_sql()},
+{_band_sweep_sql()}
+"""
+
+
+_REGISTRY.update({"inv_d_lsh_band_sweep": (q_d_lsh_band_sweep, SQL_D_LSH_BAND_SWEEP)})
