@@ -64,6 +64,9 @@ HEADLINE = [
     # query after its scalar-broadcast normalization was rewritten as a
     # whole-frame window (16.9 -> ~8 s at 5 rounds); same gate rule.
     "inv_g_hits",
+    # and the LSH banding sweep (exact truth + three candidate configs in
+    # one plan) lands in the same cost band as the gated capstones.
+    "inv_d_lsh_band_sweep",
 ]
 
 RUNS_PER_QUERY = 3
