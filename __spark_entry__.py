@@ -8515,3 +8515,43 @@ truth AS MATERIALIZED (
 
 
 _REGISTRY.update({"inv_d_lsh_band_sweep": (q_d_lsh_band_sweep, SQL_D_LSH_BAND_SWEEP)})
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (continued): entity resolution on the ADVERSARIAL attribute
+# domain — customer names share a long constant prefix plus a dense
+# numeric suffix ("Customer#000000123"), the key-styled string shape
+# that defeats naive prefix blocking. The q-gram COUNT bound holds
+# anyway: at len 18 / k 1 / q 3 a candidate must share 13 of 16 grams,
+# which forces agreement across most of the digit region, so the filter
+# prunes hard exactly where the common prefix is useless. The scoped
+# market segment keeps the brute-force oracle quadratic-in-3k, not 15k.
+# ---------------------------------------------------------------------------
+
+
+def q_er_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    tune_existing(spark)
+    from market_data_pipeline_spark.operators import linkage
+
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    return linkage.edit_distance_join(c, col="c_name", max_dist=1)
+
+
+SQL_ER_CUSTOMER_PAIRS = """
+WITH nm AS (
+  SELECT DISTINCT c_name AS val FROM customer
+  WHERE c_mktsegment = 'AUTOMOBILE' AND c_name IS NOT NULL
+)
+SELECT a.val AS name_a, b.val AS name_b,
+       CAST(levenshtein(a.val, b.val) AS INTEGER) AS dist
+FROM nm a JOIN nm b
+  ON a.val < b.val AND abs(length(a.val) - length(b.val)) <= 1
+WHERE levenshtein(a.val, b.val) <= 1
+"""
+
+
+_REGISTRY.update(
+    {"inv_er_customer_pairs": (q_er_customer_pairs, SQL_ER_CUSTOMER_PAIRS)}
+)
