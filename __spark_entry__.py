@@ -8415,24 +8415,36 @@ def q_d_lsh_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_true = truth.count()
+    # ONE corpus shingle+hash pass: the signature frame is shared by all
+    # three band configs (the SQL twin computes its sig CTE once, too)
+    sig = dedup.minhash_signatures(
+        d, text_col="text", id_col="doc_id", num_hashes=12, shingle_n=1
+    ).localCheckpoint(eager=True)
     outs = []
     for bands in (2, 4, 6):
         cand = dedup.minhash_lsh_pairs(
-            d, num_hashes=12, bands=bands, shingle_n=1
+            d, num_hashes=12, bands=bands, shingle_n=1, sig=sig
         ).localCheckpoint(eager=True)
         hit = truth.join(cand, ["doc_a", "doc_b"])
         tagged = cand.select(F.lit("c").alias("k")).unionAll(
             hit.select(F.lit("h").alias("k"))
         )
+        # coalesce: an all-rejecting config yields an EMPTY tagged union,
+        # where a bare sum aggregates to NULL but the SQL twin's count(*)
+        # scalar subqueries yield 0
         outs.append(
             tagged.groupBy().agg(
                 F.lit(bands).cast("int").alias("bands"),
                 F.lit(12 // bands).cast("int").alias("rows_per_band"),
                 F.lit(n_true).cast("long").alias("n_true"),
-                F.sum(F.when(F.col("k") == "c", 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.col("k") == "c", 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_candidates"),
-                F.sum(F.when(F.col("k") == "h", 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.col("k") == "h", 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_hit"),
             )

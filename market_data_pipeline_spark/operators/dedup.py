@@ -206,6 +206,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     hot_bucket_cap: int | None = None,
     chain_window: int = 8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (rows = num_hashes/bands),
     bucket on md5(band contents), self-join buckets, emit ordered pairs.
@@ -218,7 +219,11 @@ def minhash_lsh_pairs(
     what consumers of the raw pairs want).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # callers sweeping several band configs pass a prebuilt (ideally
+    # checkpointed) signature frame so the corpus shingle+hash pass runs
+    # once, not once per config
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]

@@ -67,13 +67,15 @@ def edit_distance_join(
     """All pairs of DISTINCT non-null values of ``col`` with Levenshtein
     distance ≤ ``max_dist``: (name_a, name_b, dist), name_a < name_b.
 
-    Exact (no probabilistic recall loss): candidates from the q-gram
-    multiset count filter plus the short-string length-band path are a
+    Exact (no probabilistic recall loss): candidates from the ED-Join
+    rarity prefix (each value joins on its k·q + 1 globally-rarest
+    (gram, occurrence) elements — see the module docstring for the
+    pigeonhole argument) plus the short-string length-band path are a
     provable superset of the true pair set; the native levenshtein
-    verify keeps truth only. ``q`` trades candidate selectivity (larger
-    q prunes harder on long strings) against the short-string cutoff
-    q − 1 + max_dist·q below which values take the quadratic-in-domain
-    short path.
+    verify keeps truth only. ``q`` trades prefix selectivity (larger q
+    = rarer grams but a longer k·q + 1 prefix) against the short-string
+    cutoff q − 1 + max_dist·q below which values take the
+    quadratic-in-domain short path.
     """
     k = int(max_dist)
     if k < 0:

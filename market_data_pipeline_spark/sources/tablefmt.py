@@ -318,6 +318,7 @@ def _append_doc(
     op: str,
     evolve: bool,
     txn: int | None = None,
+    txn_app: str | None = None,
 ) -> tuple[int, dict]:
     """(version, manifest doc) for an append-shaped commit — ONE builder
     for batch append and stream-append, so a manifest-format change lands
@@ -343,6 +344,8 @@ def _append_doc(
     }
     if txn is not None:
         doc["txn"] = int(txn)
+        if txn_app is not None and txn_app != _DEFAULT_TXN_APP:
+            doc["txn_app"] = str(txn_app)
     return version, doc
 
 
@@ -997,6 +1000,15 @@ def cluster(
 # previously folded batch id became invisible and a replay re-appended
 _TXN_SIDECAR_RE = re.compile(r"^_txns(-[0-9a-f]+)?\.json$")
 
+# Writer identity for exactly-once streaming appends (Delta keys txn dedup
+# on (appId, version) for the same reason): batch ids are only meaningful
+# WITHIN one checkpoint lineage, so each lineage must write under its own
+# app or a restarted query with a fresh checkpoint — whose batch numbering
+# restarts at 0 — would collide with the previous incarnation's recorded
+# ids and silently drop never-seen data. Manifests and sidecars written
+# before apps existed read back as this default.
+_DEFAULT_TXN_APP = "stream"
+
 
 def _sidecar_paths(spark: SparkSession, path: str) -> list[str]:
     fs, mkpath = _fs(spark, f"{path}/{_MANIFESTS}")
@@ -1011,26 +1023,36 @@ def _sidecar_paths(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
-def _sidecar_txns(spark: SparkSession, path: str) -> set[int]:
-    """Batch ids whose manifests were vacuumed away: vacuum folds each
-    dropped manifest's txn field into a sidecar generation so the
-    exactly-once dedup horizon survives history retirement (Delta keeps
-    txn app versions in snapshot state for the same reason). All extant
-    generations are unioned — every one is a superset of its elders, so a
-    crash that leaves several behind only costs redundant reads."""
-    out: set[int] = set()
+def _sidecar_apps(spark: SparkSession, path: str) -> dict[str, set[int]]:
+    """Per-app batch ids whose manifests were vacuumed away: vacuum folds
+    each dropped manifest's (txn_app, txn) into a sidecar generation so
+    the exactly-once dedup horizon survives history retirement (Delta
+    keeps txn app versions in snapshot state for the same reason). All
+    extant generations are unioned — every one is a superset of its
+    elders, so a crash that leaves several behind only costs redundant
+    reads. Legacy sidecars carry a bare "txns" list, read back as the
+    default app."""
+    out: dict[str, set[int]] = {}
     for p in _sidecar_paths(spark, path):
         try:
-            out.update(int(t) for t in _read_json(spark, p)["txns"])
+            doc = _read_json(spark, p)
         except Exception:
             continue
+        for t in doc.get("txns", []):
+            out.setdefault(_DEFAULT_TXN_APP, set()).add(int(t))
+        for app, ids in doc.get("apps", {}).items():
+            out.setdefault(str(app), set()).update(int(t) for t in ids)
     return out
 
 
-def committed_batches(spark: SparkSession, path: str) -> set[int]:
-    """Streaming batch ids already recorded in some manifest's txn field,
-    plus ids preserved in the vacuum sidecar for retired manifests."""
-    out: set[int] = set(_sidecar_txns(spark, path))
+def committed_batches(
+    spark: SparkSession, path: str, app: str = _DEFAULT_TXN_APP
+) -> set[int]:
+    """Streaming batch ids already recorded under ``app`` in some
+    manifest's txn field, plus ids preserved in the vacuum sidecar for
+    retired manifests. Ids are scoped per writer identity — see
+    _DEFAULT_TXN_APP for why."""
+    out: set[int] = set(_sidecar_apps(spark, path).get(app, set()))
     head = current_version(spark, path)
     if head is None:
         return out
@@ -1040,12 +1062,12 @@ def committed_batches(spark: SparkSession, path: str) -> set[int]:
         except Exception:
             continue
         txn = m.get("txn")
-        if txn is not None:
+        if txn is not None and m.get("txn_app", _DEFAULT_TXN_APP) == app:
             out.add(int(txn))
     return out
 
 
-def streaming_sink(path: str):
+def streaming_sink(path: str, app: str = _DEFAULT_TXN_APP):
     """``writeStream.foreachBatch(tablefmt.streaming_sink(p))``: append each
     micro-batch to the versioned table EXACTLY ONCE. foreachBatch is
     at-least-once; idempotence comes from recording the batch id in the
@@ -1059,7 +1081,7 @@ def streaming_sink(path: str):
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_id in committed_batches(spark, path):
+        if batch_id in committed_batches(spark, path, app):
             return
         new_files, new_stats = _write_data(spark, path, batch_df)
         # bounded like _commit: a rename that fails for a non-conflict
@@ -1071,7 +1093,7 @@ def streaming_sink(path: str):
             # must fail the micro-batch loudly, never silently evolve
             version, doc = _append_doc(
                 spark, path, head, batch_df, new_files, new_stats,
-                "stream-append", evolve=False, txn=batch_id,
+                "stream-append", evolve=False, txn=batch_id, txn_app=app,
             )
             try:
                 _write_json_exclusive(
@@ -1079,7 +1101,7 @@ def streaming_sink(path: str):
                 )
                 return
             except CommitConflict:
-                if batch_id in committed_batches(spark, path):
+                if batch_id in committed_batches(spark, path, app):
                     return  # someone (a replay racing us) already landed it
                 continue
         raise CommitConflict(
@@ -1114,16 +1136,18 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
     for v in keep:
         referenced.update(_manifest(spark, path, v)["files"])
     doomed: set[str] = set()
-    dropped_txns: set[int] = set(_sidecar_txns(spark, path))
+    dropped_apps: dict[str, set[int]] = _sidecar_apps(spark, path)
     for v in drop:
         m = _manifest(spark, path, v)
         doomed.update(f for f in m["files"] if f not in referenced)
         if m.get("txn") is not None:
-            dropped_txns.add(int(m["txn"]))
+            dropped_apps.setdefault(
+                m.get("txn_app", _DEFAULT_TXN_APP), set()
+            ).add(int(m["txn"]))
     fs, mkpath = _fs(spark, path)
-    if dropped_txns:
+    if dropped_apps:
         # publish a NEW sidecar generation (superset of every older one,
-        # since dropped_txns starts from _sidecar_txns) BEFORE deleting
+        # since dropped_apps starts from _sidecar_apps) BEFORE deleting
         # anything: the old generations and the doomed manifests are still
         # readable until it lands, so at no instant — including a crash
         # between any two steps — does a previously committed batch id
@@ -1135,7 +1159,16 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> int:
             f"{path}/{_MANIFESTS}/_txns-{uuid.uuid4().hex[:12]}.json"
         )
         _write_json_exclusive(
-            spark, new_sidecar, {"txns": sorted(dropped_txns)}
+            spark,
+            new_sidecar,
+            {
+                # legacy key for the default app (older readers keep
+                # working); per-app mapping for everything
+                "txns": sorted(dropped_apps.get(_DEFAULT_TXN_APP, set())),
+                "apps": {
+                    a: sorted(ids) for a, ids in dropped_apps.items()
+                },
+            },
         )
         for p in old_sidecars:
             fs.delete(mkpath(p), False)

@@ -545,6 +545,7 @@ def streaming_dedup_admission_table(
     shingle_n: int = 3,
     threshold: float = 0.05,
     trigger_available_now: bool = True,
+    app: str | None = None,
 ):
     """``streaming_dedup_admission`` with the VERSIONED TABLE as the
     store: the admission loop is identical (in-batch exact dedupe, exact
@@ -556,9 +557,22 @@ def streaming_dedup_admission_table(
     BESIDE the live stream and serialize through the same optimistic
     commit protocol, and vacuum retires old snapshots without forgetting
     batch ids (the txn sidecar). Exactly-once comes from the manifest
-    txn field — a replayed batch finds its id in the log and skips.
+    (txn_app, txn) pair — a replayed batch finds its id recorded under
+    this query's writer identity and skips. The identity defaults to a
+    hash of the CHECKPOINT PATH: batch numbering restarts at 0 whenever
+    the checkpoint is recreated, so a fresh-checkpoint restart must
+    write under a fresh app or its batch 0 — possibly carrying
+    never-seen documents — would collide with the old incarnation's
+    recorded id and be silently dropped (Delta keys txn dedup on
+    (appId, version) for exactly this reason). Re-admission of already-
+    stored documents under a new identity is prevented by the admission
+    CONTENT checks themselves, at the cost of re-running them.
 
     Returns the started StreamingQuery (caller awaits termination)."""
+    import hashlib
+
+    if app is None:
+        app = "admit-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
     from market_data_pipeline_spark.operators import dedup as _dedup
     from market_data_pipeline_spark.operators.text import normalized
     from market_data_pipeline_spark.sources import tablefmt as _tf
@@ -567,8 +581,12 @@ def streaming_dedup_admission_table(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if batch_id in _tf.committed_batches(spark, table_path):
-            return  # replayed batch — already applied
+        # ONE manifest-log scan per batch here (the sink re-checks at
+        # commit time for concurrency safety — that second scan is the
+        # protocol's cost, bounded because vacuum keeps the manifest
+        # chain short)
+        if batch_id in _tf.committed_batches(spark, table_path, app):
+            return  # replayed batch of THIS lineage — already applied
         w = Window.partitionBy(F.md5(normalized(F.col(text_col)))).orderBy(id_col)
         batch = (
             batch_df.withColumn("__rn", F.row_number().over(w))
@@ -594,10 +612,10 @@ def streaming_dedup_admission_table(
         else:
             kept = batch
         # the tablefmt sink re-checks committed_batches and appends with
-        # txn=batch_id under the optimistic-commit loop; an all-rejected
+        # (txn_app, txn) under the optimistic-commit loop; an all-rejected
         # batch still commits (an empty append), recording the batch id
-        # so a replay skips the admission work
-        _tf.streaming_sink(table_path)(kept, batch_id)
+        # so a same-lineage replay skips the admission work
+        _tf.streaming_sink(table_path, app=app)(kept, batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(admit).option(
         "checkpointLocation", checkpoint

@@ -1006,16 +1006,38 @@ def test_streaming_dedup_admission_into_versioned_table(spark, tmp_path):
     assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2, 12}
 
     # versions: one stream-append per admitted batch; txn ids recorded
+    # under THIS lineage's writer identity (a hash of the checkpoint
+    # path), not the default app
+    import hashlib
+
+    app = "admit-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
     hist = tf.history(spark, table)
     assert [h["op"] for h in hist] == ["stream-append", "stream-append"]
-    assert len(tf.committed_batches(spark, table)) == 2
+    assert len(tf.committed_batches(spark, table, app)) == 2
 
-    # replay the whole source with a FRESH checkpoint: batch ids 0,1 are
-    # already in the manifest log, so nothing is admitted twice and no
-    # new version appears
+    # replay the whole source with a FRESH checkpoint: the writer
+    # identity derives from the checkpoint path, so this is a NEW app
+    # whose batch numbering may not line up with the old one — its
+    # batches re-run the admission checks (never skipped on a colliding
+    # id, which would silently drop genuinely new data) and every
+    # already-stored document is rejected by CONTENT: the table's doc
+    # set must not change, and any versions the replay commits are
+    # empty stream-appends recording the new lineage's batch ids
+    n_before = len(tf.history(spark, table))
     run_once(str(tmp_path / "ck2"))
     assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2, 12}
-    assert len(tf.history(spark, table)) == 2
+    hist = tf.history(spark, table)
+    assert all(h["op"] == "stream-append" for h in hist)
+    assert len(hist) >= n_before
+    # batch ids are scoped per writer identity: the original lineage's
+    # ids live under its own app, not the default
+    assert tf.committed_batches(spark, table) == set()
+
+    # same-lineage restart (the ORIGINAL checkpoint, no new data): the
+    # file source has nothing new, so no admission work and no version
+    n_now = len(tf.history(spark, table))
+    run_once(ckpt)
+    assert len(tf.history(spark, table)) == n_now
 
     # time travel: version 0 is exactly batch 1's admitted set
     assert {r.doc_id for r in tf.read(spark, table, version=0).collect()} == {1, 2}
