@@ -8567,3 +8567,55 @@ WHERE levenshtein(a.val, b.val) <= 1
 _REGISTRY.update(
     {"inv_er_customer_pairs": (q_er_customer_pairs, SQL_ER_CUSTOMER_PAIRS)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (final): Zipf fit — the rank-frequency log-log slope of the
+# corpus vocabulary with its r². Natural text sits near slope −1;
+# machine-generated or template-heavy corpora flatten or kink, making
+# this the one-row vocabulary-health probe a curation pipeline logs per
+# snapshot. One token count (map-side combined, vocabulary-sized), one
+# rank window over the O(vocab) table, one OLS aggregation.
+# ---------------------------------------------------------------------------
+
+
+def q_t_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    toks = d.select(
+        F.explode(F.split(text.normalized(F.col("text")), " ")).alias("__w")
+    ).filter(F.col("__w") != "")
+    vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = vocab.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("__n").desc(), F.col("__w")))
+            .cast("double")
+        ).alias("__lr"),
+        F.log(F.col("__n").cast("double")).alias("__lf"),
+    )
+    return ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(
+            F.covar_samp("__lr", "__lf") / F.var_samp("__lr") + F.lit(1e-9), 6
+        ).alias("zipf_slope"),
+        F.round(F.pow(F.corr("__lr", "__lf"), 2) + F.lit(1e-9), 6).alias("r2"),
+    )
+
+
+SQL_T_ZIPF_FIT = f"""
+WITH n AS (SELECT {_NORM_SQL} AS nt FROM documents),
+tok AS (SELECT unnest(string_split(nt, ' ')) AS w FROM n),
+v AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS lr,
+         ln(CAST(c AS DOUBLE)) AS lf
+  FROM v
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       round(covar_samp(lr, lf) / var_samp(lr) + 1e-9, 6) AS zipf_slope,
+       round(pow(corr(lr, lf), 2) + 1e-9, 6) AS r2
+FROM r
+"""
+
+
+_REGISTRY.update({"inv_t_zipf_fit": (q_t_zipf_fit, SQL_T_ZIPF_FIT)})
