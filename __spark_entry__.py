@@ -4419,7 +4419,7 @@ q AS (
   FROM s
 )
 SELECT vec_id, round(sc, 8) AS scale,
-       list_slice(qv, 1, 8) AS q_head,
+       array_to_string(list_slice(qv, 1, 8), ',') AS q_head,
        CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
        list_aggregate(qv, 'max') AS q_max,
        list_aggregate(qv, 'min') AS q_min
@@ -8011,11 +8011,28 @@ _REGISTRY.update({"inv_d_cross_source": (q_d_cross_source, SQL_D_CROSS_SOURCE)})
 
 def q_w_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     b = _bars(spark, sf)
-    lo = b.agg(F.min("symbol").alias("m")).first()["m"]
-    lo2 = b.filter(F.col("symbol") > lo).agg(F.min("symbol").alias("m")).first()["m"]
-    a = b.filter(F.col("symbol") == lo).select("d", F.col("close").alias("__ca"))
-    c = b.filter(F.col("symbol") == lo2).select("d", F.col("close").alias("__cb"))
-    j = a.join(c, "d")
+    # ONE lazy plan, no driver round-trips: the two smallest symbols come
+    # from a TakeOrderedAndProject (distinct → orderBy → limit 2) and are
+    # rank-tagged by a window over that ≤2-row frame; a broadcast semi
+    # join + conditional agg replaces the old two-.first()-then-filter
+    # driver loop (same values — bars are unique per (symbol, d), so the
+    # per-date max(when(rk=...)) IS the inner join on d).
+    syms = (
+        b.select("symbol")
+        .distinct()
+        .orderBy("symbol")
+        .limit(2)
+        .withColumn("__rk", F.row_number().over(Window.orderBy("symbol")))
+    )
+    j = (
+        b.join(F.broadcast(syms), "symbol")
+        .groupBy("d")
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col("close"))).alias("__ca"),
+            F.max(F.when(F.col("__rk") == 2, F.col("close"))).alias("__cb"),
+        )
+        .filter(F.col("__ca").isNotNull() & F.col("__cb").isNotNull())
+    )
     wo = Window.orderBy("d")
     ra = F.col("__ca") / F.lag("__ca").over(wo) - 1
     rb = F.col("__cb") / F.lag("__cb").over(wo) - 1
@@ -8585,12 +8602,13 @@ def q_t_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.split(text.normalized(F.col("text")), " ")).alias("__w")
     ).filter(F.col("__w") != "")
     vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
-    ranked = vocab.select(
-        F.log(
-            F.row_number()
-            .over(Window.orderBy(F.col("__n").desc(), F.col("__w")))
-            .cast("double")
-        ).alias("__lr"),
+    # Vocabulary grows with the corpus (hundreds of millions of types at web
+    # scale), so the rank must NOT be a single-partition row_number window —
+    # use the two-pass distributed rank (range exchange + per-partition
+    # offsets) shared with histogram_equidepth.
+    ranked = quality.global_rank(vocab, [("__n", False), ("__w", True)], "__rank")
+    ranked = ranked.select(
+        F.log(F.col("__rank").cast("double")).alias("__lr"),
         F.log(F.col("__n").cast("double")).alias("__lf"),
     )
     return ranked.groupBy().agg(

@@ -14,7 +14,7 @@ payload onto left rows. Cost = one shuffle on the key + one sort on
 in |L|+|R|, skew-safe under AQE. A broadcast-range join would be quadratic in
 the worst case; this never is. Forward direction is the same pass with the
 sort reversed; tolerance is a post-fill null-out (the matched right time
-rides along as one extra filled column).
+rides inside the filled payload struct).
 """
 
 from __future__ import annotations
@@ -59,21 +59,27 @@ def asof_join(
     l = left.withColumn("__t", F.col(left_time).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
-    filled = [*payload, "__rt"]
-    for c in payload:
-        l = l.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
-    l = l.withColumn("__p___rt", F.lit(None).cast("timestamp"))
+    # The whole right payload rides in ONE struct so a single
+    # last(ignorenulls) fills it atomically: per-column fills would let a
+    # matched right row with a NULL in one payload column borrow that
+    # column from an OLDER right row (and a value older than the
+    # tolerance window) — pandas merge_asof returns the matched row's
+    # NULL, and so does this.
     r = right.select(
         F.col(key),
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-    ).withColumn("__p___rt", F.col("__t"))
+        F.struct(
+            F.col(right_time).cast("timestamp").alias("__rt"),
+            *[F.col(c) for c in payload],
+        ).alias("__p"),
+    )
+    l = l.withColumn("__p", F.lit(None).cast(r.schema["__p"].dataType))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
-    u = l.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled]).unionByName(
-        r.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled])
+    u = l.select(*lcols, "__t", "__side", "__p").unionByName(
+        r.select(*lcols, "__t", "__side", "__p")
     )
     # right rows (side 0) sort before left rows at the same instant, so an
     # equal-time right row is already visible to the fill when the left row
@@ -84,18 +90,16 @@ def asof_join(
         .orderBy(t_order, "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in filled:
-        u = u.withColumn(f"__p_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
     out = u.filter(F.col("__side") == 1).drop("__side")
     if tolerance_seconds is not None:
-        gap = F.abs(F.unix_timestamp("__t") - F.unix_timestamp("__p___rt"))
-        keep = F.col("__p___rt").isNotNull() & (gap <= F.lit(tolerance_seconds))
-        for c in payload:
-            out = out.withColumn(f"__p_{c}", F.when(keep, F.col(f"__p_{c}")))
-    out = out.drop("__t", "__p___rt")
+        rt = F.col("__p").getField("__rt")
+        gap = F.abs(F.unix_timestamp("__t") - F.unix_timestamp(rt))
+        keep = F.col("__p").isNotNull() & (gap <= F.lit(tolerance_seconds))
+        out = out.withColumn("__p", F.when(keep, F.col("__p")))
     for c in payload:
-        out = out.withColumnRenamed(f"__p_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("__p").getField(c))
+    return out.drop("__t", "__p")
 
 
 def _asof_nearest(
@@ -122,21 +126,24 @@ def _asof_nearest(
     l = left.withColumn("__t", F.col(left_time).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
-    for c in payload:
-        l = l.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
-    l = l.withColumn("__p___rt", F.lit(None).cast("timestamp"))
+    # single-struct fill per side — same atomic-match rationale as the
+    # directional path: all payload columns (and the matched time) come
+    # from ONE right row, never a column-wise mix of rows
     r = right.select(
         F.col(key),
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-    ).withColumn("__p___rt", F.col("__t"))
+        F.struct(
+            F.col(right_time).cast("timestamp").alias("__rt"),
+            *[F.col(c) for c in payload],
+        ).alias("__p"),
+    )
+    l = l.withColumn("__p", F.lit(None).cast(r.schema["__p"].dataType))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
-    filled = [*payload, "__rt"]
-    u = l.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled]).unionByName(
-        r.select(*lcols, "__t", "__side", *[f"__p_{c}" for c in filled])
+    u = l.select(*lcols, "__t", "__side", "__p").unionByName(
+        r.select(*lcols, "__t", "__side", "__p")
     )
     wb = (
         Window.partitionBy(key)
@@ -148,31 +155,26 @@ def _asof_nearest(
         .orderBy(F.col("__t").desc(), "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in filled:
-        u = u.withColumn(f"__b_{c}", F.last(f"__p_{c}", ignorenulls=True).over(wb))
-        u = u.withColumn(f"__f_{c}", F.last(f"__p_{c}", ignorenulls=True).over(wf))
+    u = u.withColumn("__b", F.last("__p", ignorenulls=True).over(wb))
+    u = u.withColumn("__f", F.last("__p", ignorenulls=True).over(wf))
     out = u.filter(F.col("__side") == 1).drop("__side")
     # cast-to-double keeps MICROSECONDS (unix_timestamp truncates to whole
     # seconds, which flips the winning side for left rows within a second
     # of the midpoint between two right rows — found by the sf0.1 oracle
     # sweep); DuckDB's epoch() mirrors the fractional-seconds double
-    gap_b = F.col("__t").cast("double") - F.col("__b___rt").cast("double")
-    gap_f = F.col("__f___rt").cast("double") - F.col("__t").cast("double")
-    valid_b = F.col("__b___rt").isNotNull()
-    valid_f = F.col("__f___rt").isNotNull()
+    brt = F.col("__b").getField("__rt")
+    frt = F.col("__f").getField("__rt")
+    gap_b = F.col("__t").cast("double") - brt.cast("double")
+    gap_f = frt.cast("double") - F.col("__t").cast("double")
+    valid_b = F.col("__b").isNotNull()
+    valid_f = F.col("__f").isNotNull()
     if tolerance_seconds is not None:
         valid_b = valid_b & (gap_b <= F.lit(tolerance_seconds))
         valid_f = valid_f & (gap_f <= F.lit(tolerance_seconds))
     take_b = valid_b & (~valid_f | (gap_b <= gap_f))
-    for c in payload:
-        out = out.withColumn(
-            c,
-            F.when(take_b, F.col(f"__b_{c}")).when(valid_f, F.col(f"__f_{c}")),
-        )
-    drop = (
-        ["__t"]
-        + [f"__p_{c}" for c in filled]
-        + [f"__b_{c}" for c in filled]
-        + [f"__f_{c}" for c in filled]
+    out = out.withColumn(
+        "__ch", F.when(take_b, F.col("__b")).when(valid_f, F.col("__f"))
     )
-    return out.drop(*drop)
+    for c in payload:
+        out = out.withColumn(c, F.col("__ch").getField(c))
+    return out.drop("__t", "__p", "__b", "__f", "__ch")

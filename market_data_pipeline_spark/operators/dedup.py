@@ -221,9 +221,25 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    # callers sweeping several band configs pass a prebuilt (ideally
-    # checkpointed) signature frame so the corpus shingle+hash pass runs
-    # once, not once per config
+    else:
+        # callers sweeping several band configs pass a prebuilt (ideally
+        # checkpointed) signature frame so the corpus shingle+hash pass
+        # runs once, not once per config. Validate its shape against
+        # num_hashes: a frame built with a different hash count would
+        # silently band wrong columns (extra mh_ columns ignored, missing
+        # ones a late AnalysisException). NOTE shingle_n is NOT checkable
+        # from the frame — it must match the value the sig was built with
+        # (a mismatch yields plausible but wrong buckets).
+        have = {c for c in sig.columns if c.startswith("mh_")}
+        want = {f"mh_{k}" for k in range(num_hashes)}
+        if have != want:
+            raise ValueError(
+                f"prebuilt sig frame has minhash columns {sorted(have)} but "
+                f"num_hashes={num_hashes} requires exactly {sorted(want)}; "
+                "rebuild the signatures with matching parameters"
+            )
+        if id_col not in sig.columns:
+            raise ValueError(f"prebuilt sig frame lacks id column {id_col!r}")
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]

@@ -541,20 +541,25 @@ def hits_bipartite(
     graph HITS degenerates (undirected ⇒ hubs ≡ authorities); the
     bipartite form is the one with information in it.
 
-    Per iteration: authority = edge ⋈ hub → item-keyed sum, L1-normalized
-    via a whole-frame window over the ALREADY-AGGREGATED O(items) frame
-    (the temperature-share pattern — a separate scalar-total consumer
-    would re-execute the half-step's whole lineage once for the 1-row
-    broadcast and again for the main plan, measured 3× slower), then the
-    mirrored half-step for hubs; every value is quantized to 10 decimals
-    after normalization so the iterate is independent of summation order
-    — the chained-CTE SQL unrolling is exact, the same contract as
-    pagerank. Edge frame checkpointed once; score frames checkpoint on a
-    2-round cadence (job-count discipline, values unchanged). L1 (not
-    L2) normalization keeps the oracle sqrt-free; rankings are identical
-    under any positive scaling.
+    Per iteration: authority = edge ⋈ hub → item-keyed sum, localCheckpoint
+    (cuts the half-step's lineage — the score frame is O(items), tiny),
+    then L1-normalized by `crossJoin(broadcast(agg(sum)))`. The scalar
+    total costs one extra tiny job per half-step over the CHECKPOINTED
+    partitions — it does NOT re-execute the half-step lineage (the old
+    objection to a scalar-total consumer only applied to un-checkpointed
+    frames) and, unlike a whole-frame window, never funnels the O(items)
+    frame through a single partition: the item/URL universe grows with
+    the graph, so a global window here is a scale cliff. Every value is
+    quantized to 10 decimals after normalization so the iterate is
+    independent of summation order — the chained-CTE SQL unrolling is
+    exact, the same contract as pagerank. L1 (not L2) normalization
+    keeps the oracle sqrt-free; rankings are identical under any
+    positive scaling.
 
-    Returns (item, auth) for every item."""
+    Returns (item, auth) for every item that SURVIVES the per-basket cap:
+    baskets are truncated to their `max_basket` lexically-first items, so
+    items sliced off every basket they appear in are absent from the
+    output entirely (documented fan-out bound, not a bug)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     edges = (
@@ -568,36 +573,40 @@ def hits_bipartite(
     )
     baskets = edges.select("__b").distinct()
     nb = baskets.count()
+    if nb == 0:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        empty_schema = StructType(
+            [
+                StructField("item", items.schema[item_col].dataType),
+                StructField("auth", DoubleType()),
+            ]
+        )
+        return items.sparkSession.createDataFrame([], empty_schema)
     hubs = baskets.select(
         "__b", F.round(F.lit(1.0) / nb + F.lit(_EPS), 10).alias("__h")
     ).localCheckpoint(eager=True)
-    from pyspark.sql import Window as _W
 
-    whole = _W.partitionBy()
+    def _l1(raw: DataFrame, key: str, out: str) -> DataFrame:
+        ckpt = raw.localCheckpoint(eager=True)
+        tot = ckpt.agg(F.sum("__raw").alias("__tot"))
+        return ckpt.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.round(F.col("__raw") / F.col("__tot") + F.lit(_EPS), 10).alias(out),
+        )
+
     auth = None
-    for it in range(iterations):
+    for _ in range(iterations):
         araw = (
             edges.join(hubs, "__b")
             .groupBy("__i")
             .agg(F.sum("__h").alias("__raw"))
         )
-        auth = araw.select(
-            "__i",
-            F.round(
-                F.col("__raw") / F.sum("__raw").over(whole) + F.lit(_EPS), 10
-            ).alias("__a"),
-        )
+        auth = _l1(araw, "__i", "__a")
         hraw = (
             edges.join(auth, "__i")
             .groupBy("__b")
             .agg(F.sum("__a").alias("__raw"))
         )
-        hubs = hraw.select(
-            "__b",
-            F.round(
-                F.col("__raw") / F.sum("__raw").over(whole) + F.lit(_EPS), 10
-            ).alias("__h"),
-        )
-        if it % 2 == 1 and it + 1 < iterations:
-            hubs = hubs.localCheckpoint(eager=True)
+        hubs = _l1(hraw, "__b", "__h")
     return auth.select(F.col("__i").alias("item"), F.col("__a").alias("auth"))

@@ -63,6 +63,7 @@ def edit_distance_join(
     col: str = "name",
     max_dist: int = 2,
     q: int = 3,
+    max_short_pairs: int | None = 25_000_000,
 ) -> DataFrame:
     """All pairs of DISTINCT non-null values of ``col`` with Levenshtein
     distance ≤ ``max_dist``: (name_a, name_b, dist), name_a < name_b.
@@ -76,6 +77,14 @@ def edit_distance_join(
     = rarer grams but a longer k·q + 1 prefix) against the short-string
     cutoff q − 1 + max_dist·q below which values take the
     quadratic-in-domain short path.
+
+    ``max_short_pairs`` guards that short path: its candidate volume is
+    Σ_band |left|·|right| — quadratic in the SHORT-VALUE domain, which is
+    normally tiny but unbounded in principle (an attribute that is all
+    2-char codes). The exact band-sum is estimated with one O(short
+    domain) aggregate before the join; above the cap the call fails loudly
+    with the measured estimate rather than melting down — raise ``q``
+    (lowers the L0 cutoff), or pass ``None`` to accept the cost.
     """
     k = int(max_dist)
     if k < 0:
@@ -95,6 +104,32 @@ def edit_distance_join(
     # plan cartesian-free.
     l0 = q - 1 + k * q
     short = vals.filter(F.col("len") <= l0)
+    if max_short_pairs is not None:
+        est_row = (
+            short.select(
+                F.explode(
+                    F.sequence(F.col("len"), F.col("len") + F.lit(k))
+                ).alias("__lk")
+            )
+            .groupBy("__lk")
+            .agg(F.count(F.lit(1)).alias("__nl"))
+            .join(
+                short.groupBy(F.col("len").alias("__lk")).agg(
+                    F.count(F.lit(1)).alias("__nr")
+                ),
+                "__lk",
+            )
+            .agg(F.sum(F.col("__nl") * F.col("__nr")).alias("est"))
+            .first()
+        )
+        est = est_row["est"] or 0
+        if est > max_short_pairs:
+            raise ValueError(
+                f"short-string path would generate ~{est:,} candidate pairs "
+                f"(> max_short_pairs={max_short_pairs:,}) for values of "
+                f"length <= {l0}; raise q to shrink the short cutoff, or "
+                "pass max_short_pairs=None to accept the quadratic cost"
+            )
     short_pairs = (
         short.select(
             "val",

@@ -280,6 +280,69 @@ def histogram_equidepth(
     )
 
 
+def global_rank(
+    df: DataFrame, order_by: list[tuple[str, bool]], rank_col: str = "rank"
+) -> DataFrame:
+    """Total-order ``row_number`` WITHOUT the single-partition window.
+
+    ``row_number() OVER (ORDER BY …)`` with no PARTITION BY funnels every row
+    through one task (WindowExec warns, then single-threads) — unusable when
+    the ranked frame grows with the corpus (e.g. a web-scale vocabulary).
+    This is the same two-pass distributed rank ``histogram_equidepth`` uses:
+
+      1. ``repartitionByRange`` on the order columns (sampled range bounds —
+         the exchange a global sort would use) + in-partition sort, pinned
+         with ``localCheckpoint`` so pass 2 reuses the placement.
+      2. Per-partition counts to the driver (P longs only) become rank
+         offsets; an Arrow ``mapInPandas`` cumcount adds offset + local
+         index. Ranks are 1-based and bit-identical to ``row_number`` over
+         the same total order.
+
+    ``order_by`` is ``[(col, ascending), …]`` and MUST be a total order
+    (include a unique tiebreak) for deterministic ranks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sort_exprs = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in order_by
+    ]
+    part = (
+        df.repartitionByRange(*sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = {
+        r["__pid"]: r["cnt"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(per_part):
+        offsets[pid] = acc
+        acc += per_part[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(rank_col, LongType(), False)]
+    )
+
+    def add_rank(batches):
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            start = offsets[int(pdf["__pid"].iloc[0])] + seen
+            out = pdf.drop(columns=["__pid"])
+            out[rank_col] = np.arange(start + 1, start + 1 + len(pdf), dtype="int64")
+            seen += len(pdf)
+            yield out
+
+    return part.mapInPandas(add_rank, schema=out_schema)
+
+
 def sketch_accuracy(
     df: DataFrame,
     by: str,

@@ -583,7 +583,10 @@ def quantize_vectors(
         .select(
             id_col,
             "scale",
-            F.slice(F.col("__q"), 1, head).alias("q_head"),
+            # Emitted as a CSV string, not array<int>: downstream result
+            # canonicalizers (pandas sort / hash compare) choke on list-typed
+            # cells, and the head is a human-readable fingerprint anyway.
+            F.array_join(F.slice(F.col("__q"), 1, head), ",").alias("q_head"),
             F.aggregate(F.col("__q"), F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
             F.array_max(F.col("__q")).alias("q_max"),
             F.array_min(F.col("__q")).alias("q_min"),

@@ -323,11 +323,17 @@ def _append_doc(
     """(version, manifest doc) for an append-shaped commit — ONE builder
     for batch append and stream-append, so a manifest-format change lands
     once instead of drifting between two hand-copied loops."""
+    ts = time.time()
     if head is not None:
         parent_man = _manifest(spark, path, head)
         files = parent_man["files"] + new_files
         stats = {**parent_man.get("stats", {}), **new_stats}
         schema = _merged_schema(parent_man, df, evolve)
+        # monotone commit timestamps: with clock skew across concurrent
+        # writers, a child could otherwise stamp EARLIER than its parent
+        # and as_of resolution would become order-dependent (Delta
+        # enforces the same invariant)
+        ts = max(ts, float(parent_man.get("ts") or 0.0))
     else:
         files = list(new_files)
         stats = dict(new_stats)
@@ -337,7 +343,7 @@ def _append_doc(
         "version": version,
         "parent": head,
         "op": op,
-        "ts": time.time(),
+        "ts": ts,
         "files": files,
         "stats": stats,
         "schema": schema,
@@ -370,11 +376,15 @@ def _commit(
             )
         else:
             version = 0 if head is None else head + 1
+            ts = time.time()
+            if head is not None:
+                # same monotone-ts invariant as _append_doc
+                ts = max(ts, float(_manifest(spark, path, head).get("ts") or 0.0))
             doc = {
                 "version": version,
                 "parent": head,
                 "op": op,
-                "ts": time.time(),
+                "ts": ts,
                 "files": list(new_files),
                 "stats": dict(new_stats),
                 "schema": json.loads(df.schema.json()),
@@ -424,10 +434,19 @@ def read(
     if head is None:
         raise FileNotFoundError(f"no committed version at {path}")
     if as_of is not None:
+        # Delta-style monotonic adjustment: resolve against the RUNNING MAX
+        # of commit timestamps in version order, so skewed writer clocks
+        # (or a manifest written by a pre-ts version of this format) can
+        # never make resolution order-dependent. Write-side already
+        # enforces ts >= parent ts; this is the belt for tables written
+        # before that invariant existed.
         v = None
+        eff: float | None = None
         for h in history(spark, path):
             ts = h.get("ts")
-            if ts is None or float(ts) <= float(as_of):
+            if ts is not None:
+                eff = float(ts) if eff is None else max(eff, float(ts))
+            if eff is None or eff <= float(as_of):
                 v = h["version"]
         if v is None:
             raise ValueError(
@@ -803,7 +822,8 @@ def _replace_files(
         "version": expected_head + 1,
         "parent": expected_head,
         "op": op,
-        "ts": time.time(),
+        # monotone vs parent — see _append_doc
+        "ts": max(time.time(), float(parent_man.get("ts") or 0.0)),
         "files": untouched + new_files,
         "stats": {
             **{f: parent_stats[f] for f in untouched if f in parent_stats},

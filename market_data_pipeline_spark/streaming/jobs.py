@@ -558,29 +558,39 @@ def streaming_dedup_admission_table(
     commit protocol, and vacuum retires old snapshots without forgetting
     batch ids (the txn sidecar). Exactly-once comes from the manifest
     (txn_app, txn) pair — a replayed batch finds its id recorded under
-    this query's writer identity and skips. The identity defaults to a
-    hash of the CHECKPOINT PATH: batch numbering restarts at 0 whenever
-    the checkpoint is recreated, so a fresh-checkpoint restart must
-    write under a fresh app or its batch 0 — possibly carrying
-    never-seen documents — would collide with the old incarnation's
-    recorded id and be silently dropped (Delta keys txn dedup on
-    (appId, version) for exactly this reason). Re-admission of already-
-    stored documents under a new identity is prevented by the admission
-    CONTENT checks themselves, at the cost of re-running them.
+    this query's writer identity and skips. The identity defaults to the
+    streaming query id PERSISTED IN THE CHECKPOINT (`<checkpoint>/
+    metadata`, resolved lazily at the first batch): it is stable across
+    restarts of the same checkpoint lineage but REGENERATED when a
+    checkpoint is deleted and recreated at the same path — exactly the
+    event that restarts batch numbering at 0, so the new incarnation's
+    batch 0 (possibly carrying never-seen docs) can never collide with
+    the old incarnation's recorded id (Delta keys txn dedup on
+    (appId, version) for the same reason; a path-hash identity would
+    silently drop that batch). Pass an explicit ``app`` only for
+    backfill writers that must SHARE an identity across checkpoints —
+    and then an in-place checkpoint reset requires a new ``app``.
+    Re-admission of already-stored documents under a new identity is
+    prevented by the admission CONTENT checks themselves, at the cost
+    of re-running them.
 
     Returns the started StreamingQuery (caller awaits termination)."""
-    import hashlib
-
-    if app is None:
-        app = "admit-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
     from market_data_pipeline_spark.operators import dedup as _dedup
     from market_data_pipeline_spark.operators.text import normalized
     from market_data_pipeline_spark.sources import tablefmt as _tf
+
+    app_cell = [app]
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if app_cell[0] is None:
+            # StreamExecution writes <checkpoint>/metadata ({"id": uuid})
+            # before the first batch runs, so this always resolves here.
+            qid = spark.read.json(checkpoint.rstrip("/") + "/metadata").head()["id"]
+            app_cell[0] = "admit-" + qid
+        app = app_cell[0]
         # ONE manifest-log scan per batch here (the sink re-checks at
         # commit time for concurrency safety — that second scan is the
         # protocol's cost, bounded because vacuum keeps the manifest

@@ -51,6 +51,49 @@ def test_asof_join_multiple_payload_columns(spark):
     assert row.a == 9.0 and row.b == "x"
 
 
+def test_asof_null_payload_not_borrowed_from_older_row(spark):
+    """The matched right row's NULL stays NULL (pandas merge_asof): a
+    per-column fill would borrow the missing column from an OLDER right
+    row, emitting a row that mixes two right matches — the struct fill
+    makes the match atomic. Applies to backward, forward, and nearest."""
+    left = spark.createDataFrame(
+        [("A", _ts(12), 1.0)], "sym string, t timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(9), 7.0, "old"), ("A", _ts(11), None, "new")],
+        "sym string, mt timestamp, a double, b string",
+    )
+    row = asof.asof_join(left, right, "sym", "t", "mt", ["a", "b"]).collect()[0]
+    assert row.b == "new" and row.a is None  # not 7.0 from the t9 row
+
+    # forward: match is t13 (a=NULL); t15's a must not leak backward
+    right_f = spark.createDataFrame(
+        [("A", _ts(13), None, "first"), ("A", _ts(15), 5.0, "later")],
+        "sym string, mt timestamp, a double, b string",
+    )
+    row = asof.asof_join(
+        left, right_f, "sym", "t", "mt", ["a", "b"], direction="forward"
+    ).collect()[0]
+    assert row.b == "first" and row.a is None
+
+    # nearest with tolerance: the in-tolerance side's NULL stays NULL even
+    # when an out-of-tolerance row on the other side has a value
+    row = asof.asof_join(
+        left,
+        spark.createDataFrame(
+            [("A", _ts(11), None, "near"), ("A", _ts(7), 3.0, "far")],
+            "sym string, mt timestamp, a double, b string",
+        ),
+        "sym",
+        "t",
+        "mt",
+        ["a", "b"],
+        direction="nearest",
+        tolerance_seconds=2 * 3600,
+    ).collect()[0]
+    assert row.b == "near" and row.a is None
+
+
 def test_rolling_zscore_flags_spike(spark):
     rows = [("S", float(i), 10.0 + (0.1 if i % 2 else -0.1)) for i in range(30)]
     rows[25] = ("S", 25.0, 50.0)  # spike

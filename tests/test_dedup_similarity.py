@@ -47,6 +47,31 @@ def test_minhash_lsh_finds_near_dup(spark, dup_docs):
     assert (1, 4) in pairs or (2, 4) in pairs
 
 
+def test_minhash_prebuilt_sig_shape_validated(spark, dup_docs):
+    """A prebuilt signature frame whose mh_ columns don't match num_hashes
+    is rejected loudly — a silent accept would band wrong columns and
+    yield plausible but wrong buckets."""
+    sig8 = dedup.minhash_signatures(dup_docs, num_hashes=8)
+    with pytest.raises(ValueError, match="mh_"):
+        dedup.minhash_lsh_pairs(dup_docs, num_hashes=12, bands=4, sig=sig8)
+    with pytest.raises(ValueError, match="id column"):
+        dedup.minhash_lsh_pairs(
+            dup_docs,
+            num_hashes=8,
+            bands=4,
+            id_col="other_id",
+            sig=sig8,
+        )
+    # matching shape passes through
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            dup_docs, num_hashes=8, bands=4, sig=sig8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
 def test_ngram_jaccard_values(spark, dup_docs):
     out = {
         (r.doc_a, r.doc_b): r.jaccard

@@ -423,3 +423,26 @@ def test_hits_bipartite_mutual_reinforcement(spark):
     assert got[100] > got[200] and got[100] > got[300]
     assert abs(got[200] - got[300]) < 1e-9  # symmetric singletons
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_hits_bipartite_empty_input_returns_empty(spark):
+    """nb == 0 must yield an empty typed frame, not a driver
+    ZeroDivisionError (r4 advice)."""
+    e = spark.createDataFrame([], "ok long, pk long")
+    out = graph.hits_bipartite(e, iterations=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["item", "auth"]
+
+
+def test_hits_bipartite_plan_has_no_global_window(spark):
+    """The L1 normalization must be a broadcast scalar total over the
+    CHECKPOINTED half-step aggregate — never a whole-frame window, which
+    funnels the O(items) score table through one partition (r4 verdict
+    #3: items = the full part/URL universe, grows with the graph)."""
+    from tests.test_plan_shapes import _global_window_lines
+
+    rows = [(1, 100), (1, 200), (2, 100), (2, 300)]
+    e = spark.createDataFrame(rows, "ok long, pk long")
+    out = graph.hits_bipartite(e, iterations=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not _global_window_lines(plan)

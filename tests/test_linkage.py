@@ -101,6 +101,27 @@ def test_editdist_join_rejects_bad_params(spark):
         linkage.edit_distance_join(df, "name", q=1)
 
 
+def test_editdist_short_path_domain_guard(spark):
+    """An attribute domain that is all short codes makes the length-band
+    path quadratic in the domain; the guard measures the exact band-sum
+    and fails loudly above the cap instead of melting down."""
+    names = [f"{a}{b}" for a in "abcdefghij" for b in "abcdefghij"]  # 100 2-char codes
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "record_id long, name string"
+    )
+    # 100 same-length values at k=1: ~100*100 band candidates > 5000 cap
+    with pytest.raises(ValueError, match="short-string path"):
+        linkage.edit_distance_join(df, "name", max_dist=1, max_short_pairs=5000)
+    # cap lifted -> runs and matches brute force
+    got = sorted(
+        (r.name_a, r.name_b, r.dist)
+        for r in linkage.edit_distance_join(
+            df, "name", max_dist=1, max_short_pairs=None
+        ).collect()
+    )
+    assert got == _brute(names, 1)
+
+
 def test_resolve_entities_transitive_chain(spark):
     # aaaa — aaab — aabb connect transitively (each hop dist 1, ends dist
     # 2); entity id must be the min RECORD id across the whole chain even

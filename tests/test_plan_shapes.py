@@ -294,11 +294,46 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def _global_window_lines(plan: str) -> list[str]:
+    """Physical-plan lines whose node is an UNPARTITIONED Window: the node
+    prints `Window [exprs], [order]` (two top-level bracket groups) when no
+    partition spec exists, vs `Window [exprs], [part], [order]` (three) —
+    the former funnels every input row through one task."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        rest, groups, depth, cur = m.group(1), [], 0, ""
+        for ch in rest:
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) == 2:
+            out.append(line.strip())
+    return out
+
+
 def test_every_registered_query_plan_is_scale_clean(spark):
     """Engine-wide physical-plan audit: no registered query may contain a
     row-at-a-time Python UDF (BatchEvalPython — the 10-100× slow path; all
-    Python hops must be Arrow-vectorized) or an unhinted CartesianProduct
-    (the O(n·m) shuffle killer; non-equi joins must broadcast one side).
+    Python hops must be Arrow-vectorized), an unhinted CartesianProduct
+    (the O(n·m) shuffle killer; non-equi joins must broadcast one side), or
+    an UNPARTITIONED window over a corpus-scale frame (single-partition
+    WindowExec — the r4-verdict zipf/HITS failure class).
+
+    The global-window allowlist names ONLY queries whose windowed frame is
+    bounded by the trading CALENDAR or the listed-symbol universe (per-date
+    market aggregates, month series, one week's symbol ranking) — never by
+    corpus/vocabulary/graph size, which grow without bound at 100 TB.
 
     Streaming queries execute on build, so they are planned here via their
     batch components being covered elsewhere and are skipped by prefix —
@@ -308,6 +343,15 @@ def test_every_registered_query_plan_is_scale_clean(spark):
 
     sf = "/root/testdata/sf0.001"
     allowed_rowwise = {"inv_s_statement_udtf"}  # the deliberate UDTF surface
+    allowed_global_window = {
+        "inv_a2_market_health",  # row_number over per-date market aggregate
+        "inv_a_mom_growth",  # lag over the O(months) revenue series
+        "inv_o6_weekly_topbottom",  # rank symbols within ONE week
+        "inv_w16_rolling_corr",  # O(trading days) aligned pair series
+        "inv_w19_regime",  # O(trading days) regime series
+        "inv_w20_market_summary",  # latest-date pick on per-date aggregate
+        "inv_w_rolling_corr",  # O(trading days) aligned pair series
+    }
     skipped = 0
     audited = 0
     for name, fn in entrymod.queries().items():
@@ -319,6 +363,12 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         if name not in allowed_rowwise:
             assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in allowed_global_window:
+            glines = _global_window_lines(plan)
+            assert not glines, (
+                f"{name}: unpartitioned Window (single-partition stage): "
+                f"{glines[0][:120]}"
+            )
     assert audited > 140 and skipped <= 12
 
 

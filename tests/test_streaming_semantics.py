@@ -1006,18 +1006,19 @@ def test_streaming_dedup_admission_into_versioned_table(spark, tmp_path):
     assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2, 12}
 
     # versions: one stream-append per admitted batch; txn ids recorded
-    # under THIS lineage's writer identity (a hash of the checkpoint
-    # path), not the default app
-    import hashlib
+    # under THIS lineage's writer identity (the streaming query id
+    # persisted in the checkpoint), not the default app
+    import json
 
-    app = "admit-" + hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    with open(ckpt + "/metadata") as fh:
+        app = "admit-" + json.load(fh)["id"]
     hist = tf.history(spark, table)
     assert [h["op"] for h in hist] == ["stream-append", "stream-append"]
     assert len(tf.committed_batches(spark, table, app)) == 2
 
     # replay the whole source with a FRESH checkpoint: the writer
-    # identity derives from the checkpoint path, so this is a NEW app
-    # whose batch numbering may not line up with the old one — its
+    # identity derives from the checkpoint's persisted query id, so this
+    # is a NEW app whose batch numbering may not line up with the old one — its
     # batches re-run the admission checks (never skipped on a colliding
     # id, which would silently drop genuinely new data) and every
     # already-stored document is rejected by CONTENT: the table's doc
@@ -1041,3 +1042,20 @@ def test_streaming_dedup_admission_into_versioned_table(spark, tmp_path):
 
     # time travel: version 0 is exactly batch 1's admitted set
     assert {r.doc_id for r in tf.read(spark, table, version=0).collect()} == {1, 2}
+
+    # in-place checkpoint recreation (delete + recreate at the SAME
+    # path): batch numbering restarts at 0, but the persisted query id
+    # regenerates with the checkpoint, so the new incarnation is a NEW
+    # writer identity — its batch 0, carrying a never-seen document,
+    # must NOT be skipped against the old lineage's recorded batch 0
+    # (the silent-drop hazard of a path-derived identity)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    fresh_doc = (
+        "a never before seen document about the hazards of reusing "
+        "checkpoint paths for exactly once writer identities"
+    )
+    write([(20, fresh_doc)])
+    run_once(ckpt)
+    assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2, 12, 20}

@@ -747,3 +747,37 @@ def test_timestamp_time_travel(spark, tmp_path):
     hs = tf.history(spark, path)
     assert all(h["ts"] is not None for h in hs)
     assert hs[0]["ts"] <= hs[1]["ts"]
+
+
+def test_commit_timestamps_monotone_under_clock_skew(spark, tmp_path, monkeypatch):
+    """A writer whose clock runs BEHIND the previous committer's must not
+    stamp a child manifest earlier than its parent — ts is clamped to
+    max(parent_ts, now) at write (Delta's invariant), and as_of resolves
+    against the running max so even legacy skewed tables stay
+    order-independent."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    tf.append(spark, path, spark.range(3).toDF("id"))
+    real_ts = tf.history(spark, path)[0]["ts"]
+
+    skewed = real_ts - 3600.0  # writer 2's clock is an hour behind
+    real_time = _time.time
+    monkeypatch.setattr(tf.time, "time", lambda: skewed)
+    tf.append(spark, path, spark.range(3, 6).toDF("id"))  # v1, clamped to v0.ts
+    monkeypatch.setattr(tf.time, "time", real_time)
+    _time.sleep(0.05)
+    tf.overwrite(spark, path, spark.range(10).toDF("id"))  # v2, real clock
+
+    hs = tf.history(spark, path)
+    assert [h["version"] for h in hs] == [0, 1, 2]
+    # the skewed commit did NOT stamp an hour in the past
+    assert hs[1]["ts"] == pytest.approx(real_ts)
+    assert hs[0]["ts"] <= hs[1]["ts"] <= hs[2]["ts"]
+    # between v1 and v2 -> v1's contents (un-clamped, this as_of would
+    # skip v1 entirely or resolve order-dependently)
+    mid = (hs[1]["ts"] + hs[2]["ts"]) / 2
+    assert tf.read(spark, path, as_of=mid).count() == 6
+    assert tf.read(spark, path, as_of=_time.time()).count() == 10
+    with pytest.raises(ValueError):
+        tf.read(spark, path, as_of=real_ts - 10.0)
