@@ -8637,3 +8637,93 @@ FROM r
 
 
 _REGISTRY.update({"inv_t_zipf_fit": (q_t_zipf_fit, SQL_T_ZIPF_FIT)})
+
+
+# ---------------------------------------------------------------------------
+# Round 5: distributed logistic-regression quality classifier
+# (features.train_logistic) — full-batch quantized gradient descent over
+# the heuristic text features, predicting English-ness from
+# stopword/punctuation/length ratios (the fastText/CCNet "train a cheap
+# linear filter ON the corpus" step). One map-side-combined aggregate
+# pass per iteration, coefficients quantized to 10dp per step, so the
+# chained-CTE DuckDB unrolling below matches every iterate exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_x_quality_logreg(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    d = _docs(spark, sf)
+    q = text.add_quality_score(d)
+    feats = q.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        "stopword_ratio",
+        "punct_ratio",
+        F.round(F.col("len_score") + F.lit(1e-9), 6).alias("len_score6"),
+    )
+    return features.train_logistic(
+        feats,
+        "y",
+        ["stopword_ratio", "punct_ratio", "len_score6"],
+        iterations=5,
+        lr=2.0,
+    )
+
+
+def _logreg_oracle_sql(iterations: int = 5, lr: float = 2.0) -> str:
+    zero = ["0.0"] * 4
+    ctes = []
+    prev = None
+    for k in range(1, iterations + 1):
+        if prev is None:
+            b = zero
+        else:
+            b = [f"(SELECT b{j} FROM {prev})" for j in range(4)]
+        z = f"({b[0]} + {b[1]} * x0 + {b[2]} * x1 + {b[3]} * x2)"
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+        # reference, and each c_k is referenced ~9× by iteration k+1 —
+        # un-materialized, the chain re-evaluates 9^iterations times
+        # (measured 277 s at sf0.01; materialized: 0.1 s)
+        ctes.append(
+            f"""i{k} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(p - y) AS g0, sum((p - y) * x0) AS g1,
+         sum((p - y) * x1) AS g2, sum((p - y) * x2) AS g3,
+         sum(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS ll
+  FROM (SELECT y, x0, x1, x2, 1.0 / (1.0 + exp(-{z})) AS p FROM f) t
+),
+c{k} AS MATERIALIZED (
+  SELECT {', '.join(f'round({b[j]} - {lr} * g{j} / n + 1e-9, 10) AS b{j}' for j in range(4))},
+         round(ll / n + 1e-9, 6) AS logloss
+  FROM i{k}
+)"""
+        )
+        prev = f"c{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, b0, b1, b2, b3, logloss FROM c{k}"
+        for k in range(1, iterations + 1)
+    )
+    return f"""
+WITH n0 AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
+s AS MATERIALIZED (
+  SELECT doc_id, lang, nt,
+    length(regexp_replace(nt, '[^.,;:!?]', '', 'g')) AS punct,
+    len(string_split(nt, ' ')) AS n_tok,
+    {_stop_hits_sql()} AS stop_hits
+  FROM n0
+),
+f AS MATERIALIZED (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS x0,
+    round(punct / CAST(greatest(length(nt), 1) AS DOUBLE), 6) AS x1,
+    round(least(length(nt) / 500.0, 1.0) + 1e-9, 6) AS x2
+  FROM s
+),
+{', '.join(ctes)}
+SELECT CAST(step AS INT) AS step, b0, b1, b2, b3, logloss FROM ({selects}) ORDER BY step
+"""
+
+
+_REGISTRY.update(
+    {"inv_x_quality_logreg": (q_x_quality_logreg, _logreg_oracle_sql())}
+)

@@ -738,22 +738,23 @@ def dup_groups(
 
     # The emitters produce distinct a<b pairs, so no distinct here; callers
     # passing duplicated pairs only cost round-1 join rows — the per-round
-    # distinct absorbs them, correctness is unchanged. The input frame is
-    # checkpoint-marked but NOT materialized by its own action: round 0's
-    # agg computes it (sharing the persisted blocks across its two sym
-    # references), and convergence detection simply cannot fire before
-    # round 1 — an already-converged input costs one no-op round, every
-    # real input saves one fixed-cost Spark job.
-    edges = (
-        pairs.select(
-            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
-            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
-        )
-        .filter(F.col("hi") != F.col("lo"))
-        .localCheckpoint(eager=False)
-    )
-    prev_count: int | None = None
-    prev_check = 0
+    # distinct absorbs them, correctness is unchanged. The input IS
+    # materialized by its own (count, hash) agg — the blocks would be
+    # computed by round 1 regardless, so the extra cost is one tiny agg
+    # over persisted partitions — because that measured count lets a
+    # small input take the local finish BEFORE paying a full contraction
+    # round (the common case for verified near-dup graphs at test scale),
+    # and it seeds the convergence fingerprint so an input that is
+    # already a fixpoint converges after ONE round instead of two.
+    raw = pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+    ).filter(F.col("hi") != F.col("lo"))
+    edges, in_count, in_check = _materialize(raw)
+    if local_finish_edges and in_count <= local_finish_edges:
+        return _local_components(edges)
+    prev_count: int | None = in_count
+    prev_check = in_check
     for _ in range(max_iter):
         sym = edges.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")

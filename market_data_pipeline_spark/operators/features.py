@@ -459,3 +459,83 @@ def assign_fold(df: DataFrame, key: str, k: int = 5, out_col: str = "fold") -> D
     return df.withColumn(
         out_col, F.pmod(F.col(key).cast("bigint") * F.lit(_KNUTH2), F.lit(k))
     )
+
+
+def train_logistic(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str] | tuple[str, ...],
+    iterations: int = 5,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the quality-classifier step a curation pipeline runs over
+    heuristic features before it can afford model-based scoring (the
+    fastText/CCNet pattern: train a cheap linear filter ON the corpus).
+
+    Per iteration: ONE aggregate pass over the (checkpointed) feature
+    frame computes every gradient component plus the pre-update log-loss
+    map-side-combined — cost is one scan regardless of dimensionality;
+    the model state (d+1 doubles) lives on the driver like k-means
+    centroids or the BPE merge table (a bounded model artifact, the only
+    driver traffic). Coefficients are quantized to 10 decimals after
+    each update (with the shared +1e-9 nudge), so the iterate depends
+    only on quantized values — bit-reproducible across partitionings and
+    engines, which is what licenses the exact chained-CTE SQL oracle
+    (same contract as pagerank/k-means/HITS).
+
+    At 100 TB: the scan is the cost; everything else is O(d) driver
+    arithmetic. No shuffle at all — gradients are pure map-side partial
+    sums. Returns one row per iteration: (step, b0..bd, logloss) where
+    logloss is evaluated with the PRE-update coefficients (so step 1's
+    value is the all-zero model's baseline ln 2).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    d = len(feature_cols)
+    feats = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[
+            F.col(c).cast("double").alias(f"__x{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    ).localCheckpoint(eager=True)
+
+    beta = [0.0] * (d + 1)
+    rows = []
+    for step in range(1, iterations + 1):
+        z = F.lit(beta[0])
+        for j in range(d):
+            z = z + F.lit(beta[j + 1]) * F.col(f"__x{j}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(p - F.col("__y")).alias("__g0"),
+            *[
+                F.sum((p - F.col("__y")) * F.col(f"__x{j}")).alias(f"__g{j + 1}")
+                for j in range(d)
+            ],
+            F.sum(
+                -(
+                    F.col("__y") * F.log(p)
+                    + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - p)
+                )
+            ).alias("__ll"),
+        ]
+        r = feats.agg(*aggs).first()
+        n = r["__n"]
+        logloss = round(r["__ll"] / n + 1e-9, 6)
+        beta = [
+            round(beta[j] - lr * r[f"__g{j}"] / n + 1e-9, 10)
+            for j in range(d + 1)
+        ]
+        rows.append((step, *beta, logloss))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("step", T.IntegerType(), False)]
+        + [T.StructField(f"b{j}", T.DoubleType(), False) for j in range(d + 1)]
+        + [T.StructField("logloss", T.DoubleType(), False)]
+    )
+    return df.sparkSession.createDataFrame(rows, schema)

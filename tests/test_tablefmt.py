@@ -670,6 +670,51 @@ def test_vacuum_sidecar_generations_survive_partial_cleanup(spark, tmp_path):
     assert len(gens) == 1
 
 
+def test_vacuum_races_streaming_append_exactly_once(spark, tmp_path):
+    """LIVE race, not a staged remnant: a vacuum loop (keep_last=1,
+    folding txn ids into sidecar generations and deleting manifests)
+    runs concurrently with a foreachBatch writer that commits new batch
+    ids AND replays already-committed ones. The exactly-once invariant
+    must hold at every interleaving — no admitted batch lost, no replay
+    double-applied — because vacuum publishes the superset sidecar
+    BEFORE deleting anything, so committed_batches() never has a blind
+    instant."""
+    import threading
+
+    path = str(tmp_path / "race")
+    app = "race-app"
+    sink = tf.streaming_sink(path, app=app)
+    sink(_df(spark, 0, 10), 0)
+
+    stop = threading.Event()
+    vac_errs: list[Exception] = []
+
+    def vac_loop():
+        while not stop.is_set():
+            try:
+                tf.vacuum(spark, path, keep_last=1)
+            except Exception as exc:  # noqa: BLE001 - any raise fails the test
+                vac_errs.append(exc)
+                return
+
+    th = threading.Thread(target=vac_loop)
+    th.start()
+    try:
+        for b in range(1, 8):
+            sink(_df(spark, b * 10, b * 10 + 10), b)
+            # replay an id committed earlier, mid-race: must dedup even if
+            # its manifest was just vacuumed (sidecar horizon)
+            sink(_df(spark, 900, 910), b - 1)
+    finally:
+        stop.set()
+        th.join()
+
+    assert not vac_errs, f"vacuum raised under race: {vac_errs[0]!r}"
+    got = sorted(r["id"] for r in tf.read(spark, path).collect())
+    assert got == list(range(80))  # every batch once, no 900s from replays
+    assert tf.committed_batches(spark, path, app) == set(range(8))
+
+
 def test_stats_handle_dotted_column_names(spark, tmp_path):
     """A legal Spark column literally named 'bid.price' must not be read
     as a struct field path inside the stats aggregation."""
