@@ -67,6 +67,12 @@ HEADLINE = [
     # and the LSH banding sweep (exact truth + three candidate configs in
     # one plan) lands in the same cost band as the gated capstones.
     "inv_d_lsh_band_sweep",
+    # round 5: the versioned-store scan (manifest planning + file-skip
+    # evaluation + stats-pruned read — the most expensive unbenched query
+    # after the HITS rewrite, same gate rule) and the new iterative
+    # logistic-regression trainer (one aggregate pass per GD step).
+    "inv_s_versioned_scan",
+    "inv_x_quality_logreg",
 ]
 
 RUNS_PER_QUERY = 3
