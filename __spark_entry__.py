@@ -5585,6 +5585,19 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # late r4: jpeg decoder rewritten multi-scan (progressive support)
         "inv_m_jpeg_roundtrip",
     ),
+    # round 6: greens whose implementation changed in r5 AFTER their last
+    # driver row — the as-of joins moved to an atomic single-struct payload
+    # fill (r4 advice: per-column fills could mix right rows), the rolling
+    # correlation folded its driver-side symbol lookups into one lazy plan,
+    # and the dup_groups pre-loop local-finish gate touched every
+    # components consumer again (the r5 list re-checks the r4 crop; these
+    # are the names whose r5-window rows will predate the late-r5 change
+    # if the window drew them early).
+    6: (
+        "inv_asof_join_bars", "inv_asof_forward_tolerance",
+        "inv_w_rolling_corr", "inv_d_dup_groups",
+        "inv_x_curated_corpus", "inv_x_semantic_curation",
+    ),
 }
 
 # How many already-green queries are re-admitted into each round's window as a
