@@ -8740,3 +8740,41 @@ SELECT CAST(step AS INT) AS step, b0, b1, b2, b3, logloss FROM ({selects}) ORDER
 _REGISTRY.update(
     {"inv_x_quality_logreg": (q_x_quality_logreg, _logreg_oracle_sql())}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continued): broadcast-Bloom decontamination audit — the 100 TB
+# decontamination plan (eval shingles → bloom_filter_agg → broadcast →
+# map-side might_contain over the training scan; the corpus never
+# shuffles) run side-by-side with the exact semi-join truth. The oracle
+# pins the exact counts and expects both contract flags TRUE: Bloom has
+# no false negatives (superset_ok is correctness, not luck), and false
+# positives stay within a generous multiple of the design FPP.
+# ---------------------------------------------------------------------------
+
+
+def q_d_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.decontaminate_bloom_audit(
+        _docs(spark, sf), eval_mod=20, shingle_n=3, expected_items=500_000
+    )
+
+
+SQL_D_DECONTAM_BLOOM = f"""
+WITH {_SHINGLE_SQL},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+flagged AS (
+  SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.shingle = ev.shingle
+)
+SELECT
+  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents WHERE doc_id % 20 <> 0)
+    AS n_train_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM flagged) AS n_exact_flagged,
+  TRUE AS bloom_superset_ok,
+  TRUE AS bloom_fp_ok
+"""
+
+
+_REGISTRY.update(
+    {"inv_d_decontaminate_bloom": (q_d_decontaminate_bloom, SQL_D_DECONTAM_BLOOM)}
+)

@@ -17,6 +17,8 @@ North-star operators (BASELINE.json). Scale design:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -1164,6 +1166,100 @@ def contamination_report(
             ),
             F.coalesce(F.max("n_train_docs"), F.lit(0)).alias("max_shingle_train_docs"),
         )
+    )
+
+
+def decontaminate_bloom_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_mod: int = 20,
+    shingle_n: int = 3,
+    expected_items: int = 1_000_000,
+    expected_fpp: float = 0.001,
+    fpp_bound_factor: float = 10.0,
+) -> DataFrame:
+    """Broadcast-Bloom decontamination with its accuracy contract IN the
+    result (the sketch_accuracy pattern): the 100 TB plan for "drop every
+    training doc sharing an n-gram with the eval set" is NOT a corpus-wide
+    semi-join — it is eval shingles → ``bloom_filter_agg`` (a compact
+    bitset, KBs–MBs) → broadcast → map-side ``might_contain`` riding the
+    training scan, zero shuffle of the corpus. This audit runs that plan
+    AND the exact semi-join ground truth side by side and emits one row:
+
+      n_train_docs, n_exact_flagged (exact values the oracle pins),
+      bloom_superset_ok  — every exactly-contaminated doc is bloom-flagged
+                           (Bloom filters have no false negatives; FALSE
+                           here means the plan is wrong, not unlucky),
+      bloom_fp_ok        — falsely flagged clean docs stay within
+                           ``fpp_bound_factor`` × the filter's design FPP
+                           (generous: doc-level FPP compounds per shingle).
+
+    The filter is built RELATIONALLY (OSS Spark exposes no
+    ``bloom_filter_agg`` SQL function): the bitset is the DISTINCT table of
+    set bit positions — ``pmod(xxhash64(shingle, seed_i), m)`` for k seeds
+    over the eval shingles — broadcast against the training shingle
+    stream; a train shingle "might be contained" iff ALL k of its
+    positions join (count-distinct-seed == k). Identical membership
+    semantics and FPP math to a packed bitset, every step a native
+    expression, and the broadcast artifact is ≤ min(m, n·k) ints.
+
+    At production scale only the bloom side runs, pre-filtering the corpus
+    before the exact verify touches the survivors; the ok-flag contract is
+    what licenses that swap, regression-guarded by the correctness gate."""
+    is_eval = F.pmod(F.col(id_col), F.lit(eval_mod)) == 0
+    ev_sh = (
+        shingles(df.filter(is_eval), text_col, shingle_n, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    k_hashes = max(1, round(-math.log(expected_fpp) / math.log(2)))
+    n_bits = max(1024, int(expected_items * k_hashes / math.log(2)))
+
+    def _pos(i: int):
+        return F.pmod(F.xxhash64(F.col("shingle"), F.lit(i)), F.lit(n_bits))
+
+    bits = ev_sh.select(
+        F.explode(F.array(*[_pos(i) for i in range(k_hashes)])).alias("__bit")
+    ).distinct()
+    tr_sh = shingles(df.filter(~is_eval), text_col, shingle_n, id_col)
+    tr_pos = tr_sh.select(
+        F.col(id_col),
+        "shingle",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("__i"), _pos(i).alias("__bit"))
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("__p"),
+    ).select(id_col, "shingle", F.col("__p.__i").alias("__i"), F.col("__p.__bit").alias("__bit"))
+    # broadcast the bit table: the join evaluates map-side on the training
+    # scan; a shingle passes iff every one of its k positions is set
+    bloom_flagged = (
+        tr_pos.join(F.broadcast(bits), "__bit")
+        .groupBy(id_col, "shingle")
+        .agg(F.countDistinct("__i").alias("__k"))
+        .filter(F.col("__k") == k_hashes)
+        .select(id_col)
+        .distinct()
+    )
+    exact_flagged = (
+        tr_sh.join(ev_sh, "shingle", "left_semi").select(id_col).distinct()
+    )
+    train_docs = df.filter(~is_eval).select(id_col).distinct()
+    n_train = train_docs.count()
+    n_exact = exact_flagged.count()
+    missed = exact_flagged.join(bloom_flagged, id_col, "left_anti").count()
+    false_pos = bloom_flagged.join(exact_flagged, id_col, "left_anti").count()
+    clean = max(1, n_train - n_exact)
+    fp_ok = false_pos <= max(5.0, fpp_bound_factor * expected_fpp * clean)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n_train, n_exact, missed == 0, bool(fp_ok))],
+        "n_train_docs long, n_exact_flagged long, "
+        "bloom_superset_ok boolean, bloom_fp_ok boolean",
     )
 
 

@@ -667,3 +667,26 @@ def test_jaccard_prefix_join_complete_vs_bruteforce(spark):
             for r in dedup.jaccard_prefix_join(df, threshold=t).collect()
         }
         assert got == want, f"threshold {t}"
+
+
+def test_bloom_decontamination_superset_and_counts(spark):
+    """The relational Bloom (distinct bit-position table, k seeded
+    xxhash64 positions, ALL-k join) must flag every exactly-contaminated
+    train doc (no false negatives by construction) and report the exact
+    counts the semi-join truth gives."""
+    rows = []
+    # eval docs: ids 0, 20 (id % 20 == 0)
+    rows.append((0, "alpha beta gamma delta epsilon zeta"))
+    rows.append((20, "one two three four five six seven"))
+    # train docs: 1 shares a 3-gram with doc 0; 2 shares with 20; 3 clean
+    rows.append((1, "alpha beta gamma something else entirely here"))
+    rows.append((2, "prefix words one two three suffix words"))
+    rows.append((3, "completely disjoint vocabulary with no overlap at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.decontaminate_bloom_audit(
+        df, eval_mod=20, shingle_n=3, expected_items=1000
+    ).collect()[0]
+    assert out.n_train_docs == 3
+    assert out.n_exact_flagged == 2
+    assert out.bloom_superset_ok
+    assert out.bloom_fp_ok
