@@ -8778,3 +8778,43 @@ SELECT
 _REGISTRY.update(
     {"inv_d_decontaminate_bloom": (q_d_decontaminate_bloom, SQL_D_DECONTAM_BLOOM)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continued): liquidity microstructure — Amihud (2002)
+# illiquidity and Kyle (1985) lambda per symbol, one window pass + one
+# map-side-combinable keyed aggregate (indicators.liquidity_metrics).
+# ---------------------------------------------------------------------------
+
+
+def q_w_liquidity(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf)
+    return indicators.liquidity_metrics(b)
+
+
+SQL_W_LIQUIDITY = f"""
+WITH {BARS_SQL},
+x AS (
+  SELECT symbol, d, close, volume,
+         close / lag(close) OVER (PARTITION BY symbol ORDER BY d) - 1 AS ret
+  FROM bars
+),
+y AS (
+  SELECT symbol, ret, close * volume AS dv, sign(ret) * volume AS sv
+  FROM x WHERE ret IS NOT NULL AND close * volume > 0
+),
+a AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_days,
+         round(avg(abs(ret) / dv * 1e6) + 1e-9, 6) AS amihud_illiq,
+         covar_samp(ret, sv) / nullif(var_samp(sv), 0) AS lam
+  FROM y GROUP BY symbol
+)
+SELECT symbol, n_days, amihud_illiq,
+       CASE WHEN n_days >= 3 AND lam IS NOT NULL
+            THEN round(lam * 1e9 + 1e-9, 6) END AS kyle_lambda
+FROM a
+"""
+
+
+_REGISTRY.update({"inv_w_liquidity": (q_w_liquidity, SQL_W_LIQUIDITY)})

@@ -703,3 +703,58 @@ def add_mfi(
     return out.withColumn("mfi", F.round(mfi + F.lit(1e-9), 6)).drop(
         "__tp", "__tp_prev", "__pos", "__neg", "__n"
     )
+
+
+def liquidity_metrics(
+    df: DataFrame,
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+    close_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Per-symbol liquidity microstructure metrics in ONE pass:
+
+    - ``amihud_illiq`` — Amihud (2002) illiquidity: mean of
+      |daily return| / dollar volume, ×10⁶ for readable units. The
+      standard price-impact proxy a screening pipeline ranks tradability
+      by.
+    - ``kyle_lambda`` — Kyle (1985) lambda estimated as the OLS slope of
+      return on signed volume (sign of the same-day return), ×10⁹: how
+      much price moves per unit of net order flow.
+
+    Shape: one per-symbol lag window for returns (the same exchange every
+    indicator chain shares), then one keyed aggregate — covar/var are
+    map-side combinable, so this is scan-bound at any scale. First day
+    (no return) and zero-dollar-volume days are excluded from both
+    estimators; symbols with fewer than 3 usable days or zero
+    signed-volume variance emit NULL lambda rather than a division
+    artifact."""
+    w = series_window(symbol_col=symbol_col, time_col=time_col)
+    out = df.withColumn(
+        "__ret", F.col(close_col) / F.lag(close_col).over(w) - 1
+    ).filter(F.col("__ret").isNotNull())
+    out = (
+        out.withColumn("__dv", F.col(close_col) * F.col(volume_col))
+        .filter(F.col("__dv") > 0)
+        .withColumn("__sv", F.signum("__ret") * F.col(volume_col))
+    )
+    agg = out.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.avg(F.abs(F.col("__ret")) / F.col("__dv") * F.lit(1e6)) + F.lit(1e-9),
+            6,
+        ).alias("amihud_illiq"),
+        # NULLIF-style guard: double ÷ 0.0 is Infinity in Spark, not NULL —
+        # a zero-variance signed-volume series must yield NULL lambda
+        (
+            F.covar_samp("__ret", "__sv")
+            / F.when(F.var_samp("__sv") != 0, F.var_samp("__sv"))
+        ).alias("__lam"),
+    )
+    lam = F.when(
+        (F.col("n_days") >= 3) & F.col("__lam").isNotNull(),
+        F.round(F.col("__lam") * F.lit(1e9) + F.lit(1e-9), 6),
+    )
+    return agg.select(
+        symbol_col, "n_days", "amihud_illiq", lam.alias("kyle_lambda")
+    )

@@ -801,6 +801,8 @@ def _replace_files(
     op: str,
     max_retries: int = 5,
     parent_man: dict | None = None,
+    txn: int | None = None,
+    txn_app: str | None = None,
 ) -> int:
     """Commit a snapshot that KEEPS ``untouched`` files as-is (metadata
     carry-over, their stats copied from the parent manifest) and replaces
@@ -835,6 +837,10 @@ def _replace_files(
         # whose null-filled files don't physically store it
         "schema": parent_man.get("schema"),
     }
+    if txn is not None:
+        doc["txn"] = int(txn)
+        if txn_app is not None and txn_app != _DEFAULT_TXN_APP:
+            doc["txn_app"] = str(txn_app)
     for _ in range(max_retries):
         head = current_version(spark, path)
         if head != expected_head:
@@ -881,7 +887,12 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
 
 
 def merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    txn: int | None = None,
+    txn_app: str | None = None,
 ) -> int:
     """Upsert by key (op=merge): rows of ``updates`` replace current rows
     with the same key tuple; new keys append. Only files whose key-column
@@ -937,7 +948,8 @@ def merge_upsert(
     else:
         new_df = updates
     return _replace_files(
-        spark, path, head, untouched, new_df, "merge", parent_man=man
+        spark, path, head, untouched, new_df, "merge",
+        parent_man=man, txn=txn, txn_app=txn_app,
     )
 
 
@@ -1126,6 +1138,48 @@ def streaming_sink(path: str, app: str = _DEFAULT_TXN_APP):
                 continue
         raise CommitConflict(
             f"gave up committing batch {batch_id} after 5 retries at {path}"
+        )
+
+    return write
+
+
+def streaming_merge_sink(path: str, keys: list[str], app: str = _DEFAULT_TXN_APP):
+    """``writeStream.foreachBatch(tablefmt.streaming_merge_sink(p, keys))``:
+    UPSERT each micro-batch into the versioned table by key, EXACTLY ONCE —
+    the streaming CDC-apply pattern (late corrections replace earlier rows
+    for the same key; new keys append). Idempotence is the same manifest
+    (txn_app, txn) trick streaming_sink uses: a replayed batch finds its id
+    recorded and skips; a batch that crashed pre-commit left only invisible
+    data directories and re-runs cleanly.
+
+    Unlike append, a merge plans against a specific head (serializable —
+    _replace_files refuses to rebase), so a concurrent commit raises
+    CommitConflict and the loop RE-PLANS the whole merge against the new
+    head, re-checking the batch-id dedup first. First-ever batch
+    bootstraps the table as a plain exactly-once stream-append.
+
+    Contract: the batch must be unique per key tuple (dedupe upstream —
+    two rows for one key in one batch have no deterministic winner)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for _ in range(5):
+            if batch_id in committed_batches(spark, path, app):
+                return
+            try:
+                merge_upsert(
+                    spark, path, batch_df, keys, txn=batch_id, txn_app=app
+                )
+                return
+            except FileNotFoundError:
+                # no table yet: bootstrap via the append sink (itself
+                # txn-deduped, so a race with another bootstrapper is safe)
+                streaming_sink(path, app=app)(batch_df, batch_id)
+                return
+            except CommitConflict:
+                continue  # a foreign commit moved the head; re-plan
+        raise CommitConflict(
+            f"gave up merging batch {batch_id} after 5 retries at {path}"
         )
 
     return write

@@ -359,3 +359,43 @@ def test_mfi_two_flow_window(spark):
     # day 2: only one flow in the 2-row frame -> null; day 3: pos 1200 neg 900
     assert got[1] is None and got[2] is None
     assert abs(got[3] - round(100 * 1200 / 2100, 6)) < 1e-9
+
+
+def test_liquidity_metrics_hand_computed(spark):
+    """3-day toy series: returns +10%, -5%; dollar volumes and signed
+    volumes small enough to verify Amihud and Kyle by hand."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import indicators
+
+    rows = [
+        ("A", dt.date(2024, 1, 1), 100.0, 1000.0),
+        ("A", dt.date(2024, 1, 2), 110.0, 2000.0),  # ret +0.10, dv 220000, sv +2000
+        ("A", dt.date(2024, 1, 3), 104.5, 1000.0),  # ret -0.05, dv 104500, sv -1000
+    ]
+    df = spark.createDataFrame(rows, "symbol string, d date, close double, volume double")
+    r = indicators.liquidity_metrics(df).collect()[0]
+    assert r.n_days == 2
+    want_amihud = ((0.10 / 220000.0 + 0.05 / 104500.0) / 2) * 1e6
+    assert abs(r.amihud_illiq - want_amihud) < 1e-6
+    # n_days < 3 -> lambda withheld
+    assert r.kyle_lambda is None
+
+    # 4 usable days with sign-varied flow: lambda = cov(ret, sv)/var(sv)
+    rows_b = [
+        ("B", dt.date(2024, 1, 1), 100.0, 1000.0),
+        ("B", dt.date(2024, 1, 2), 102.0, 1500.0),
+        ("B", dt.date(2024, 1, 3), 99.96, 800.0),
+        ("B", dt.date(2024, 1, 4), 101.9592, 1200.0),
+        ("B", dt.date(2024, 1, 5), 99.920016, 900.0),
+    ]
+    dfb = spark.createDataFrame(rows_b, "symbol string, d date, close double, volume double")
+    rb = indicators.liquidity_metrics(dfb).collect()[0]
+    rets = [0.02, -0.02, 0.02, -0.02]
+    svs = [1500.0, -800.0, 1200.0, -900.0]
+    n = 4
+    mr, ms = sum(rets) / n, sum(svs) / n
+    cov = sum((x - mr) * (y - ms) for x, y in zip(rets, svs)) / (n - 1)
+    var = sum((y - ms) ** 2 for y in svs) / (n - 1)
+    assert rb.n_days == 4
+    assert abs(rb.kyle_lambda - round(cov / var * 1e9 + 1e-9, 6)) < 1e-3

@@ -826,3 +826,37 @@ def test_commit_timestamps_monotone_under_clock_skew(spark, tmp_path, monkeypatc
     assert tf.read(spark, path, as_of=_time.time()).count() == 10
     with pytest.raises(ValueError):
         tf.read(spark, path, as_of=real_ts - 10.0)
+
+
+def test_streaming_merge_sink_exactly_once_upsert(spark, tmp_path):
+    """foreachBatch CDC-apply: per-batch upsert by key, exactly once —
+    replays skip (manifest txn ids), vacuum keeps the dedup horizon via
+    the sidecar, and the first batch bootstraps the table."""
+    path = str(tmp_path / "cdc")
+    sink = tf.streaming_merge_sink(path, ["id"], app="cdc")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    sink(batch([(1, "a"), (2, "b")]), 0)  # bootstrap -> stream-append
+    sink(batch([(2, "B"), (3, "c")]), 1)  # key 2 replaced, key 3 new
+    got = {r.id: r.v for r in tf.read(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert [h["op"] for h in tf.history(spark, path)] == ["stream-append", "merge"]
+
+    # replay batch 1 with DIFFERENT (poisoned) content: must be skipped
+    sink(batch([(2, "ZZZ")]), 1)
+    assert {r.v for r in tf.read(spark, path).collect()} == {"a", "B", "c"}
+
+    # vacuum to one snapshot, then replay both batches: sidecar keeps ids
+    tf.vacuum(spark, path, keep_last=1)
+    sink(batch([(9, "x")]), 0)
+    sink(batch([(9, "y")]), 1)
+    got = {r.id: r.v for r in tf.read(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert tf.committed_batches(spark, path, "cdc") == {0, 1}
+
+    # a genuinely new batch still lands after the vacuum
+    sink(batch([(1, "A2"), (4, "d")]), 2)
+    got = {r.id: r.v for r in tf.read(spark, path).collect()}
+    assert got == {1: "A2", 2: "B", 3: "c", 4: "d"}
