@@ -8812,7 +8812,7 @@ a AS (
 )
 SELECT symbol, n_days, amihud_illiq,
        CASE WHEN n_days >= 3 AND lam IS NOT NULL
-            THEN round(lam * 1e9 + 1e-9, 6) END AS kyle_lambda
+            THEN round(lam * 1e9 + 1e-9, 2) END AS kyle_lambda
 FROM a
 """
 

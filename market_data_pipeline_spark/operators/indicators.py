@@ -751,9 +751,13 @@ def liquidity_metrics(
             / F.when(F.var_samp("__sv") != 0, F.var_samp("__sv"))
         ).alias("__lam"),
     )
+    # 2dp, not 6: lambda ×1e9 reaches 1e8 magnitude at a year of history,
+    # where cross-engine co-moment summation noise (~1e-6 absolute) sits
+    # ABOVE the 6dp grid — found by the sf0.1 oracle sweep; 2dp leaves a
+    # 5000× margin and sub-cent precision on that scale is meaningless
     lam = F.when(
         (F.col("n_days") >= 3) & F.col("__lam").isNotNull(),
-        F.round(F.col("__lam") * F.lit(1e9) + F.lit(1e-9), 6),
+        F.round(F.col("__lam") * F.lit(1e9) + F.lit(1e-9), 2),
     )
     return agg.select(
         symbol_col, "n_days", "amihud_illiq", lam.alias("kyle_lambda")
