@@ -216,3 +216,34 @@ def test_observe_scan_metrics_free_telemetry(spark):
     assert got["v_nulls"] == 1
     assert got["v_min"] == 4.5
     assert got["v_max"] == 30.0
+
+
+def test_global_rank_matches_row_number_bitwise(spark):
+    """quality.global_rank (two-pass distributed rank) must equal
+    row_number() over the same total order exactly — including duplicate
+    order-key values resolved by the tiebreak column — while never
+    funneling the frame through one partition (plan pinned in
+    test_plan_shapes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_spark.operators import quality
+
+    rows = [(i, (i * 7919) % 97, f"w{i % 13:02d}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, n long, w string")
+    got = {
+        r.id: r.rk
+        for r in quality.global_rank(
+            df, [("n", False), ("w", True), ("id", True)], "rk"
+        ).collect()
+    }
+    want = {
+        r.id: r.rk
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("w").asc(), F.col("id").asc())
+            ),
+        ).collect()
+    }
+    assert got == want
