@@ -633,3 +633,47 @@ def streaming_dedup_admission_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_latest_state_table(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    time_col: str = "ts",
+    trigger_available_now: bool = True,
+):
+    """Maintain a LATEST-STATE table from a stream — the CDC-apply /
+    materialized-upsert pattern (a live quote board, per-entity current
+    state): each micro-batch is reduced to its newest row per key tuple
+    (max_by on the event time — late intra-batch disorder resolved
+    in-batch), then UPSERTED into the versioned table through
+    ``tablefmt.streaming_merge_sink`` — exactly once (manifest txn ids;
+    replays skip, vacuum keeps the horizon) and serializable against
+    concurrent batch writers (a conflicting commit re-plans the merge).
+
+    Versus ``streaming_dedup_admission_table`` (append-only corpus
+    admission) this is the OTHER half of the lakehouse streaming story:
+    rows REPLACE by key, so the table is always the current state while
+    history stays time-travelable version by version.
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+    from market_data_pipeline_spark.sources import tablefmt as _tf
+
+    sink = _tf.streaming_merge_sink(table_path, keys)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        payload = [c for c in batch_df.columns if c not in keys]
+        latest = batch_df.groupBy(*keys).agg(
+            *[F.max_by(c, time_col).alias(c) for c in payload]
+        )
+        sink(latest, batch_id)
+
+    writer = stream.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

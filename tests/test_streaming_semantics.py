@@ -1059,3 +1059,54 @@ def test_streaming_dedup_admission_into_versioned_table(spark, tmp_path):
     write([(20, fresh_doc)])
     run_once(ckpt)
     assert {r.doc_id for r in tf.read(spark, table).collect()} == {1, 2, 12, 20}
+
+
+def test_streaming_latest_state_table_upserts_per_key(spark, tmp_path):
+    """End-to-end CDC-apply: a file stream of ticks maintains a
+    latest-per-symbol state table through the exactly-once merge sink —
+    in-batch disorder resolves by max_by(event time), later batches
+    REPLACE rows by key, and versions stay time-travelable."""
+    from market_data_pipeline_spark.sources import tablefmt as tf
+    from market_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "ticks")
+    table = str(tmp_path / "quote_state")
+    ckpt = str(tmp_path / "ck")
+    schema = "symbol string, ts long, price double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_latest_state_table(
+            stream, table, ckpt, keys=["symbol"], time_col="ts"
+        )
+        q.awaitTermination()
+
+    # batch 1: out-of-order ticks within the batch
+    write([("AAA", 3, 10.3), ("AAA", 1, 10.1), ("BBB", 5, 20.5)])
+    run_once()
+    got = {r.symbol: (r.ts, r.price) for r in tf.read(spark, table).collect()}
+    assert got == {"AAA": (3, 10.3), "BBB": (5, 20.5)}
+
+    # batch 2: AAA advances, CCC appears, BBB silent (kept)
+    write([("AAA", 9, 11.9), ("CCC", 2, 30.2)])
+    run_once()
+    got = {r.symbol: (r.ts, r.price) for r in tf.read(spark, table).collect()}
+    assert got == {"AAA": (9, 11.9), "BBB": (5, 20.5), "CCC": (2, 30.2)}
+
+    # version history: bootstrap append then merge; v0 still readable
+    ops = [h["op"] for h in tf.history(spark, table)]
+    assert ops[0] == "stream-append" and "merge" in ops
+    assert {r.symbol for r in tf.read(spark, table, version=0).collect()} == {
+        "AAA",
+        "BBB",
+    }
+
+    # same-checkpoint restart with no new files: no new version
+    n = len(tf.history(spark, table))
+    run_once()
+    assert len(tf.history(spark, table)) == n
