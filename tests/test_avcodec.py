@@ -2,6 +2,8 @@
 (operators/avcodec.py) — the real parse paths behind the multimodal audio
 and video operators."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -111,3 +113,92 @@ def test_wav_float32_and_pcm8_and_extensible():
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
         av.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def _ima_encode_block(samples, idx0=0):
+    """Independent in-test IMA ADPCM encoder (mono block): header carries
+    sample 0 verbatim; each later sample quantizes its delta to a nibble
+    by mirroring the decoder's reconstruction (the standard encoder)."""
+    steps = av._IMA_STEPS
+    adj = av._IMA_INDEX_ADJ
+    pred, idx = int(samples[0]), idx0
+    nibs = []
+    for s in samples[1:]:
+        step = steps[idx]
+        diff = int(s) - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # mirror the decoder to track its state exactly
+        step = steps[idx]
+        d = step >> 3
+        if nib & 4:
+            d += step
+        if nib & 2:
+            d += step >> 1
+        if nib & 1:
+            d += step >> 2
+        pred = pred - d if nib & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + adj[nib]))
+        nibs.append(nib)
+    body = bytes()
+    for i in range(0, len(nibs), 2):
+        lo = nibs[i]
+        hi = nibs[i + 1] if i + 1 < len(nibs) else 0
+        body += bytes([lo | (hi << 4)])
+    return struct.pack("<hBB", int(samples[0]), idx0, 0) + body
+
+
+def test_wav_ima_adpcm_decodes_bit_exact_and_tracks_signal():
+    """IMA ADPCM (format 0x0011): engine decode must reproduce the
+    independent encoder's tracked decoder state bit-exactly, and the
+    reconstruction must track the source sine within ADPCM error."""
+    import numpy as np
+
+    n = 505  # 1 header sample + 504 nibbles = 63 groups of 8
+    t = np.arange(n)
+    sig = (3000 * np.sin(2 * np.pi * t / 40)).astype(np.int16)
+    block = _ima_encode_block(sig, idx0=0)
+    block_align = len(block)  # one block holding the whole signal
+    fmt = struct.pack("<HHIIHH", 0x0011, 1, 8000, 4055, block_align, 4)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    decoded, rate = av.wav_decode(wav)
+    assert rate == 8000 and decoded.shape == (n, 1)
+    # bit-exact vs the encoder's mirrored decoder state
+    pred, idx = int(sig[0]), 0
+    want = [pred]
+    steps, adj = av._IMA_STEPS, av._IMA_INDEX_ADJ
+    data = block[4:]
+    for b in data:
+        for nib in (b & 0xF, b >> 4):
+            step = steps[idx]
+            d = step >> 3
+            if nib & 4:
+                d += step
+            if nib & 2:
+                d += step >> 1
+            if nib & 1:
+                d += step >> 2
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + adj[nib]))
+            want.append(pred)
+    assert decoded[:, 0].tolist() == want[: n]
+    # and the lossy reconstruction really tracks the signal
+    err = np.abs(decoded[: n, 0].astype(np.int64) - sig.astype(np.int64))
+    assert np.median(err) < 200 and err.max() < 2000
