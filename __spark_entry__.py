@@ -8818,3 +8818,36 @@ FROM a
 
 
 _REGISTRY.update({"inv_w_liquidity": (q_w_liquidity, SQL_W_LIQUIDITY)})
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continued): IMA ADPCM round trip — the compressed-audio twin
+# of inv_m_audio_stats. The oracle pins the padded block sample count in
+# closed form (blocks of 505 = 1 + 8·63 samples) and expects the
+# encoder/decoder state-agreement flag TRUE (sketch_accuracy contract —
+# a stateful 4-bit decode is not SQL-expressible, the invariant is).
+# ---------------------------------------------------------------------------
+
+
+def q_m_adpcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import multimodal
+
+    return multimodal.audio_adpcm_roundtrip(_docs(spark, sf))
+
+
+SQL_M_ADPCM = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) + (octet_length(encode(text)) % 2) AS rb
+  FROM documents
+)
+SELECT media_id,
+       CAST(CASE WHEN rb = 0 THEN 0
+                 ELSE CAST(ceil((rb / 2) / 505.0) AS BIGINT) * 505 END AS BIGINT)
+         AS n_samples,
+       TRUE AS state_ok
+FROM m
+"""
+
+
+_REGISTRY.update({"inv_m_adpcm_roundtrip": (q_m_adpcm_roundtrip, SQL_M_ADPCM)})

@@ -188,6 +188,82 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     return s, sample_rate
 
 
+def ima_adpcm_encode(
+    samples: np.ndarray,
+    sample_rate: int,
+    samples_per_block: int = 505,
+) -> tuple[bytes, np.ndarray]:
+    """Mono int16 → IMA ADPCM RIFF/WAVE (format 0x0011), plus the
+    encoder's OWN reconstruction (its mirrored-decoder state track).
+    ``wav_decode`` of the returned bytes must equal that reconstruction
+    bit-exactly — the encoder/decoder state-agreement invariant the
+    round-trip query asserts. The tail block pads by repeating the last
+    sample (silence when empty); step index carries across blocks, each
+    block header re-seeds the predictor with its true first sample."""
+    if samples.ndim != 1:
+        raise ValueError("ima_adpcm_encode takes mono (1-D) samples")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + 8*k")
+    x = samples.astype(np.int64)
+    if x.size:
+        blocks = -(-x.size // samples_per_block)
+        pad = blocks * samples_per_block - x.size
+        if pad:
+            x = np.concatenate([x, np.full(pad, int(x[-1]), dtype=np.int64)])
+    data = bytearray()
+    recon: list[int] = []
+    idx = 0
+    for off in range(0, x.size, samples_per_block):
+        blk = x[off : off + samples_per_block]
+        pred = int(blk[0])
+        data += struct.pack("<hBB", pred, idx, 0)
+        recon.append(pred)
+        nibs = []
+        for s in blk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            d = step >> 3
+            if nib & 4:
+                d += step
+            if nib & 2:
+                d += step >> 1
+            if nib & 1:
+                d += step >> 2
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib]))
+            recon.append(pred)
+            nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            data += bytes([nibs[i] | (nibs[i + 1] << 4)])
+    block_align = 4 + (samples_per_block - 1) // 2
+    fmt = struct.pack(
+        "<HHIIHH", _WAVE_IMA_ADPCM, 1, sample_rate,
+        sample_rate * block_align // samples_per_block or 1, block_align, 4,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return (
+        b"RIFF" + struct.pack("<I", len(body)) + body,
+        np.asarray(recon, dtype=np.int16),
+    )
+
+
 def _chroma_plane_bytes(colorspace: str, w: int, h: int) -> int | None:
     """Total bytes of BOTH chroma planes per frame, or None when the
     colorspace is unsupported. C420 variants (C420, C420jpeg, C420mpeg2,

@@ -472,3 +472,63 @@ def jpeg_roundtrip_stats(
             )
 
     return df.select(id_col, text_col).mapInPandas(roundtrip, schema=out_schema)
+
+
+def audio_adpcm_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """IMA ADPCM round trip per document: UTF-8 bytes → PCM-16 samples
+    (the documents_as_wav derivation) → 4-bit IMA ADPCM encode → REAL
+    container decode, asserting the encoder/decoder STATE-AGREEMENT
+    invariant — the decoded stream must equal the encoder's own mirrored
+    reconstruction bit-for-bit (``state_ok``). n_samples is the padded
+    block total (1 + 8k samples per block), which the SQL oracle pins in
+    closed form from the text byte length; the flag contract is the
+    sketch_accuracy pattern (engine-side invariant, oracle expects TRUE).
+
+    Arrow ``mapInPandas`` like every codec path — the 100 TB shape is
+    per-row byte work riding the scan, no shuffle at all."""
+    from market_data_pipeline_spark.operators import avcodec as av
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("state_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = (txt or "").encode("utf-8")
+                if len(raw) % 2:
+                    raw += b"\x00"
+                samples = (
+                    np.frombuffer(raw, dtype="<i2").astype(np.int16)
+                    if raw
+                    else np.zeros(0, dtype=np.int16)
+                )
+                payload, recon = av.ima_adpcm_encode(samples, sample_rate)
+                decoded, rate = av.wav_decode(payload)
+                ok = (
+                    rate == sample_rate
+                    and decoded.shape[1] == 1
+                    and np.array_equal(decoded[:, 0], recon)
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": int(decoded.shape[0]),
+                        "state_ok": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "n_samples", "state_ok"])
+
+    return df.select(id_col, text_col).mapInPandas(rt, schema=out_schema)
