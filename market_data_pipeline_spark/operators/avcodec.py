@@ -14,9 +14,10 @@ Cmono and the planar C420*/C422/C444 colorspaces (chroma planes parsed
 for correct stream framing; luma is what the feature extractors use, so
 chroma is not returned). IMA/DVI ADPCM (format 0x0011, the classic 4-bit
 compressed WAV) decodes for real since round 5; G.711 µ-law/A-law (formats 7/6) expand through the canonical
-Sun tables (bit-identical to CPython's audioop reference); the one
-remaining compressed payload (MS-ADPCM 0x0002) raises NotImplementedError —
-named gaps, not silent corruption.
+Sun tables (bit-identical to CPython's audioop reference); MS-ADPCM (0x0002) decodes through the canonical
+two-tap predictor + delta-adaptation recurrence. Remaining audio gaps
+(MP3-in-WAV and friends) raise NotImplementedError — named gaps, not
+silent corruption.
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ import numpy as np
 Y4M_MAGIC = b"YUV4MPEG2 "
 
 _WAVE_PCM = 1
+_WAVE_MS_ADPCM = 2
 _WAVE_FLOAT = 3
 _WAVE_ALAW = 6
 _WAVE_MULAW = 7
@@ -56,6 +58,66 @@ def _alaw_table() -> np.ndarray:
     man = a & 0x0F
     mag = np.where(exp == 0, (man << 4) + 8, ((man << 4) + 0x108) << (exp - 1))
     return np.where(sign, mag, -mag).astype(np.int16)
+
+# MS-ADPCM tables (RIFF registry / Microsoft multimedia standards)
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232))
+
+
+def _ms_adpcm_decode(raw: bytes, channels: int, block_align: int) -> np.ndarray:
+    """MS-ADPCM (format 0x0002) data chunk → (n, channels) int16. Block:
+    per channel a predictor index (1 byte), then per channel int16 delta
+    and TWO int16 history samples (sample2 older, sample1 newer — emitted
+    oldest-first), then interleaved 4-bit codes (HIGH nibble first, the
+    opposite of IMA). Prediction: (s1·c1 + s2·c2) >> 8 plus signed
+    code × delta; delta adapts via the 16-entry table with a floor of 16.
+    Canonical integer recurrence — bit-exact vs any conforming decoder."""
+    header = 7 * channels
+    if block_align <= header:
+        raise ValueError(f"MS ADPCM block_align {block_align} too small")
+    out: list[np.ndarray] = []
+    usable = len(raw) - (len(raw) % block_align)
+    for off in range(0, usable, block_align):
+        block = raw[off : off + block_align]
+        preds = []
+        for c in range(channels):
+            pi = block[c]
+            if pi >= len(_MS_COEFS):
+                raise ValueError(f"MS ADPCM predictor index {pi} out of range")
+            preds.append(_MS_COEFS[pi])
+        deltas = [
+            struct.unpack_from("<h", block, channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        s1 = [
+            struct.unpack_from("<h", block, 3 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        s2 = [
+            struct.unpack_from("<h", block, 5 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        chans: list[list[int]] = [[s2[c], s1[c]] for c in range(channels)]
+        ci = 0
+        for b in block[header:]:
+            for code in (b >> 4, b & 0xF):
+                c = ci % channels
+                ci += 1
+                coef1, coef2 = preds[c]
+                pred = (s1[c] * coef1 + s2[c] * coef2) >> 8
+                signed = code - 16 if code & 8 else code
+                pred += signed * deltas[c]
+                pred = max(-32768, min(32767, pred))
+                chans[c].append(pred)
+                s2[c], s1[c] = s1[c], pred
+                deltas[c] = max(16, (_MS_ADAPT[code] * deltas[c]) >> 8)
+        out.append(
+            np.column_stack([np.asarray(cs, dtype=np.int16) for cs in chans])
+        )
+    if not out:
+        return np.zeros((0, channels), dtype=np.int16)
+    return np.concatenate(out, axis=0)
+
 
 # IMA/DVI ADPCM quantizer tables (public spec: IMA Digital Audio Focus and
 # Technical Working Groups, 1992; identical in every implementation)
@@ -195,6 +257,12 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
                 f"IMA ADPCM with {bits}-bit nibbles (4-bit only)"
             )
         return _ima_adpcm_decode(raw, channels, fmt[4]), sample_rate
+    if audio_format == _WAVE_MS_ADPCM:
+        if bits != 4:
+            raise NotImplementedError(
+                f"MS ADPCM with {bits}-bit codes (4-bit only)"
+            )
+        return _ms_adpcm_decode(raw, channels, fmt[4]), sample_rate
     if audio_format in (_WAVE_MULAW, _WAVE_ALAW):
         if bits != 8:
             raise NotImplementedError(f"G.711 with {bits}-bit codes (8 only)")

@@ -107,9 +107,9 @@ def test_wav_float32_and_pcm8_and_extensible():
     se, re_ = av.wav_decode(wav_ext)
     assert re_ == 16000 and np.array_equal(se[:, 0], pcm)
 
-    # compressed payloads stay a NAMED gap
-    fmt_adpcm = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
-    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt_adpcm
+    # still-unimplemented payloads stay a NAMED gap (0x55 = MP3-in-WAV)
+    fmt_mp3 = struct.pack("<HHIIHH", 0x55, 1, 8000, 4000, 1, 0)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt_mp3
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
         av.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
@@ -245,3 +245,47 @@ def test_g711_tables_match_cpython_reference():
     al = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
     assert np.array_equal(av._mulaw_table(), mu)
     assert np.array_equal(av._alaw_table(), al)
+
+
+def test_wav_ms_adpcm_decodes_bit_exact():
+    """MS-ADPCM (format 0x0002): in-test independent encoder (mirroring
+    the decoder's two-tap prediction + delta adaptation) → engine decode
+    must equal the tracked reconstruction bit-for-bit, and the lossy
+    output must track the source sine."""
+    n = 500
+    t = np.arange(n)
+    sig = (5000 * np.sin(2 * np.pi * t / 37)).astype(np.int16).astype(int)
+
+    coef1, coef2 = av._MS_COEFS[1]  # predictor 1: two-tap (512, -256)
+    delta = 32
+    s2, s1 = sig[0], sig[1]
+    codes, recon = [], [int(s2), int(s1)]
+    for s in sig[2:]:
+        pred = (s1 * coef1 + s2 * coef2) >> 8
+        err = int(s) - pred
+        code = max(-8, min(7, int(round(err / delta)))) & 0xF
+        signed = code - 16 if code & 8 else code
+        val = max(-32768, min(32767, pred + signed * delta))
+        recon.append(val)
+        codes.append(code)
+        s2, s1 = s1, val
+        delta = max(16, (av._MS_ADAPT[code] * delta) >> 8)
+    if len(codes) % 2:
+        codes.append(0)
+        # the padding code extends the tracked state too
+        pred = (s1 * coef1 + s2 * coef2) >> 8
+        recon.append(max(-32768, min(32767, pred)))
+    body = bytes([1]) + struct.pack("<h", 32) + struct.pack("<h", sig[1]) + struct.pack("<h", sig[0])
+    for i in range(0, len(codes), 2):
+        body += bytes([(codes[i] << 4) | codes[i + 1]])  # HIGH nibble first
+    block_align = len(body)
+    fmt = struct.pack("<HHIIHH", 0x0002, 1, 8000, 4000, block_align, 4)
+    wav_body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    decoded, rate = av.wav_decode(b"RIFF" + struct.pack("<I", len(wav_body)) + wav_body)
+    assert rate == 8000 and decoded.shape[1] == 1
+    assert decoded[:, 0].tolist() == recon
+    err = np.abs(np.asarray(recon[: n], dtype=np.int64) - np.asarray(sig[: len(recon)][: n]))
+    assert np.median(err) < 300
