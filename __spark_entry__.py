@@ -8851,3 +8851,44 @@ FROM m
 
 
 _REGISTRY.update({"inv_m_adpcm_roundtrip": (q_m_adpcm_roundtrip, SQL_M_ADPCM)})
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continued): incremental change consumption from the versioned
+# store — read_changes plans ONLY the files added after the consumer's
+# last version (no row-set diff, no full-table read): the "process what
+# landed since my last run" primitive. Deterministic three-append build;
+# the oracle recomputes the added slices straight from documents.
+# ---------------------------------------------------------------------------
+
+
+def q_s_versioned_changes(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), f"mdp_vchanges_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild per run
+    path = f"{base}/t"
+    tf.append(spark, path, d.filter(F.col("doc_id") % 3 == 0))  # v0: baseline
+    tf.append(spark, path, d.filter(F.col("doc_id") % 3 == 1))  # v1: delta 1
+    tf.append(spark, path, d.filter(F.col("doc_id") % 3 == 2))  # v2: delta 2
+    return tf.read_changes(spark, path, from_version=0).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_S_VERSIONED_CHANGES = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
+"""
+
+
+_REGISTRY.update(
+    {"inv_s_versioned_changes": (q_s_versioned_changes, SQL_S_VERSIONED_CHANGES)}
+)
