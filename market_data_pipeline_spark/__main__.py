@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="market_data_pipeline_spark")
     p.add_argument(
         "--mode",
-        choices=("daily", "full", "validate", "report", "realtime"),
+        choices=("daily", "full", "validate", "report", "realtime", "curate"),
         default="daily",
     )
     p.add_argument("--source", required=True, help="input table directory (parquet)")
@@ -72,6 +72,46 @@ def main(argv: list[str] | None = None) -> int:
         with open(target, "w", encoding="utf-8") as fh:
             fh.write(md)
         print(f"report written: {target}")
+    elif args.mode == "curate":
+        # LLM-corpus curation end to end over the documents table: exact +
+        # MinHash near-dup collapse (keep the cluster min id), token/quality
+        # gating, then a temperature-scaled language mixture report — the
+        # same operators the inv_x_* capstone queries register, wired as the
+        # one-command pipeline a dataset release runs. --persist-to writes
+        # the curated corpus as parquet.
+        from pyspark.sql import functions as F
+
+        from market_data_pipeline_spark.operators import dedup, features, text
+        from market_data_pipeline_spark.sources.tables import load_table
+
+        docs = load_table(spark, args.source, "documents")
+        scored = text.add_quality_score(text.add_token_stats(docs))
+        groups = dedup.dup_groups(
+            dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+        )
+        losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+            "doc_id"
+        )
+        curated = (
+            scored.filter(
+                (F.col("n_tokens") >= 10)
+                & (F.col("n_tokens") <= 10000)
+                & (F.col("quality_score") >= 0.5)
+            )
+            .join(losers, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source", "n_tokens", "quality_score", "text")
+        )
+        n_in = docs.count()
+        n_out = curated.count()
+        print(f"curate: {n_in} docs in -> {n_out} kept "
+              f"({n_in - n_out} dropped by dedup/quality)")
+        mix = features.temperature_mixture_rates(curated, by="lang", alpha=0.3)
+        for r in mix.orderBy("lang").collect():
+            print(f"  lang={r['lang']}: share={r['share']} "
+                  f"temp_share={r['temp_share']} boost={r['boost']}")
+        if args.persist_to:
+            curated.write.mode("overwrite").parquet(args.persist_to)
+            print(f"curated corpus written: {args.persist_to}")
     elif args.mode == "realtime":
         import time
 

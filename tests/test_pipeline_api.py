@@ -155,3 +155,26 @@ def test_standardize_group_moments(spark, sf_dir):
     for r in stats:
         assert abs(r.mu) < 1e-9
         assert abs(r.sd - 1.0) < 1e-9
+
+
+def test_cli_curate_mode(spark, sf_dir, tmp_path, capsys):
+    """--mode curate: the one-command LLM-corpus pipeline — dedup collapse
+    + quality gate + temperature mixture report + parquet output."""
+    from market_data_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main(["--mode", "curate", "--source", sf_dir, "--persist-to", out])
+    assert rc == 0
+    text_out = capsys.readouterr().out
+    assert "curate:" in text_out and "lang=" in text_out
+    curated = spark.read.parquet(out)
+    assert curated.count() > 0
+    assert set(curated.columns) == {
+        "doc_id", "lang", "source", "n_tokens", "quality_score", "text"
+    }
+    # every kept doc satisfies the gate
+    from pyspark.sql import functions as F
+
+    assert curated.filter(
+        (F.col("n_tokens") < 10) | (F.col("quality_score") < 0.5)
+    ).count() == 0
