@@ -32,19 +32,23 @@ _CHANNELS_TO_COLOR = {1: 0, 3: 2, 2: 4, 4: 6}
 
 
 def sniff(payload: bytes) -> str:
-    """'png' | 'bmp' | 'jpeg' | 'unknown' from magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'gif' | 'unknown' from magic bytes."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
 def decode(payload: bytes) -> np.ndarray:
-    """Decode a PNG, BMP, or baseline JPEG payload to (h, w, c) uint8.
-    Raises NotImplementedError for formats without a codec here."""
+    """Decode a PNG, BMP, baseline/progressive JPEG, or GIF payload to
+    (h, w, c) uint8 (GIF: the FIRST frame; use gifcodec.gif_decode for
+    the whole animation). Raises NotImplementedError for formats without
+    a codec here."""
     kind = sniff(payload)
     if kind == "png":
         return png_decode(payload)
@@ -54,8 +58,12 @@ def decode(payload: bytes) -> np.ndarray:
         from market_data_pipeline_spark.operators.jpegcodec import jpeg_decode
 
         return jpeg_decode(payload)
+    if kind == "gif":
+        from market_data_pipeline_spark.operators.gifcodec import gif_decode
+
+        return gif_decode(payload)[0][0]
     raise NotImplementedError(
-        f"no codec for payload with magic {payload[:4]!r} (PNG/BMP/JPEG only)"
+        f"no codec for payload with magic {payload[:4]!r} (PNG/BMP/JPEG/GIF only)"
     )
 
 
