@@ -57,9 +57,14 @@ def test_sniff_and_unknown_raises():
     assert ic.sniff(b"\xff\xd8\xff\xe0 fake jpeg") == "jpeg"
     with pytest.raises(ValueError):
         ic.decode(b"\xff\xd8\xff\xe0 fake jpeg")
+    # GIF now dispatches to the real LZW codec (round 5) — malformed
+    # payload is a loud parse error, not an unimplemented format
+    assert ic.sniff(b"GIF89a truncated stream") == "gif"
+    with pytest.raises(ValueError):
+        ic.decode(b"GIF89a truncated stream")
     # genuinely unknown magic still names the gap
     with pytest.raises(NotImplementedError):
-        ic.decode(b"GIF89a not a codec we ship")
+        ic.decode(b"II*\x00 tiff is not a codec we ship")
 
 
 def test_resize_nearest():
