@@ -8892,3 +8892,32 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
 _REGISTRY.update(
     {"inv_s_versioned_changes": (q_s_versioned_changes, SQL_S_VERSIONED_CHANGES)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (final): GIF/LZW round trip — the animation twin of the ADPCM
+# query: document bytes → palette-index frames → real GIF89a encode →
+# decode, asserting lossless LZW equality per frame; the oracle pins the
+# closed-form frame/pixel counts and expects the flag TRUE.
+# ---------------------------------------------------------------------------
+
+
+def q_m_gif_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import multimodal
+
+    return multimodal.gif_animation_roundtrip(_docs(spark, sf))
+
+
+SQL_M_GIF = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS rb FROM documents
+)
+SELECT media_id,
+       CAST(greatest(1, CAST(ceil(rb / 192.0) AS BIGINT)) AS BIGINT) AS n_frames,
+       CAST(greatest(1, CAST(ceil(rb / 192.0) AS BIGINT)) * 192 AS BIGINT) AS n_pixels,
+       TRUE AS lzw_ok
+FROM m
+"""
+
+
+_REGISTRY.update({"inv_m_gif_roundtrip": (q_m_gif_roundtrip, SQL_M_GIF)})

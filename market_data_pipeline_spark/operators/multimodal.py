@@ -532,3 +532,69 @@ def audio_adpcm_roundtrip(
             yield pd.DataFrame(rows, columns=["media_id", "n_samples", "state_ok"])
 
     return df.select(id_col, text_col).mapInPandas(rt, schema=out_schema)
+
+
+def gif_animation_roundtrip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frame_w: int = 16,
+    frame_h: int = 12,
+) -> DataFrame:
+    """GIF round trip per document: UTF-8 bytes become palette indices
+    tiled into ceil(len/(w·h)) frames of one (w, h) animation (zero-pad
+    tail), LZW-encoded to a real GIF89a and decoded back. Emits the
+    frame count (closed form from the byte length — the oracle pins it),
+    the decoded logical-screen pixel count, and ``lzw_ok`` — every
+    decoded frame equals its source indices through the 256-gray
+    palette, bit-for-bit (LZW is lossless; FALSE means a real codec
+    bug). Flag contract per sketch_accuracy. Arrow ``mapInPandas``,
+    per-row byte work riding the scan."""
+    from market_data_pipeline_spark.operators import gifcodec as gc
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+            T.StructField("lzw_ok", T.BooleanType(), False),
+        ]
+    )
+    per_frame = frame_w * frame_h
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = (txt or "").encode("utf-8")
+                n_frames = max(1, -(-len(raw) // per_frame))
+                padded = raw + b"\x00" * (n_frames * per_frame - len(raw))
+                arr = np.frombuffer(padded, dtype=np.uint8).reshape(
+                    n_frames, frame_h, frame_w
+                )
+                payload = gc.gif_encode([arr[i] for i in range(n_frames)])
+                frames, (sw, sh) = gc.gif_decode(payload)
+                gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+                ok = (
+                    (sw, sh) == (frame_w, frame_h)
+                    and len(frames) == n_frames
+                    and all(
+                        np.array_equal(frames[i], gray[arr[i]])
+                        for i in range(n_frames)
+                    )
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": int(n_frames),
+                        "n_pixels": int(len(frames) * sw * sh),
+                        "lzw_ok": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "n_pixels", "lzw_ok"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(rt, schema=out_schema)
