@@ -8702,7 +8702,8 @@ def _logreg_oracle_sql(iterations: int = 5, lr: float = 2.0) -> str:
   SELECT CAST(count(*) AS BIGINT) AS n,
          sum(p - y) AS g0, sum((p - y) * x0) AS g1,
          sum((p - y) * x1) AS g2, sum((p - y) * x2) AS g3,
-         sum(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS ll
+         sum(-(y * ln(greatest(least(p, 1.0 - 1e-15), 1e-15))
+               + (1.0 - y) * ln(1.0 - greatest(least(p, 1.0 - 1e-15), 1e-15)))) AS ll
   FROM (SELECT y, x0, x1, x2, 1.0 / (1.0 + exp(-{z})) AS p FROM f) t
 ),
 c{k} AS MATERIALIZED (

@@ -71,13 +71,22 @@ def _ms_adpcm_decode(raw: bytes, channels: int, block_align: int) -> np.ndarray:
     oldest-first), then interleaved 4-bit codes (HIGH nibble first, the
     opposite of IMA). Prediction: (s1·c1 + s2·c2) >> 8 plus signed
     code × delta; delta adapts via the 16-entry table with a floor of 16.
-    Canonical integer recurrence — bit-exact vs any conforming decoder."""
+    Canonical integer recurrence — bit-exact vs any conforming decoder.
+    A short FINAL block (real-world WAVs routinely end one) is decoded as
+    long as its header is complete — the nibble recurrence handles a
+    truncated code stream naturally; a final fragment shorter than the
+    header is undecodable and raised, not silently dropped."""
     header = 7 * channels
     if block_align <= header:
         raise ValueError(f"MS ADPCM block_align {block_align} too small")
     out: list[np.ndarray] = []
-    usable = len(raw) - (len(raw) % block_align)
-    for off in range(0, usable, block_align):
+    tail = len(raw) % block_align
+    if 0 < tail <= header:
+        raise ValueError(
+            f"MS ADPCM trailing fragment ({tail} bytes) shorter than the "
+            f"{header}-byte block header"
+        )
+    for off in range(0, len(raw), block_align):
         block = raw[off : off + block_align]
         preds = []
         for c in range(channels):
@@ -140,12 +149,22 @@ def _ima_adpcm_decode(raw: bytes, channels: int, block_align: int) -> np.ndarray
     nibble groups interleaved per channel, LOW nibble first. The update
     recurrence is the canonical integer form (diff built from step>>3 plus
     conditional step, step>>1, step>>2 terms), so output is bit-exact
-    against any conforming decoder."""
-    if block_align < 4 * channels + 4:
+    against any conforming decoder. A short FINAL block (common in
+    real-world ADPCM WAVs) is decoded as long as its per-channel headers
+    are complete — the nibble-group loop slices safely past the end, so a
+    truncated code stream just yields fewer samples; a final fragment
+    shorter than the headers is undecodable and raised, never dropped."""
+    header = 4 * channels
+    if block_align < header + 4:
         raise ValueError(f"IMA ADPCM block_align {block_align} too small")
     out: list[np.ndarray] = []
-    usable = len(raw) - (len(raw) % block_align)
-    for off in range(0, usable, block_align):
+    tail = len(raw) % block_align
+    if 0 < tail < header:
+        raise ValueError(
+            f"IMA ADPCM trailing fragment ({tail} bytes) shorter than the "
+            f"{header}-byte block headers"
+        )
+    for off in range(0, len(raw), block_align):
         block = raw[off : off + block_align]
         preds: list[int] = []
         idxs: list[int] = []
@@ -156,7 +175,7 @@ def _ima_adpcm_decode(raw: bytes, channels: int, block_align: int) -> np.ndarray
             idxs.append(min(max(i, 0), 88))
             chans.append([p])
         data = block[4 * channels :]
-        n_groups = len(data) // (4 * channels)
+        n_groups = -(-len(data) // (4 * channels))  # ceil: partial tail group decodes
         for g in range(n_groups):
             for c in range(channels):
                 base = (g * channels + c) * 4
@@ -228,6 +247,7 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     fmt = None
     ext = b""
     raw = None
+    fact_samples = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -239,6 +259,10 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             ext = body[16:]
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and len(body) >= 4:
+            # dwSampleLength: true per-channel sample count for compressed
+            # formats — the tail block's padding samples are trimmed to it
+            (fact_samples,) = struct.unpack("<I", body[:4])
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -256,13 +280,19 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(
                 f"IMA ADPCM with {bits}-bit nibbles (4-bit only)"
             )
-        return _ima_adpcm_decode(raw, channels, fmt[4]), sample_rate
+        s = _ima_adpcm_decode(raw, channels, fmt[4])
+        if fact_samples is not None:
+            s = s[:fact_samples]
+        return s, sample_rate
     if audio_format == _WAVE_MS_ADPCM:
         if bits != 4:
             raise NotImplementedError(
                 f"MS ADPCM with {bits}-bit codes (4-bit only)"
             )
-        return _ms_adpcm_decode(raw, channels, fmt[4]), sample_rate
+        s = _ms_adpcm_decode(raw, channels, fmt[4])
+        if fact_samples is not None:
+            s = s[:fact_samples]
+        return s, sample_rate
     if audio_format in (_WAVE_MULAW, _WAVE_ALAW):
         if bits != 8:
             raise NotImplementedError(f"G.711 with {bits}-bit codes (8 only)")

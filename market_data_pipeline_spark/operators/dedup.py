@@ -227,17 +227,21 @@ def minhash_lsh_pairs(
         # callers sweeping several band configs pass a prebuilt (ideally
         # checkpointed) signature frame so the corpus shingle+hash pass
         # runs once, not once per config. Validate its shape against
-        # num_hashes: a frame built with a different hash count would
-        # silently band wrong columns (extra mh_ columns ignored, missing
-        # ones a late AnalysisException). NOTE shingle_n is NOT checkable
-        # from the frame — it must match the value the sig was built with
-        # (a mismatch yields plausible but wrong buckets).
+        # num_hashes: a frame built with fewer hashes would silently band
+        # wrong columns (a late AnalysisException at best). A SUPERSET is
+        # fine and supported on purpose: mh_k's seed depends only on k
+        # (minhash_signatures above), so a wide frame's mh_0..mh_{n-1}
+        # prefix is bit-identical to a narrow build — callers sweep many
+        # num_hashes values off ONE wide checkpointed frame. NOTE
+        # shingle_n is NOT checkable from the frame — it must match the
+        # value the sig was built with (a mismatch yields plausible but
+        # wrong buckets).
         have = {c for c in sig.columns if c.startswith("mh_")}
         want = {f"mh_{k}" for k in range(num_hashes)}
-        if have != want:
+        if not want <= have:
             raise ValueError(
                 f"prebuilt sig frame has minhash columns {sorted(have)} but "
-                f"num_hashes={num_hashes} requires exactly {sorted(want)}; "
+                f"num_hashes={num_hashes} requires at least {sorted(want)}; "
                 "rebuild the signatures with matching parameters"
             )
         if id_col not in sig.columns:

@@ -508,6 +508,12 @@ def train_logistic(
         for j in range(d):
             z = z + F.lit(beta[j + 1]) * F.col(f"__x{j}")
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        # log terms use p clamped into [eps, 1-eps]: at |z| ≳ 745 p
+        # saturates to exactly 0.0/1.0 in double precision and F.log
+        # would return NULL — F.sum silently DROPS null rows, understating
+        # logloss. The gradient keeps the raw p (it never passes through
+        # a log). Mirrored in the oracle SQL.
+        pc = F.greatest(F.least(p, F.lit(1.0 - 1e-15)), F.lit(1e-15))
         aggs = [
             F.count(F.lit(1)).alias("__n"),
             F.sum(p - F.col("__y")).alias("__g0"),
@@ -517,8 +523,8 @@ def train_logistic(
             ],
             F.sum(
                 -(
-                    F.col("__y") * F.log(p)
-                    + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - p)
+                    F.col("__y") * F.log(pc)
+                    + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - pc)
                 )
             ).alias("__ll"),
         ]

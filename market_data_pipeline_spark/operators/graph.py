@@ -541,15 +541,16 @@ def hits_bipartite(
     graph HITS degenerates (undirected ⇒ hubs ≡ authorities); the
     bipartite form is the one with information in it.
 
-    Per iteration: authority = edge ⋈ hub → item-keyed sum, localCheckpoint
-    (cuts the half-step's lineage — the score frame is O(items), tiny),
-    then L1-normalized by `crossJoin(broadcast(agg(sum)))`. The scalar
-    total costs one extra tiny job per half-step over the CHECKPOINTED
-    partitions — it does NOT re-execute the half-step lineage (the old
-    objection to a scalar-total consumer only applied to un-checkpointed
-    frames) and, unlike a whole-frame window, never funnels the O(items)
-    frame through a single partition: the item/URL universe grows with
-    the graph, so a global window here is a scale cliff. Every value is
+    Per iteration: authority = edge ⋈ hub → item-keyed sum, L1-normalized
+    by `crossJoin(broadcast(agg(sum)))`; then the hub update the same way,
+    with ONE eager localCheckpoint per full iteration (on hubs) cutting
+    the lineage. The half-step itself is NOT materialized: the scalar
+    total's agg subtree appears twice in the logical plan, but the
+    physical planner's ReuseExchange dedupes the identical exchange, so
+    each half-step executes once — and, unlike a whole-frame window, the
+    normalization never funnels the O(items) frame through a single
+    partition: the item/URL universe grows with the graph, so a global
+    window here is a scale cliff. Every value is
     quantized to 10 decimals after normalization so the iterate is
     independent of summation order — the chained-CTE SQL unrolling is
     exact, the same contract as pagerank. L1 (not L2) normalization

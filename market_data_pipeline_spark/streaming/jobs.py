@@ -642,6 +642,7 @@ def streaming_latest_state_table(
     keys: list[str],
     time_col: str = "ts",
     trigger_available_now: bool = True,
+    app: str | None = None,
 ):
     """Maintain a LATEST-STATE table from a stream — the CDC-apply /
     materialized-upsert pattern (a live quote board, per-entity current
@@ -657,19 +658,35 @@ def streaming_latest_state_table(
     rows REPLACE by key, so the table is always the current state while
     history stays time-travelable version by version.
 
+    The writer identity defaults to the streaming query id PERSISTED IN
+    THE CHECKPOINT (same contract as ``streaming_dedup_admission_table``):
+    deleting and recreating the checkpoint restarts batch numbering at 0
+    AND regenerates the identity, so the new lineage's batch 0 can never
+    collide with the old lineage's recorded txn ids — and two latest-state
+    streams with different checkpoints writing one table never share an
+    identity. Pass an explicit ``app`` only to SHARE identity across
+    checkpoints (a coordinated backfill), accepting that an in-place
+    checkpoint reset then requires a new ``app``.
+
     Returns the started StreamingQuery (caller awaits termination)."""
     from market_data_pipeline_spark.sources import tablefmt as _tf
 
-    sink = _tf.streaming_merge_sink(table_path, keys)
+    app_cell = [app]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        if app_cell[0] is None:
+            # StreamExecution writes <checkpoint>/metadata ({"id": uuid})
+            # before the first batch runs, so this always resolves here.
+            qid = spark.read.json(checkpoint.rstrip("/") + "/metadata").head()["id"]
+            app_cell[0] = "latest-" + qid
         payload = [c for c in batch_df.columns if c not in keys]
         latest = batch_df.groupBy(*keys).agg(
             *[F.max_by(c, time_col).alias(c) for c in payload]
         )
-        sink(latest, batch_id)
+        _tf.streaming_merge_sink(table_path, keys, app=app_cell[0])(latest, batch_id)
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint

@@ -289,3 +289,71 @@ def test_wav_ms_adpcm_decodes_bit_exact():
     assert decoded[:, 0].tolist() == recon
     err = np.abs(np.asarray(recon[: n], dtype=np.int64) - np.asarray(sig[: len(recon)][: n]))
     assert np.median(err) < 300
+
+
+def test_wav_ima_adpcm_short_final_block_and_fact_trim():
+    """Real-world ADPCM WAVs routinely end with a short final block; the
+    decoder must decode it (not drop it), and a fact chunk's
+    dwSampleLength must trim tail padding."""
+    n = 505  # full block: 1 header sample + 504 nibbles
+    t = np.arange(n + 161)  # 161 extra → short final block (80 nibble bytes + header)
+    sig = (3000 * np.sin(2 * np.pi * t / 40)).astype(np.int16)
+    full = _ima_encode_block(sig[:n], idx0=0)
+    short = _ima_encode_block(sig[n:], idx0=0)  # 4-byte header + 80 bytes
+    assert len(short) < len(full)
+    block_align = len(full)
+
+    def wav(data, fact=None):
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 0x0011, 1, 8000, 4055, block_align, 4)
+        )
+        if fact is not None:
+            body += b"fact" + struct.pack("<II", 4, fact)[:8][:4] + struct.pack("<I", fact)
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    decoded, _ = av.wav_decode(wav(full + short))
+    # both blocks decode in full: 505 + 161 samples
+    assert decoded.shape == (n + 161, 1)
+    # the short block alone decodes identically to its slice of the tail
+    alone, _ = av.wav_decode(wav(short))
+    assert decoded[n:, 0].tolist() == alone[:, 0].tolist()
+    # fact chunk trims padding samples
+    trimmed, _ = av.wav_decode(wav(full + short, fact=n + 100))
+    assert trimmed.shape == (n + 100, 1)
+    # a fragment shorter than the block header is an error, never a drop
+    with pytest.raises(ValueError):
+        av.wav_decode(wav(full + short[:3]))
+
+
+def test_wav_ms_adpcm_short_final_block():
+    """MS-ADPCM short final block: the truncated code stream decodes; a
+    fragment without a complete header raises."""
+    # one minimal full block + one shorter block (header + fewer codes)
+    def ms_block(n_code_bytes):
+        # predictor 1, delta 32, s1=100, s2=50, then n code bytes of 0
+        return (
+            bytes([1]) + struct.pack("<h", 32)
+            + struct.pack("<h", 100) + struct.pack("<h", 50)
+            + bytes(n_code_bytes)
+        )
+
+    full = ms_block(20)
+    short = ms_block(5)
+    block_align = len(full)
+    fmt = struct.pack("<HHIIHH", 0x0002, 1, 8000, 4000, block_align, 4)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(full + short)) + full + short
+    )
+    decoded, _ = av.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # full block: 2 header samples + 40 nibbles; short: 2 + 10
+    assert decoded.shape == (42 + 12, 1)
+    frag = full + short[:4]  # 4 < 7-byte mono header
+    body2 = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(frag)) + frag
+    )
+    with pytest.raises(ValueError):
+        av.wav_decode(b"RIFF" + struct.pack("<I", len(body2)) + body2)

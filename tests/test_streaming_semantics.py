@@ -1110,3 +1110,38 @@ def test_streaming_latest_state_table_upserts_per_key(spark, tmp_path):
     n = len(tf.history(spark, table))
     run_once()
     assert len(tf.history(spark, table)) == n
+
+
+def test_streaming_latest_state_checkpoint_reset_not_skipped(spark, tmp_path):
+    """Deleting and recreating the checkpoint restarts batch numbering at
+    0 — the new lineage's batch 0 must NOT be skipped against the old
+    lineage's recorded txn id (the writer identity derives from the
+    checkpoint's persisted query id, so each incarnation is distinct)."""
+    import shutil
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+    from market_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "ticks")
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    schema = "symbol string, ts long, price double"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        jobs.streaming_latest_state_table(
+            stream, table, ckpt, keys=["symbol"], time_col="ts"
+        ).awaitTermination()
+
+    write([("AAA", 1, 10.0)])
+    run_once()  # old lineage batch 0
+    shutil.rmtree(ckpt)
+    write([("BBB", 2, 20.0)])
+    run_once()  # new lineage batch 0 — carries BOTH files
+    got = {r.symbol: r.price for r in tf.read(spark, table).collect()}
+    assert got == {"AAA": 10.0, "BBB": 20.0}
