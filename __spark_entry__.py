@@ -5597,6 +5597,9 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         "inv_asof_join_bars", "inv_asof_forward_tolerance",
         "inv_w_rolling_corr", "inv_d_dup_groups",
         "inv_x_curated_corpus", "inv_x_semantic_curation",
+        # r6: jaccard_prefix rebuilt (token-set collapse + asymmetric
+        # index prefix) after its last green row — stale evidence
+        "inv_d_jaccard_prefix",
     ),
 }
 
@@ -8122,6 +8125,10 @@ def _hits_sql(iterations: int = 8) -> str:
     steps = []
     prev_h = "h0"
     for i in range(1, iterations + 1):
+        # hub update is a quantized RAW sum (no normalization): the next
+        # auth step's L1 divides any positive scaling out, so the auth
+        # sequence equals the both-normalized textbook form — mirrors
+        # graph.hits_bipartite exactly.
         steps.append(
             f"""ar{i} AS MATERIALIZED (
   SELECT li.pk AS i, sum(h.v) AS raw
@@ -8129,12 +8136,9 @@ def _hits_sql(iterations: int = 8) -> str:
 a{i} AS MATERIALIZED (
   SELECT i, round(raw / (SELECT sum(raw) FROM ar{i}) + 1e-13, 10) AS v
   FROM ar{i}),
-hr{i} AS MATERIALIZED (
-  SELECT li.ok AS b, sum(a.v) AS raw
-  FROM li JOIN a{i} a ON li.pk = a.i GROUP BY li.ok),
 h{i} AS MATERIALIZED (
-  SELECT b, round(raw / (SELECT sum(raw) FROM hr{i}) + 1e-13, 10) AS v
-  FROM hr{i})"""
+  SELECT li.ok AS b, round(sum(a.v) + 1e-13, 10) AS v
+  FROM li JOIN a{i} a ON li.pk = a.i GROUP BY li.ok)"""
         )
         prev_h = f"h{i}"
     return f"""

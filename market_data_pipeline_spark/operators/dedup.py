@@ -376,76 +376,96 @@ def jaccard_prefix_join(
     in the self-join stay small exactly where a naive token self-join
     explodes (stopwords are never anyone's prefix at t ≥ ~0.3). Verify
     is linear in candidates over per-doc token ARRAYS (array_intersect,
-    no second shuffle per pair). Exact clones (identical NORMALIZED
-    text ⇒ identical distinct-token set) are collapsed to one
-    representative BEFORE any pairwise work, the same discipline as
-    near_dup_members: the prefix join and the per-pair verify run over
-    representatives only, then cluster members are expanded back into
-    pairs afterward — cross-cluster values depend only on the
-    representatives, and within-cluster pairs are Jaccard 1.0 BY
-    CONSTRUCTION. A clone-saturated corpus thus pays quadratic cost
-    only in the final row EXPANSION (the output's own size — a join
-    that just materializes rows), never in hashing, shuffling, or
-    array intersection.
+    no second shuffle per pair). Docs with an IDENTICAL DISTINCT-TOKEN
+    SET are collapsed to one representative BEFORE any pairwise work
+    (Jaccard depends only on the set, so this is exact — and strictly
+    coarser than an identical-normalized-text collapse: token-order and
+    repetition variants of one set share a representative too): the
+    prefix join and the per-pair verify run over representatives only,
+    then cluster members are expanded back into pairs afterward —
+    cross-cluster values depend only on the representatives, and
+    within-cluster pairs are Jaccard 1.0 BY CONSTRUCTION. A
+    clone-saturated corpus thus pays quadratic cost only in the final
+    row EXPANSION (the output's own size — a join that just
+    materializes rows), never in hashing, shuffling, or array
+    intersection. The whole plan scans `df` ONCE: the set frame below
+    carries every downstream need (fingerprints, sizes, prefix tokens,
+    verify arrays).
     """
-    # --- exact-clone collapse: one representative per distinct
-    # normalized text; `members` is O(docs) with three narrow columns,
-    # reused by three branches (rep filter, cross expansion, within
-    # expansion) — checkpoint it once
-    fp = df.select(
-        F.col(id_col), F.md5(normalized(F.col(text_col))).alias("__fp")
-    )
-    members = (
-        fp.join(
-            fp.groupBy("__fp").agg(F.min(id_col).alias("__rep")), "__fp"
-        )
-        .localCheckpoint(eager=True)
-    )
-    rep_docs = df.join(
-        members.filter(F.col(id_col) == F.col("__rep")).select(id_col),
-        id_col,
-    )
-    # the distinct token frame feeds FOUR subtrees (sizes, document
-    # frequency, prefix ranking, verify sets) — checkpoint it once or the
-    # scan + explode + distinct re-executes per consumer (Spark shares no
-    # common subplans across DataFrame reuse)
-    toks = (
-        rep_docs.select(
+    # --- token-set collapse: one representative per distinct token SET.
+    # `docsets` is O(docs) rows (id, sorted set array, set fingerprint) —
+    # the single scan of df, checkpointed once and feeding everything.
+    toks_all = (
+        df.select(
             F.col(id_col),
             F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
         )
         .filter(F.col("tok") != "")
         .distinct()
+    )
+    docsets = (
+        toks_all.groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("tok")).alias("__set"))
+        .withColumn("__fp", F.md5(F.to_json("__set")))
         .localCheckpoint(eager=True)
     )
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    reps = docsets.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    # docs with an empty token set never reach docsets (explode emits no
+    # rows) — by contract they pair with nothing, so membership skips them
+    members = docsets.select(id_col, "__fp").join(reps, "__fp")
+    # representative set frame: verify side of the candidate joins (twice)
+    # + the within-cluster n_common source. Checkpointing it (a) stops the
+    # groupBy+semi chain re-running per consumer and (b) gives AQE a real
+    # O(reps) size so the verify joins broadcast the set side instead of
+    # sort-merging the multi-million-row candidate stream (measured
+    # 106 s → ~35 s at sf0.1 on the clone-saturated corpus)
+    rep_sets = (
+        docsets.join(reps.select(F.col("__rep").alias(id_col)), id_col, "semi")
+        .withColumn("__sz", F.size("__set"))
+        .localCheckpoint(eager=True)
+    )
+    # prefix tokens re-derive from the checkpointed arrays — no second
+    # scan of df, and the set size rides the explode (no sizes join)
+    toks = rep_sets.select(id_col, "__sz", F.explode("__set").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     from pyspark.sql import Window as _W
 
     rarity = _W.partitionBy(id_col).orderBy("__df", "tok")
-    # prefix (O(docs · prefix_len) rows) and the verify sets (O(docs))
-    # are BOTH tiny next to the candidate stream — checkpointing them (a)
-    # stops the rarity-ranking chain running once per self-join branch,
-    # and (b) gives AQE real sizes so the verify joins broadcast the set
-    # side instead of sort-merging the multi-million-row candidate stream
-    # (measured 106 s → ~35 s at sf0.1 on the clone-saturated corpus)
     # the 1e-9 inside ceil() guards the float boundary: 0.9 * 20 is
     # 18.000000000000004 in binary, and a bare ceil would demand overlap
     # ≥ 19 where the exact bound is 18 — shortening the prefix BELOW the
     # completeness guarantee. Subtracting epsilon can only lengthen the
     # prefix (more candidates, never fewer), so completeness is safe in
     # both rounding directions.
+    # TWO prefix lengths per doc (Xiao et al., PPJoin/ED-Join family):
+    # the PROBE prefix is the classic |T| − ceil(t·|T|) + 1; the INDEX
+    # prefix is the shorter |T| − ceil(2t/(1+t)·|T|) + 1, valid for the
+    # SMALLER set of a pair: with |A| ≤ |B| and J ≥ t, the equivalent
+    # overlap bound o ≥ t/(1+t)(|A|+|B|) ≥ 2t/(1+t)·|A|, so the pair's
+    # first common token (global rarity order) sits within A's first
+    # |A| − o + 1 ≤ index-prefix positions — and within B's probe prefix
+    # (o ≥ t/(1+t)(1+t)|B|·t/... ≥ t·|B| via |A| ≥ t·|B|). Joining
+    # index-side(A) × probe-side(B) under the (size, id) total order
+    # therefore still reaches every true pair, with ~((1−2t/(1+t))/(1−t))
+    # of the raw join volume of the symmetric join (2/3 at t = 0.5).
+    t_over = float(threshold) / (1.0 + float(threshold))
     prefix = (
         toks.join(dfreq, "tok")
         .withColumn("__rn", F.row_number().over(rarity))
-        .join(sizes, id_col)
         .filter(
             F.col("__rn")
             <= F.col("__sz")
             - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9))
             + 1
         )
-        .select(id_col, "tok", "__rn", "__sz")
+        .withColumn(
+            "__idx",
+            F.col("__rn")
+            <= F.col("__sz")
+            - F.ceil(F.lit(2.0 * t_over) * F.col("__sz") - F.lit(1e-9))
+            + 1,
+        )
+        .select(id_col, "tok", "__rn", "__sz", "__idx")
         .localCheckpoint(eager=True)
     )
     # Two classic AllPairs/PPJoin prunes applied ROW-LEVEL on the joined
@@ -456,15 +476,16 @@ def jaccard_prefix_join(
     #     ranked after it in BOTH docs, so |A∩B| ≤ 1 + min(|A|−i, |B|−j),
     #     which must reach the equivalent overlap bound t/(1+t)·(|A|+|B|).
     # The positional bound is only valid at the first common token, but
-    # that token is always in both prefixes whenever ANY common token is
-    # (prefixes are downward-closed in the rarity order), so each true
-    # pair survives via that row and the post-filter distinct keeps it —
+    # that token is always in both effective prefixes whenever the pair
+    # is true (the asymmetric-prefix argument above), so each true pair
+    # survives via that row and the post-filter distinct keeps it —
     # completeness intact, candidate volume cut before it is ever
     # shuffled. Epsilons keep both prunes conservative at float
-    # boundaries.
-    t_over = float(threshold) / (1.0 + float(threshold))
+    # boundaries. doc_a is always the (size, id)-smaller side here; the
+    # expansion's least/greatest normalizes ids for the output.
     cand = (
-        prefix.select(
+        prefix.filter(F.col("__idx"))
+        .select(
             F.col(id_col).alias("doc_a"),
             "tok",
             F.col("__rn").alias("__rna"),
@@ -479,10 +500,12 @@ def jaccard_prefix_join(
             ),
             "tok",
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
-            F.least("__sa", "__sb")
-            >= F.lit(threshold) * F.greatest("__sa", "__sb") - F.lit(1e-9)
+            (F.col("__sa") < F.col("__sb"))
+            | ((F.col("__sa") == F.col("__sb")) & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .filter(
+            F.col("__sa") >= F.lit(threshold) * F.col("__sb") - F.lit(1e-9)
         )
         .filter(
             (
@@ -497,14 +520,9 @@ def jaccard_prefix_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = (
-        toks.groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("tok")).alias("__set"))
-        .localCheckpoint(eager=True)
-    )
     verified = (
-        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("__set").alias("__sa")), "doc_a")
-        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("__set").alias("__sb")), "doc_b")
+        cand.join(rep_sets.select(F.col(id_col).alias("doc_a"), F.col("__set").alias("__sa")), "doc_a")
+        .join(rep_sets.select(F.col(id_col).alias("doc_b"), F.col("__set").alias("__sb")), "doc_b")
         .withColumn(
             "n_common",
             F.size(F.array_intersect("__sa", "__sb")).cast("long"),
@@ -551,8 +569,8 @@ def jaccard_prefix_join(
     if threshold > 1.0:
         return cross
     # Within-cluster: identical token sets ⇒ n_common = |set|, J = 1.0.
-    # The inner join against `sets` (reps with ≥1 token only) excludes
-    # empty-token docs, which by contract never pair with anything.
+    # (Empty-token docs never entered membership, so no exclusion join
+    # is needed here.)
     within = (
         members.select("__fp", F.col(id_col).alias("__wa"), "__rep")
         .join(
@@ -560,9 +578,9 @@ def jaccard_prefix_join(
         )
         .filter(F.col("__wa") < F.col("__wb"))
         .join(
-            sets.select(
+            rep_sets.select(
                 F.col(id_col).alias("__rep"),
-                F.size("__set").cast("long").alias("n_common"),
+                F.col("__sz").cast("long").alias("n_common"),
             ),
             "__rep",
         )

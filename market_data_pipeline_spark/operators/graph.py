@@ -542,20 +542,28 @@ def hits_bipartite(
     bipartite form is the one with information in it.
 
     Per iteration: authority = edge ⋈ hub → item-keyed sum, L1-normalized
-    by `crossJoin(broadcast(agg(sum)))`; then the hub update the same way,
-    with ONE eager localCheckpoint per full iteration (on hubs) cutting
-    the lineage. The half-step itself is NOT materialized: the scalar
-    total's agg subtree appears twice in the logical plan, but the
-    physical planner's ReuseExchange dedupes the identical exchange, so
-    each half-step executes once — and, unlike a whole-frame window, the
-    normalization never funnels the O(items) frame through a single
-    partition: the item/URL universe grows with the graph, so a global
-    window here is a scale cliff. Every value is
-    quantized to 10 decimals after normalization so the iterate is
-    independent of summation order — the chained-CTE SQL unrolling is
-    exact, the same contract as pagerank. L1 (not L2) normalization
-    keeps the oracle sqrt-free; rankings are identical under any
-    positive scaling.
+    by `crossJoin(broadcast(agg(sum)))`; then the hub update as a PLAIN
+    quantized sum — no hub normalization. That is exact, not an
+    approximation: each auth step L1-normalizes, and normalization
+    divides out any positive scaling of its input, so the auth sequence
+    is identical (in exact arithmetic) to the both-normalized textbook
+    form — hub normalization only ever existed for numeric bounding,
+    and raw hub sums are already bounded by max_basket · Σauth =
+    max_basket, safely inside 10-dp quantization range. Dropping it
+    removes one global total + broadcast + crossJoin per iteration —
+    the hub half-step becomes pagerank-shaped (the score frame is
+    referenced ONCE). One eager localCheckpoint per full iteration (on
+    hubs) cuts the lineage; the auth total's agg subtree appears twice
+    in the logical plan, but the physical planner's ReuseExchange
+    dedupes the identical exchange, so each half-step executes once —
+    and, unlike a whole-frame window, the normalization never funnels
+    the O(items) frame through a single partition: the item/URL
+    universe grows with the graph, so a global window here is a scale
+    cliff. Every value is quantized to 10 decimals after each update so
+    the iterate is independent of summation order — the chained-CTE SQL
+    unrolling is exact, the same contract as pagerank. L1 (not L2)
+    normalization keeps the oracle sqrt-free; rankings are identical
+    under any positive scaling.
 
     Returns (item, auth) for every item that SURVIVES the per-basket cap:
     baskets are truncated to their `max_basket` lexically-first items, so
@@ -595,10 +603,7 @@ def hits_bipartite(
         # logical plan (total branch + value branch), but the physical
         # planner's ReuseExchange dedupes the identical agg exchange, so
         # the half-step executes ONCE; nothing funnels the O(items) frame
-        # through a single partition. Plan doubling is bounded by the
-        # per-iteration eager checkpoint of hubs below (measured at
-        # sf0.1: this shape runs the whole loop in ~8 pipelined jobs —
-        # a per-half-step eager checkpoint + scalar job costs +60%).
+        # through a single partition.
         tot = raw.agg(F.sum("__raw").alias("__tot"))
         return raw.crossJoin(F.broadcast(tot)).select(
             key,
@@ -615,13 +620,16 @@ def hits_bipartite(
         auth = _l1(araw, "__i", "__a")
         if it + 1 == iterations:
             break  # the final hub update cannot affect the returned auth
-        hraw = (
-            edges.join(auth, "__i")
-            .groupBy("__b")
-            .agg(F.sum("__a").alias("__raw"))
-        )
+        # hub update: quantized raw sum, UN-normalized (see docstring —
+        # the next auth normalization divides any scaling out, so this
+        # is exact, and it keeps the hub half-step single-reference).
         # ONE eager checkpoint per iteration: cuts the doubled lineage so
         # plan size stays O(1) per round (the job also pipelines both
         # half-steps' exchanges — the job-count discipline pagerank uses)
-        hubs = _l1(hraw, "__b", "__h").localCheckpoint(eager=True)
+        hubs = (
+            edges.join(auth, "__i")
+            .groupBy("__b")
+            .agg(F.round(F.sum("__a") + F.lit(_EPS), 10).alias("__h"))
+            .localCheckpoint(eager=True)
+        )
     return auth.select(F.col("__i").alias("item"), F.col("__a").alias("auth"))
