@@ -8926,3 +8926,183 @@ FROM m
 
 
 _REGISTRY.update({"inv_m_gif_roundtrip": (q_m_gif_roundtrip, SQL_M_GIF)})
+
+
+# ---------------------------------------------------------------------------
+# Round 6: unigram-LM (SentencePiece-style) tokenizer — the BPE twin
+# (Kudo 2018, public). Viterbi-EM over the top-300 word-count table:
+# seed probabilities from substring counts, then hard-EM rounds whose
+# E-step counts pieces along each word's best segmentation. The engine
+# runs the DP as F.aggregate folds (O(1) expression size); the oracle
+# replays the identical quantized recurrence as recursive CTEs (the
+# FFD-packing precedent). Reference has no tokenizer — north-star op.
+# ---------------------------------------------------------------------------
+
+_UNI_TOP_WORDS = 300
+_UNI_EM_ITERS = 2
+_UNI_TOP_PIECES = 50
+
+
+def _uni_words(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return (
+        text.word_counts(d)
+        .filter(F.length("word") <= 12)
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_UNI_TOP_WORDS)
+    )
+
+
+def q_t_unigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    p = text.unigram_train(_uni_words(spark, sf), em_iters=_UNI_EM_ITERS)
+    return (
+        p.orderBy(F.desc("prob"), "piece")
+        .limit(_UNI_TOP_PIECES)
+        .select("piece", "prob")
+    )
+
+
+def q_t_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Round trip: train the piece table, then count per-doc unigram-LM
+    tokens. n_words counts only MODEL-ADMITTED words (pattern + length
+    cap + in the top-300 training vocab) — the self-consistent contract:
+    the encode joins the O(vocab) word→ntok artifact, the corpus never
+    runs the DP."""
+    wc = _uni_words(spark, sf).localCheckpoint(eager=True)
+    p = text.unigram_train(wc, em_iters=_UNI_EM_ITERS)
+    return text.unigram_apply(_docs(spark, sf), wc, p)
+
+
+def _unigram_sql_chain(em_rounds: int, top_words: int = _UNI_TOP_WORDS) -> str:
+    """CTE chain (needs a WITH RECURSIVE prefix) defining up0..up{R} and
+    per-round ugrid/ufwd/ubt — the exact quantized Viterbi-EM replay.
+    ``em_rounds`` rounds are generated; round R's ubt{R} is also the
+    encode-time segmentation when called with em_rounds = em_iters + 1
+    (the last round's E-step output is simply unused)."""
+    N, P = 12, 3
+    NEG = "-1000000000.0"
+    parts = [
+        f"""toksu AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+),
+wu AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toksu
+  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= {N}
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {top_words}
+),
+candu AS MATERIALIZED (
+  SELECT w.word, w.cnt, CAST(s.range AS INT) AS s, CAST(j.range AS INT) AS j,
+         substr(w.word, CAST(s.range AS INT), CAST(j.range AS INT)) AS pc
+  FROM wu w, range(1, {N + 1}) s, range(1, {P + 1}) j
+  WHERE s.range + j.range - 1 <= length(w.word)
+),
+seedsu AS MATERIALIZED (
+  SELECT pc AS piece, CAST(sum(cnt) AS BIGINT) AS c FROM candu GROUP BY pc
+),
+up0 AS MATERIALIZED (
+  SELECT piece, prob, round(ln(prob) + 1e-13, 10) AS lp FROM (
+    SELECT piece,
+           round(c / CAST((SELECT sum(c) FROM seedsu) AS DOUBLE) + 1e-13, 10) AS prob
+    FROM seedsu)
+)"""
+    ]
+    for r in range(1, em_rounds + 1):
+        p = r - 1
+        lists = ",\n    ".join(
+            f"list_resize(coalesce(list(CASE WHEN c.j = {j} THEN"
+            f" coalesce(p.lp, {NEG}) END ORDER BY c.s)"
+            f" FILTER (WHERE c.j = {j}), []), {N}, {NEG}) AS l{j}"
+            for j in range(1, P + 1)
+        )
+        parts.append(
+            f"""ugrid{r} AS MATERIALIZED (
+  SELECT c.word, any_value(c.cnt) AS cnt,
+    {lists}
+  FROM candu c LEFT JOIN up{p} p ON p.piece = c.pc
+  GROUP BY c.word
+),
+ufwd{r} AS (
+  SELECT word, cnt, l1, l2, l3, 1 AS i,
+         [0.0]::DOUBLE[] AS barr, []::INT[] AS bparr
+  FROM ugrid{r}
+  UNION ALL
+  SELECT word, cnt, l1, l2, l3, i + 1,
+         list_append(barr, greatest(t1, t2, t3)),
+         list_append(bparr, CASE WHEN greatest(t1, t2, t3) = t3 THEN 3
+                                 WHEN greatest(t1, t2, t3) = t2 THEN 2
+                                 ELSE 1 END)
+  FROM (
+    SELECT word, cnt, l1, l2, l3, i, barr, bparr,
+           barr[i] + l1[i] AS t1,
+           CASE WHEN i >= 2 THEN barr[i - 1] + l2[i - 1] ELSE -1e18 END AS t2,
+           CASE WHEN i >= 3 THEN barr[i - 2] + l3[i - 2] ELSE -1e18 END AS t3
+    FROM ufwd{r} WHERE i <= {N}
+  )
+),
+ubt{r} AS (
+  SELECT word, cnt, bparr, CAST(length(word) AS INT) AS pos, []::VARCHAR[] AS pcs
+  FROM ufwd{r} WHERE i = {N + 1}
+  UNION ALL
+  SELECT word, cnt, bparr, pos - bparr[pos],
+         list_append(pcs, substr(word, pos - bparr[pos] + 1, bparr[pos]))
+  FROM ubt{r} WHERE pos > 0
+),
+uest{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, unnest(pcs) AS piece FROM ubt{r} WHERE pos = 0)
+  GROUP BY piece
+),
+up{r} AS MATERIALIZED (
+  SELECT piece, prob, round(ln(prob) + 1e-13, 10) AS lp FROM (
+    SELECT piece,
+           round(c / CAST((SELECT sum(c) FROM uest{r}) AS DOUBLE) + 1e-13, 10) AS prob
+    FROM uest{r})
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _unigram_lm_sql(em: int = _UNI_EM_ITERS) -> str:
+    return f"""
+WITH RECURSIVE
+{_unigram_sql_chain(em)}
+SELECT piece, prob FROM up{em}
+ORDER BY prob DESC, piece LIMIT {_UNI_TOP_PIECES}
+"""
+
+
+def _unigram_encode_sql(em: int = _UNI_EM_ITERS) -> str:
+    # one extra grid/fwd/bt round against the FINAL piece table gives the
+    # encode-time segmentation; its E-step CTEs go unused by the SELECT
+    final = em + 1
+    return f"""
+WITH RECURSIVE
+{_unigram_sql_chain(final)},
+uwt AS MATERIALIZED (
+  SELECT word, CAST(len(pcs) AS BIGINT) AS ntok
+  FROM ubt{final} WHERE pos = 0
+),
+uocc AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= 12
+),
+uagg AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(w.ntok) AS BIGINT) AS n_unigram_tokens
+  FROM uocc o JOIN uwt w USING (word) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_unigram_tokens, 0) AS n_unigram_tokens
+FROM documents d LEFT JOIN uagg a USING (doc_id)
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_t_unigram_lm": (q_t_unigram_lm, _unigram_lm_sql()),
+        "inv_t_unigram_encode": (q_t_unigram_encode, _unigram_encode_sql()),
+    }
+)

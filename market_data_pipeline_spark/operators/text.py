@@ -1113,3 +1113,281 @@ def nb_confusion(
         F.col("__true").alias("true_label"),
         F.col("__c").alias("pred_label"),
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: the BPE twin. Kudo 2018
+# ("Subword Regularization", public) trains piece probabilities by EM over
+# word counts; this is the Viterbi-EM variant (hard assignments — the
+# E-step counts pieces on each word's single best segmentation), with a
+# fixed seed vocabulary of all substrings up to _UNI_P chars. Everything
+# after the one corpus pass (word_counts) is O(vocab): the Viterbi DP is
+# unrolled into row-local column expressions over a conditional-agg lookup
+# grid, so the whole trainer is plain relational algebra + codegen'd
+# expressions — and the DuckDB oracle replays the SAME construction CTE by
+# CTE (the logreg/k-means chained-CTE discipline).
+# ---------------------------------------------------------------------------
+
+_UNI_P = 3   # max piece length (chars)
+_UNI_N = 12  # max word length admitted to training/encoding
+_UNI_NEG = -1e9  # "piece not in vocab" score; true paths always exist
+#   (every single char of an admitted word is seeded and EM can only
+#   keep single chars alive or better), so -1e9 never wins a greatest()
+
+
+def _unigram_coords(max_piece_len: int = _UNI_P, max_word_len: int = _UNI_N):
+    return [
+        (s, j)
+        for s in range(1, max_word_len + 1)
+        for j in range(1, max_piece_len + 1)
+        if s + j - 1 <= max_word_len
+    ]
+
+
+def _unigram_viterbi(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """(word, cnt) × (piece, lp) → (word, cnt, __pieces, __ntok): each
+    word's best segmentation under the current piece log-probs.
+
+    Shape: ONE left join of per-word substring candidates against the
+    piece table (statically broadcast — the piece universe is bounded by
+    Σ_{j≤3} 26^j = 18 278 regardless of corpus size, the same bounded-
+    model argument as k-means centroids), collected into three per-word
+    log-prob LIST columns (one per piece length, position-ordered), then
+    the forward DP and the backtrace each as ONE ``F.aggregate`` fold —
+    runtime iteration per row, so the expression tree stays O(1) no
+    matter how deep the DP is (an unrolled withColumn chain here
+    explodes exponentially under project collapsing). No UDF, no extra
+    shuffle. Ties prefer the LONGER final piece (checked j=3,2,1),
+    deterministic on any engine because every compared value is a sum
+    of 10-dp quantized log-probs; the DuckDB oracle replays the same
+    fold as a recursive CTE (the FFD-packing precedent)."""
+    P, N = _UNI_P, _UNI_N
+    cand = (
+        words.withColumn("__s", F.explode(F.sequence(F.lit(1), F.length("word"))))
+        .withColumn(
+            "__j",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(P), F.length("word") - F.col("__s") + 1),
+                )
+            ),
+        )
+        .withColumn("__pc", F.expr("substr(word, __s, __j)"))
+    )
+    g = cand.join(
+        F.broadcast(pieces.select(F.col("piece").alias("__pc"), "lp")),
+        "__pc",
+        "left",
+    )
+    # position-ordered lookup lists: __lj[s] = lp of piece substr(word, s, j)
+    # or -1e9 when absent/out of range; fixed length N so fold indexing is
+    # branch-free. array_sort on (s, lp) structs keeps the engine-portable
+    # "order by position" contract without a window.
+    lj_aggs = []
+    for j in range(1, P + 1):
+        lj_aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__j") == j,
+                            F.struct(
+                                F.col("__s").alias("s"),
+                                F.coalesce(F.col("lp"), F.lit(_UNI_NEG)).alias("v"),
+                            ),
+                        )
+                    )
+                ),
+                lambda e: e["v"],
+            ).alias(f"__lraw{j}")
+        )
+    grid = words.select("word", "cnt").join(
+        g.groupBy("word").agg(*lj_aggs), "word", "left"
+    )
+    # pad each list to N entries of -1e9 so element_at never errors
+    pad = F.transform(F.sequence(F.lit(1), F.lit(N)), lambda _: F.lit(_UNI_NEG))
+    for j in range(1, P + 1):
+        grid = grid.withColumn(
+            f"__l{j}",
+            F.slice(
+                F.concat(F.coalesce(F.col(f"__lraw{j}"), pad), pad), 1, N
+            ),
+        )
+
+    def _term(acc, i, j):
+        # candidate score for last piece of length j ending at prefix i:
+        # b[i-j] + lp(start = i-j+1, len = j); barr holds b_k at index k+1
+        valid = i >= F.lit(j)
+        return F.when(
+            valid,
+            F.element_at(acc["barr"], i - F.lit(j) + 1)
+            + F.element_at(F.col(f"__l{j}"), i - F.lit(j) + 1),
+        ).otherwise(F.lit(-1e18))
+
+    def _fwd(acc, i):
+        t1, t2, t3 = _term(acc, i, 1), _term(acc, i, 2), _term(acc, i, 3)
+        b = F.greatest(t1, t2, t3)
+        bp = (
+            F.when(b == t3, F.lit(3))
+            .when(b == t2, F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            F.concat(acc["barr"], F.array(b)).alias("barr"),
+            F.concat(acc["bparr"], F.array(bp)).alias("bparr"),
+        )
+
+    fwd = F.aggregate(
+        F.sequence(F.lit(1), F.lit(N)),
+        F.struct(
+            F.array(F.lit(0.0)).alias("barr"),
+            F.array().cast("array<int>").alias("bparr"),
+        ),
+        _fwd,
+    )
+    dp = grid.select("word", "cnt", fwd["bparr"].alias("__bparr"))
+
+    def _back(st, _k):
+        bp = F.element_at(F.col("__bparr"), st["pos"])
+        piece = F.substring(
+            F.col("word"), st["pos"] - bp + F.lit(1), bp
+        )
+        return F.when(
+            st["pos"] > 0,
+            F.struct(
+                (st["pos"] - bp).alias("pos"),
+                F.concat(st["pcs"], F.array(piece)).alias("pcs"),
+            ),
+        ).otherwise(st)
+
+    back = F.aggregate(
+        F.sequence(F.lit(1), F.lit(N)),
+        F.struct(
+            F.length("word").alias("pos"),
+            F.array().cast("array<string>").alias("pcs"),
+        ),
+        _back,
+    )
+    return dp.select(
+        "word", "cnt", back["pcs"].alias("__pieces")
+    ).withColumn("__ntok", F.size("__pieces").cast("long"))
+
+
+def unigram_train(
+    words: DataFrame,
+    em_iters: int = 2,
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Unigram-LM tokenizer training over a word-count table:
+    (piece, prob, lp) — the learned piece distribution after ``em_iters``
+    rounds of Viterbi-EM (hard-EM: E-step counts pieces along each word's
+    best segmentation weighted by word count, M-step renormalizes).
+
+    Seed vocabulary: every substring of length ≤ 3 occurring in an
+    admitted word (words are ^[a-z]{1,12}$ via the caller's word_counts
+    pattern + the length cap here — longer tail words are excluded from
+    training, the same spirit as the token pattern itself), with seed
+    probabilities proportional to occurrence-weighted counts. Pieces
+    that win no best-path occurrences in an E-step drop out (prob 0);
+    single characters always survive, so segmentation coverage is total.
+
+    Every probability and log-prob is quantized to 10 decimals (with the
+    shared +1e-13 boundary nudge) so the EM trajectory is bit-identical
+    across engines and partitionings — the exact chained-CTE DuckDB
+    oracle replays it round for round. Scale: corpus cost is the ONE
+    word_counts pass upstream; the loop is O(vocab) per round with
+    lineage cut per round (localCheckpoint), like bpe_train."""
+    w = (
+        words.filter(F.length(word_col) <= _UNI_N)
+        .select(F.col(word_col).alias("word"), F.col(count_col).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        w.withColumn("__s", F.explode(F.sequence(F.lit(1), F.length("word"))))
+        .withColumn(
+            "__j",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_UNI_P), F.length("word") - F.col("__s") + 1),
+                )
+            ),
+        )
+        .select(F.expr("substr(word, __s, __j)").alias("piece"), "cnt")
+    )
+    seeds = cand.groupBy("piece").agg(F.sum("cnt").alias("__c"))
+    tot = seeds.agg(F.sum("__c").alias("__tot"))
+    pieces = (
+        seeds.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.round(F.col("__c") / F.col("__tot") + F.lit(1e-13), 10).alias("prob"),
+        )
+        .withColumn("lp", F.round(F.log("prob") + F.lit(1e-13), 10))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(em_iters):
+        seg = _unigram_viterbi(w, pieces)
+        counts = (
+            seg.select(F.explode("__pieces").alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("__c"))
+        )
+        tot = counts.agg(F.sum("__c").alias("__tot"))
+        pieces = (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                F.round(F.col("__c") / F.col("__tot") + F.lit(1e-13), 10).alias(
+                    "prob"
+                ),
+            )
+            .withColumn("lp", F.round(F.log("prob") + F.lit(1e-13), 10))
+            .localCheckpoint(eager=True)
+        )
+    return pieces
+
+
+def unigram_word_tokens(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """(word, ntok): best-segmentation token count per admitted word
+    under a trained piece table — the O(vocab) encode artifact that
+    document-level token counting joins against."""
+    w = words.filter(F.length("word") <= _UNI_N).select("word", "cnt")
+    return _unigram_viterbi(w, pieces).select("word", "__ntok")
+
+
+def unigram_apply(
+    df: DataFrame,
+    words: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Encode documents with a trained unigram LM: (doc_id, n_words,
+    n_unigram_tokens) — the trainer's round trip, counting only admitted
+    words (pattern + ≤ 12 chars, the training filter, applied
+    consistently). Per-word token counts are computed ONCE on the vocab
+    table and joined to the corpus — the corpus never runs the DP."""
+    wt = unigram_word_tokens(words, pieces)
+    occ = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike(pattern) & (F.length("word") <= _UNI_N))
+    )
+    agg = (
+        occ.join(wt, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__ntok").cast("long").alias("n_unigram_tokens"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_unigram_tokens", F.lit(0)).cast("long").alias(
+            "n_unigram_tokens"
+        ),
+    )

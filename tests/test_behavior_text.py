@@ -494,3 +494,62 @@ def test_nb_confusion_separable_micro(spark):
     assert all(t == p for (t, p) in got), got
     n_test = sum(1 for r in rows if r[3] >= 80)
     assert sum(got.values()) == n_test
+
+
+def test_unigram_train_viterbi_em_micro_case(spark):
+    """Hand-computed Viterbi-EM: words {abab:3, ab:2, cab:1}. Seed counts
+    (occurrence-weighted substrings ≤3): a=9 b=9 ab=9 ba=3 aba=3 bab=3
+    c=1 ca=1 cab=1 (total 39). Round-1 best segmentations: abab→[ab,ab]
+    (2·ln(9/39) beats aba+b / a+bab), ab→[ab], cab→[cab] (single piece
+    beats c+ab / ca+b). E-step: ab = 3·2+2 = 8, cab = 1 → probs 8/9, 1/9;
+    round 2 is a fixpoint."""
+    w = spark.createDataFrame(
+        [("abab", 3), ("ab", 2), ("cab", 1)], "word string, cnt long"
+    )
+    p = text.unigram_train(w, em_iters=2)
+    got = {r["piece"]: (r["prob"], r["lp"]) for r in p.collect()}
+    assert set(got) == {"ab", "cab"}
+    assert got["ab"][0] == round(8 / 9 + 1e-13, 10)
+    assert got["cab"][0] == round(1 / 9 + 1e-13, 10)
+    import math
+
+    assert got["ab"][1] == round(math.log(round(8 / 9 + 1e-13, 10)) + 1e-13, 10)
+
+    wt = {r["word"]: r["__ntok"] for r in text.unigram_word_tokens(w, p).collect()}
+    assert wt == {"abab": 2, "ab": 1, "cab": 1}
+
+
+def test_unigram_apply_counts_admitted_words_only(spark):
+    """Encode counts only pattern-admitted, length-capped, in-vocab words;
+    docs with none still emit a zero row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "ab abab cab"),
+            (2, "ab zz9 ab"),          # zz9 fails ^[a-z]+$
+            (3, "XYZ 123 !!"),          # nothing admitted
+            (4, "abcdefghijklmnop ab"),  # 16-char word exceeds the cap
+        ],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [("abab", 3), ("ab", 2), ("cab", 1)], "word string, cnt long"
+    )
+    p = text.unigram_train(w, em_iters=2)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_unigram_tokens"])
+        for r in text.unigram_apply(docs, w, p).collect()
+    }
+    assert got == {1: (3, 4), 2: (2, 2), 3: (0, 0), 4: (1, 1)}
+
+
+def test_unigram_viterbi_prefers_longer_piece_on_ties(spark):
+    """When a single piece and a split score identically, the backtrace
+    must take the longer piece (the j=3,2,1 CASE order) on any engine."""
+    # craft pieces where lp(ab) == lp(a) + lp(b) exactly: quantized lps
+    pieces = spark.createDataFrame(
+        [("a", 0.25, -2.0), ("b", 0.25, -2.0), ("ab", 0.0183, -4.0)],
+        "piece string, prob double, lp double",
+    )
+    w = spark.createDataFrame([("ab", 1)], "word string, cnt long")
+    wt = text.unigram_word_tokens(w, pieces).collect()
+    assert wt[0]["__ntok"] == 1  # [ab], not [a, b]
