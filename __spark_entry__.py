@@ -9106,3 +9106,61 @@ _REGISTRY.update(
         "inv_t_unigram_encode": (q_t_unigram_encode, _unigram_encode_sql()),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (continued): per-host curation quota — the Common-Crawl-shaped
+# complement to the temperature mix: cap documents per URL host, best
+# quality first, so a boilerplate-heavy mega-host can't flood the corpus.
+# The rank filter rides WindowGroupLimit (cap pushed below the per-host
+# sort — skew-safe, no global window); the URL is synthesized from the
+# source column (the testdata has no URL column) and the host extraction
+# regexp is the operator's real surface.
+# ---------------------------------------------------------------------------
+
+
+def q_x_host_quota(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    d = _docs(spark, sf)
+    q = text.add_quality_score(d).withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("doc_id")),
+    )
+    return features.host_quota(q, "url", "quality_score", cap=10).select(
+        "doc_id", "host", "quality_score"
+    )
+
+
+SQL_X_HOST_QUOTA = f"""
+WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS nt FROM documents),
+s AS (
+  SELECT doc_id, source, nt,
+    len(string_split(nt, ' ')) AS n_tok,
+    {_stop_hits_sql()} AS stop_hits
+  FROM n
+),
+q AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/' || doc_id AS url,
+    round(0.5 * least(length(nt) / 500.0, 1.0)
+          + 0.5 * least(round(stop_hits / CAST(greatest(n_tok, 1) AS DOUBLE), 6) * 5.0, 1.0)
+          + 1e-9, 6) AS quality_score
+  FROM s
+),
+h AS (
+  SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+         quality_score
+  FROM q
+),
+r AS (
+  SELECT doc_id, host, quality_score,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY quality_score DESC, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, host, quality_score FROM r WHERE rn <= 10
+"""
+
+
+_REGISTRY.update({"inv_x_host_quota": (q_x_host_quota, SQL_X_HOST_QUOTA)})

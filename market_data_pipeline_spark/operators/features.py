@@ -545,3 +545,44 @@ def train_logistic(
         + [T.StructField("logloss", T.DoubleType(), False)]
     )
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def host_quota(
+    df: DataFrame,
+    url_col: str,
+    quality_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host document quota: keep at most ``cap`` documents per URL
+    host, best ``quality_col`` first — the Common-Crawl-shaped curation
+    step (a single boilerplate-heavy host otherwise floods the corpus
+    with near-identical pages; C4/RefinedWeb-style pipelines cap hosts
+    before any expensive scoring).
+
+    Host = the authority part of the URL (scheme://HOST/...), extracted
+    with one regexp — rows whose URL has no parseable host group under
+    the empty-string host (they count against one shared quota rather
+    than silently passing uncapped). Order inside a host is
+    (quality desc, id asc): deterministic on any engine since quality is
+    6-dp quantized upstream.
+
+    Scale shape: one window exchange keyed on host; the rank ≤ cap
+    filter compiles to ``WindowGroupLimit``, which pushes the cap BELOW
+    the per-group sort — each map partition ships at most ``cap`` rows
+    per host to the shuffle, so a mega-host (the skew case: a host with
+    10⁸ pages) never funnels its full page set through one partition's
+    sort buffer. No global window anywhere.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("host", host)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -553,3 +553,25 @@ def test_unigram_viterbi_prefers_longer_piece_on_ties(spark):
     w = spark.createDataFrame([("ab", 1)], "word string, cnt long")
     wt = text.unigram_word_tokens(w, pieces).collect()
     assert wt[0]["__ntok"] == 1  # [ab], not [a, b]
+
+
+def test_host_quota_caps_per_host_by_quality(spark):
+    """Per-host cap keeps the quality-best docs; unparseable URLs share
+    the empty-host quota rather than passing uncapped."""
+    from market_data_pipeline_spark.operators import features
+
+    rows = [
+        (1, "https://a.com/x", 0.9),
+        (2, "https://a.com/y", 0.8),
+        (3, "https://a.com/z", 0.7),
+        (4, "https://b.com/x", 0.1),
+        (5, "not a url", 0.5),
+        (6, "also-not-a-url", 0.4),
+        (7, "ftp://c.com/f", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    kept = features.host_quota(df, "url", "q", cap=2).collect()
+    got = {r.doc_id: r.host for r in kept}
+    # a.com keeps its 2 best (1, 2), drops 3; b.com keeps its only doc;
+    # the two unparseable URLs share the '' host quota; ftp host parses
+    assert got == {1: "a.com", 2: "a.com", 4: "b.com", 5: "", 6: "", 7: "c.com"}
