@@ -115,3 +115,63 @@ def test_gif_spec_sample_stream_decodes():
         dtype=np.uint8,
     )
     assert np.array_equal(frames[0], want)
+
+
+def test_gif_disposal_composition_round_trip():
+    """Player-semantics decode: partial rects composite onto a persistent
+    canvas; disposal 2 restores the rect to background, disposal 3 to the
+    pre-frame canvas; transparency reveals the prior composite."""
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    base = np.full((4, 4), 1, dtype=np.uint8)  # red screen
+    patch2 = np.full((2, 2), 2, dtype=np.uint8)  # green 2x2, disposal 3
+    patch3 = np.array([[3, 0], [0, 3]], dtype=np.uint8)  # blue diag, 0 transparent
+    data = g.gif_encode(
+        [base, patch2, patch3],
+        palette=pal,
+        screen=(4, 4),
+        frame_meta=[
+            None,
+            {"left": 1, "top": 1, "disposal": 3},
+            {"left": 2, "top": 2, "transparent": 0},
+        ],
+    )
+    frames, (sw, sh) = g.gif_decode_composited(data)
+    assert (sw, sh) == (4, 4) and len(frames) == 3
+    red, green, blue = pal[1], pal[2], pal[3]
+    # frame 1: all red
+    assert (frames[0] == red).all()
+    # frame 2: green patch at (1,1)-(2,2) over red
+    assert (frames[1][1:3, 1:3] == green).all()
+    assert (frames[1][0, :] == red).all() and (frames[1][3, :] == red).all()
+    # frame 3: disposal 3 restored the green patch to red BEFORE drawing;
+    # blue diagonal at (2,2) and (3,3), transparent cells show the
+    # restored composite (red)
+    f3 = frames[2]
+    assert (f3[2, 2] == blue).all() and (f3[3, 3] == blue).all()
+    assert (f3[2, 3] == red).all() and (f3[3, 2] == red).all()
+    assert (f3[1, 1] == red).all()  # green was disposed back to the prior canvas
+
+
+def test_gif_disposal_restore_to_background():
+    """Disposal 2 clears the frame's rect to the background color for the
+    NEXT frame's composite."""
+    pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    f1 = np.full((2, 2), 1, dtype=np.uint8)
+    f2 = np.array([[2]], dtype=np.uint8)
+    data = g.gif_encode(
+        [f1, f2],
+        palette=pal,
+        screen=(2, 2),
+        frame_meta=[{"disposal": 2}, {"left": 1, "top": 1}],
+    )
+    frames, _ = g.gif_decode_composited(data)
+    # frame 2: f1's rect (whole screen) restored to bg (index 0 = 9,9,9),
+    # then the single green pixel drawn at (1,1)
+    assert (frames[1][0, 0] == pal[0]).all()
+    assert (frames[1][1, 1] == pal[2]).all()
+    # the independent-frame decoder still renders frame 2 alone on a
+    # bg-seeded canvas — both contracts coexist
+    indep, _ = g.gif_decode(data)
+    assert (indep[1][1, 1] == pal[2]).all() and (indep[1][0, 0] == pal[0]).all()

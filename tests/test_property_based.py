@@ -399,3 +399,83 @@ def test_kcore_matches_python_peel(spark, edges, k):
     e = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
     got = {r.node: r.deg for r in graph.kcore(e, k=k, max_rounds=30).collect()}
     assert got == want
+
+
+@st.composite
+def asof_null_payload_case(draw):
+    """Right rows whose payload value may be NULL — the struct-fill
+    atomicity stress: a matched row with a NULL mark must surface that
+    NULL, never an earlier row's non-null mark."""
+    n_left = draw(st.integers(1, 15))
+    n_right = draw(st.integers(1, 10))
+    left = [
+        (draw(st.sampled_from(["A", "B"])), draw(st.integers(0, 100)), float(i))
+        for i in range(n_left)
+    ]
+    right = [
+        (
+            draw(st.sampled_from(["A", "B"])),
+            draw(st.integers(0, 100)),
+            draw(st.one_of(st.none(), st.floats(0, 10, allow_nan=False))),
+            100 + i,  # rid: a never-null row id identifying the match
+        )
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+@given(asof_null_payload_case())
+@SETTLE
+def test_asof_nearest_null_payload_stays_atomic(spark, case):
+    """direction='nearest' with NULL payload fields (r5 struct-fill fix):
+    the match is decided by ROW (last non-null struct), so a NULL field
+    of the matched row must come through as NULL — last(ignorenulls) must
+    never skip past it to an older row's value — and rid/mark must always
+    originate from ONE right row."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators import asof
+
+    left_rows, right_rows = case
+    right_rows = list(
+        {(s, m): (s, m, v, rid) for s, m, v, rid in right_rows}.values()
+    )
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], "sym string, t timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [(s, ts(m), v, rid) for s, m, v, rid in right_rows],
+        "sym string, mt timestamp, mark double, rid long",
+    )
+    got = {
+        (r.sym, r.t, r.v): (r.rid, r.mark)
+        for r in asof.asof_join(
+            left, right, "sym", "t", "mt", ["mark", "rid"], direction="nearest"
+        ).collect()
+    }
+    by_rid = {rid: v for _s, _m, v, rid in right_rows}
+
+    lp = pd.DataFrame(
+        [(s, ts(m), v) for s, m, v in left_rows], columns=["sym", "t", "v"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(s, ts(m), rid) for s, m, _v, rid in right_rows],
+        columns=["sym", "mt", "rid"],
+    ).sort_values("mt", kind="mergesort")
+    exp_df = pd.merge_asof(
+        lp, rp, left_on="t", right_on="mt", by="sym", direction="nearest"
+    )
+    for row in exp_df.itertuples(index=False):
+        rid_got, mark_got = got[(row.sym, row.t, row.v)]
+        if pd.isna(row.rid):
+            assert rid_got is None and mark_got is None
+        else:
+            assert rid_got == int(row.rid)
+            # atomicity: the mark is the MATCHED row's mark — NULL stays
+            # NULL, never an older row's non-null value
+            assert mark_got == by_rid[int(row.rid)]
