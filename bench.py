@@ -73,6 +73,10 @@ HEADLINE = [
     # logistic-regression trainer (one aggregate pass per GD step).
     "inv_s_versioned_scan",
     "inv_x_quality_logreg",
+    # round 6: the unigram-LM tokenizer round trip (train via Viterbi-EM
+    # folds + corpus encode) — the round's most expensive new query,
+    # same gate rule.
+    "inv_t_unigram_encode",
 ]
 
 RUNS_PER_QUERY = 3

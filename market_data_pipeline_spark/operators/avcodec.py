@@ -402,7 +402,10 @@ def _chroma_plane_bytes(colorspace: str, w: int, h: int) -> int | None:
     which is irrelevant to luma extraction and stream framing."""
     if colorspace == "Cmono":
         return 0
-    if colorspace.startswith("C420"):
+    # exact C420 variant list: C420p10/p16 also start with "C420" but
+    # carry 16-bit samples — a prefix match would frame them silently
+    # wrong; unknown packings must fall through to the NAMED gap
+    if colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
         if w % 2 or h % 2:
             raise ValueError(f"C420 needs even dims, got {w}x{h}")
         return 2 * ((w // 2) * (h // 2))
@@ -410,6 +413,10 @@ def _chroma_plane_bytes(colorspace: str, w: int, h: int) -> int | None:
         if w % 2:
             raise ValueError(f"C422 needs even width, got {w}")
         return 2 * ((w // 2) * h)
+    if colorspace == "C411":
+        if w % 4:
+            raise ValueError(f"C411 needs width divisible by 4, got {w}")
+        return 2 * ((w // 4) * h)
     if colorspace == "C444":
         return 2 * (w * h)
     return None
@@ -443,10 +450,13 @@ def y4m_encode(
 
 def y4m_decode(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     """YUV4MPEG2 → ((n_frames, h, w) uint8 LUMA, (fps_num, fps_den)).
-    Cmono and the planar C420*/C422/C444 spaces are framed correctly
+    Cmono and the planar C420*/C422/C411/C444 spaces are framed correctly
     (chroma planes advance the cursor; luma is returned — the multimodal
-    feature extractors are luma-based). Other colorspaces (C411,
-    interlaced chroma packings) raise NotImplementedError."""
+    feature extractors are luma-based). Interlaced streams (I param
+    It/Ib/Im) store full frames in Y4M regardless, so luma extraction is
+    identical — field separation is a display concern, not a framing one.
+    Other colorspaces (high-bit-depth C420p10/p16 packings) raise
+    NotImplementedError."""
     if not data.startswith(Y4M_MAGIC):
         raise ValueError("not a Y4M stream (bad magic)")
     nl = data.index(b"\n")

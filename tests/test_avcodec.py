@@ -53,8 +53,9 @@ def test_y4m_round_trip_and_header():
 def test_y4m_rejects_unknown_chroma_and_truncation():
     frames = np.zeros((1, 4, 4), np.uint8)
     data = av.y4m_encode(frames)
+    # high-bit-depth packings stay a NAMED gap (C411 decodes since r6)
     with pytest.raises(NotImplementedError):
-        av.y4m_decode(data.replace(b"Cmono", b"C411 "))
+        av.y4m_decode(data.replace(b"Cmono", b"C420p10").replace(b"W4", b"W4"))
     with pytest.raises(ValueError):
         av.y4m_decode(data[:-3])
 
@@ -64,13 +65,19 @@ def test_y4m_planar_color_spaces_round_trip_luma():
     so the luma round trip is byte-identical across all layouts."""
     rng = np.random.RandomState(9)
     frames = rng.randint(0, 256, (3, 6, 8)).astype(np.uint8)
-    for cs in ("C420", "C420jpeg", "C420mpeg2", "C422", "C444"):
+    for cs in ("C420", "C420jpeg", "C420mpeg2", "C422", "C411", "C444"):
         data = av.y4m_encode(frames, fps=(24, 1), colorspace=cs)
         assert f" {cs}\n".encode() in data[:64]
         out, fps = av.y4m_decode(data)
         assert fps == (24, 1) and np.array_equal(out, frames), cs
     with pytest.raises(ValueError):
         av.y4m_encode(np.zeros((1, 5, 5), np.uint8), colorspace="C420")
+    with pytest.raises(ValueError):
+        av.y4m_encode(np.zeros((1, 4, 6), np.uint8), colorspace="C411")
+    # interlaced streams store full frames — luma extraction unchanged
+    data = av.y4m_encode(frames, colorspace="C420").replace(b" Ip ", b" It ")
+    out, _ = av.y4m_decode(data)
+    assert np.array_equal(out, frames)
 
 
 def test_wav_float32_and_pcm8_and_extensible():

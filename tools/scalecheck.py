@@ -72,7 +72,14 @@ def build_replica(spark, k: int, out_dir: str) -> None:
             rep = rep.withColumn(
                 col, (F.col(col) + F.col("__copy") * F.lit(stride)).cast("long")
             )
-        rep.drop("__copy").write.mode("overwrite").parquet(
+        # Write the replica in 32 files, NOT the crossJoin's inherited 1-2
+        # partitions: synthetic text compresses so hard that a 100× corpus
+        # lands under one 128 MB split, and every downstream scan then runs
+        # on ONE core — a harness artifact that measured as a fake 30-37×
+        # "growth" on the regex-heavy capstones (round 6). Real corpora at
+        # K× arrive in K× more files; 32 files models that while keeping
+        # the stress on the OPERATORS, not the file layout.
+        rep.drop("__copy").repartition(32).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
 
