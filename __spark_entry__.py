@@ -5600,6 +5600,11 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # r6: jaccard_prefix rebuilt (token-set collapse + asymmetric
         # index prefix) after its last green row — stale evidence
         "inv_d_jaccard_prefix",
+        # r6: avcodec decode paths changed (ADPCM short-final-block +
+        # fact-chunk trim, Y4M C411/C420-whitelist) — the generated
+        # streams in these queries are unaffected by construction, but
+        # their green rows predate the change
+        "inv_m_audio_stats", "inv_m_frame_sample",
     ),
 }
 

@@ -138,6 +138,38 @@ def _render(results: dict) -> str:
         "a quadratic candidate set or skewed key. Rebuild with",
         "`python tools/scalecheck.py K [query ...] --rebuild`.",
         "",
+        "## Replica layout honesty (round-6 change)",
+        "",
+        "Replicas are now written in 32 files per table. The synthetic text",
+        "compresses so hard that the old single-file 100× documents table",
+        "(4.9 MB on disk for 500k docs) fit under one 128 MB split, so every",
+        "downstream scan ran on ONE core — the round-5 'steep' capstone",
+        "curves (36.6×/30.2×) were roughly half file-layout artifact. Real",
+        "corpora at K× arrive in ~K× more files; 32 files keeps the stress",
+        "on the operators. All ratios in this file are re-measured on the",
+        "32-file replicas (2026-08-16).",
+        "",
+        "## Capstone stage breakdown at 100× (round-6 task, 2026-08-16)",
+        "",
+        "Per-phase wall time on the 32-file 100× replica (500k docs/vectors),",
+        "each phase noop-executed independently:",
+        "",
+        "| phase | inv_x_curated_corpus | inv_x_semantic_curation |",
+        "|---|---|---|",
+        "| quality/rep scan | 89.0 s (regex quality chain) | 0.9 s (vector rep collapse) |",
+        "| signatures / LSH pairs | 54.5 s (shingle+minhash scan) | 2.1 s (bucket pairs + cosine) |",
+        "| candidate pairs | 1.7 s | (above) |",
+        "| connected components | 3.4 s | 2.8 s |",
+        "| full query | 90.3 s | 64.8 s |",
+        "",
+        "Conclusion: the pairwise/cluster phases are FLAT at 100× (clone",
+        "collapse + banded buckets + star contraction hold); the growth is",
+        "inherent scan-bound work — per-document regex quality scoring and",
+        "shingle hashing, both linear and embarrassingly parallel, i.e. the",
+        "phases a 1000-executor cluster absorbs by adding executors. No",
+        "super-linear phase remains; no fix needed beyond the replica-layout",
+        "correction above.",
+        "",
         "## Adversarial hot bucket (round-4 cap)",
         "",
         "The replica stress above collapses exact clones before the LSH",
