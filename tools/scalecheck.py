@@ -50,7 +50,11 @@ QUERIES = [
     "inv_g_pagerank",           # checkpointed iterative join loop
     "inv_d_jaccard_prefix",     # exact-Jaccard prefix join (clone-collapsed;
                                 # output itself is quadratic in clones, like
-                                # the SimHash pair dump)
+                                # the SimHash pair dump). 10x ONLY: at the
+                                # 100x all-clones replica the OUTPUT is
+                                # ~70e9 rows (each rep pair expands to
+                                # 100x100 member pairs) — output-bound by
+                                # construction, see the SCALECHECK note
     "inv_er_entities",          # edit-distance entity resolution: record
                                 # volume grows K×, the 64-value name domain
                                 # does not — pairwise cost must stay flat
@@ -58,7 +62,16 @@ QUERIES = [
                                 # part catalog densifies the graph — the
                                 # iterative join loop must stay linear in
                                 # edges
+    "inv_t_unigram_encode",     # unigram-LM train+encode: corpus pass +
+                                # O(vocab) EM — growth must track the scan
+    "inv_x_host_quota",         # per-host quality cap via WindowGroupLimit
 ]
+
+# Output-quadratic on the all-clones replica: the RESULT SET itself grows
+# K² per clone set (an exact pair dump over K× exact duplicates), so a
+# 100× run measures materializing ~70e9 rows, not the operator. Excluded
+# from K ≥ 100 sweeps; the bound is pinned in SCALECHECK.md like simhash.
+_OUTPUT_QUADRATIC = {"inv_d_jaccard_prefix"}
 
 
 def build_replica(spark, k: int, out_dir: str) -> None:
@@ -149,6 +162,14 @@ def _render(results: dict) -> str:
         "on the operators. All ratios in this file are re-measured on the",
         "32-file replicas (2026-08-16).",
         "",
+        "`inv_d_jaccard_prefix` runs at 10× only: on the all-clones replica",
+        "its RESULT SET grows K² per clone set (every rep pair expands to",
+        "K×K member pairs — ~70e9 output rows at 100×), so a 100× run",
+        "measures materializing the answer, not the operator — the same",
+        "documented output-bound class as the SimHash pair dump. The",
+        "pairwise MACHINERY at 100× is covered by the capstone breakdown",
+        "below (pairs 1.7 s, components 3.4 s on the same replica).",
+        "",
         "## Capstone stage breakdown at 100× (round-6 task, 2026-08-16)",
         "",
         "Per-phase wall time on the 32-file 100× replica (500k docs/vectors),",
@@ -205,6 +226,12 @@ def main() -> None:
         build_replica(spark, k, out_dir)
 
     rows = []
+    if k >= 100:
+        skipped = [q for q in queries if q in _OUTPUT_QUADRATIC]
+        queries = [q for q in queries if q not in _OUTPUT_QUADRATIC]
+        for q in skipped:
+            print(f"{q}: skipped at {k}x (output-quadratic pair dump; "
+                  "see SCALECHECK.md)", file=sys.stderr)
     for name in queries:
         t1 = time_query(spark, name, BASE)
         tk = time_query(spark, name, out_dir)
