@@ -9169,3 +9169,77 @@ SELECT doc_id, host, quality_score FROM r WHERE rn <= 10
 
 
 _REGISTRY.update({"inv_x_host_quota": (q_x_host_quota, SQL_X_HOST_QUOTA)})
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (continued): BM25 top-k retrieval — the inverted-index-shaped
+# ranking primitive (contamination lookups, retrieval-augmented eval).
+# Queries are derived deterministically from the corpus: the first four
+# tokens of docs 0-4. Candidate volume = Σ posting-list lengths of the
+# query terms (never all-pairs); the per-query top-k rides
+# WindowGroupLimit.
+# ---------------------------------------------------------------------------
+
+
+def q_t_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 4)).alias("qtext"),
+    )
+    return text.bm25_topk(d, queries, k=10)
+
+
+SQL_T_BM25 = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n
+  ) t WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT round(avg(dl) + 1e-9, 6) FROM dl) AS avgdl
+),
+idf AS (
+  SELECT f.term,
+         round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) + 1e-9, 6) AS idf
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term) f, stats s
+),
+q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(list_slice(string_split(nt, ' '), 1, 4), ' ') AS qtext
+  FROM n WHERE doc_id < 5
+),
+qterms AS (
+  SELECT DISTINCT query_id, t.term FROM (
+    SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q
+  ) t WHERE t.term <> ''
+),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         i.idf * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM qterms qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf i ON i.term = qt.term
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(c) + 1e-9, 6) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10
+"""
+
+
+_REGISTRY.update({"inv_t_bm25_topk": (q_t_bm25_topk, SQL_T_BM25)})

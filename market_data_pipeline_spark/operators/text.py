@@ -1391,3 +1391,106 @@ def unigram_apply(
             "n_unigram_tokens"
         ),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Spärck Jones, public): for each
+    query, the k best documents under the Okapi BM25 ranking —
+    (query_id, doc_id, score, rk). The retrieval primitive every LLM
+    data pipeline runs (contamination lookups, retrieval-augmented
+    eval, CC-style quality-by-query-relevance).
+
+    score(q, d) = Σ_{t ∈ q ∩ d} idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf_t = ln(1 + (N − df + 0.5)/(df + 0.5)) ≥ 0 (the standard
+    non-negative variant); query term multiplicity is ignored (term-SET
+    queries, the convention for short queries).
+
+    Scale shape — the inverted-index join, never all-pairs: the per-doc
+    term frequencies are the posting lists (term-keyed, map-side
+    combined below the shuffle); query terms join them ON TERM, so only
+    documents containing a query term ever appear (candidate volume =
+    Σ posting-list lengths of query terms, the same cost an inverted
+    index pays); N and avgdl ride as a broadcast 1-row aggregate; the
+    final per-query top-k is a rank filter that compiles to
+    WindowGroupLimit. No forced broadcast of the query side — a batch
+    retrieval job may carry millions of queries; AQE promotes when
+    small.
+
+    Determinism: idf is quantized at 6 dp (+1e-9 nudge) before scoring,
+    per-(query, doc) sums span only the matched query terms (bounded by
+    query length), and the summed score is re-quantized the same way —
+    the shared cross-engine discipline, so ranks and the oracle's agree
+    exactly; ties break (score desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        F.broadcast(
+            dl.agg(F.round(F.avg("dl") + F.lit(1e-9), 6).alias("__avgdl"))
+        )
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "__avgdl",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("idf"),
+    )
+    qterms = (
+        queries.select(
+            F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    contrib = (
+        qterms.join(tf, "term")
+        .join(dl, id_col)
+        .join(idf, "term")
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("__avgdl")
+                    )
+                )
+            ).alias("__c"),
+        )
+    )
+    scored = contrib.groupBy(qid_col, id_col).agg(
+        F.round(F.sum("__c") + F.lit(1e-9), 6).alias("score")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid_col, id_col, "score", "rk")
+    )

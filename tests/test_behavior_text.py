@@ -575,3 +575,51 @@ def test_host_quota_caps_per_host_by_quality(spark):
     # a.com keeps its 2 best (1, 2), drops 3; b.com keeps its only doc;
     # the two unparseable URLs share the '' host quota; ftp host parses
     assert got == {1: "a.com", 2: "a.com", 4: "b.com", 5: "", 6: "", 7: "c.com"}
+
+
+def test_bm25_topk_hand_computed_micro_case(spark):
+    """Three docs, one query — scores match the Okapi formula computed by
+    hand, ranks tie-break on doc_id."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),      # tf(apple)=2, dl=3
+            (2, "apple cherry"),            # tf(apple)=1, dl=2
+            (3, "cherry cherry banana"),    # no apple
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple")], "query_id long, qtext string"
+    )
+    got = {
+        r.doc_id: (r.score, r.rk)
+        for r in text.bm25_topk(docs, queries, k=10).collect()
+    }
+    # df(apple)=2, N=3, avgdl=(3+2+3)/3
+    avgdl = round((3 + 2 + 3) / 3 + 1e-9, 6)
+    idf = round(math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5)) + 1e-9, 6)
+
+    def s(tf, dl):
+        return round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) + 1e-9, 6
+        )
+
+    assert set(got) == {1, 2}  # doc 3 has no query term
+    assert got[1] == (s(2, 3), 1)
+    assert got[2] == (s(1, 2), 2)
+
+
+def test_bm25_topk_caps_k_and_breaks_ties_by_doc_id(spark):
+    """k limits per query; equal scores rank by ascending doc_id."""
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(5)], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(1, "same"), (2, "absent")], "query_id long, qtext string"
+    )
+    rows = text.bm25_topk(docs, queries, k=3).collect()
+    q1 = sorted([(r.rk, r.doc_id) for r in rows if r.query_id == 1])
+    assert q1 == [(1, 0), (2, 1), (3, 2)]  # identical docs tie → id order, capped at 3
+    assert not [r for r in rows if r.query_id == 2]  # no posting list, no rows
