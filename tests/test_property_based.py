@@ -479,3 +479,83 @@ def test_asof_nearest_null_payload_stays_atomic(spark, case):
             # atomicity: the mark is the MATCHED row's mark — NULL stays
             # NULL, never an older row's non-null value
             assert mark_got == by_rid[int(row.rid)]
+
+
+@st.composite
+def unigram_word_tables(draw):
+    n = draw(st.integers(1, 6))
+    words = draw(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=7),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    return [(w, draw(st.integers(1, 5))) for w in words]
+
+
+def _ref_unigram(word_counts, em_iters=2):
+    """Independent pure-Python Viterbi-EM reference mirroring the spec:
+    seed probs from occurrence-weighted substrings (len ≤ 3), per-word
+    best segmentation (ties to the LONGER final piece), hard-EM counts,
+    10-dp quantization with the +1e-13 nudge at every prob/lp."""
+    import math
+
+    def quant(x, dp=10):
+        return round(x + 1e-13, dp)
+
+    seeds = {}
+    for w, c in word_counts:
+        for s in range(len(w)):
+            for j in range(1, 4):
+                if s + j <= len(w):
+                    seeds[w[s : s + j]] = seeds.get(w[s : s + j], 0) + c
+    tot = sum(seeds.values())
+    lp = {p: quant(math.log(quant(c / tot))) for p, c in seeds.items()}
+
+    def viterbi(w):
+        NEG = -1e9
+        b = [0.0] + [None] * len(w)
+        bp = [0] * (len(w) + 1)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in (1, 2, 3):
+                if i >= j:
+                    cands.append((b[i - j] + lp.get(w[i - j : i], NEG), j))
+                else:
+                    cands.append((-1e18, j))
+            best = max(c[0] for c in cands)
+            b[i] = best
+            # prefer the longest j achieving best (the j=3,2,1 CASE order)
+            bp[i] = max(j for v, j in cands if v == best)
+        pieces = []
+        pos = len(w)
+        while pos > 0:
+            pieces.append(w[pos - bp[pos] : pos])
+            pos -= bp[pos]
+        return pieces
+
+    for _ in range(em_iters):
+        counts = {}
+        for w, c in word_counts:
+            for p in viterbi(w):
+                counts[p] = counts.get(p, 0) + c
+        tot = sum(counts.values())
+        lp = {p: quant(math.log(quant(c / tot))) for p, c in counts.items()}
+        probs = {p: quant(c / tot) for p, c in counts.items()}
+    return probs
+
+
+@given(unigram_word_tables())
+@SETTLE
+def test_unigram_train_matches_reference_viterbi_em(spark, case):
+    """The distributed fold-based trainer must agree with an independent
+    pure-Python Viterbi-EM on the final piece distribution, including
+    tie-breaks and quantization points."""
+    from market_data_pipeline_spark.operators import text
+
+    w = spark.createDataFrame(case, "word string, cnt long")
+    got = {
+        r["piece"]: r["prob"] for r in text.unigram_train(w, em_iters=2).collect()
+    }
+    want = _ref_unigram(case, em_iters=2)
+    assert got == want
