@@ -9243,3 +9243,87 @@ SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10
 
 
 _REGISTRY.update({"inv_t_bm25_topk": (q_t_bm25_topk, SQL_T_BM25)})
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (continued): WordPiece-style greedy MaxMatch encode — the third
+# tokenizer path (BPE merges, unigram Viterbi, greedy longest-match),
+# sharing the unigram-trained piece vocabulary. Encodes EVERY admitted
+# corpus word (not just the training top-300), so UNK coverage is a real
+# output; the whole path is boolean (no float parity surface at all).
+# ---------------------------------------------------------------------------
+
+
+def q_t_maxmatch_encode(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    train = _uni_words(spark, sf)
+    p = text.unigram_train(train, em_iters=_UNI_EM_ITERS)
+    all_words = (
+        text.word_counts(d)
+        .filter(F.length("word") <= 12)
+        .select("word")
+    )
+    return text.maxmatch_apply(d, all_words, p)
+
+
+def _maxmatch_sql(em: int = _UNI_EM_ITERS) -> str:
+    return f"""
+WITH RECURSIVE
+{_unigram_sql_chain(em)},
+allw AS MATERIALIZED (
+  SELECT DISTINCT word FROM toksu
+  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= 12
+),
+mcand AS (
+  SELECT w.word, CAST(s.range AS INT) AS s, CAST(j.range AS INT) AS j,
+         substr(w.word, CAST(s.range AS INT), CAST(j.range AS INT)) AS pc
+  FROM allw w, range(1, 13) s, range(1, 4) j
+  WHERE s.range + j.range - 1 <= length(w.word)
+),
+steps AS MATERIALIZED (
+  -- greedy step per (word, position): the LONGEST vocab piece starting
+  -- there (0 = no match -> UNK). List-free on purpose: DuckDB 1.x
+  -- crashes (std::bad_array_new_length) inlining a list(ORDER BY)
+  -- FILTER aggregate CTE into a consumer inside WITH RECURSIVE; a
+  -- scalar max() aggregate + a join in the recursive member is the
+  -- robust equivalent.
+  SELECT c.word, c.s,
+         max(CASE WHEN p.piece IS NOT NULL THEN c.j ELSE 0 END) AS step
+  FROM mcand c LEFT JOIN up{em} p ON p.piece = c.pc
+  GROUP BY c.word, c.s
+),
+mm AS (
+  SELECT word, 1 AS pos, 0 AS ntok, FALSE AS unk FROM allw
+  UNION ALL
+  SELECT m.word,
+         CASE WHEN s.step > 0 THEN m.pos + s.step ELSE m.pos END,
+         CASE WHEN s.step > 0 THEN m.ntok + 1 ELSE m.ntok END,
+         coalesce(s.step, 0) = 0
+  FROM mm m LEFT JOIN steps s ON s.word = m.word AND s.s = m.pos
+  WHERE m.pos <= length(m.word) AND NOT m.unk
+),
+mwt AS MATERIALIZED (
+  SELECT word, CAST(ntok AS BIGINT) AS ntok, unk FROM mm
+  WHERE unk OR pos > length(word)
+),
+mocc AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= 12
+),
+magg AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN NOT w.unk THEN w.ntok ELSE 0 END) AS BIGINT) AS n_wp_tokens,
+         CAST(sum(CASE WHEN w.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+  FROM mocc o JOIN mwt w USING (word) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_wp_tokens, 0) AS n_wp_tokens,
+       coalesce(a.n_unk_words, 0) AS n_unk_words
+FROM documents d LEFT JOIN magg a USING (doc_id)
+"""
+
+
+_REGISTRY.update({"inv_t_maxmatch_encode": (q_t_maxmatch_encode, _maxmatch_sql())})

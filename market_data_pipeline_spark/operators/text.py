@@ -1494,3 +1494,147 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select(qid_col, id_col, "score", "rk")
     )
+
+
+def maxmatch_word_tokens(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """(word, ntok, unk): WordPiece-style GREEDY longest-match (MaxMatch)
+    segmentation against a piece vocabulary — the fast encode path real
+    tokenizers pair with a trained vocab (BERT's WordPiece encodes this
+    way; the continuation-marker refinement is a vocab-construction
+    detail, with an unmarked vocab the algorithm is classic MaxMatch).
+    A position with NO matching piece marks the word UNK (ntok of the
+    consumed prefix is reported; ``unk`` is the contract bit).
+
+    Same machinery as the unigram Viterbi: one join of per-word
+    substring candidates against the (bounded ≤ Σ26^j) piece table,
+    position-ordered MEMBERSHIP lists, then a single F.aggregate fold —
+    greedy is even cleaner than Viterbi because the state is just
+    (pos, ntok, unk) and there are no floats to quantize: every compared
+    value is a boolean, so cross-engine parity is structural."""
+    P, N = _UNI_P, _UNI_N
+    w = words.select("word").localCheckpoint(eager=True)
+    cand = (
+        w.withColumn("__s", F.explode(F.sequence(F.lit(1), F.length("word"))))
+        .withColumn(
+            "__j",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(P), F.length("word") - F.col("__s") + 1),
+                )
+            ),
+        )
+        .withColumn("__pc", F.expr("substr(word, __s, __j)"))
+    )
+    g = cand.join(
+        F.broadcast(
+            pieces.select(F.col("piece").alias("__pc"), F.lit(1).alias("__hit"))
+        ),
+        "__pc",
+        "left",
+    )
+    lj_aggs = []
+    for j in range(1, P + 1):
+        lj_aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__j") == j,
+                            F.struct(
+                                F.col("__s").alias("s"),
+                                F.coalesce(F.col("__hit"), F.lit(0)).alias("v"),
+                            ),
+                        )
+                    )
+                ),
+                lambda e: e["v"],
+            ).alias(f"__mraw{j}")
+        )
+    grid = w.join(g.groupBy("word").agg(*lj_aggs), "word", "left")
+    pad = F.transform(F.sequence(F.lit(1), F.lit(N)), lambda _: F.lit(0))
+    for j in range(1, P + 1):
+        grid = grid.withColumn(
+            f"__m{j}",
+            F.slice(F.concat(F.coalesce(F.col(f"__mraw{j}"), pad), pad), 1, N),
+        )
+
+    def _step(st, _k):
+        pos = st["pos"]
+        n = F.length("word")
+        can3 = (pos + F.lit(2) <= n) & (
+            F.element_at(F.col("__m3"), pos) == F.lit(1)
+        )
+        can2 = (pos + F.lit(1) <= n) & (
+            F.element_at(F.col("__m2"), pos) == F.lit(1)
+        )
+        can1 = F.element_at(F.col("__m1"), pos) == F.lit(1)
+        step = F.when(can3, F.lit(3)).when(can2, F.lit(2)).when(can1, F.lit(1)).otherwise(F.lit(0))
+        active = (pos <= n) & ~st["unk"]
+        return F.when(
+            active,
+            F.when(
+                step > 0,
+                F.struct(
+                    (pos + step).alias("pos"),
+                    (st["ntok"] + F.lit(1)).alias("ntok"),
+                    F.lit(False).alias("unk"),
+                ),
+            ).otherwise(
+                F.struct(pos.alias("pos"), st["ntok"].alias("ntok"), F.lit(True).alias("unk"))
+            ),
+        ).otherwise(st)
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(N)),
+        F.struct(
+            F.lit(1).alias("pos"),
+            F.lit(0).alias("ntok"),
+            F.lit(False).alias("unk"),
+        ),
+        _step,
+    )
+    return grid.select(
+        "word",
+        fold["ntok"].cast("long").alias("ntok"),
+        fold["unk"].alias("unk"),
+    )
+
+
+def maxmatch_apply(
+    df: DataFrame,
+    words: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Encode documents with greedy MaxMatch over a trained vocab:
+    (doc_id, n_words, n_wp_tokens, n_unk_words) — admitted words only
+    (the shared training filter), token counts summed over non-UNK
+    words; UNK words counted separately (the coverage diagnostic a
+    tokenizer rollout watches)."""
+    wt = maxmatch_word_tokens(words, pieces)
+    occ = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike(pattern) & (F.length("word") <= _UNI_N))
+    )
+    agg = (
+        occ.join(wt, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.when(~F.col("unk"), F.col("ntok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_wp_tokens"),
+            F.sum(F.when(F.col("unk"), 1).otherwise(0)).cast("long").alias(
+                "n_unk_words"
+            ),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_wp_tokens", F.lit(0)).cast("long").alias("n_wp_tokens"),
+        F.coalesce("n_unk_words", F.lit(0)).cast("long").alias("n_unk_words"),
+    )

@@ -623,3 +623,42 @@ def test_bm25_topk_caps_k_and_breaks_ties_by_doc_id(spark):
     q1 = sorted([(r.rk, r.doc_id) for r in rows if r.query_id == 1])
     assert q1 == [(1, 0), (2, 1), (3, 2)]  # identical docs tie → id order, capped at 3
     assert not [r for r in rows if r.query_id == 2]  # no posting list, no rows
+
+
+def test_maxmatch_greedy_segmentation_and_unk(spark):
+    """Greedy longest-match: 'abab' over vocab {ab, aba, b, a} takes
+    'aba'+'b' (longest-first, even though 'ab'+'ab' exists); a word with
+    an uncovered position is UNK."""
+    pieces = spark.createDataFrame(
+        [("ab",), ("aba",), ("b",), ("a",)], "piece string"
+    )
+    w = spark.createDataFrame(
+        [("abab", 1), ("abz", 1), ("b", 1)], "word string, cnt long"
+    )
+    got = {
+        r.word: (r.ntok, r.unk)
+        for r in text.maxmatch_word_tokens(w, pieces).collect()
+    }
+    assert got["abab"] == (2, False)  # aba + b
+    assert got["b"] == (1, False)
+    assert got["abz"][1] is True  # 'z' uncovered -> UNK (ab consumed first)
+    assert got["abz"][0] == 1
+
+
+def test_maxmatch_apply_per_doc_counts(spark):
+    from market_data_pipeline_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "abab b abz"), (2, "nope123 !!")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame(
+        [("abab", 1), ("abz", 1), ("b", 1)], "word string, cnt long"
+    )
+    pieces = spark.createDataFrame([("ab",), ("aba",), ("b",), ("a",)], "piece string")
+    got = {
+        r.doc_id: (r.n_words, r.n_wp_tokens, r.n_unk_words)
+        for r in t.maxmatch_apply(docs, w, pieces).collect()
+    }
+    # doc 1: 3 admitted words; abab=2 + b=1 tokens, abz is UNK
+    assert got[1] == (3, 3, 1)
+    assert got[2] == (0, 0, 0)
