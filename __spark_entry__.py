@@ -5605,6 +5605,9 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # streams in these queries are unaffected by construction, but
         # their green rows predate the change
         "inv_m_audio_stats", "inv_m_frame_sample",
+        # r6: merge_upsert gained atomic CDC deletes (key-envelope now
+        # spans both halves) — the merge query's green row predates it
+        "inv_s_versioned_merge",
     ),
 }
 

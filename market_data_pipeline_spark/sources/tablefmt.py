@@ -893,30 +893,41 @@ def merge_upsert(
     keys: list[str],
     txn: int | None = None,
     txn_app: str | None = None,
+    deletes: DataFrame | None = None,
 ) -> int:
     """Upsert by key (op=merge): rows of ``updates`` replace current rows
     with the same key tuple; new keys append. Only files whose key-column
     stats overlap the updates' key RANGE are rewritten (join-pruned
     file-level merge); the rest carry over by metadata. Clustering the
     table on the key (cluster()) makes this touch few files even under
-    wide tables."""
+    wide tables.
+
+    ``deletes`` (optional): a key-tuple frame removed in the SAME commit —
+    the CDC tombstone half of a change batch. Upserts and deletes land
+    atomically under one version (and one txn id), which is what lets a
+    streaming CDC apply be exactly-once: a replayed batch skips BOTH
+    halves or neither. The file-prune envelope covers both key sets."""
     from pyspark.sql import functions as F
 
     head = current_version(spark, path)
     if head is None:
         raise FileNotFoundError(f"no committed version at {path}")
     man = _manifest(spark, path, head)
-    # bound the touched files by the updates' key envelope via the same
-    # stats evaluator scan() uses; non-statable key types prune nothing.
-    # Timestamp keys are formatted in the SESSION timezone like the stats
-    # themselves — a collected python datetime would be driver-local
+    # bound the touched files by the key envelope of updates AND deletes
+    # via the same stats evaluator scan() uses; non-statable key types
+    # prune nothing. Timestamp keys are formatted in the SESSION timezone
+    # like the stats themselves — a collected python datetime would be
+    # driver-local
     tags = {f.name: _stat_tag(f.dataType) for f in updates.schema.fields}
 
     def _kexpr(k: str):
         c = _qcol(k)
         return F.date_format(c, _TS_FMT) if tags.get(k) == "timestamp" else c
 
-    bounds = updates.agg(
+    key_frame = updates.select(*keys)
+    if deletes is not None:
+        key_frame = key_frame.unionByName(deletes.select(*keys))
+    bounds = key_frame.agg(
         *[F.min(_kexpr(k)).alias(f"mn_{k}") for k in keys],
         *[F.max(_kexpr(k)).alias(f"mx_{k}") for k in keys],
     ).first()
@@ -941,9 +952,7 @@ def merge_upsert(
         current = _schema_reader(spark, man).parquet(
             *[f"{path}/{f}" for f in affected]
         )
-        kept = current.join(
-            updates.select(*keys).distinct(), on=keys, how="left_anti"
-        )
+        kept = current.join(key_frame.distinct(), on=keys, how="left_anti")
         new_df = kept.unionByName(updates)
     else:
         new_df = updates
@@ -1143,7 +1152,13 @@ def streaming_sink(path: str, app: str = _DEFAULT_TXN_APP):
     return write
 
 
-def streaming_merge_sink(path: str, keys: list[str], app: str = _DEFAULT_TXN_APP):
+def streaming_merge_sink(
+    path: str,
+    keys: list[str],
+    app: str = _DEFAULT_TXN_APP,
+    op_col: str | None = None,
+    delete_op: str = "d",
+):
     """``writeStream.foreachBatch(tablefmt.streaming_merge_sink(p, keys))``:
     UPSERT each micro-batch into the versioned table by key, EXACTLY ONCE —
     the streaming CDC-apply pattern (late corrections replace earlier rows
@@ -1158,23 +1173,39 @@ def streaming_merge_sink(path: str, keys: list[str], app: str = _DEFAULT_TXN_APP
     head, re-checking the batch-id dedup first. First-ever batch
     bootstraps the table as a plain exactly-once stream-append.
 
+    With ``op_col``, the batch is a CDC change set: rows whose op equals
+    ``delete_op`` are TOMBSTONES — their keys are deleted; every other row
+    upserts. Both halves land in ONE merge commit (one txn id), so replay
+    skips them together — the exactly-once contract extends to deletes. A
+    tombstone for a key the table never had is a no-op, and a bootstrap
+    batch (no table yet) appends only its upsert half.
+
     Contract: the batch must be unique per key tuple (dedupe upstream —
     two rows for one key in one batch have no deterministic winner)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
+        if op_col is not None:
+            ups = batch_df.filter(F.col(op_col) != delete_op).drop(op_col)
+            dels = batch_df.filter(F.col(op_col) == delete_op).select(*keys)
+        else:
+            ups, dels = batch_df, None
         for _ in range(5):
             if batch_id in committed_batches(spark, path, app):
                 return
             try:
                 merge_upsert(
-                    spark, path, batch_df, keys, txn=batch_id, txn_app=app
+                    spark, path, ups, keys, txn=batch_id, txn_app=app,
+                    deletes=dels,
                 )
                 return
             except FileNotFoundError:
                 # no table yet: bootstrap via the append sink (itself
-                # txn-deduped, so a race with another bootstrapper is safe)
-                streaming_sink(path, app=app)(batch_df, batch_id)
+                # txn-deduped, so a race with another bootstrapper is safe);
+                # tombstones for a table that does not exist are no-ops
+                streaming_sink(path, app=app)(ups, batch_id)
                 return
             except CommitConflict:
                 continue  # a foreign commit moved the head; re-plan

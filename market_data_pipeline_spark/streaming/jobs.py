@@ -643,6 +643,8 @@ def streaming_latest_state_table(
     time_col: str = "ts",
     trigger_available_now: bool = True,
     app: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "d",
 ):
     """Maintain a LATEST-STATE table from a stream — the CDC-apply /
     materialized-upsert pattern (a live quote board, per-entity current
@@ -668,6 +670,16 @@ def streaming_latest_state_table(
     checkpoints (a coordinated backfill), accepting that an in-place
     checkpoint reset then requires a new ``app``.
 
+    With ``op_col``, the stream is a CDC CHANGE FEED: rows whose op
+    equals ``delete_op`` are tombstones. Per key the batch still reduces
+    to its newest row by event time — if that newest row is a tombstone
+    the key is DELETED from the table, else it upserts — and both halves
+    commit atomically under one txn id (``tablefmt.merge_upsert``'s
+    ``deletes``), so exactly-once covers deletes too: a replayed batch
+    skips the whole change set or none of it. An upsert-then-delete for
+    one key inside one batch resolves to the delete (the newest event
+    wins), matching a serial apply.
+
     Returns the started StreamingQuery (caller awaits termination)."""
     from market_data_pipeline_spark.sources import tablefmt as _tf
 
@@ -686,7 +698,9 @@ def streaming_latest_state_table(
         latest = batch_df.groupBy(*keys).agg(
             *[F.max_by(c, time_col).alias(c) for c in payload]
         )
-        _tf.streaming_merge_sink(table_path, keys, app=app_cell[0])(latest, batch_id)
+        _tf.streaming_merge_sink(
+            table_path, keys, app=app_cell[0], op_col=op_col, delete_op=delete_op
+        )(latest, batch_id)
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint

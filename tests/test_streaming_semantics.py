@@ -1145,3 +1145,62 @@ def test_streaming_latest_state_checkpoint_reset_not_skipped(spark, tmp_path):
     run_once()  # new lineage batch 0 — carries BOTH files
     got = {r.symbol: r.price for r in tf.read(spark, table).collect()}
     assert got == {"AAA": 10.0, "BBB": 20.0}
+
+
+def test_streaming_latest_state_cdc_tombstones(spark, tmp_path):
+    """CDC change feed: tombstone rows DELETE their keys, upserts and
+    deletes commit atomically in one txn, newest-event-wins resolves an
+    upsert-then-delete inside one batch, and a replayed batch skips the
+    whole change set."""
+    from market_data_pipeline_spark.sources import tablefmt as tf
+    from market_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    schema = "symbol string, ts long, price double, op string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        jobs.streaming_latest_state_table(
+            stream, table, ckpt, keys=["symbol"], time_col="ts", op_col="op"
+        ).awaitTermination()
+
+    # batch 1: two upserts; CCC gets upserted then tombstoned IN-BATCH
+    # (newest event wins -> never lands); a tombstone for a key the
+    # table never had is a no-op
+    write(
+        [
+            ("AAA", 1, 10.0, "u"),
+            ("BBB", 2, 20.0, "u"),
+            ("CCC", 3, 30.0, "u"),
+            ("CCC", 4, 0.0, "d"),
+            ("ZZZ", 1, 0.0, "d"),
+        ]
+    )
+    run_once()
+    got = {r.symbol: r.price for r in tf.read(spark, table).collect()}
+    assert got == {"AAA": 10.0, "BBB": 20.0}
+
+    # batch 2: delete AAA, update BBB, add DDD — one atomic merge commit
+    n_versions = len(tf.history(spark, table))
+    write([("AAA", 9, 0.0, "d"), ("BBB", 9, 21.0, "u"), ("DDD", 9, 40.0, "u")])
+    run_once()
+    got = {r.symbol: r.price for r in tf.read(spark, table).collect()}
+    assert got == {"BBB": 21.0, "DDD": 40.0}
+    hist = tf.history(spark, table)
+    assert len(hist) == n_versions + 1  # upserts + deletes in ONE version
+    assert hist[-1]["op"] == "merge"
+
+    # replay with the same checkpoint and no new files: nothing reapplies
+    n = len(tf.history(spark, table))
+    run_once()
+    assert len(tf.history(spark, table)) == n
+    # time travel still shows the pre-delete state
+    v_prev = tf.read(spark, table, version=len(hist) - 2)
+    assert "AAA" in {r.symbol for r in v_prev.collect()}
