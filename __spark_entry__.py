@@ -9330,3 +9330,59 @@ FROM documents d LEFT JOIN magg a USING (doc_id)
 
 
 _REGISTRY.update({"inv_t_maxmatch_encode": (q_t_maxmatch_encode, _maxmatch_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (continued): row-level change feed across REWRITES — the keyed
+# snapshot diff (tablefmt.snapshot_diff). read_changes covers append-only
+# ranges exactly; once a merge/delete rewrites files, the rewrite-safe
+# primitive is one full-outer key join of the two snapshots. Lifecycle:
+# append a base slice -> merge (updates + inserts) -> delete a band ->
+# diff v0 to head; the oracle recomputes the three change classes
+# straight from documents.
+# ---------------------------------------------------------------------------
+
+
+def q_s_versioned_diff(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"mdp_vdiff_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)  # deterministic rebuild
+    path = f"{base_dir}/t"
+    tf.append(spark, path, d.filter(F.col("doc_id") % 2 == 0))  # v0: base
+    updates = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    newbies = d.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 0)
+    )
+    tf.merge_upsert(
+        spark, path, updates.unionByName(newbies), keys=["doc_id"]
+    )  # v1: updates + inserts
+    tf.delete_where(spark, path, "doc_id % 20 = 0")  # v2: delete a band
+    return tf.snapshot_diff(spark, path, ["doc_id"], from_version=0)
+
+
+SQL_S_VERSIONED_DIFF = """
+SELECT 'insert' AS _change_type, doc_id, lang, n_chars
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 = 0
+UNION ALL
+SELECT 'update', doc_id, lang, n_chars + 1000
+FROM documents WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0
+UNION ALL
+SELECT 'delete', doc_id, lang, n_chars
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+_REGISTRY.update(
+    {"inv_s_versioned_diff": (q_s_versioned_diff, SQL_S_VERSIONED_DIFF)}
+)

@@ -860,3 +860,35 @@ def test_streaming_merge_sink_exactly_once_upsert(spark, tmp_path):
     sink(batch([(1, "A2"), (4, "d")]), 2)
     got = {r.id: r.v for r in tf.read(spark, path).collect()}
     assert got == {1: "A2", 2: "B", 3: "c", 4: "d"}
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """Keyed snapshot diff: insert/update/delete classified by the
+    full-outer key join; unchanged keys emit nothing; deletes carry the
+    OLD row, updates the NEW one; null payloads compare null-safely."""
+    import market_data_pipeline_spark.sources.tablefmt as tf
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "id long, s string, v int",
+    )
+    tf.append(spark, path, base)
+    tf.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "b", 99), (3, "c", 30), (5, "e", 50)], "id long, s string, v int"
+        ),
+        keys=["id"],
+    )  # 2 updated (None -> 99, null-safe), 3 unchanged, 5 inserted
+    tf.delete_where(spark, path, "id = 4")
+    got = {
+        r.id: (r._change_type, r.s, r.v)
+        for r in tf.snapshot_diff(spark, path, ["id"], from_version=0).collect()
+    }
+    assert got == {
+        2: ("update", "b", 99),
+        4: ("delete", "d", 40),
+        5: ("insert", "e", 50),
+    }
