@@ -892,3 +892,75 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
         4: ("delete", "d", 40),
         5: ("insert", "e", 50),
     }
+
+
+from hypothesis import HealthCheck as _HC
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture, _HC.too_slow],
+)
+@given(data=st.data())
+def test_snapshot_diff_matches_dict_reference(spark, data, tmp_path_factory):
+    """Random append/merge/delete/tombstone sequences applied to the table
+    AND to a plain dict: snapshot_diff(v0 -> head) must equal the diff of
+    the two dict states for every generated lifecycle."""
+    import market_data_pipeline_spark.sources.tablefmt as tf
+
+    path = str(tmp_path_factory.mktemp("sd") / "t")
+    keys = list(range(12))
+    base = {k: data.draw(st.integers(0, 9)) for k in data.draw(
+        st.sets(st.sampled_from(keys), min_size=1, max_size=8))}
+    tf.append(
+        spark,
+        path,
+        spark.createDataFrame([(k, v) for k, v in base.items()], "id long, v int"),
+    )
+    state = dict(base)
+    n_ops = data.draw(st.integers(1, 3))
+    for _ in range(n_ops):
+        op = data.draw(st.sampled_from(["merge", "delete", "cdc"]))
+        if op == "merge":
+            ups = {k: data.draw(st.integers(10, 19)) for k in data.draw(
+                st.sets(st.sampled_from(keys), min_size=1, max_size=5))}
+            tf.merge_upsert(
+                spark, path,
+                spark.createDataFrame([(k, v) for k, v in ups.items()], "id long, v int"),
+                keys=["id"],
+            )
+            state.update(ups)
+        elif op == "delete":
+            cut = data.draw(st.integers(0, 11))
+            tf.delete_where(spark, path, f"id <= {cut}")
+            state = {k: v for k, v in state.items() if not k <= cut}
+        else:
+            ups = {k: data.draw(st.integers(20, 29)) for k in data.draw(
+                st.sets(st.sampled_from(keys), min_size=0, max_size=3))}
+            dels = data.draw(st.sets(st.sampled_from(keys), min_size=1, max_size=3))
+            dels = dels - set(ups)
+            tf.merge_upsert(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, v) for k, v in ups.items()], "id long, v int"
+                ),
+                keys=["id"],
+                deletes=spark.createDataFrame([(k,) for k in dels], "id long"),
+            )
+            state.update(ups)
+            for k in dels:
+                state.pop(k, None)
+    got = {
+        r.id: (r._change_type, r.v)
+        for r in tf.snapshot_diff(spark, path, ["id"], from_version=0).collect()
+    }
+    want = {}
+    for k in set(base) | set(state):
+        if k not in base:
+            want[k] = ("insert", state[k])
+        elif k not in state:
+            want[k] = ("delete", base[k])
+        elif state[k] != base[k]:
+            want[k] = ("update", state[k])
+    assert got == want
