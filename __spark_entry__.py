@@ -9193,8 +9193,7 @@ def q_t_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return text.bm25_topk(d, queries, k=10)
 
 
-SQL_T_BM25 = f"""
-WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+_BM25_CHAIN = f"""n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
 toks AS (
   SELECT doc_id, t.term FROM (
     SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n
@@ -9241,6 +9240,10 @@ ranked AS (
                             ORDER BY score DESC, doc_id) AS rk
   FROM scored
 )
+"""
+
+SQL_T_BM25 = f"""
+WITH {_BM25_CHAIN}
 SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10
 """
 
@@ -9386,3 +9389,75 @@ FROM documents WHERE doc_id % 20 = 0
 _REGISTRY.update(
     {"inv_s_versioned_diff": (q_s_versioned_diff, SQL_S_VERSIONED_DIFF)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (final): retrieval-quality self-evaluation — nDCG@10 of the
+# BM25 ranking graded against exact token-overlap relevance (shared
+# distinct tokens between query and document), the recall@k-style
+# self-grading discipline the ANN family already follows.
+# ---------------------------------------------------------------------------
+
+
+def q_t_bm25_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 4)).alias("qtext"),
+    )
+    res = text.bm25_topk(d, queries, k=10)
+    qt = (
+        queries.select(
+            "query_id", F.explode(text.tokens(F.col("qtext"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dt = (
+        d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    rel = (
+        qt.join(dt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+    )
+    return text.retrieval_ndcg(res, rel, k=10)
+
+
+SQL_T_BM25_NDCG = f"""
+WITH {_BM25_CHAIN},
+res AS (
+  SELECT query_id, doc_id, score, rk FROM ranked WHERE rk <= 10
+),
+dtoks AS (SELECT DISTINCT doc_id, term FROM toks),
+rel AS (
+  SELECT q.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS rel
+  FROM qterms q JOIN dtoks d ON d.term = q.term
+  GROUP BY q.query_id, d.doc_id
+),
+dcg AS (
+  SELECT r.query_id,
+         sum(round(coalesce(v.rel, 0) / log2(r.rk + 1.0) + 1e-12, 9)) AS dcg
+  FROM res r LEFT JOIN rel v
+    ON v.query_id = r.query_id AND v.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS irk
+  FROM rel WHERE rel > 0
+),
+idcg AS (
+  SELECT query_id, sum(round(rel / log2(irk + 1.0) + 1e-12, 9)) AS idcg
+  FROM ideal WHERE irk <= 10 GROUP BY query_id
+)
+SELECT d.query_id,
+       round(coalesce(d.dcg / nullif(i.idcg, 0), 0) + 1e-9, 6) AS ndcg
+FROM dcg d LEFT JOIN idcg i USING (query_id)
+"""
+
+
+_REGISTRY.update({"inv_t_bm25_ndcg": (q_t_bm25_ndcg, SQL_T_BM25_NDCG)})

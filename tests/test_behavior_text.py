@@ -662,3 +662,35 @@ def test_maxmatch_apply_per_doc_counts(spark):
     # doc 1: 3 admitted words; abab=2 + b=1 tokens, abz is UNK
     assert got[1] == (3, 3, 1)
     assert got[2] == (0, 0, 0)
+
+
+def test_retrieval_ndcg_hand_computed(spark):
+    """nDCG@k by hand: a perfect ranking scores 1.0, a swapped ranking
+    the exact DCG ratio, and a query with no positive judgments 0."""
+    import math
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 10, 1), (3, 10, 1)],
+        "query_id long, doc_id long, rk int",
+    )
+    relevance = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1), (2, 11, 2)],
+        "query_id long, doc_id long, rel long",
+    )
+    got = {
+        r.query_id: r.ndcg
+        for r in __import__(
+            "market_data_pipeline_spark.operators.text", fromlist=["text"]
+        ).retrieval_ndcg(results, relevance, k=10).collect()
+    }
+
+    def g(rel, rk):
+        return round(rel / math.log2(rk + 1.0) + 1e-12, 9)
+
+    # q1: ranking (3,1) IS ideal -> exactly 1.0 (same quantized sums)
+    assert got[1] == round((g(3, 1) + g(1, 2)) / (g(3, 1) + g(1, 2)) + 1e-9, 6)
+    assert abs(got[1] - 1.0) < 1e-5
+    # q2: retrieved doc 10 (rel 0); ideal = doc 11 at rank 1 -> 0
+    assert got[2] == round(0.0 / g(2, 1) + 1e-9, 6)
+    # q3: no judgments at all -> 0 (idcg null -> coalesce)
+    assert got[3] == round(0.0 + 1e-9, 6)
