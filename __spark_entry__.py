@@ -9016,35 +9016,41 @@ up0 AS MATERIALIZED (
     ]
     for r in range(1, em_rounds + 1):
         p = r - 1
-        lists = ",\n    ".join(
-            f"list_resize(coalesce(list(CASE WHEN c.j = {j} THEN"
-            f" coalesce(p.lp, {NEG}) END ORDER BY c.s)"
-            f" FILTER (WHERE c.j = {j}), []), {N}, {NEG}) AS l{j}"
-            for j in range(1, P + 1)
-        )
+        # LIST-FREE grid, keyed by the piece's END position e = s + j - 1:
+        # el{j} = lp of the length-j piece ending at e (one candidate per
+        # (word, e, j), so max() just selects it). DuckDB 1.x crashes
+        # intermittently (std::bad_array_new_length) on list(ORDER BY)
+        # FILTER + list_resize aggregates inside WITH RECURSIVE under a
+        # long-lived connection; scalar aggregates + one join per
+        # recursion step compute the identical quantized arithmetic.
         parts.append(
             f"""ugrid{r} AS MATERIALIZED (
-  SELECT c.word, any_value(c.cnt) AS cnt,
-    {lists}
+  SELECT c.word, c.s + c.j - 1 AS e,
+    max(CASE WHEN c.j = 1 THEN coalesce(p.lp, {NEG}) END) AS el1,
+    max(CASE WHEN c.j = 2 THEN coalesce(p.lp, {NEG}) END) AS el2,
+    max(CASE WHEN c.j = 3 THEN coalesce(p.lp, {NEG}) END) AS el3
   FROM candu c LEFT JOIN up{p} p ON p.piece = c.pc
-  GROUP BY c.word
+  GROUP BY c.word, c.s + c.j - 1
 ),
 ufwd{r} AS (
-  SELECT word, cnt, l1, l2, l3, 1 AS i,
+  SELECT word, cnt, 1 AS i,
          [0.0]::DOUBLE[] AS barr, []::INT[] AS bparr
-  FROM ugrid{r}
+  FROM wu
   UNION ALL
-  SELECT word, cnt, l1, l2, l3, i + 1,
+  SELECT word, cnt, i + 1,
          list_append(barr, greatest(t1, t2, t3)),
          list_append(bparr, CASE WHEN greatest(t1, t2, t3) = t3 THEN 3
                                  WHEN greatest(t1, t2, t3) = t2 THEN 2
                                  ELSE 1 END)
   FROM (
-    SELECT word, cnt, l1, l2, l3, i, barr, bparr,
-           barr[i] + l1[i] AS t1,
-           CASE WHEN i >= 2 THEN barr[i - 1] + l2[i - 1] ELSE -1e18 END AS t2,
-           CASE WHEN i >= 3 THEN barr[i - 2] + l3[i - 2] ELSE -1e18 END AS t3
-    FROM ufwd{r} WHERE i <= {N}
+    SELECT f.word, f.cnt, f.i, f.barr, f.bparr,
+           f.barr[f.i] + coalesce(g.el1, {NEG}) AS t1,
+           CASE WHEN f.i >= 2 THEN f.barr[f.i - 1] + coalesce(g.el2, {NEG})
+                ELSE -1e18 END AS t2,
+           CASE WHEN f.i >= 3 THEN f.barr[f.i - 2] + coalesce(g.el3, {NEG})
+                ELSE -1e18 END AS t3
+    FROM ufwd{r} f LEFT JOIN ugrid{r} g ON g.word = f.word AND g.e = f.i
+    WHERE f.i <= {N}
   )
 ),
 ubt{r} AS (
