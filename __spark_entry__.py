@@ -5423,6 +5423,73 @@ _REGISTRY.update({"inv_q_sketch_rollup": (q_q_sketch_rollup, SQL_Q_SKETCH_ROLLUP
 _REGISTRY.update({"inv_q_cms_heavy_hitters": (q_q_cms_heavy_hitters, _cms_sql())})
 
 
+def q_q_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable HyperLogLog distinct sketch (quality.hll_portable_distinct):
+    per-event-type distinct-user estimates PLUS the '__ALL__' row answered
+    by merging the per-type sketches register-wise — unlike the
+    DataSketches rollup (inv_q_sketch_rollup, tolerance-checked), every
+    register, the exact Σ2^-M, and the estimate itself are bit-reproducible
+    in SQL, so the sketch is FULL-value-oracle-checked (rho via binary
+    string length — no float log in the register path)."""
+    e = load_table(spark, sf, "events")
+    return quality.hll_portable_distinct(e, "event_type", "user_id")
+
+
+def _hll_sql() -> str:
+    m = quality._HLL_M
+    wb1 = quality._HLL_WBITS + 1
+    knuth, seed = quality._CMS_KNUTH, quality._CMS_SEEDS[0]
+    sent = quality._CMS_NULL_SENTINEL
+    return f"""
+WITH f AS (
+  SELECT event_type AS scope,
+         (((coalesce(user_id, {sent}) * {knuth} + {seed}) % 2147483648)
+          + 2147483648) % 2147483648 AS h
+  FROM events
+),
+r AS (
+  SELECT scope, CAST(h % {m} AS INT) AS bucket,
+         CASE WHEN h // {m} = 0 THEN {wb1}
+              ELSE {wb1} - length(bin((h // {m})::BIGINT)) END AS rho
+  FROM f
+),
+regs AS (SELECT scope, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+allregs AS (
+  SELECT scope, bucket, reg FROM regs
+  UNION ALL
+  SELECT '__ALL__' AS scope, bucket, max(reg) AS reg FROM regs GROUP BY 2
+),
+summ AS (
+  SELECT scope, CAST(count(*) AS INT) AS v_set,
+         sum(CAST(1 AS DOUBLE) / CAST((1::BIGINT << reg) AS DOUBLE))
+           + CAST({m} - count(*) AS DOUBLE) AS sum_inv
+  FROM allregs GROUP BY 1
+),
+exact AS (
+  SELECT coalesce(event_type, '__ALL__') AS scope,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY ROLLUP(event_type)
+),
+est AS (
+  SELECT s.scope, s.v_set, s.sum_inv, e.exact_distinct,
+         CASE WHEN CAST(0.709 AS DOUBLE) * {m * m} / s.sum_inv
+                     <= CAST(2.5 AS DOUBLE) * {m}
+                AND s.v_set < {m}
+              THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE)
+                                            / CAST({m} - s.v_set AS DOUBLE))
+              ELSE CAST(0.709 AS DOUBLE) * {m * m} / s.sum_inv END AS raw
+  FROM summ s JOIN exact e USING (scope)
+)
+SELECT scope, v_set, sum_inv, round(raw + 1e-9, 6) AS hll_estimate,
+       exact_distinct,
+       abs(raw - exact_distinct) <= exact_distinct * CAST(0.40 AS DOUBLE) AS err_ok
+FROM est
+"""
+
+
+_REGISTRY.update({"inv_q_hll_portable": (q_q_hll_portable, _hll_sql())})
+
+
 def q_a_vw_index(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-sectional index construction: per day, the volume-weighted and
     equal-weighted index levels over every symbol's close — the market-level

@@ -532,6 +532,123 @@ def cms_heavy_hitters(
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — an ENGINE-REPRODUCIBLE distinct sketch (north-star
+# extension; complements sketch_rollup_distinct, whose DataSketches HLL is
+# only tolerance-checkable). Every step here is integer or exact-binary
+# float math, so DuckDB rebuilds the identical registers and the estimate
+# matches BIT-FOR-BIT — the sketch itself is value-oracle-checkable.
+# Flajolet et al. 2007 semantics: m=2^p registers, register j = max over
+# keys of (leading-zero run of the hash remainder)+1, E = alpha·m²/Σ2^-M,
+# linear-counting correction below 2.5·m when registers are empty.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 6                      # 64 registers — ~13% standard error
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 31 - _HLL_P        # hash remainder width (25 bits)
+_HLL_ALPHA = 0.709              # the published alpha_64 constant
+
+
+def _hll_fields(key: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one key under the shared multiply-shift hash.
+
+    h = pmod(key·KNUTH + seed, 2^31) — the same engine-portable family CMS
+    uses; bucket = low p bits, rho = leading-zero run of the remaining
+    ``_HLL_WBITS`` bits + 1, computed EXACTLY via the binary-string length
+    (``bin()`` exists in both Spark and DuckDB; no float log anywhere).
+    """
+    h = F.pmod(
+        F.coalesce(key.cast("bigint"), F.lit(_CMS_NULL_SENTINEL))
+        * F.lit(_CMS_KNUTH)
+        + F.lit(_CMS_SEEDS[0]),
+        F.lit(1 << 31),
+    )
+    bucket = (h % _HLL_M).cast("int")
+    w = F.floor(h / _HLL_M).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def _hll_estimate(sum_inv: Column, v_set: Column) -> Column:
+    """Raw + corrected HLL estimate from the register summary. ``sum_inv``
+    is a sum of exact powers of two (exponents 0..-26 over ≤64 terms span
+    32 mantissa bits < 53), so it is EXACT in double in any summation
+    order; the division and multiply are single correctly-rounded IEEE
+    ops — the raw estimate is bit-identical across engines."""
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / sum_inv
+    zeros = F.lit(_HLL_M) - v_set
+    return F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+
+
+def hll_portable_distinct(
+    df: DataFrame, group_col: str, key_col: str, tol: float = 0.40
+) -> DataFrame:
+    """Per-group distinct estimation with a portable HLL, plus the '__ALL__'
+    row answered by MERGING the per-group sketches (register-wise max — the
+    closure property that makes HLL the 100 TB tool: group sketches are a
+    few KB, any union of groups is answered without rescanning the fact).
+
+    Plan shape: one scan → map-side-combined max into ≤ groups·64 register
+    cells; one rollup scan for the exact contract counts. Output per scope:
+    registers set, the exact Σ2^-M, the estimate (6 dp), the exact distinct
+    count, and the tolerance flag the oracle pins TRUE (3σ for p=6).
+    """
+    bucket, rho = _hll_fields(F.col(key_col))
+    regs = (
+        df.select(F.col(group_col).alias("scope"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("scope", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    merged = regs.groupBy("bucket").agg(F.max("reg").alias("reg")).select(
+        F.lit("__ALL__").alias("scope"), "bucket", "reg"
+    )
+    # 2^-reg via an integer shift + one exact division — no libm pow.
+    inv = F.lit(1.0) / F.expr("cast(shiftleft(1, reg) as double)")
+    summary = (
+        regs.unionByName(merged)
+        .groupBy("scope")
+        .agg(
+            F.sum(inv).alias("__present_inv"),
+            F.count(F.lit(1)).alias("v_set"),
+        )
+        .select(
+            "scope",
+            "v_set",
+            (F.col("__present_inv") + (F.lit(_HLL_M) - F.col("v_set")).cast("double")).alias("sum_inv"),
+        )
+    )
+    exact = (
+        df.rollup(group_col)
+        .agg(F.countDistinct(key_col).alias("exact_distinct"))
+        .select(
+            F.coalesce(F.col(group_col), F.lit("__ALL__")).alias("scope"),
+            "exact_distinct",
+        )
+    )
+    est = _hll_estimate(F.col("sum_inv"), F.col("v_set"))
+    return (
+        summary.join(exact, "scope")
+        .select(
+            "scope",
+            F.col("v_set").cast("int").alias("v_set"),
+            F.col("sum_inv"),
+            F.round(est + 1e-9, 6).alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(est - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(tol)
+            ).alias("err_ok"),
+        )
+    )
+
+
 def observe_scan_metrics(
     df: DataFrame,
     numeric_cols: list[str] | None = None,

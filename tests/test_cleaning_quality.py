@@ -203,6 +203,52 @@ def test_cms_heavy_hitters_never_undercounts_and_collisions_overcount(spark):
     assert all(r.cms_estimate == r.exact_count for r in wide.collect())
 
 
+def test_hll_portable_registers_and_merge(spark):
+    """Portable-HLL properties: (1) registers match a pure-Python replay of
+    the same hash, (2) the '__ALL__' merged row IS the union sketch (same
+    sum_inv as running one group over the union of keys), (3) duplicates
+    never move the sketch."""
+    from market_data_pipeline_spark.operators import quality
+
+    keys_a = [(i, "a") for i in range(40)]
+    keys_b = [(i + 25, "b") for i in range(40)]  # overlaps a on 25..39
+    df = spark.createDataFrame(keys_a + keys_b, "user_id long, grp string")
+    out = {r.scope: r for r in quality.hll_portable_distinct(df, "grp", "user_id").collect()}
+    assert set(out) == {"a", "b", "__ALL__"}
+    assert out["a"].exact_distinct == 40 and out["__ALL__"].exact_distinct == 65
+
+    # pure-Python replay of the register build for group 'a'
+    m, wbits = quality._HLL_M, quality._HLL_WBITS
+    regs: dict[int, int] = {}
+    for k in range(40):
+        h = (k * quality._CMS_KNUTH + quality._CMS_SEEDS[0]) % (1 << 31)
+        b, w = h % m, h // m
+        rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+        regs[b] = max(regs.get(b, 0), rho)
+    want_sum = sum(2.0**-r for r in regs.values()) + (m - len(regs))
+    assert out["a"].v_set == len(regs)
+    assert out["a"].sum_inv == want_sum  # exact doubles, no tolerance
+
+    # merged row == single-group union sketch
+    union = spark.createDataFrame(
+        [(k, "u") for k in sorted({k for k, _ in keys_a + keys_b})],
+        "user_id long, grp string",
+    )
+    urow = {
+        r.scope: r for r in quality.hll_portable_distinct(union, "grp", "user_id").collect()
+    }["u"]
+    assert urow.sum_inv == out["__ALL__"].sum_inv
+    assert urow.hll_estimate == out["__ALL__"].hll_estimate
+
+    # duplicates are invisible to the sketch
+    dup = df.unionByName(df).unionByName(df)
+    drow = {
+        r.scope: r for r in quality.hll_portable_distinct(dup, "grp", "user_id").collect()
+    }
+    assert drow["a"].sum_inv == out["a"].sum_inv
+    assert drow["__ALL__"].hll_estimate == out["__ALL__"].hll_estimate
+
+
 def test_observe_scan_metrics_free_telemetry(spark):
     from market_data_pipeline_spark.operators.quality import observe_scan_metrics
 
