@@ -1931,6 +1931,39 @@ SELECT ngram, count(*) AS n FROM ng GROUP BY ngram ORDER BY n DESC, ngram LIMIT 
 """
 
 
+def q_t_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation extraction (text.pmi_collocations): top-30 adjacent word
+    pairs by pointwise mutual information with a ≥5 occurrence floor —
+    corpus-statistics ranking of which bigrams are 'real phrases' vs
+    chance co-occurrence. Counts are exact; the PMI double math is
+    order-pinned so the oracle matches to the bit before the 6 dp round."""
+    return text.pmi_collocations(_docs(spark, sf), min_count=5, k=30)
+
+
+SQL_T_PMI = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+idx AS (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_pair
+  FROM idx GROUP BY 1, 2
+),
+uw AS (SELECT unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*) AS c_w FROM uw GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM uni) AS nu,
+         (SELECT CAST(sum(n_pair) AS BIGINT) FROM bi) AS nb
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       round(ln(((CAST(n_pair AS DOUBLE) * CAST(nu AS DOUBLE)) * CAST(nu AS DOUBLE))
+                / ((CAST(nb AS DOUBLE) * CAST(u1.c_w AS DOUBLE)) * CAST(u2.c_w AS DOUBLE)))
+             + 1e-9, 6) AS pmi
+FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w CROSS JOIN tot
+WHERE n_pair >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 30
+"""
+
+
 def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     return dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
@@ -2400,6 +2433,7 @@ _REGISTRY.update(
         # text analysis
         "inv_t_token_stats": (q_t_token_stats, SQL_T_TOKENS),
         "inv_t_top_ngrams": (q_t_top_ngrams, SQL_T_NGRAMS),
+        "inv_t_pmi_collocations": (q_t_pmi_collocations, SQL_T_PMI),
         "inv_t_quality_score": (q_t_quality_score, SQL_T_QUALITY),
         "inv_t_lang_id": (q_t_lang_id, SQL_T_LANG),
         "inv_t_fingerprint": (q_t_fingerprint, SQL_T_FP),

@@ -132,6 +132,69 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -
     )
 
 
+def pmi_collocations(
+    df: DataFrame, min_count: int = 5, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the k
+    adjacent word pairs whose co-occurrence most exceeds the independence
+    baseline — PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with bigram and
+    unigram probabilities from corpus occurrence counts (Church & Hanks
+    1990). Rare-pair noise is cut by ``min_count``; deterministic order:
+    PMI (6 dp) desc, then pair lexicographic.
+
+    Scale shape: two explode→groupBy passes (bigram, unigram counts — both
+    map-side combined, shuffle bytes bounded by vocabulary, not corpus);
+    totals derive from the count tables, never a rescan; the two unigram
+    joins are vocab-sized (AQE broadcasts when small). The double-math
+    order is pinned identically in the SQL oracle, so PMI matches exactly.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    bi = (
+        df.select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot = uni.agg(F.sum("c_w").alias("nu")).crossJoin(
+        bi.agg(F.sum("n_pair").alias("nb"))
+    )
+    d = lambda c: c.cast("double")  # noqa: E731 — shared cast shorthand
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_2"))
+    ratio = ((d(F.col("n_pair")) * d(F.col("nu"))) * d(F.col("nu"))) / (
+        (d(F.col("nb")) * d(F.col("c_1"))) * d(F.col("c_2"))
+    )
+    return (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.log(ratio) + 1e-9, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """TF-IDF with smoothed IDF (ln((N+1)/(df+1))+1), top-k terms per doc.
 

@@ -694,3 +694,24 @@ def test_retrieval_ndcg_hand_computed(spark):
     assert got[2] == round(0.0 / g(2, 1) + 1e-9, 6)
     # q3: no judgments at all -> 0 (idcg null -> coalesce)
     assert got[3] == round(0.0 + 1e-9, 6)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI micro-case: 'new york new york' + 'new deal' — unigrams
+    new=3 york=2 deal=1 (Nu=6), bigrams (new,york)=2 (york,new)=1
+    (new,deal)=1 (Nb=4); PMI(new,york)=PMI(new,deal)=ln 3,
+    PMI(york,new)=ln 1.5; ties break lexicographically."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "new york new york"), (2, "new deal")], "doc_id long, text string"
+    )
+    rows = text.pmi_collocations(df, min_count=1, k=10).collect()
+    got = [(r.w1, r.w2, r.n_pair, r.pmi) for r in rows]
+    ln3 = round(math.log(3.0) + 1e-9, 6)
+    ln15 = round(math.log(1.5) + 1e-9, 6)
+    assert got == [
+        ("new", "deal", 1, ln3),
+        ("new", "york", 2, ln3),
+        ("york", "new", 1, ln15),
+    ]
