@@ -8856,6 +8856,63 @@ _REGISTRY.update(
 )
 
 
+def q_x_ols_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form OLS (features.ols_closed_form): extended price (cents)
+    regressed on quantity and discount in ONE aggregate pass — normal
+    equations from ten decimal-exact sufficient statistics, Cramer-solved
+    in a fixed IEEE expression tree the oracle replays bit-for-bit. The
+    iterative complement to inv_x_quality_logreg: no loop, no driver math."""
+    from market_data_pipeline_spark.operators import features
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+    )
+    return features.ols_closed_form(li, "price_c", "qty", "disc_pct")
+
+
+SQL_X_OLS = """
+WITH q AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_raw, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM q
+),
+d AS (
+  SELECT *,
+    ((n * ((s11 * s22) - (s12 * s12))) - (s1 * ((s1 * s22) - (s12 * s2)))) + (s2 * ((s1 * s12) - (s11 * s2))) AS det,
+    ((sy * ((s11 * s22) - (s12 * s12))) - (s1 * ((s1y * s22) - (s12 * s2y)))) + (s2 * ((s1y * s12) - (s11 * s2y))) AS det0,
+    ((n * ((s1y * s22) - (s12 * s2y))) - (sy * ((s1 * s22) - (s12 * s2)))) + (s2 * ((s1 * s2y) - (s1y * s2))) AS det1,
+    ((n * ((s11 * s2y) - (s1y * s12))) - (s1 * ((s1 * s2y) - (s1y * s2)))) + (sy * ((s1 * s12) - (s11 * s2))) AS det2
+  FROM s
+),
+e AS (SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d)
+SELECT n_raw AS n,
+       round(b0 + 1e-9, 6) AS beta0,
+       round(b1 + 1e-9, 6) AS beta1,
+       round(b2 + 1e-9, 6) AS beta2,
+       round((CAST(1 AS DOUBLE) - ((((syy - (b0 * sy)) - (b1 * s1y)) - (b2 * s2y))
+                                   / (syy - ((sy * sy) / n)))) + 1e-9, 6) AS r2
+FROM e
+"""
+
+
+_REGISTRY.update({"inv_x_ols_regression": (q_x_ols_regression, SQL_X_OLS)})
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (continued): broadcast-Bloom decontamination audit — the 100 TB
 # decontamination plan (eval shingles → bloom_filter_agg → broadcast →

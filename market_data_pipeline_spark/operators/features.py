@@ -547,6 +547,72 @@ def train_logistic(
     return df.sparkSession.createDataFrame(rows, schema)
 
 
+def ols_closed_form(
+    df: DataFrame, y_col: str, x1_col: str, x2_col: str
+) -> DataFrame:
+    """Two-feature linear regression fit in ONE aggregate pass: the normal
+    equations solved in closed form (Cramer's rule on the 3×3 moment
+    matrix) from ten sufficient statistics — no gradient loop, no driver
+    math, no collect. The map-side-combined agg is the whole cost; at
+    100 TB this is a scan, which is why classical linear models are fit
+    from sufficient statistics, not row iterators.
+
+    DETERMINISM CONTRACT: inputs must be integer-valued columns (callers
+    quantize, e.g. cents). Per-row products stay in int64 (|x·y| < 2^63);
+    the SUMS go through decimal(38,0), so they are EXACT in any partition
+    order. The exact sums are then cast once to double (one correctly-
+    rounded op) and the solve is a fixed-shape IEEE expression tree — the
+    oracle replays the identical tree, so coefficients match to the bit
+    before the 6 dp round.
+    """
+    b = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    d38 = lambda e: e.cast("decimal(38,0)")  # noqa: E731
+    x1, x2, y = b(x1_col), b(x2_col), b(y_col)
+    sums = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(x1)).alias("s1"),
+        F.sum(d38(x2)).alias("s2"),
+        F.sum(d38(y)).alias("sy"),
+        F.sum(d38(x1 * x1)).alias("s11"),
+        F.sum(d38(x2 * x2)).alias("s22"),
+        F.sum(d38(x1 * x2)).alias("s12"),
+        F.sum(d38(x1 * y)).alias("s1y"),
+        F.sum(d38(x2 * y)).alias("s2y"),
+        F.sum(d38(y * y)).alias("syy"),
+    )
+    dbl = {c: F.col(c).cast("double") for c in
+           ("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")}
+    n, s1, s2, sy = dbl["n"], dbl["s1"], dbl["s2"], dbl["sy"]
+    s11, s22, s12 = dbl["s11"], dbl["s22"], dbl["s12"]
+    s1y, s2y, syy = dbl["s1y"], dbl["s2y"], dbl["syy"]
+    det = (
+        (n * ((s11 * s22) - (s12 * s12)))
+        - (s1 * ((s1 * s22) - (s12 * s2)))
+    ) + (s2 * ((s1 * s12) - (s11 * s2)))
+    det0 = (
+        (sy * ((s11 * s22) - (s12 * s12)))
+        - (s1 * ((s1y * s22) - (s12 * s2y)))
+    ) + (s2 * ((s1y * s12) - (s11 * s2y)))
+    det1 = (
+        (n * ((s1y * s22) - (s12 * s2y)))
+        - (sy * ((s1 * s22) - (s12 * s2)))
+    ) + (s2 * ((s1 * s2y) - (s1y * s2)))
+    det2 = (
+        (n * ((s11 * s2y) - (s1y * s12)))
+        - (s1 * ((s1 * s2y) - (s1y * s2)))
+    ) + (sy * ((s1 * s12) - (s11 * s2)))
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = ((syy - (b0 * sy)) - (b1 * s1y)) - (b2 * s2y)
+    sst = syy - ((sy * sy) / n)
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b0 + 1e-9, 6).alias("beta0"),
+        F.round(b1 + 1e-9, 6).alias("beta1"),
+        F.round(b2 + 1e-9, 6).alias("beta2"),
+        F.round((F.lit(1.0) - (sse / sst)) + 1e-9, 6).alias("r2"),
+    )
+
+
 def host_quota(
     df: DataFrame,
     url_col: str,

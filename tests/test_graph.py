@@ -487,3 +487,36 @@ def test_train_logistic_matches_python_replica(spark):
     # the model must actually learn: loss decreases monotonically here
     losses = [w[4] for w in want]
     assert losses == sorted(losses, reverse=True)
+
+
+def test_ols_closed_form_exact_and_vs_numpy(spark):
+    """Closed-form OLS: (1) a perfectly linear integer dataset recovers its
+    generating coefficients exactly with R²=1; (2) a noisy dataset matches
+    numpy's lstsq solution to 6 dp."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.features import ols_closed_form
+
+    gen = [(1 + 2 * a + 5 * b, a, b) for a in range(12) for b in range(7)]
+    df = spark.createDataFrame(gen, "y long, x1 long, x2 long")
+    row = ols_closed_form(df, "y", "x1", "x2").collect()[0]
+    assert (row.n, row.beta0, row.beta1, row.beta2) == (84, 1.0, 2.0, 5.0)
+    assert row.r2 == 1.0
+
+    rng = np.random.RandomState(7)
+    x1 = rng.randint(0, 50, 300)
+    x2 = rng.randint(0, 20, 300)
+    y = (3 + 4 * x1 - 2 * x2 + rng.randint(-5, 6, 300)).astype(int)
+    noisy = spark.createDataFrame(
+        [(int(yy), int(a), int(b)) for yy, a, b in zip(y, x1, x2)],
+        "y long, x1 long, x2 long",
+    )
+    got = ols_closed_form(noisy, "y", "x1", "x2").collect()[0]
+    A = np.column_stack([np.ones_like(x1), x1, x2]).astype(float)
+    beta, *_ = np.linalg.lstsq(A, y.astype(float), rcond=None)
+    assert abs(got.beta0 - beta[0]) < 1e-5
+    assert abs(got.beta1 - beta[1]) < 1e-5
+    assert abs(got.beta2 - beta[2]) < 1e-5
+    resid = y - A @ beta
+    r2 = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(got.r2 - r2) < 1e-5
