@@ -7258,6 +7258,39 @@ _REGISTRY.update(
 )
 
 
+def q_d_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact shingle-containment join (dedup.containment_join): every
+    ORDERED pair whose 3-gram shingle overlap covers ≥ 90% of the
+    contained side — the quote/subset detector (high containment, low
+    Jaccard when the container is much longer). Prefix-filtered candidate
+    generation, brute-force-equal by the completeness proof."""
+    tune_existing(spark)
+    return dedup.containment_join(_docs(spark, sf), threshold=0.9)
+
+
+SQL_D_CONTAINMENT = f"""
+WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT contained_id, container_id, n_common,
+         CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont
+  FROM inter JOIN sizes sa ON contained_id = sa.doc_id
+)
+SELECT contained_id, container_id, CAST(n_common AS BIGINT) AS n_common,
+       round(cont + 1e-12, 6) AS containment
+FROM c WHERE cont >= 0.9
+"""
+
+
+_REGISTRY.update({"inv_d_containment": (q_d_containment, SQL_D_CONTAINMENT)})
+
+
 # ---------------------------------------------------------------------------
 # Round 4 (continued): per-group weighted sampling — the per-language /
 # per-domain corpus quota draw (features.weighted_sample_per_group). Same

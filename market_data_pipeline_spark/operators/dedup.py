@@ -594,6 +594,162 @@ def jaccard_prefix_join(
     return cross.unionByName(within)
 
 
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT shingle-containment join (Broder's asymmetric resemblance):
+    every ORDERED pair where |S(A) ∩ S(B)| / |S(A)| ≥ threshold over
+    distinct word n-gram shingles — the quote/subset detector Jaccard
+    misses (a paragraph fully quoted inside a much longer doc has high
+    containment but low Jaccard, since the union is dominated by B).
+
+    Completeness (prefix filtering, one-sided): containment ≥ t needs
+    c = ⌈t·|A|⌉ common shingles, so under a global (rarity, shingle)
+    total order the pair's first common shingle sits within A's first
+    |A| − c + 1 positions (pigeonhole) — candidates come from A's
+    rarity-ordered PROBE PREFIX joined against B's FULL ranked list
+    (containment puts no lower bound on |B|'s overlap share, so the
+    container side cannot be prefix-shortened). The positional prune
+    (overlap ≤ 1 + min(|A|−rnA, |B|−rnB) at that first common shingle,
+    valid because every other common shingle ranks after it in BOTH
+    lists) cuts the stream before the distinct shuffle.
+
+    Scale shape: identical-shingle-set docs collapse to one
+    representative first (containment depends only on the sets), so a
+    clone-saturated corpus pays pairwise cost once per distinct set and
+    quadratic cost only in the output expansion; candidate volume is
+    Σ_{prefix shingles} df(shingle), and probe prefixes hold each doc's
+    globally RAREST shingles. Verify is one array_intersect per
+    candidate — integer counts and a single double division, so the
+    oracle's brute-force all-pairs result matches exactly.
+    """
+    sh = shingles(df, text_col=text_col, n=shingle_n, id_col=id_col)
+    docsets = (
+        sh.groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("shingle")).alias("__set"))
+        .withColumn("__fp", F.md5(F.to_json("__set")))
+        .localCheckpoint(eager=True)
+    )
+    reps = docsets.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    members = docsets.select(id_col, "__fp").join(reps, "__fp")
+    rep_sets = (
+        docsets.join(reps.select(F.col("__rep").alias(id_col)), id_col, "semi")
+        .withColumn("__sz", F.size("__set"))
+        .localCheckpoint(eager=True)
+    )
+    toks = rep_sets.select(id_col, "__sz", F.explode("__set").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window as _W
+
+    rarity = _W.partitionBy(id_col).orderBy("__df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("__rn", F.row_number().over(rarity))
+        .select(id_col, "tok", "__rn", "__sz")
+        .localCheckpoint(eager=True)
+    )
+    # probe prefix: |A| − ceil(t·|A|) + 1 (the 1e-9 guards the float
+    # boundary conservatively — see jaccard_prefix_join)
+    probe = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1
+    )
+    cand = (
+        probe.select(
+            F.col(id_col).alias("__a"),
+            "tok",
+            F.col("__rn").alias("__rna"),
+            F.col("__sz").alias("__sa"),
+        )
+        .join(
+            ranked.select(
+                F.col(id_col).alias("__b"),
+                "tok",
+                F.col("__rn").alias("__rnb"),
+                F.col("__sz").alias("__sb"),
+            ),
+            "tok",
+        )
+        .filter(F.col("__a") != F.col("__b"))
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("__sa") - F.col("__rna"),
+                    F.col("__sb") - F.col("__rnb"),
+                )
+            )
+            >= F.lit(threshold) * F.col("__sa") - F.lit(1e-9)
+        )
+        .select("__a", "__b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            rep_sets.select(F.col(id_col).alias("__a"), F.col("__set").alias("__seta")),
+            "__a",
+        )
+        .join(
+            rep_sets.select(F.col(id_col).alias("__b"), F.col("__set").alias("__setb")),
+            "__b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("__seta", "__setb")).cast("long")
+        )
+        .withColumn(
+            "cont_raw",
+            F.col("n_common").cast("double") / F.size("__seta").cast("double"),
+        )
+        .filter(F.col("cont_raw") >= threshold)
+        .select(
+            "__a",
+            "__b",
+            "n_common",
+            F.round(F.col("cont_raw") + 1e-12, 6).alias("containment"),
+        )
+    )
+    # expansion: ORDERED pairs (contained → container), clusters disjoint
+    cross = (
+        verified.join(
+            members.select(F.col("__rep").alias("__a"), F.col(id_col).alias("__ida")),
+            "__a",
+        )
+        .join(
+            members.select(F.col("__rep").alias("__b"), F.col(id_col).alias("__idb")),
+            "__b",
+        )
+        .select(
+            F.col("__ida").alias("contained_id"),
+            F.col("__idb").alias("container_id"),
+            "n_common",
+            "containment",
+        )
+    )
+    # within-cluster: identical sets ⇒ containment 1.0 BOTH directions
+    within = (
+        members.select("__fp", F.col(id_col).alias("__wa"), "__rep")
+        .join(members.select("__fp", F.col(id_col).alias("__wb")), "__fp")
+        .filter(F.col("__wa") != F.col("__wb"))
+        .join(
+            rep_sets.select(
+                F.col(id_col).alias("__rep"), F.col("__sz").cast("long").alias("n_common")
+            ),
+            "__rep",
+        )
+        .select(
+            F.col("__wa").alias("contained_id"),
+            F.col("__wb").alias("container_id"),
+            "n_common",
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """SimHash 64-bit signature per document, fully NATIVE (no UDF).
 

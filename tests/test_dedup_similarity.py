@@ -690,3 +690,43 @@ def test_bloom_decontamination_superset_and_counts(spark):
     assert out.n_exact_flagged == 2
     assert out.bloom_superset_ok
     assert out.bloom_fp_ok
+
+
+def test_containment_join_quote_detection_and_bruteforce(spark):
+    """Containment: a fully-quoted short doc hits 1.0 against its container
+    (while Jaccard is low), direction matters, identical-set clones expand
+    both ways, and the prefix-filtered result equals a brute-force replay."""
+    from market_data_pipeline_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon"
+    container = quote + " zeta eta theta iota kappa " + "lam mu nu xi omicron pi rho sigma tau upsilon"
+    docs = [
+        (1, quote),
+        (2, container),
+        (3, quote),  # clone of 1
+        (4, "totally different words here entirely unrelated content stream"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.containment_join(df, threshold=0.9).collect()
+    got = {(r.contained_id, r.container_id): (r.n_common, r.containment) for r in out}
+    # doc1 (3 shingles) fully inside doc2; doc2 NOT inside doc1
+    assert got[(1, 2)][1] == 1.0 and (2, 1) not in got
+    assert got[(3, 2)] == got[(1, 2)]  # clone inherits the pair
+    assert got[(1, 3)][1] == 1.0 and got[(3, 1)][1] == 1.0  # within-cluster both ways
+    assert all(a != 4 and b != 4 for a, b in got)
+
+    # brute force replay over distinct shingle sets
+    import itertools
+
+    def shingle_set(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingle_set(t) for i, t in docs}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        n = len(sets[a] & sets[b])
+        c = n / len(sets[a])
+        if c >= 0.9:
+            want[(a, b)] = (n, round(c + 1e-12, 6))
+    assert got == want
