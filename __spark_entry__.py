@@ -1964,6 +1964,48 @@ ORDER BY pmi DESC, w1, w2 LIMIT 30
 """
 
 
+def q_t_textrank(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keywords (text.textrank_keywords): PageRank over the
+    corpus word-adjacency graph, top 25 — the graph-centrality complement
+    to frequency (top_ngrams) and discrimination (tfidf). Rides
+    graph.pagerank's quantized loop, so the chained-CTE oracle is exact."""
+    tune_existing(spark)
+    return text.textrank_keywords(_docs(spark, sf), k=25, iterations=10)
+
+
+def _textrank_sql(iterations: int = 10, k: int = 25) -> str:
+    sw = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT sym.d AS node,
+         round(0.15 / (SELECT cnt FROM n) + 0.85 * sum(r.pr / dg.deg) + 1e-13, 10) AS pr
+  FROM sym JOIN {prev} r ON sym.s = r.node JOIN deg dg ON sym.s = dg.s
+  GROUP BY sym.d)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+idx AS (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks),
+bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+e AS (
+  SELECT DISTINCT least(w1, w2) AS src, greatest(w1, w2) AS dst
+  FROM bi
+  WHERE w1 <> w2 AND w1 <> '' AND w2 <> ''
+    AND w1 NOT IN ({sw}) AND w2 NOT IN ({sw})
+),
+sym AS (SELECT src AS s, dst AS d FROM e UNION ALL SELECT dst AS s, src AS d FROM e),
+deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+n AS (SELECT count(*) AS cnt FROM deg),
+r0 AS (SELECT s AS node, round(1.0 / (SELECT cnt FROM n) + 1e-13, 10) AS pr FROM deg),
+{','.join(steps)}
+SELECT node AS word, pr FROM {prev} ORDER BY pr DESC, node LIMIT {k}
+"""
+
+
 def q_d_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     return dedup.minhash_lsh_pairs(d, num_hashes=12, bands=4)
@@ -2434,6 +2476,7 @@ _REGISTRY.update(
         "inv_t_token_stats": (q_t_token_stats, SQL_T_TOKENS),
         "inv_t_top_ngrams": (q_t_top_ngrams, SQL_T_NGRAMS),
         "inv_t_pmi_collocations": (q_t_pmi_collocations, SQL_T_PMI),
+        "inv_t_textrank": (q_t_textrank, _textrank_sql()),
         "inv_t_quality_score": (q_t_quality_score, SQL_T_QUALITY),
         "inv_t_lang_id": (q_t_lang_id, SQL_T_LANG),
         "inv_t_fingerprint": (q_t_fingerprint, SQL_T_FP),

@@ -715,3 +715,20 @@ def test_pmi_collocations_hand_computed(spark):
         ("new", "york", 2, ln3),
         ("york", "new", 1, ln15),
     ]
+
+
+def test_textrank_hub_word_outranks_leaves(spark):
+    """TextRank: a word adjacent to many distinct words (hub) outranks
+    words seen only once; stopwords never appear as nodes."""
+    docs = [
+        (1, "spark joins tables"),
+        (2, "spark shuffles data"),
+        (3, "spark scales clusters"),
+        (4, "the spark of the engine"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = text.textrank_keywords(df, k=50, iterations=10).collect()
+    words = [r.word for r in rows]
+    assert words[0] == "spark"  # highest-degree hub
+    assert "the" not in words and "of" not in words  # stopwords dropped
+    assert all(rows[i].pr >= rows[i + 1].pr for i in range(len(rows) - 1))
