@@ -7210,8 +7210,44 @@ SELECT node, pr FROM {prev} ORDER BY pr DESC, node LIMIT 50
 """
 
 
+def q_g_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules (graph.association_rules): top-50
+    part pairs by lift over lineitem order baskets, with support and
+    confidence — the rule-mining layer above the co-purchase edge graph.
+    Same capped-basket semantics as the edge build; metrics are integer
+    ratios with pinned division order, so the oracle matches exactly."""
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return graph.association_rules(li, "l_orderkey", "l_partkey")
+
+
+SQL_G_ASSOC = f"""
+WITH {_SQL_G_EDGES},
+n AS (SELECT count(DISTINCT ok) AS nb FROM li),
+isup AS (SELECT pk, count(*) AS s FROM li GROUP BY pk),
+rules0 AS (
+  SELECT src AS antecedent, dst AS consequent, weight FROM e WHERE weight >= 2
+  UNION ALL
+  SELECT dst AS antecedent, src AS consequent, weight FROM e WHERE weight >= 2
+)
+SELECT antecedent, consequent, CAST(weight AS BIGINT) AS pair_count,
+       round(CAST(weight AS DOUBLE) / CAST(nb AS DOUBLE) + 1e-12, 6) AS support,
+       round(CAST(weight AS DOUBLE) / CAST(sa.s AS DOUBLE) + 1e-12, 6) AS confidence,
+       round((CAST(weight AS DOUBLE) * CAST(nb AS DOUBLE))
+             / (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)) + 1e-12, 6) AS lift
+FROM rules0
+JOIN isup sa ON antecedent = sa.pk
+JOIN isup sc ON consequent = sc.pk
+CROSS JOIN n
+ORDER BY lift DESC, antecedent, consequent LIMIT 50
+"""
+
+
 _REGISTRY.update(
     {
+        "inv_g_assoc_rules": (q_g_assoc_rules, SQL_G_ASSOC),
         "inv_g_copurchase_edges": (q_g_copurchase_edges, SQL_G_EDGES_W2),
         "inv_g_degree_hist": (q_g_degree_hist, SQL_G_DEGREE_HIST),
         "inv_g_triangles": (q_g_triangles, SQL_G_TRIANGLES),

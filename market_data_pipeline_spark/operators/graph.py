@@ -111,6 +111,93 @@ def edges_from_baskets(
     )
 
 
+def association_rules(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    k: int = 50,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows: for every
+    ordered item pair co-occurring in ≥ ``min_pair_count`` baskets, the
+    classic Agrawal-style rule metrics — support = P(a,b), confidence =
+    P(b|a), lift = P(a,b) / (P(a)·P(b)) — top-k by lift. Both directions
+    of each unordered pair are emitted (same support, different
+    confidence).
+
+    Plan: ONE groupBy(basket) into capped sorted item arrays
+    (checkpointed — it feeds the pair expansion, the item supports, and
+    the basket count), pair fan-out as a per-row codegen'd array
+    expression (no self-join; ≤ C(max_basket,2) per row, the same
+    deterministic smallest-ids cap as ``edges_from_baskets``, mirrored in
+    the SQL oracle), then item-keyed joins on the O(items) support table.
+    All metrics are integer ratios with a pinned double-division order,
+    so the oracle matches exactly.
+    """
+    baskets = (
+        items.groupBy(F.col(basket_col).alias("__bk"))
+        .agg(
+            F.slice(F.array_sort(F.collect_set(item_col)), 1, max_basket).alias(
+                "parts"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("__nb"))
+    isup = (
+        baskets.select(F.explode("parts").alias("__it"))
+        .groupBy("__it")
+        .agg(F.count(F.lit(1)).alias("__s"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                _ordered_pairs(
+                    "parts", lambda x, y: F.struct(x.alias("src"), y.alias("dst"))
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= min_pair_count)
+    )
+    rules = pairs.select(
+        F.col("src").alias("antecedent"), F.col("dst").alias("consequent"), "__w"
+    ).unionByName(
+        pairs.select(
+            F.col("dst").alias("antecedent"), F.col("src").alias("consequent"), "__w"
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return (
+        rules.join(
+            isup.select(F.col("__it").alias("antecedent"), F.col("__s").alias("__sa")),
+            "antecedent",
+        )
+        .join(
+            isup.select(F.col("__it").alias("consequent"), F.col("__s").alias("__sc")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("__w").cast("long").alias("pair_count"),
+            F.round(d(F.col("__w")) / d(F.col("__nb")) + 1e-12, 6).alias("support"),
+            F.round(d(F.col("__w")) / d(F.col("__sa")) + 1e-12, 6).alias("confidence"),
+            F.round(
+                (d(F.col("__w")) * d(F.col("__nb")))
+                / (d(F.col("__sa")) * d(F.col("__sc")))
+                + 1e-12,
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(k)
+    )
+
+
 def copurchase_edges(
     spark: SparkSession,
     sf_dir: str,

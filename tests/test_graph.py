@@ -520,3 +520,28 @@ def test_ols_closed_form_exact_and_vs_numpy(spark):
     resid = y - A @ beta
     r2 = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
     assert abs(got.r2 - r2) < 1e-5
+
+
+def test_association_rules_hand_computed(spark):
+    """Baskets {a,b,c}, {a,b}, {a}: supp(ab)=2, conf(b→a)=1, conf(a→b)=2/3,
+    lift(ab)=(2·3)/(3·2)=1; rarer pairs get higher lift."""
+    from market_data_pipeline_spark.operators.graph import association_rules
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    out = association_rules(df, "bk", "item", min_pair_count=1, k=50).collect()
+    got = {(r.antecedent, r.consequent): r for r in out}
+    assert got[("b", "a")].confidence == 1.0
+    assert got[("a", "b")].confidence == round(2 / 3 + 1e-12, 6)
+    assert got[("a", "b")].support == round(2 / 3 + 1e-12, 6)
+    assert got[("a", "b")].lift == 1.0 and got[("b", "a")].lift == 1.0
+    # (b,c) co-occur once but b,c are rare -> lift (1·3)/(2·1) = 1.5 tops
+    assert got[("b", "c")].lift == 1.5
+    assert out[0].lift >= out[-1].lift
+    # duplicate (basket,item) rows must not inflate supports
+    dup = association_rules(
+        df.unionByName(df), "bk", "item", min_pair_count=1, k=50
+    ).collect()
+    assert {(r.antecedent, r.consequent): (r.pair_count, r.lift) for r in dup} == {
+        (r.antecedent, r.consequent): (r.pair_count, r.lift) for r in out
+    }
