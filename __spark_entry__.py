@@ -9103,6 +9103,49 @@ FROM a
 _REGISTRY.update({"inv_w_liquidity": (q_w_liquidity, SQL_W_LIQUIDITY)})
 
 
+def q_w_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double exponential smoothing (indicators.holt_forecast):
+    per-symbol level/trend state after the full bar series plus a 5-step
+    linear forecast — the EMA recursion's forecasting twin, run entirely
+    as a codegen'd F.aggregate fold with in-fold 10 dp quantization so
+    the recursive-CTE oracle replays it bit-for-bit."""
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    return indicators.holt_forecast(b, alpha=0.2, beta=0.1, horizon=5)
+
+
+def _holt_sql(alpha: float = 0.2, beta: float = 0.1, horizon: int = 5) -> str:
+    a, b_ = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b_
+    # every literal is repr() of the exact Python double the Spark fold
+    # uses, so both engines parse the same IEEE values
+    new_l = f"round({a!r}*s.close + {one_a!r}*(r.l + r.b) + 1e-13, 10)"
+    return f"""
+WITH RECURSIVE {BARS_SQL},
+numbered AS (
+  SELECT symbol, close, row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn
+  FROM bars
+),
+nmax AS (SELECT symbol, max(rn) AS n FROM numbered GROUP BY symbol),
+rec AS (
+  SELECT a.symbol, 1 AS t,
+         round(a.close + 1e-13, 10) AS l,
+         round((b.close - a.close) + 1e-13, 10) AS b
+  FROM numbered a JOIN numbered b ON a.symbol = b.symbol AND a.rn = 1 AND b.rn = 2
+  UNION ALL
+  SELECT r.symbol, r.t + 1,
+         {new_l},
+         round({b_!r}*({new_l} - r.l) + {one_b!r}*r.b + 1e-13, 10)
+  FROM rec r JOIN numbered s ON s.symbol = r.symbol AND s.rn = r.t + 1
+)
+SELECT r.symbol, CAST(m.n AS BIGINT) AS n_obs, r.l AS level, r.b AS trend,
+       round(r.l + {float(horizon)!r}*r.b + 1e-9, 6) AS forecast
+FROM rec r JOIN nmax m ON r.symbol = m.symbol AND r.t = m.n
+"""
+
+
+_REGISTRY.update({"inv_w_holt_forecast": (q_w_holt_forecast, _holt_sql())})
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (continued): IMA ADPCM round trip — the compressed-audio twin
 # of inv_m_audio_stats. The oracle pins the padded block sample count in

@@ -762,3 +762,90 @@ def liquidity_metrics(
     return agg.select(
         symbol_col, "n_days", "amihud_illiq", lam.alias("kyle_lambda")
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    horizon: int = 5,
+    col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+) -> DataFrame:
+    """Holt double exponential smoothing per symbol, with an h-step linear
+    forecast: level_t = α·y_t + (1−α)(level_{t−1} + trend_{t−1}),
+    trend_t = β(level_t − level_{t−1}) + (1−β)trend_{t−1}, initialized
+    level_1 = y_1, trend_1 = y_2 − y_1 (Hyndman & Athanasopoulos §7.2);
+    forecast_{n+h} = level_n + h·trend_n. The EMA recursion's forecasting
+    twin — but implemented WITHOUT the Arrow hop: the per-symbol series
+    folds through ``F.aggregate`` over a collected struct array, so the
+    whole recursion runs inside codegen.
+
+    Determinism: both state components are quantized to 10 decimals at
+    every step (the pagerank/k-means in-loop discipline), so the iterate
+    depends only on quantized values — a recursive-CTE oracle inlining
+    the identical expression tree reproduces the fold bit-for-bit.
+
+    Scale shape: one map-side-combined groupBy(symbol); each series is
+    calendar-bounded (days per symbol), so the collected array is small
+    by construction — this is per-KEY state, never corpus-sized. Symbols
+    with fewer than 2 observations have no defined initial trend and are
+    excluded (mirrored in the oracle).
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(col).alias("y")))
+    )
+    series = (
+        df.groupBy(symbol_col).agg(arr.alias("__arr")).filter(F.size("__arr") >= 2)
+    )
+    eps = F.lit(1e-13)
+    y1 = F.col("__arr")[0]["y"]
+    y2 = F.col("__arr")[1]["y"]
+    init = F.struct(
+        F.round(y1 + eps, 10).alias("l"),
+        F.round((y2 - y1) + eps, 10).alias("b"),
+    )
+    rest = F.slice(
+        F.col("__arr"), 2, F.greatest(F.size("__arr") - 1, F.lit(0))
+    )
+    a, b_ = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b_
+
+    def step(acc, e):
+        new_l = F.round(
+            F.lit(a) * e["y"] + F.lit(one_a) * (acc["l"] + acc["b"]) + eps, 10
+        )
+        # new_l inlined twice (no let-binding in expressions); the oracle
+        # inlines the identical tree, so both engines evaluate it twice
+        new_b = F.round(
+            F.lit(b_)
+            * (
+                F.round(
+                    F.lit(a) * e["y"] + F.lit(one_a) * (acc["l"] + acc["b"]) + eps,
+                    10,
+                )
+                - acc["l"]
+            )
+            + F.lit(one_b) * acc["b"]
+            + eps,
+            10,
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    state = F.aggregate("__rest", init, step)
+    out = series.withColumn("__rest", rest).select(
+        F.col(symbol_col),
+        F.size("__arr").cast("long").alias("n_obs"),
+        state.alias("__st"),
+    )
+    return out.select(
+        symbol_col,
+        "n_obs",
+        F.col("__st")["l"].alias("level"),
+        F.col("__st")["b"].alias("trend"),
+        F.round(
+            F.col("__st")["l"] + F.lit(float(horizon)) * F.col("__st")["b"] + F.lit(1e-9),
+            6,
+        ).alias("forecast"),
+    )

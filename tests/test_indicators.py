@@ -399,3 +399,33 @@ def test_liquidity_metrics_hand_computed(spark):
     var = sum((y - ms) ** 2 for y in svs) / (n - 1)
     assert rb.n_days == 4
     assert abs(rb.kyle_lambda - round(cov / var * 1e9 + 1e-9, 6)) < 1e-3
+
+
+def test_holt_forecast_hand_computed_and_python_replica(spark):
+    """Holt: y=[10,12,13] gives l=13.8, b=1.98, 5-step forecast 23.7
+    (hand-derived); random series match a pure-Python replay of the
+    quantized recursion exactly; 1-row symbols are excluded."""
+    import random
+
+    from market_data_pipeline_spark.operators.indicators import holt_forecast
+
+    rows = [("A", 1, 10.0), ("A", 2, 12.0), ("A", 3, 13.0), ("B", 1, 5.0)]
+    df = spark.createDataFrame(rows, "symbol string, d int, close double")
+    out = {r.symbol: r for r in holt_forecast(df, alpha=0.2, beta=0.1, horizon=5).collect()}
+    assert set(out) == {"A"}  # B has 1 obs -> no trend init
+    a = out["A"]
+    assert (a.n_obs, a.level, a.trend, a.forecast) == (3, 13.8, 1.98, 23.7)
+
+    rng = random.Random(11)
+    series = [round(rng.uniform(1, 100), 2) for _ in range(40)]
+    df2 = spark.createDataFrame(
+        [("S", i, v) for i, v in enumerate(series)], "symbol string, d int, close double"
+    )
+    got = holt_forecast(df2, alpha=0.3, beta=0.2, horizon=3).collect()[0]
+    l, b = round(series[0] + 1e-13, 10), round(series[1] - series[0] + 1e-13, 10)
+    for y in series[1:]:
+        nl = round(0.3 * y + (1.0 - 0.3) * (l + b) + 1e-13, 10)
+        b = round(0.2 * (nl - l) + (1.0 - 0.2) * b + 1e-13, 10)
+        l = nl
+    assert (got.level, got.trend) == (l, b)
+    assert got.forecast == round(l + 3.0 * b + 1e-9, 6)
