@@ -4111,6 +4111,40 @@ FROM g GROUP BY symbol, d
 """
 
 
+def q_e_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-touch conversion attribution (behavior.touch_attribution):
+    first-touch and last-touch credit per event type for every purchase,
+    with the attributed value — the marketing-analytics complement to the
+    funnel/transition queries. One user-partitioned window + an
+    O(models×types) aggregate."""
+    from market_data_pipeline_spark.operators import behavior
+
+    return behavior.touch_attribution(load_table(spark, sf, "events"))
+
+
+SQL_E_ATTRIBUTION = """
+WITH o AS (
+  SELECT user_id, event_type, value,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events
+),
+p AS (SELECT * FROM o WHERE event_type = 'purchase'),
+u AS (
+  SELECT 'first_touch' AS model, ft AS event_type, value FROM p WHERE ft IS NOT NULL
+  UNION ALL
+  SELECT 'last_touch' AS model, lt AS event_type, value FROM p WHERE lt IS NOT NULL
+)
+SELECT model, event_type, CAST(count(*) AS BIGINT) AS conversions,
+       round(sum(value) + 1e-9, 4) AS attributed_value
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_a_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
     tune_existing(spark)
     return relational.monthly_revenue_growth(spark, sf)
@@ -4132,6 +4166,7 @@ FROM m
 _REGISTRY.update(
     {
         "inv_e_transitions": (q_e_transitions, SQL_E_TRANSITIONS),
+        "inv_e_attribution": (q_e_attribution, SQL_E_ATTRIBUTION),
         "inv_w_twap": (q_w_twap, SQL_W_TWAP),
         "inv_a_mom_growth": (q_a_mom_growth, SQL_A_MOM),
         "inv_s_bars_weekly": (q_s_bars_weekly, SQL_BARS_WEEKLY),

@@ -93,6 +93,68 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, credit the user's EARLIEST and LATEST preceding
+    non-conversion event type with the conversion (and its value) — the
+    two classic single-touch marketing-attribution models, side by side
+    as (model, event_type, conversions, attributed_value) rows.
+
+    One window exchange on the user (first/last with ignorenulls over
+    the unbounded-preceding-to-1-preceding frame, ``id_col`` tiebreaking
+    equal timestamps), then a tiny (model, type)-keyed aggregate —
+    output is O(2·|event types|) at any volume. Conversions with no
+    preceding touch (the user's first event) are unattributable and
+    excluded from both models.
+    """
+    from pyspark.sql import Window
+
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pur = (
+        events.select(user_col, type_col, ts_col, value_col, id_col)
+        .withColumn("__ft", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("__lt", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    both = pur.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("__ft").alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("__lt").alias("touch_type"),
+                ),
+            )
+        ).alias("m"),
+        F.col(value_col),
+    ).select("m.model", F.col("m.touch_type").alias("event_type"), value_col)
+    return (
+        both.filter(F.col("event_type").isNotNull())
+        .groupBy("model", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.sum(value_col) + F.lit(1e-9), 4).alias("attributed_value"),
+        )
+        .orderBy("model", "event_type")
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

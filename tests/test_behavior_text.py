@@ -732,3 +732,33 @@ def test_textrank_hub_word_outranks_leaves(spark):
     assert words[0] == "spark"  # highest-degree hub
     assert "the" not in words and "of" not in words  # stopwords dropped
     assert all(rows[i].pr >= rows[i + 1].pr for i in range(len(rows) - 1))
+
+
+def test_touch_attribution_hand_computed(spark):
+    """Attribution micro-case: user 1 path view→click→purchase(10) gives
+    first-touch=view, last-touch=click; user 2's opening purchase is
+    unattributable; a second purchase re-credits the SAME earlier touches."""
+    rows = [
+        (1, "view", 1.0, 100, 1),
+        (1, "click", 1.0, 200, 2),
+        (1, "purchase", 10.0, 300, 3),
+        (1, "purchase", 7.0, 400, 4),  # still ft=view, lt=click
+        (2, "purchase", 99.0, 100, 5),  # no preceding touch
+        (2, "signup", 1.0, 200, 6),
+        (2, "purchase", 5.0, 300, 7),  # ft=lt=signup
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts long, event_id long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    from market_data_pipeline_spark.operators.behavior import touch_attribution
+
+    got = {
+        (r.model, r.event_type): (r.conversions, r.attributed_value)
+        for r in touch_attribution(df).collect()
+    }
+    assert got == {
+        ("first_touch", "view"): (2, round(17.0 + 1e-9, 4)),
+        ("first_touch", "signup"): (1, round(5.0 + 1e-9, 4)),
+        ("last_touch", "click"): (2, round(17.0 + 1e-9, 4)),
+        ("last_touch", "signup"): (1, round(5.0 + 1e-9, 4)),
+    }
