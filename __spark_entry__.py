@@ -4111,6 +4111,42 @@ FROM g GROUP BY symbol, d
 """
 
 
+def q_e_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime value (behavior.cohort_ltv): per (first-activity
+    cohort, day offset) the purchase revenue, running cumulative revenue,
+    and LTV per cohort user — the value-weighted twin of inv_e_retention.
+    Per-day revenue is 4 dp-quantized before the ordered running sum, so
+    the cumulative matches the oracle bit-for-bit."""
+    from market_data_pipeline_spark.operators import behavior
+
+    return behavior.cohort_ltv(spark, sf)
+
+
+SQL_E_COHORT_LTV = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value FROM events
+),
+fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+sz AS (SELECT cohort_day, count(*) AS cohort_users FROM fd GROUP BY 1),
+pd AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, e.day) AS day_offset,
+         round(sum(CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0 END)
+               + 1e-9, 4) AS day_revenue
+  FROM ev e JOIN fd f USING (user_id) GROUP BY 1, 2
+),
+c AS (
+  SELECT cohort_day, day_offset, day_revenue,
+         sum(day_revenue) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS cum
+  FROM pd
+)
+SELECT c.cohort_day, CAST(c.day_offset AS INT) AS day_offset, c.day_revenue,
+       round(c.cum + 1e-9, 4) AS cum_revenue,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       round(c.cum / s.cohort_users + 1e-9, 6) AS ltv_per_user
+FROM c JOIN sz s USING (cohort_day)
+"""
+
+
 def q_e_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """Single-touch conversion attribution (behavior.touch_attribution):
     first-touch and last-touch credit per event type for every purchase,
@@ -4167,6 +4203,7 @@ _REGISTRY.update(
     {
         "inv_e_transitions": (q_e_transitions, SQL_E_TRANSITIONS),
         "inv_e_attribution": (q_e_attribution, SQL_E_ATTRIBUTION),
+        "inv_e_cohort_ltv": (q_e_cohort_ltv, SQL_E_COHORT_LTV),
         "inv_w_twap": (q_w_twap, SQL_W_TWAP),
         "inv_a_mom_growth": (q_a_mom_growth, SQL_A_MOM),
         "inv_s_bars_weekly": (q_s_bars_weekly, SQL_BARS_WEEKLY),

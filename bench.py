@@ -77,6 +77,12 @@ HEADLINE = [
     # folds + corpus encode) — the round's most expensive new query,
     # same gate rule.
     "inv_t_unigram_encode",
+    # late round 6: the two most expensive new queries of the round — the
+    # shingle-containment join (pairwise prefix-filter family, same cost
+    # band as jaccard_prefix) and TextRank (a pagerank loop over the word
+    # graph). Same gate rule.
+    "inv_d_containment",
+    "inv_t_textrank",
 ]
 
 RUNS_PER_QUERY = 3

@@ -73,6 +73,63 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the day's purchase revenue, the RUNNING
+    cumulative revenue, and LTV per cohort user — the value-weighted twin
+    of ``retention_cohorts`` (which counts bodies; this follows the money).
+
+    Same shuffle shape as retention (user-keyed first-day agg + co-
+    partitioned enrich join, then a (cohort, offset) aggregate); the
+    cumulative sum is a cohort-partitioned ordered window over the
+    O(days²/2) aggregate, never the event stream. Per-day revenue is
+    4 dp-quantized BEFORE the running sum on both engines, so the
+    left-to-right cumulative is bit-identical.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    size = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    per_day = (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("day_revenue")
+        )
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset")
+    cum = F.sum("day_revenue").over(w)
+    return (
+        per_day.join(size, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "day_revenue",
+            F.round(cum + F.lit(1e-9), 4).alias("cum_revenue"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.round(cum / F.col("cohort_users") + F.lit(1e-9), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts: for each user's time-ordered
     event stream, count (event_type → next event_type) pairs. One window

@@ -762,3 +762,46 @@ def test_touch_attribution_hand_computed(spark):
         ("last_touch", "click"): (2, round(17.0 + 1e-9, 4)),
         ("last_touch", "signup"): (1, round(5.0 + 1e-9, 4)),
     }
+
+
+def test_cohort_ltv_hand_computed(spark, tmp_path):
+    """Cohort LTV micro-case: user 1 joins day 0 (purchases 10 on day 0,
+    20 on day 2), user 2 joins day 0 (no purchases), user 3 joins day 1
+    (purchase 5 same day). Cohort day0 has 2 users -> LTV halves."""
+    import datetime as dt
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "purchase", 10.0),
+        (1, "2024-01-03 10:00:00", "purchase", 20.0),
+        (2, "2024-01-01 11:00:00", "view", 1.0),
+        (2, "2024-01-03 11:00:00", "click", 1.0),
+        (3, "2024-01-02 09:00:00", "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, dt.datetime.fromisoformat(t), e, v, i) for i, (u, t, e, v) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, value double, event_id long",
+    )
+    out = str(tmp_path / "ev.parquet")
+    df.write.parquet(out)
+
+    import os
+
+    from market_data_pipeline_spark.operators import behavior
+
+    # cohort_ltv loads via load_table(spark, sf_dir, 'events') — point it
+    # at a directory whose events.parquet is our fixture
+    evdir = str(tmp_path)
+    os.rename(out, os.path.join(evdir, "events.parquet"))
+    got = {
+        (str(r.cohort_day), r.day_offset): (
+            r.day_revenue,
+            r.cum_revenue,
+            r.cohort_users,
+            r.ltv_per_user,
+        )
+        for r in behavior.cohort_ltv(spark, evdir).collect()
+    }
+    r4 = lambda x: round(x + 1e-9, 4)
+    assert got[("2024-01-01", 0)] == (r4(10.0), r4(10.0), 2, round(10.0 / 2 + 1e-9, 6))
+    assert got[("2024-01-01", 2)] == (r4(20.0), r4(30.0), 2, round(30.0 / 2 + 1e-9, 6))
+    assert got[("2024-01-02", 0)] == (r4(5.0), r4(5.0), 1, round(5.0 + 1e-9, 6))

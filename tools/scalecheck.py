@@ -65,13 +65,22 @@ QUERIES = [
     "inv_t_unigram_encode",     # unigram-LM train+encode: corpus pass +
                                 # O(vocab) EM — growth must track the scan
     "inv_x_host_quota",         # per-host quality cap via WindowGroupLimit
+    "inv_d_containment",        # shingle-containment join (clone-collapsed;
+                                # like jaccard_prefix the OUTPUT is
+                                # quadratic in clones — ordered pairs, so
+                                # 2x the unordered dump). 10x ONLY.
+    "inv_t_textrank",           # pagerank loop over the word graph: K×
+                                # corpus, same vocabulary — the rank loop
+                                # must stay vocabulary-bound
+    "inv_t_pmi_collocations",   # two vocab-keyed count shuffles + a
+                                # vocab-sized join — growth must track scan
 ]
 
 # Output-quadratic on the all-clones replica: the RESULT SET itself grows
 # K² per clone set (an exact pair dump over K× exact duplicates), so a
 # 100× run measures materializing ~70e9 rows, not the operator. Excluded
 # from K ≥ 100 sweeps; the bound is pinned in SCALECHECK.md like simhash.
-_OUTPUT_QUADRATIC = {"inv_d_jaccard_prefix"}
+_OUTPUT_QUADRATIC = {"inv_d_jaccard_prefix", "inv_d_containment"}
 
 
 def build_replica(spark, k: int, out_dir: str) -> None:
