@@ -159,16 +159,23 @@ def pmi_collocations(
             F.element_at(toks, i + 2).alias("w2"),
         ),
     )
+    # both count tables feed multiple consumers (the rule table + the
+    # totals + two alias joins); Spark shares no common subplans across
+    # DataFrame reuse and the pruned subtrees differ enough that
+    # ReuseExchange never fires (measured: 0 reused, 12 exchanges) — the
+    # eager checkpoints pin each corpus aggregation to exactly one run
     bi = (
         df.select(F.explode(pair).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
     )
     uni = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("c_w").alias("nu")).crossJoin(
         bi.agg(F.sum("n_pair").alias("nb"))
