@@ -5639,6 +5639,93 @@ FROM est
 _REGISTRY.update({"inv_q_hll_portable": (q_q_hll_portable, _hll_sql())})
 
 
+def q_q_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-moment profile (quality.moment_profile): per return
+    flag, mean / population variance / skewness / excess kurtosis of the
+    order quantity — from decimal-exact power sums with a pinned IEEE
+    expression tree (built-in skewness()/kurtosis() differ across engines
+    on sample adjustments; power sums have one definition)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    return quality.moment_profile(li, "l_returnflag", "qty")
+
+
+SQL_Q_MOMENTS = """
+WITH q AS (
+  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x * x) AS DOUBLE) AS s2,
+         CAST(sum(x * x * x) AS DOUBLE) AS s3,
+         CAST(sum(x * x * x * x) AS DOUBLE) AS s4
+  FROM q GROUP BY 1
+),
+m AS (
+  SELECT l_returnflag, n_raw, s1 / n AS mean,
+         s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+  FROM s
+),
+mm AS (
+  SELECT l_returnflag, n_raw, mean,
+         r2 - (mean * mean) AS m2,
+         (r3 - ((3.0 * mean) * r2)) + (2.0 * ((mean * mean) * mean)) AS m3,
+         ((r4 - ((4.0 * mean) * r3)) + ((6.0 * (mean * mean)) * r2))
+           - (3.0 * ((mean * mean) * (mean * mean))) AS m4
+  FROM m
+)
+SELECT l_returnflag, n_raw AS n,
+       round(mean + 1e-9, 6) AS mean,
+       round(m2 + 1e-9, 6) AS variance_pop,
+       round(m3 / (m2 * sqrt(m2)) + 1e-9, 6) AS skewness,
+       round((m4 / (m2 * m2)) - 3.0 + 1e-9, 6) AS kurtosis_excess
+FROM mm
+"""
+
+
+def q_x_robust_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust MAD outlier profile (anomaly.mad_outliers): per event type,
+    median / MAD / modified-z outlier count at the Iglewicz–Hoaglin 3.5
+    cutoff — the robust twin of inv_x_anomaly_zscore (a wild value
+    inflates a std enough to hide itself; median/MAD doesn't flinch)."""
+    from market_data_pipeline_spark.operators import anomaly
+
+    e = load_table(spark, sf, "events").select("event_type", "value")
+    return anomaly.mad_outliers(e, "event_type", "value")
+
+
+SQL_X_ROBUST_ANOMALY = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+),
+f AS (
+  SELECT e.event_type, m.med, d.mad,
+         CASE WHEN d.mad > 0 AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+              THEN 1 ELSE 0 END AS o
+  FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(med + 1e-9, 6) AS median, round(mad + 1e-9, 6) AS mad,
+       CAST(sum(o) AS BIGINT) AS n_outliers
+FROM f GROUP BY event_type, med, mad
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_q_moments": (q_q_moments, SQL_Q_MOMENTS),
+        "inv_x_robust_anomaly": (q_x_robust_anomaly, SQL_X_ROBUST_ANOMALY),
+    }
+)
+
+
 def q_a_vw_index(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-sectional index construction: per day, the volume-weighted and
     equal-weighted index levels over every symbol's close — the market-level

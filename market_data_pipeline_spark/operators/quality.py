@@ -649,6 +649,54 @@ def hll_portable_distinct(
     )
 
 
+def moment_profile(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group distribution moments — mean, population variance, skewness,
+    excess kurtosis — computed FROM EXACT POWER SUMS (the ols_closed_form
+    discipline): the value must be integer-typed (callers quantize), the
+    four power sums go through decimal(38,0) so they are exact in any
+    partition order, and the moment formulas are a fixed IEEE expression
+    tree the oracle replays bit-for-bit. Built-in skewness()/kurtosis()
+    are NOT used on purpose: engines disagree on sample-vs-population
+    adjustments, power sums have one definition.
+
+    One map-side-combined aggregate — a scan at any scale, like every
+    sufficient-statistics fit.
+    """
+    x = F.col(value_col).cast("bigint")
+    d38 = lambda e: e.cast("decimal(38,0)")  # noqa: E731
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(x)).alias("s1"),
+        F.sum(d38(x * x)).alias("s2"),
+        F.sum(d38(x * x * x)).alias("s3"),
+        F.sum(d38(x * x * x * x)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    mean = s1 / n
+    m2 = (s2 / n) - (mean * mean)
+    m3 = ((s3 / n) - ((F.lit(3.0) * mean) * (s2 / n))) + (
+        F.lit(2.0) * ((mean * mean) * mean)
+    )
+    m4 = (
+        ((s4 / n) - ((F.lit(4.0) * mean) * (s3 / n)))
+        + ((F.lit(6.0) * (mean * mean)) * (s2 / n))
+    ) - (F.lit(3.0) * ((mean * mean) * (mean * mean)))
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = (m4 / (m2 * m2)) - F.lit(3.0)
+    return g.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(mean + 1e-9, 6).alias("mean"),
+        F.round(m2 + 1e-9, 6).alias("variance_pop"),
+        F.round(skew + 1e-9, 6).alias("skewness"),
+        F.round(kurt + 1e-9, 6).alias("kurtosis_excess"),
+    )
+
+
 def observe_scan_metrics(
     df: DataFrame,
     numeric_cols: list[str] | None = None,

@@ -293,3 +293,38 @@ def test_global_rank_matches_row_number_bitwise(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_moment_profile_hand_computed(spark):
+    """x=[1,2,3,4]: mean 2.5, population variance 1.25, skew 0 (symmetric),
+    excess kurtosis 2.5625/1.5625-3 = -1.36."""
+    from market_data_pipeline_spark.operators.quality import moment_profile
+
+    df = spark.createDataFrame([("g", v) for v in (1, 2, 3, 4)], "grp string, x long")
+    r = moment_profile(df, "grp", "x").collect()[0]
+    assert r.n == 4
+    assert r.mean == 2.5 and r.variance_pop == 1.25
+    assert r.skewness == round(0.0 + 1e-9, 6)
+    assert r.kurtosis_excess == round(2.5625 / 1.5625 - 3.0 + 1e-9, 6)
+
+
+def test_mad_outliers_robust_vs_zscore_and_zero_mad(spark):
+    """[1,2,3,4,100]: median 3, MAD 1 -> the 100 is a screaming modified-z
+    outlier (65.4) even though the plain z-score (~1.8σ) would hide it;
+    a majority-constant group has MAD 0 and reports no outliers."""
+    from market_data_pipeline_spark.operators.anomaly import mad_outliers
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)] + [
+        ("b", v) for v in (5.0, 5.0, 5.0, 9.0)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r.grp: r for r in mad_outliers(df, "grp", "value").collect()}
+    assert got["a"].median == round(3.0 + 1e-9, 6) and got["a"].mad == round(1.0 + 1e-9, 6)
+    assert got["a"].n_outliers == 1
+    # plain z-score never reaches 3.5 here: the outlier inflates the std
+    import statistics
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    z = abs(100.0 - statistics.mean(vals)) / statistics.pstdev(vals)
+    assert z < 3.5
+    assert got["b"].mad == round(0.0 + 1e-9, 6) and got["b"].n_outliers == 0
