@@ -9305,6 +9305,55 @@ FROM rec r JOIN nmax m ON r.symbol = m.symbol AND r.t = m.n
 _REGISTRY.update({"inv_w_holt_forecast": (q_w_holt_forecast, _holt_sql())})
 
 
+def q_w_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift alarms (indicators.cusum_alarms): per-symbol
+    alarm counts on standardized bar closes — the sequential detector for
+    accumulated small shifts that pointwise z-scores miss. Codegen'd
+    F.aggregate fold with quantized state; recursive-CTE oracle."""
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    return indicators.cusum_alarms(b, k=0.5, h=4.0)
+
+
+def _cusum_sql(k: float = 0.5, h: float = 4.0) -> str:
+    z = "((s.close - m.mean) / m.std)"
+    zsp = f"round(greatest(CAST(0 AS DOUBLE), (r.sp + {z}) - {k!r}) + 1e-13, 10)"
+    zsn = f"round(greatest(CAST(0 AS DOUBLE), (r.sn - {z}) - {k!r}) + 1e-13, 10)"
+    return f"""
+WITH RECURSIVE {BARS_SQL},
+m AS (
+  SELECT symbol, round(avg(close) + 1e-9, 6) AS mean,
+         round(stddev_samp(close) + 1e-9, 6) AS std,
+         count(*) AS n
+  FROM bars GROUP BY symbol
+  HAVING round(stddev_samp(close) + 1e-9, 6) > 0
+),
+numbered AS (
+  SELECT symbol, close, row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn
+  FROM bars
+),
+rec AS (
+  SELECT symbol, 0 AS t, CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn,
+         0 AS up, 0 AS dn
+  FROM m
+  UNION ALL
+  SELECT r.symbol, r.t + 1,
+         CASE WHEN {zsp} > {h!r} THEN CAST(0 AS DOUBLE) ELSE {zsp} END,
+         CASE WHEN {zsn} > {h!r} THEN CAST(0 AS DOUBLE) ELSE {zsn} END,
+         r.up + CASE WHEN {zsp} > {h!r} THEN 1 ELSE 0 END,
+         r.dn + CASE WHEN {zsn} > {h!r} THEN 1 ELSE 0 END
+  FROM rec r
+  JOIN numbered s ON s.symbol = r.symbol AND s.rn = r.t + 1
+  JOIN m ON m.symbol = r.symbol
+)
+SELECT r.symbol, CAST(m.n AS BIGINT) AS n_obs, m.mean, m.std,
+       CAST(r.up AS BIGINT) AS alarms_up, CAST(r.dn AS BIGINT) AS alarms_down
+FROM rec r JOIN m ON r.symbol = m.symbol AND r.t = m.n
+"""
+
+
+_REGISTRY.update({"inv_w_cusum": (q_w_cusum, _cusum_sql())})
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (continued): IMA ADPCM round trip — the compressed-audio twin
 # of inv_m_audio_stats. The oracle pins the padded block sample count in

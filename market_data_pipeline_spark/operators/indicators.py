@@ -849,3 +849,67 @@ def holt_forecast(
             6,
         ).alias("forecast"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    k: float = 0.5,
+    h: float = 4.0,
+    col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per symbol (Page 1954): on
+    standardized values z_t = (x_t − mean)/std, accumulate
+    S⁺_t = max(0, S⁺_{t−1} + z_t − k) and S⁻_t = max(0, S⁻_{t−1} − z_t − k);
+    an alarm fires when either side crosses ``h`` and that side resets to
+    0 (the standard restart protocol). Output: per-symbol alarm counts in
+    each direction — the sequential drift detector batch z-scores miss
+    (many small same-sign shifts never cross a pointwise threshold but
+    accumulate here).
+
+    Same execution shape as ``holt_forecast``: the ordered series folds
+    through a codegen'd F.aggregate with in-fold 10 dp quantization, so a
+    recursive-CTE oracle replays the recursion exactly. The
+    standardization constants are per-symbol aggregates quantized to 6 dp
+    on both engines BEFORE the fold (raw stddev differs across engines in
+    the last ulp; quantized inputs make the fold engine-exact). ``k`` and
+    ``h`` default to binary-exact doubles so the literals can't drift.
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(col).alias("y")))
+    )
+    series = df.groupBy(symbol_col).agg(
+        arr.alias("__arr"),
+        F.round(F.avg(col) + F.lit(1e-9), 6).alias("__mean"),
+        F.round(F.stddev_samp(col) + F.lit(1e-9), 6).alias("__std"),
+    ).filter(F.col("__std") > 0)
+    eps = F.lit(1e-13)
+    kl, hl = F.lit(float(k)), F.lit(float(h))
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0).alias("up"),
+        F.lit(0).alias("dn"),
+    )
+
+    def step(acc, e):
+        z = (e["y"] - F.col("__mean")) / F.col("__std")
+        zsp = F.round(F.greatest(F.lit(0.0), acc["sp"] + z - kl) + eps, 10)
+        zsn = F.round(F.greatest(F.lit(0.0), acc["sn"] - z - kl) + eps, 10)
+        return F.struct(
+            F.when(zsp > hl, F.lit(0.0)).otherwise(zsp).alias("sp"),
+            F.when(zsn > hl, F.lit(0.0)).otherwise(zsn).alias("sn"),
+            (acc["up"] + F.when(zsp > hl, 1).otherwise(0)).alias("up"),
+            (acc["dn"] + F.when(zsn > hl, 1).otherwise(0)).alias("dn"),
+        )
+
+    st = F.aggregate("__arr", init, step)
+    return series.select(
+        symbol_col,
+        F.size("__arr").cast("long").alias("n_obs"),
+        F.col("__mean").alias("mean"),
+        F.col("__std").alias("std"),
+        st["up"].cast("long").alias("alarms_up"),
+        st["dn"].cast("long").alias("alarms_down"),
+    )

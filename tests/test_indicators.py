@@ -429,3 +429,41 @@ def test_holt_forecast_hand_computed_and_python_replica(spark):
         l = nl
     assert (got.level, got.trend) == (l, b)
     assert got.forecast == round(l + 3.0 * b + 1e-9, 6)
+
+
+def test_cusum_alarms_detects_level_shift_python_replica(spark):
+    """A series that shifts +2σ halfway fires upward CUSUM alarms while a
+    stationary one stays silent; counts match a pure-Python replay of the
+    quantized recursion."""
+    from market_data_pipeline_spark.operators.indicators import cusum_alarms
+
+    shifted = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0] + [11.5, 11.6, 11.4, 11.5, 11.6, 11.5]
+    flat = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0] * 2
+    rows = [("S", i, v) for i, v in enumerate(shifted)] + [
+        ("F", i, v) for i, v in enumerate(flat)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, d int, close double")
+    got = {r.symbol: r for r in cusum_alarms(df, k=0.25, h=2.0).collect()}
+
+    def replay(series):
+        import statistics
+
+        mean = round(statistics.fmean(series) + 1e-9, 6)
+        std = round(statistics.stdev(series) + 1e-9, 6)
+        sp = sn = 0.0
+        up = dn = 0
+        for y in series:
+            z = (y - mean) / std
+            zsp = round(max(0.0, (sp + z) - 0.25) + 1e-13, 10)
+            zsn = round(max(0.0, (sn - z) - 0.25) + 1e-13, 10)
+            sp = 0.0 if zsp > 2.0 else zsp
+            sn = 0.0 if zsn > 2.0 else zsn
+            up += 1 if zsp > 2.0 else 0
+            dn += 1 if zsn > 2.0 else 0
+        return up, dn
+
+    for sym, series in (("S", shifted), ("F", flat)):
+        up, dn = replay(series)
+        assert (got[sym].alarms_up, got[sym].alarms_down) == (up, dn)
+    assert got["S"].alarms_up >= 1  # the shift is caught
+    assert got["F"].alarms_up == 0 and got["F"].alarms_down == 0
