@@ -7404,9 +7404,58 @@ ORDER BY lift DESC, antecedent, consequent LIMIT 50
 """
 
 
+def q_g_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction (graph.link_prediction): top-50 non-adjacent part
+    pairs of the weight≥2 co-purchase graph by neighborhood Jaccard —
+    'will be co-purchased next'. Capped wedge enumeration (smallest-id
+    cap mirrored in the oracle), full degrees, anti-join on the edge set."""
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    return graph.link_prediction(copurchase_w2(spark, sf))
+
+
+def copurchase_w2(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    return graph.copurchase_edges(spark, sf, min_weight=2)
+
+
+SQL_G_LINKPRED = f"""
+WITH {_SQL_G_EDGES},
+e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+sym AS (SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2),
+deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+nb AS (
+  SELECT src AS n, dst AS nb FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM sym
+  ) WHERE rn <= 256
+),
+cand AS (
+  SELECT a.nb AS node_a, b.nb AS node_b, count(*) AS cn
+  FROM nb a JOIN nb b ON a.n = b.n AND a.nb < b.nb
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT c.node_a, c.node_b, c.cn
+  FROM cand c LEFT JOIN e2 ON c.node_a = e2.src AND c.node_b = e2.dst
+  WHERE e2.src IS NULL
+)
+SELECT node_a, node_b, CAST(cn AS BIGINT) AS common_neighbors,
+       round(CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE)
+             + 1e-12, 6) AS jaccard_score
+FROM nonadj
+JOIN deg da ON node_a = da.node
+JOIN deg db ON node_b = db.node
+ORDER BY jaccard_score DESC, node_a, node_b LIMIT 50
+"""
+
+
 _REGISTRY.update(
     {
         "inv_g_assoc_rules": (q_g_assoc_rules, SQL_G_ASSOC),
+        "inv_g_link_prediction": (q_g_link_prediction, SQL_G_LINKPRED),
         "inv_g_copurchase_edges": (q_g_copurchase_edges, SQL_G_EDGES_W2),
         "inv_g_degree_hist": (q_g_degree_hist, SQL_G_DEGREE_HIST),
         "inv_g_triangles": (q_g_triangles, SQL_G_TRIANGLES),

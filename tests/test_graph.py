@@ -545,3 +545,17 @@ def test_association_rules_hand_computed(spark):
     assert {(r.antecedent, r.consequent): (r.pair_count, r.lift) for r in dup} == {
         (r.antecedent, r.consequent): (r.pair_count, r.lift) for r in out
     }
+
+
+def test_link_prediction_hand_computed(spark):
+    """Path graph 1-2-3 plus hub 4 connected to 1,2,3: pair (1,3) shares
+    neighbors {2,4} (cn=2) and is non-adjacent -> Jaccard 2/(3+3-2)=0.5;
+    adjacent pairs never appear."""
+    from market_data_pipeline_spark.operators.graph import link_prediction
+
+    edges = [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = link_prediction(df, k=10).collect()
+    got = {(r.node_a, r.node_b): (r.common_neighbors, r.jaccard_score) for r in rows}
+    # degrees: 1->2 (2,4), 2->3 (1,3,4), 3->2 (2,4), 4->3 (1,2,3)
+    assert got == {(1, 3): (2, round(2 / (2 + 2 - 2) + 1e-12, 6))}
