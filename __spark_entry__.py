@@ -9403,6 +9403,47 @@ FROM rec r JOIN m ON r.symbol = m.symbol AND r.t = m.n
 _REGISTRY.update({"inv_w_cusum": (q_w_cusum, _cusum_sql())})
 
 
+def q_w_seasonal_decomp(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal decomposition (indicators.seasonal_decompose):
+    per-symbol centered 7-row trend, weekly-phase seasonal effect
+    (equal-weighted, re-centered to mean 0), and residual — the classical
+    moving-average STL-lite. Phase is days-since-epoch mod 7 (integer-
+    exact on both engines)."""
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    return indicators.seasonal_decompose(b, period=7)
+
+
+SQL_W_SEASONAL = f"""
+WITH {BARS_SQL},
+b AS (
+  SELECT symbol, d, close,
+         date_diff('day', DATE '1970-01-01', d) % 7 AS phase,
+         CASE WHEN count(close) OVER w = 7
+              THEN round(avg(close) OVER w + 1e-9, 6) END AS trend
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+d2 AS (SELECT *, close - trend AS detr FROM b),
+seff AS (
+  SELECT symbol, phase, round(avg(detr) + 1e-9, 6) AS sraw
+  FROM d2 GROUP BY 1, 2
+),
+cent AS (SELECT symbol, round(avg(sraw) + 1e-9, 6) AS c FROM seff GROUP BY 1),
+seas AS (
+  SELECT s.symbol, s.phase, round(s.sraw - c.c + 1e-9, 6) AS seasonal
+  FROM seff s JOIN cent c USING (symbol)
+)
+SELECT d2.symbol, d2.d, d2.close, d2.trend, seas.seasonal,
+       round(d2.close - d2.trend - seas.seasonal + 1e-9, 6) AS residual
+FROM d2 JOIN seas ON d2.symbol = seas.symbol AND d2.phase = seas.phase
+WHERE d2.trend IS NOT NULL
+"""
+
+
+_REGISTRY.update({"inv_w_seasonal_decomp": (q_w_seasonal_decomp, SQL_W_SEASONAL)})
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (continued): IMA ADPCM round trip — the compressed-audio twin
 # of inv_m_audio_stats. The oracle pins the padded block sample count in

@@ -913,3 +913,70 @@ def cusum_alarms(
         st["up"].cast("long").alias("alarms_up"),
         st["dn"].cast("long").alias("alarms_down"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    period: int = 7,
+    col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+) -> DataFrame:
+    """Additive seasonal decomposition (classical moving-average method,
+    the STL-lite every monitoring stack runs): trend = centered
+    ``period``-row moving average (full windows only), seasonal = per
+    (symbol, phase) mean of the detrended series re-centered to sum ~0
+    over the cycle, residual = value − trend − seasonal.
+
+    One (symbol)-ordered window for the trend, then two tiny keyed
+    aggregates for the phase effects (equal phase weighting) broadcast
+    back — no corpus-global window anywhere, so the plan passes the
+    no-global-window sweep and scales with keys. Phase is
+    (days-since-epoch mod period): integer-exact and engine-independent,
+    unlike dayofweek() whose origin differs per engine.
+    """
+    from pyspark.sql import Window
+
+    half = period // 2
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(time_col)
+        .rowsBetween(-half, period - 1 - half)
+    )
+    phase = F.pmod(
+        F.datediff(F.col(time_col), F.to_date(F.lit("1970-01-01"))), F.lit(period)
+    )
+    trend = F.when(
+        F.count(col).over(w) == period, F.round(F.avg(col).over(w) + F.lit(1e-9), 6)
+    )
+    base = df.select(
+        symbol_col, time_col, F.col(col), phase.alias("__phase"), trend.alias("trend")
+    ).withColumn("__detr", F.col(col) - F.col("trend"))
+    # phase effects as per-(symbol, phase) aggregates (equal phase
+    # weighting — a row-weighted window recentering would skew toward
+    # phases with more observations), re-centered to mean 0 per symbol
+    seff = base.groupBy(symbol_col, "__phase").agg(
+        F.round(F.avg("__detr") + F.lit(1e-9), 6).alias("__sraw")
+    )
+    cent = seff.groupBy(symbol_col).agg(
+        F.round(F.avg("__sraw") + F.lit(1e-9), 6).alias("__c")
+    )
+    seas = seff.join(cent, symbol_col).select(
+        symbol_col,
+        "__phase",
+        F.round(F.col("__sraw") - F.col("__c") + F.lit(1e-9), 6).alias("seasonal"),
+    )
+    return (
+        base.join(F.broadcast(seas), [symbol_col, "__phase"])
+        .filter(F.col("trend").isNotNull())
+        .select(
+            symbol_col,
+            time_col,
+            F.col(col),
+            "trend",
+            "seasonal",
+            F.round(F.col(col) - F.col("trend") - F.col("seasonal") + F.lit(1e-9), 6).alias(
+                "residual"
+            ),
+        )
+    )

@@ -467,3 +467,27 @@ def test_cusum_alarms_detects_level_shift_python_replica(spark):
         assert (got[sym].alarms_up, got[sym].alarms_down) == (up, dn)
     assert got["S"].alarms_up >= 1  # the shift is caught
     assert got["F"].alarms_up == 0 and got["F"].alarms_down == 0
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A pure period-3 cycle on a flat base: trend ≈ base (centered mean of
+    one full cycle is the base), seasonal recovers the planted offsets
+    re-centered to mean 0, residual ≈ 0; edge rows (no full window) drop."""
+    from market_data_pipeline_spark.operators.indicators import seasonal_decompose
+
+    offsets = [2.0, -1.0, -1.0]  # mean 0 already
+    import datetime as dt
+
+    rows = [
+        ("A", dt.date(2024, 1, 1) + dt.timedelta(days=i), 100.0 + offsets[i % 3])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, d date, close double")
+    out = seasonal_decompose(df, period=3).orderBy("d").collect()
+    assert len(out) == 10  # 12 minus one edge row each side
+    for r in out:
+        assert r.trend == 100.0  # centered mean over one full cycle
+        assert abs(r.residual) <= 1e-6
+        assert r.close - 100.0 == pytest.approx(r.seasonal, abs=1e-6)
+    # the phase effects re-centered to mean 0 are exactly the planted offsets
+    assert {round(r.seasonal, 6) for r in out} == {2.0, -1.0}
