@@ -5584,18 +5584,33 @@ def q_q_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
     return quality.hll_portable_distinct(e, "event_type", "user_id")
 
 
+def _hll_hash_ctes(key_expr: str, src: str, label: str = "scope") -> str:
+    """Shared CTE chain rebuilding quality._hll_fields' xor-shift-finalized
+    hash in SQL (each stage a column so nothing inlines exponentially)."""
+    knuth, seed = quality._CMS_KNUTH, quality._CMS_SEEDS[0]
+    mult = quality._CMS_SEEDS[2]
+    sent = quality._CMS_NULL_SENTINEL
+    return f"""f0 AS (
+  SELECT {label},
+         (((coalesce({key_expr}, {sent}) * {knuth} + {seed}) % 2147483648)
+          + 2147483648) % 2147483648 AS h0
+  FROM {src}
+),
+f1 AS (SELECT {label}, xor(h0, h0 >> 15) AS h1 FROM f0),
+f2 AS (
+  SELECT {label},
+         (((h1 * {mult}) % 2147483648) + 2147483648) % 2147483648 AS h2
+  FROM f1
+),
+f AS (SELECT {label}, xor(h2, h2 >> 13) AS h FROM f2)"""
+
+
 def _hll_sql() -> str:
     m = quality._HLL_M
     wb1 = quality._HLL_WBITS + 1
-    knuth, seed = quality._CMS_KNUTH, quality._CMS_SEEDS[0]
-    sent = quality._CMS_NULL_SENTINEL
     return f"""
-WITH f AS (
-  SELECT event_type AS scope,
-         (((coalesce(user_id, {sent}) * {knuth} + {seed}) % 2147483648)
-          + 2147483648) % 2147483648 AS h
-  FROM events
-),
+WITH ev AS (SELECT event_type AS scope, user_id FROM events),
+{_hll_hash_ctes("user_id", "ev", "scope")},
 r AS (
   SELECT scope, CAST(h % {m} AS INT) AS bucket,
          CASE WHEN h // {m} = 0 THEN {wb1}
@@ -5724,6 +5739,85 @@ _REGISTRY.update(
         "inv_x_robust_anomaly": (q_x_robust_anomaly, SQL_X_ROBUST_ANOMALY),
     }
 )
+
+
+def q_q_hll_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch algebra (quality.hll_intersection_estimate): for every
+    pair of order priorities, the union estimate by register-wise max and
+    the intersection by inclusion–exclusion — segment-overlap questions
+    answered from per-group sketches without a per-pair fact rescan. The
+    contract bounds the intersection error by tol·exact_union."""
+    o = load_table(spark, sf, "orders").select("o_orderpriority", "o_custkey")
+    return quality.hll_intersection_estimate(o, "o_orderpriority", "o_custkey")
+
+
+def _hll_setops_sql() -> str:
+    m = quality._HLL_M
+    wb1 = quality._HLL_WBITS + 1
+    inv = "CAST(1 AS DOUBLE) / CAST((1::BIGINT << reg) AS DOUBLE)"
+    est = (
+        f"CASE WHEN CAST(0.709 AS DOUBLE) * {m * m} / sum_inv"
+        f"            <= CAST(2.5 AS DOUBLE) * {m} AND v < {m}"
+        f"     THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE)"
+        f"                                   / CAST({m} - v AS DOUBLE))"
+        f"     ELSE CAST(0.709 AS DOUBLE) * {m * m} / sum_inv END"
+    )
+    return f"""
+WITH o2 AS (SELECT o_orderpriority AS g, o_custkey FROM orders),
+{_hll_hash_ctes("o_custkey", "o2", "g")},
+r AS (
+  SELECT g, CAST(h % {m} AS INT) AS bucket,
+         CASE WHEN h // {m} = 0 THEN {wb1}
+              ELSE {wb1} - length(bin((h // {m})::BIGINT)) END AS rho
+  FROM f
+),
+regs AS (SELECT g, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+single AS (
+  SELECT g, sum({inv}) + CAST({m} - count(*) AS DOUBLE) AS sum_inv,
+         CAST(count(*) AS INT) AS v
+  FROM regs GROUP BY 1
+),
+se AS (SELECT g, {est} AS est FROM single),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.est AS est_a, b.est AS est_b
+  FROM se a JOIN se b ON a.g < b.g
+),
+uregs AS (
+  SELECT p.ga, p.gb, rg.bucket, max(rg.reg) AS reg
+  FROM (SELECT ga, gb FROM pairs) p JOIN regs rg ON rg.g = p.ga OR rg.g = p.gb
+  GROUP BY 1, 2, 3
+),
+usum AS (
+  SELECT ga, gb, sum({inv}) + CAST({m} - count(*) AS DOUBLE) AS sum_inv,
+         CAST(count(*) AS INT) AS v
+  FROM uregs GROUP BY 1, 2
+),
+ue AS (SELECT ga, gb, {est} AS est_union FROM usum),
+keys AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS k FROM orders),
+ei AS (
+  SELECT a.g AS ga, b.g AS gb, count(DISTINCT a.k) AS exact_intersection
+  FROM keys a JOIN keys b ON a.k = b.k AND a.g < b.g GROUP BY 1, 2
+),
+eu AS (
+  SELECT p.ga, p.gb, count(DISTINCT k.k) AS exact_union
+  FROM (SELECT ga, gb FROM pairs) p JOIN keys k ON k.g = p.ga OR k.g = p.gb
+  GROUP BY 1, 2
+)
+SELECT ga AS group_a, gb AS group_b,
+       round(est_a + 1e-9, 6) AS est_a, round(est_b + 1e-9, 6) AS est_b,
+       round(est_union + 1e-9, 6) AS est_union,
+       round(((est_a + est_b) - est_union) + 1e-9, 6) AS est_intersection,
+       CAST(coalesce(exact_intersection, 0) AS BIGINT) AS exact_intersection,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       abs(((est_a + est_b) - est_union) - coalesce(exact_intersection, 0))
+         <= CAST(0.25 AS DOUBLE) * exact_union AS within_bound
+FROM pairs JOIN ue USING (ga, gb)
+LEFT JOIN ei USING (ga, gb)
+JOIN eu USING (ga, gb)
+"""
+
+
+_REGISTRY.update({"inv_q_hll_setops": (q_q_hll_setops, _hll_setops_sql())})
 
 
 def q_a_vw_index(spark: SparkSession, sf: str) -> DataFrame:

@@ -221,7 +221,10 @@ def test_hll_portable_registers_and_merge(spark):
     m, wbits = quality._HLL_M, quality._HLL_WBITS
     regs: dict[int, int] = {}
     for k in range(40):
-        h = (k * quality._CMS_KNUTH + quality._CMS_SEEDS[0]) % (1 << 31)
+        h0 = (k * quality._CMS_KNUTH + quality._CMS_SEEDS[0]) % (1 << 31)
+        h1 = h0 ^ (h0 >> 15)
+        h2 = (h1 * quality._CMS_SEEDS[2]) % (1 << 31)
+        h = h2 ^ (h2 >> 13)
         b, w = h % m, h // m
         rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
         regs[b] = max(regs.get(b, 0), rho)
@@ -328,3 +331,28 @@ def test_mad_outliers_robust_vs_zscore_and_zero_mad(spark):
     z = abs(100.0 - statistics.mean(vals)) / statistics.pstdev(vals)
     assert z < 3.5
     assert got["b"].mad == round(0.0 + 1e-9, 6) and got["b"].n_outliers == 0
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    """Sketch algebra: A={0..59}, B={30..89} (|∩|=30, |∪|=90). The union
+    estimate equals a directly-built sketch of A∪B (register max IS the
+    union), inclusion-exclusion lands within the tol·union contract, and
+    a disjoint pair estimates a near-zero intersection."""
+    from market_data_pipeline_spark.operators import quality
+
+    rows = (
+        [("A", k) for k in range(60)]
+        + [("B", k) for k in range(30, 90)]
+        + [("C", k) for k in range(1000, 1040)]  # disjoint from A
+    )
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {(r.group_a, r.group_b): r for r in quality.hll_intersection_estimate(df, "g", "k").collect()}
+    ab = out[("A", "B")]
+    assert ab.exact_intersection == 30 and ab.exact_union == 90
+    assert ab.within_bound
+    # union estimate == the sketch of the literal union (closure property)
+    u = spark.createDataFrame([("U", k) for k in range(90)], "g string, k long")
+    urow = quality.hll_portable_distinct(u, "g", "k").filter("scope = 'U'").collect()[0]
+    assert urow.hll_estimate == ab.est_union
+    ac = out[("A", "C")]
+    assert ac.exact_intersection == 0 and ac.within_bound
