@@ -2993,6 +2993,77 @@ FROM events GROUP BY user_id
 """
 
 
+def q_st_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CUSUM drift monitor (stateful.streaming_cusum): per-user
+    alarm counts on standardized event values, baseline mean/std arriving
+    by stream-static broadcast join — the final stateful emission equals
+    the batch recursion, which is what the recursive-CTE oracle replays."""
+    from market_data_pipeline_spark.streaming import stateful
+
+    tune_existing(spark)
+    ev = load_table(spark, sf, "events")
+    baseline = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.avg("value") + F.lit(1e-9), 6).alias("mean"),
+            F.round(F.stddev_samp("value") + F.lit(1e-9), 6).alias("std"),
+        )
+        .filter(F.col("std") > 0)
+    )
+    stream = streaming_jobs.stream_events(spark, sf).join(
+        F.broadcast(baseline), "user_id"
+    )
+    out = streaming_jobs.run_stream_to_memory(
+        spark, stateful.streaming_cusum(stream), "st_cusum", output_mode="update"
+    )
+    # n_obs strictly increases per emission: the max-n row is final
+    return out.groupBy("user_id").agg(
+        F.max("n_obs").alias("n_obs"),
+        F.max_by("alarms_up", "n_obs").alias("alarms_up"),
+        F.max_by("alarms_down", "n_obs").alias("alarms_down"),
+    )
+
+
+def _st_cusum_sql(k: float = 0.5, h: float = 4.0) -> str:
+    z = "((s.value - m.mean) / m.std)"
+    zsp = f"round(greatest(CAST(0 AS DOUBLE), (r.sp + {z}) - {k!r}) + 1e-13, 10)"
+    zsn = f"round(greatest(CAST(0 AS DOUBLE), (r.sn - {z}) - {k!r}) + 1e-13, 10)"
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT user_id, round(avg(value) + 1e-9, 6) AS mean,
+         round(stddev_samp(value) + 1e-9, 6) AS std,
+         count(value) AS n
+  FROM events GROUP BY user_id
+  HAVING round(stddev_samp(value) + 1e-9, 6) > 0
+),
+numbered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+rec AS (
+  SELECT user_id, 0 AS t, CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn,
+         0 AS up, 0 AS dn
+  FROM m
+  UNION ALL
+  SELECT r.user_id, r.t + 1,
+         CASE WHEN {zsp} > {h!r} THEN CAST(0 AS DOUBLE) ELSE {zsp} END,
+         CASE WHEN {zsn} > {h!r} THEN CAST(0 AS DOUBLE) ELSE {zsn} END,
+         r.up + CASE WHEN {zsp} > {h!r} THEN 1 ELSE 0 END,
+         r.dn + CASE WHEN {zsn} > {h!r} THEN 1 ELSE 0 END
+  FROM rec r
+  JOIN numbered s ON s.user_id = r.user_id AND s.rn = r.t + 1
+  JOIN m ON m.user_id = r.user_id
+)
+SELECT r.user_id, CAST(m.n AS BIGINT) AS n_obs,
+       CAST(r.up AS BIGINT) AS alarms_up, CAST(r.dn AS BIGINT) AS alarms_down
+FROM rec r JOIN m ON r.user_id = m.user_id AND r.t = m.n
+"""
+
+
+_REGISTRY.update({"inv_st_cusum": (q_st_cusum, _st_cusum_sql())})
+
+
 def q_p14_signal_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """P14 — signal-bucket filters over a MapType breakdown column
     (report_generator.py:73-79): the filters genuinely read map elements."""

@@ -257,3 +257,70 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = "user_id bigint, n_obs bigint, alarms_up bigint, alarms_down bigint"
+CUSUM_STATE_SCHEMA = "sp double, sn double, n bigint, up bigint, dn bigint"
+
+
+def streaming_cusum(
+    events: DataFrame, k: float = 0.5, h: float = 4.0
+) -> DataFrame:
+    """Streaming two-sided CUSUM drift monitor — the stateful twin of
+    ``indicators.cusum_alarms``: per key, accumulate
+    S⁺ = max(0, S⁺ + z − k) / S⁻ = max(0, S⁻ − z − k) over standardized
+    values, alarm and reset on crossing ``h``. The baseline (per-key
+    ``mean``/``std`` columns) arrives ON the rows via an upstream
+    stream-static broadcast join — the production shape: reference
+    parameters come from a historical table, state is four scalars per
+    key, no window buffer.
+
+    Batch rows are processed in (ts, event_id) order and the state math
+    quantizes to 10 dp with the shared nudge — exactly the batch fold's
+    arithmetic — so replaying any prefix through the stream emits the
+    same counts as the batch recursion, and the final emission equals the
+    full-series batch answer (the driver oracle).
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            sp, sn, n, up, dn = state.get
+        else:
+            sp, sn, n, up, dn = 0.0, 0.0, 0, 0, 0
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            # concat BEFORE sorting: Arrow may hand one group over as
+            # several chunks, and per-chunk sorting would only locally
+            # order each — the state replay needs the full batch ordered
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            vals = pd.to_numeric(pdf["value"], errors="coerce")
+            for v, mean, std in zip(vals, pdf["mean"], pdf["std"]):
+                if pd.isna(v):
+                    continue
+                z = (float(v) - float(mean)) / float(std)
+                zsp = round(max(0.0, (sp + z) - k) + 1e-13, 10)
+                zsn = round(max(0.0, (sn - z) - k) + 1e-13, 10)
+                up += 1 if zsp > h else 0
+                dn += 1 if zsn > h else 0
+                sp = 0.0 if zsp > h else zsp
+                sn = 0.0 if zsn > h else zsn
+                n += 1
+        state.update((sp, sn, n, up, dn))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "alarms_up": [up],
+                "alarms_down": [dn],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

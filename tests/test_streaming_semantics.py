@@ -1204,3 +1204,32 @@ def test_streaming_latest_state_cdc_tombstones(spark, tmp_path):
     # time travel still shows the pre-delete state
     v_prev = tf.read(spark, table, version=len(hist) - 2)
     assert "AAA" in {r.symbol for r in v_prev.collect()}
+
+
+def test_streaming_cusum_equals_batch_fold(spark):
+    """The streaming CUSUM's final per-key emission equals the batch
+    F.aggregate fold run over the same series with the same baseline —
+    the state machine IS the recursion."""
+    import __spark_entry__ as entrymod
+    from market_data_pipeline_spark.operators.indicators import cusum_alarms
+    from market_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_obs, r.alarms_up, r.alarms_down)
+        for r in entrymod.queries()["inv_st_cusum"](spark, sf).collect()
+    }
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").alias("d"),
+            F.col("value").alias("close"),
+        )
+    )
+    want = {
+        r.symbol: (r.n_obs, r.alarms_up, r.alarms_down)
+        for r in cusum_alarms(ev, k=0.5, h=4.0).collect()
+    }
+    assert got == want and len(got) > 0
