@@ -83,6 +83,12 @@ HEADLINE = [
     # graph). Same gate rule.
     "inv_d_containment",
     "inv_t_textrank",
+    # and the closing round-6 pair in the same cost band: the wedge-join
+    # link prediction and the stateful streaming CUSUM (the one streaming
+    # query in the headline — it runs its availableNow pass per
+    # measurement, which is the honest cost of the streaming surface).
+    "inv_g_link_prediction",
+    "inv_st_cusum",
 ]
 
 RUNS_PER_QUERY = 3

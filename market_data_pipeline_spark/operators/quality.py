@@ -710,7 +710,15 @@ def hll_intersection_estimate(
         .agg(F.max("reg").alias("reg"))
     )
     uni = summarize(uni_regs, ["ga", "gb"]).withColumnRenamed("est", "est_union")
-    keys = df.select(F.col(group_col).alias("g"), F.col(key_col).alias("k")).distinct()
+    # the exact sides are the accuracy CONTRACT (like cms/sketch_accuracy —
+    # at 100 TB only the sketch path runs); checkpointing the distinct
+    # (group, key) frame keeps the contract itself to ONE fact scan
+    # instead of three (it feeds both exact joins and the union count)
+    keys = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col).alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     exact_int = (
         keys.select(F.col("g").alias("ga"), "k")
         .join(keys.select(F.col("g").alias("gb"), "k"), "k")
