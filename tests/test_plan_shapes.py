@@ -375,7 +375,9 @@ def test_every_registered_query_plan_is_scale_clean(spark):
                 f"{name}: unpartitioned Window (single-partition stage): "
                 f"{glines[0][:120]}"
             )
-    assert audited > 140 and skipped <= 12
+    # 12 inv_st_ streaming queries (incl. the round-6 streaming CUSUM)
+    # + the iterative kmeans_fit loop execute on build and are skipped
+    assert audited > 140 and skipped <= 13
 
 
 def test_ema_bucket_count_derives_from_parallelism(spark, sf_dir):
