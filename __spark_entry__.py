@@ -9609,6 +9609,97 @@ WHERE d2.trend IS NOT NULL
 _REGISTRY.update({"inv_w_seasonal_decomp": (q_w_seasonal_decomp, SQL_W_SEASONAL)})
 
 
+def q_w_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil–Sen robust trend (indicators.theil_sen_trend): per-symbol
+    median-of-pairwise-slopes regression with the median intercept —
+    29%-breakdown trend estimation one bad bar can't bend. Per-key
+    calendar-bounded pair fan-out, exact interpolated medians on both
+    engines."""
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    return indicators.theil_sen_trend(b)
+
+
+SQL_W_THEIL_SEN = f"""
+WITH {BARS_SQL},
+numbered AS (
+  SELECT symbol, date_diff('day', DATE '1970-01-01', d) AS t, close AS y,
+         row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn
+  FROM bars
+),
+cnt AS (SELECT symbol, count(*) AS n FROM numbered GROUP BY 1 HAVING count(*) >= 2),
+sl AS (
+  SELECT a.symbol, (b.y - a.y) / CAST(b.t - a.t AS DOUBLE) AS m
+  FROM numbered a JOIN numbered b ON a.symbol = b.symbol AND a.rn < b.rn
+),
+ms AS (
+  SELECT symbol, quantile_cont(m, 0.5) AS slope, count(*) AS n_pairs
+  FROM sl GROUP BY 1
+),
+ic AS (
+  SELECT n.symbol, ms.slope, ms.n_pairs,
+         quantile_cont(n.y - ms.slope * CAST(n.t AS DOUBLE), 0.5) AS icpt
+  FROM numbered n JOIN ms ON n.symbol = ms.symbol
+  GROUP BY n.symbol, ms.slope, ms.n_pairs
+)
+SELECT ic.symbol, CAST(cnt.n AS BIGINT) AS n_obs,
+       CAST(ic.n_pairs AS BIGINT) AS n_pairs,
+       round(ic.slope + 1e-9, 6) AS slope,
+       round(ic.icpt + 1e-9, 6) AS intercept
+FROM ic JOIN cnt ON ic.symbol = cnt.symbol
+"""
+
+
+def q_q_ref_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit (quality.referential_integrity): orphan
+    and NULL-key counts for all seven TPC-H foreign-key edges in one
+    union of anti-join scans — the post-load warehouse sanity check."""
+    t = {n: load_table(spark, sf, n) for n in
+         ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")}
+    return quality.referential_integrity(
+        [
+            (t["lineitem"], "lineitem", "l_orderkey", t["orders"], "orders", "o_orderkey"),
+            (t["lineitem"], "lineitem", "l_partkey", t["part"], "part", "p_partkey"),
+            (t["lineitem"], "lineitem", "l_suppkey", t["supplier"], "supplier", "s_suppkey"),
+            (t["orders"], "orders", "o_custkey", t["customer"], "customer", "c_custkey"),
+            (t["customer"], "customer", "c_nationkey", t["nation"], "nation", "n_nationkey"),
+            (t["supplier"], "supplier", "s_nationkey", t["nation"], "nation", "n_nationkey"),
+            (t["nation"], "nation", "n_regionkey", t["region"], "region", "r_regionkey"),
+        ]
+    )
+
+
+def _ref_integrity_sql() -> str:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for child, fk, parent, pk in edges:
+        parts.append(f"""SELECT '{child}.{fk}' AS child_key, '{parent}.{pk}' AS parent_key,
+  (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM {child} WHERE {fk} IS NULL) AS n_null_keys,
+  (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+    WHERE c.{fk} IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans,
+  (SELECT count(*) FROM {child} c
+    WHERE c.{fk} IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) = 0 AS ok""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_REGISTRY.update(
+    {
+        "inv_w_theil_sen": (q_w_theil_sen, SQL_W_THEIL_SEN),
+        "inv_q_ref_integrity": (q_q_ref_integrity, _ref_integrity_sql()),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (continued): IMA ADPCM round trip — the compressed-audio twin
 # of inv_m_audio_stats. The oracle pins the padded block sample count in

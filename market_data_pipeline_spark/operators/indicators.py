@@ -980,3 +980,75 @@ def seasonal_decompose(
             ),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+) -> DataFrame:
+    """Theil–Sen robust trend per symbol: slope = median over ALL pairwise
+    slopes (y_j − y_i)/(t_j − t_i), intercept = median(y − slope·t) —
+    29%-breakdown regression that one fat-finger bar cannot bend, the
+    robust-statistics complement to ``anomaly.mad_outliers``. Time enters
+    as integer days since epoch, so every slope is a deterministic double
+    ratio and the exact interpolated median matches DuckDB's
+    quantile_cont.
+
+    Pairwise cost is per-KEY quadratic and bounded by the CALENDAR
+    (days²/2 per symbol — ~2.4k pairs for a 70-day series), never corpus
+    size: the pair fan-out is a per-row codegen'd array expression over
+    the collected series (the _ordered_pairs discipline), one shuffle on
+    the symbol.
+    """
+    t_int = F.datediff(F.col(time_col), F.to_date(F.lit("1970-01-01")))
+    arr = F.array_sort(
+        F.collect_list(F.struct(t_int.alias("t"), F.col(col).alias("y")))
+    )
+    series = (
+        df.groupBy(symbol_col)
+        .agg(arr.alias("__arr"))
+        .filter(F.size("__arr") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    pair = F.flatten(
+        F.transform(
+            "__arr",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__arr"),
+                    i + F.lit(2),
+                    F.greatest(F.size("__arr") - i - 1, F.lit(0)),
+                ),
+                lambda y: ((y["y"] - x["y"]) / (y["t"] - x["t"]).cast("double")),
+            ),
+        )
+    )
+    slopes = (
+        series.select(symbol_col, F.explode(pair).alias("__m"))
+        .groupBy(symbol_col)
+        .agg(
+            F.expr("percentile(__m, 0.5)").alias("__slope"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    pts = series.select(
+        symbol_col, F.size("__arr").alias("n_obs"), F.explode("__arr").alias("p")
+    )
+    return (
+        pts.join(F.broadcast(slopes), symbol_col)
+        .groupBy(symbol_col, "n_obs", "n_pairs", "__slope")
+        .agg(
+            F.expr("percentile(p.y - __slope * cast(p.t as double), 0.5)").alias(
+                "__icpt"
+            )
+        )
+        .select(
+            symbol_col,
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("__slope") + F.lit(1e-9), 6).alias("slope"),
+            F.round(F.col("__icpt") + F.lit(1e-9), 6).alias("intercept"),
+        )
+    )

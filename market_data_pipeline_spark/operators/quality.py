@@ -894,3 +894,42 @@ def join_skew_report(
             ).alias("skew_ratio"),
         )
     )
+
+
+def referential_integrity(
+    edges: list[tuple[DataFrame, str, str, DataFrame, str, str]]
+) -> DataFrame:
+    """Foreign-key integrity audit: for each (child_df, child_name, fk,
+    parent_df, parent_name, pk) edge, count child rows, NULL keys, and
+    ORPHANS (non-null keys with no parent) — the cross-table quality scan
+    every warehouse runs after load. Each edge is one left-anti join
+    against the (distinct) parent key set plus one counting aggregate;
+    the union output is O(edges) rows.
+    """
+    parts = []
+    for child, child_name, fk, parent, parent_name, pk in edges:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        orphans = (
+            child.select(F.col(fk).alias("__fk"))
+            .filter(F.col("__fk").isNotNull())
+            .join(keys, F.col("__fk") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        totals = child.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).alias("n_null_keys"),
+        )
+        parts.append(
+            totals.crossJoin(orphans).select(
+                F.lit(f"{child_name}.{fk}").alias("child_key"),
+                F.lit(f"{parent_name}.{pk}").alias("parent_key"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.coalesce(F.col("n_null_keys"), F.lit(0)).cast("long").alias("n_null_keys"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

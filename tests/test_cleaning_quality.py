@@ -356,3 +356,20 @@ def test_hll_intersection_inclusion_exclusion(spark):
     assert urow.hll_estimate == ab.est_union
     ac = out[("A", "C")]
     assert ac.exact_intersection == 0 and ac.within_bound
+
+
+def test_referential_integrity_flags_orphans(spark):
+    """Orphan and NULL-key accounting: child rows pointing nowhere are
+    orphans, NULL keys are counted separately and are NOT orphans."""
+    from market_data_pipeline_spark.operators.quality import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = referential_integrity(
+        [(child, "child", "fk", parent, "parent", "pk")]
+    ).collect()
+    r = out[0]
+    assert (r.child_key, r.parent_key) == ("child.fk", "parent.pk")
+    assert (r.n_rows, r.n_null_keys, r.n_orphans, r.ok) == (4, 1, 1, False)

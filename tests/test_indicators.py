@@ -491,3 +491,27 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
         assert r.close - 100.0 == pytest.approx(r.seasonal, abs=1e-6)
     # the phase effects re-centered to mean 0 are exactly the planted offsets
     assert {round(r.seasonal, 6) for r in out} == {2.0, -1.0}
+
+
+def test_theil_sen_robust_to_one_outlier(spark):
+    """y = 5 + 2t with one wild spike: Theil-Sen recovers slope 2 and
+    intercept 5 exactly (median of pairwise slopes ignores the outlier);
+    OLS on the same data would be bent far off."""
+    import datetime as dt
+
+    from market_data_pipeline_spark.operators.indicators import theil_sen_trend
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(11):
+        y = 5.0 + 2.0 * i
+        if i == 5:
+            y += 1000.0  # fat finger
+        rows.append(("A", base + dt.timedelta(days=i), y))
+    df = spark.createDataFrame(rows, "symbol string, d date, close double")
+    r = theil_sen_trend(df).collect()[0]
+    assert r.n_obs == 11 and r.n_pairs == 55
+    t0 = (base - dt.date(1970, 1, 1)).days
+    assert r.slope == 2.0
+    # intercept is median(y - 2t) over epoch-day t: 5 - 2*t0 for clean rows
+    assert r.intercept == round(5.0 - 2.0 * t0 + 1e-9, 6)
