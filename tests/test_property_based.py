@@ -559,3 +559,51 @@ def test_unigram_train_matches_reference_viterbi_em(spark, case):
     }
     want = _ref_unigram(case, em_iters=2)
     assert got == want
+
+
+@st.composite
+def containment_corpora(draw):
+    """Small corpora over a tiny vocabulary, biased toward shared runs so
+    containment pairs actually occur (clones included)."""
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n_docs = draw(st.integers(2, 8))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(3, 10))
+        toks = [vocab[draw(st.integers(0, len(vocab) - 1))] for _ in range(n_tok)]
+        docs.append((i, " ".join(toks)))
+    if draw(st.booleans()) and len(docs) >= 2:
+        docs[-1] = (docs[-1][0], docs[0][1])  # force one exact clone
+    return docs
+
+
+@given(containment_corpora(), st.sampled_from([0.5, 0.75, 0.9]))
+@SETTLE
+def test_containment_join_matches_bruteforce(spark, docs, threshold):
+    """containment_join == brute-force over distinct 3-gram shingle sets for
+    arbitrary corpora and thresholds (ordered pairs, clone expansion and
+    the one-sided prefix filter all exercised)."""
+    import itertools
+
+    from market_data_pipeline_spark.operators.dedup import containment_join
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.contained_id, r.container_id): (r.n_common, r.containment)
+        for r in containment_join(df, threshold=threshold).collect()
+    }
+
+    def shingle_set(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))}
+
+    sets = {i: shingle_set(t) for i, t in docs}
+    want = {}
+    for a, b in itertools.permutations(sets, 2):
+        if not sets[a]:
+            continue
+        n = len(sets[a] & sets[b])
+        c = n / len(sets[a])
+        if c >= threshold:
+            want[(a, b)] = (n, round(c + 1e-12, 6))
+    assert got == want
