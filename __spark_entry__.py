@@ -9398,6 +9398,63 @@ FROM e
 _REGISTRY.update({"inv_x_ols_regression": (q_x_ols_regression, SQL_X_OLS)})
 
 
+def q_x_neyman_alloc(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal sampling allocation (features.neyman_allocation):
+    split a 10k-row sampling budget across order priorities ∝ N_h·σ_h of
+    the order value, largest-remainder rounded to sum exactly to budget —
+    the survey-statistics answer to per-stratum sample sizes, built on the
+    decimal-exact power-sum discipline."""
+    from market_data_pipeline_spark.operators import features
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    return features.neyman_allocation(o, "o_orderpriority", "price_c", budget=10000)
+
+
+SQL_X_NEYMAN = """
+WITH q AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x * x) AS DOUBLE) AS s2
+  FROM q GROUP BY 1
+),
+w AS (
+  SELECT g, n_rows,
+         sqrt((s2 / n) - ((s1 / n) * (s1 / n))) AS sig,
+         n * sqrt((s2 / n) - ((s1 / n) * (s1 / n))) AS wt
+  FROM s
+),
+t AS (SELECT sum(wt) AS tw FROM w),
+a AS (
+  SELECT g, n_rows, sig,
+         CAST(10000 AS DOUBLE) * wt / t.tw AS raw
+  FROM w CROSS JOIN t
+),
+b AS (
+  SELECT g, n_rows, sig, raw,
+         CAST(floor(raw) AS BIGINT) AS base, raw - floor(raw) AS frac
+  FROM a
+),
+sh AS (SELECT 10000 - sum(base) AS short FROM b),
+r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, g) AS rnk FROM b)
+SELECT g AS o_orderpriority, n_rows,
+       round(sig + 1e-9, 6) AS sigma,
+       round(raw + 1e-9, 6) AS alloc_raw,
+       CAST(base + CASE WHEN rnk <= (SELECT short FROM sh) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_alloc
+FROM r
+"""
+
+
+_REGISTRY.update({"inv_x_neyman_alloc": (q_x_neyman_alloc, SQL_X_NEYMAN)})
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (continued): broadcast-Bloom decontamination audit — the 100 TB
 # decontamination plan (eval shingles → bloom_filter_agg → broadcast →

@@ -652,3 +652,68 @@ def host_quota(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def neyman_allocation(
+    df: DataFrame, group_col: str, value_col: str, budget: int
+) -> DataFrame:
+    """Neyman-optimal sample allocation: split a sampling ``budget`` across
+    strata ∝ N_h·σ_h (minimum-variance allocation for a stratified mean —
+    Neyman 1934), with the largest-remainder rounding so allocations are
+    integers summing EXACTLY to the budget. The principled version of
+    'how many docs do I draw from each source' that mixture_plan answers
+    by target shares alone.
+
+    Determinism contract: ``value_col`` must be integer-valued (callers
+    quantize); per-stratum σ comes from decimal-exact power sums (the
+    moment_profile discipline), so every downstream double is a fixed
+    IEEE expression the oracle replays. The largest-remainder rank is a
+    whole-frame window over the O(strata) aggregate — a closed, bounded
+    domain, never data-sized.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("bigint")
+    d38 = lambda e: e.cast("decimal(38,0)")  # noqa: E731
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d38(x)).alias("__s1"),
+        F.sum(d38(x * x)).alias("__s2"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1, s2 = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    mean = s1 / n
+    sigma = F.sqrt((s2 / n) - (mean * mean))
+    g = g.select(group_col, "n_rows", (n * sigma).alias("__w"), sigma.alias("__sig"))
+    tot = g.agg(F.sum("__w").alias("__tw"))
+    raw = F.lit(float(budget)) * F.col("__w") / F.col("__tw")
+    alloc = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_rows",
+            F.col("__sig"),
+            raw.alias("__raw"),
+            F.floor(raw).cast("long").alias("__base"),
+            (raw - F.floor(raw)).alias("__frac"),
+        )
+    )
+    short = alloc.agg(
+        (F.lit(budget) - F.sum("__base")).cast("long").alias("__short")
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("__frac").desc(), F.col(group_col))
+    )
+    return (
+        alloc.crossJoin(F.broadcast(short))
+        .withColumn("__rnk", rnk)
+        .select(
+            group_col,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("__sig") + 1e-9, 6).alias("sigma"),
+            F.round(F.col("__raw") + 1e-9, 6).alias("alloc_raw"),
+            (F.col("__base") + F.when(F.col("__rnk") <= F.col("__short"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_alloc"),
+        )
+    )

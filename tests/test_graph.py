@@ -559,3 +559,25 @@ def test_link_prediction_hand_computed(spark):
     got = {(r.node_a, r.node_b): (r.common_neighbors, r.jaccard_score) for r in rows}
     # degrees: 1->2 (2,4), 2->3 (1,3,4), 3->2 (2,4), 4->3 (1,2,3)
     assert got == {(1, 3): (2, round(2 / (2 + 2 - 2) + 1e-12, 6))}
+
+
+def test_neyman_allocation_hand_computed(spark):
+    """Two strata, equal sizes, σ ratio 3:1 -> allocations split 75/25;
+    largest-remainder keeps the total EXACTLY at budget; a constant
+    stratum (σ=0) gets nothing."""
+    from market_data_pipeline_spark.operators.features import neyman_allocation
+
+    rows = (
+        [("a", v) for v in (10, 40)] * 6          # sigma 15, n 12
+        + [("b", v) for v in (20, 30)] * 6        # sigma 5,  n 12
+        + [("c", 7)] * 4                           # sigma 0,  n 4
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r.g: r for r in neyman_allocation(df, "g", "x", budget=100).collect()}
+    assert got["a"].sigma == 15.0 and got["b"].sigma == 5.0 and got["c"].sigma == 0.0
+    assert got["a"].n_alloc == 75 and got["b"].n_alloc == 25 and got["c"].n_alloc == 0
+    assert sum(r.n_alloc for r in got.values()) == 100
+    # uneven budget exercises largest-remainder: 101 -> 75.75/25.25/0
+    got2 = {r.g: r.n_alloc for r in neyman_allocation(df, "g", "x", budget=101).collect()}
+    assert got2 == {"a": 76, "b": 25, "c": 0}
+    assert sum(got2.values()) == 101

@@ -357,6 +357,7 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         "inv_w_rolling_corr",  # O(trading days) aligned pair series
         "inv_a14_run_summary",  # share-of-total over O(statuses) aggregate
         "inv_x_temperature_mix",  # share-of-total over O(languages) agg
+        "inv_x_neyman_alloc",  # largest-remainder rank over O(strata) agg
     }
     skipped = 0
     audited = 0
