@@ -9281,7 +9281,17 @@ def q_x_quality_logreg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _logreg_oracle_sql(iterations: int = 5, lr: float = 2.0) -> str:
+def _logreg_chain_sql(iterations: int = 5, lr: float = 2.0) -> str:
+    """The shared WITH body (feature build + MATERIALIZED GD chain through
+    c{iterations}) — composed by both the trainer oracle and the
+    calibration oracle so the replayed model can never drift between
+    them."""
+    return _logreg_oracle_sql(iterations, lr, chain_only=True)
+
+
+def _logreg_oracle_sql(
+    iterations: int = 5, lr: float = 2.0, chain_only: bool = False
+) -> str:
     zero = ["0.0"] * 4
     ctes = []
     prev = None
@@ -9315,7 +9325,7 @@ c{k} AS MATERIALIZED (
         f"SELECT {k} AS step, b0, b1, b2, b3, logloss FROM c{k}"
         for k in range(1, iterations + 1)
     )
-    return f"""
+    chain = f"""
 WITH n0 AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
 s AS MATERIALIZED (
   SELECT doc_id, lang, nt,
@@ -9331,7 +9341,10 @@ f AS MATERIALIZED (
     round(least(length(nt) / 500.0, 1.0) + 1e-9, 6) AS x2
   FROM s
 ),
-{', '.join(ctes)}
+{', '.join(ctes)}"""
+    if chain_only:
+        return chain
+    return f"""{chain}
 SELECT CAST(step AS INT) AS step, b0, b1, b2, b3, logloss FROM ({selects}) ORDER BY step
 """
 
@@ -9339,6 +9352,60 @@ SELECT CAST(step AS INT) AS step, b0, b1, b2, b3, logloss FROM ({selects}) ORDER
 _REGISTRY.update(
     {"inv_x_quality_logreg": (q_x_quality_logreg, _logreg_oracle_sql())}
 )
+
+
+def q_x_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier calibration (features.calibration_report): reliability
+    bins + ECE for the trained quality logreg — per confidence decile the
+    mean predicted probability vs the observed positive rate. Scores are
+    6 dp-quantized before bucketing; the oracle replays the identical
+    MATERIALIZED GD chain, then the identical scoring and binning."""
+    from market_data_pipeline_spark.operators import features
+
+    d = _docs(spark, sf)
+    q = text.add_quality_score(d)
+    feats = q.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        "stopword_ratio",
+        "punct_ratio",
+        F.round(F.col("len_score") + F.lit(1e-9), 6).alias("len_score6"),
+    )
+    return features.calibration_report(
+        feats,
+        "y",
+        ["stopword_ratio", "punct_ratio", "len_score6"],
+        bins=10,
+        iterations=5,
+        lr=2.0,
+    )
+
+
+def _calibration_oracle_sql(iterations: int = 5, lr: float = 2.0) -> str:
+    last = f"c{iterations}"
+    b = [f"(SELECT b{j} FROM {last})" for j in range(4)]
+    z = f"({b[0]} + {b[1]} * x0 + {b[2]} * x1 + {b[3]} * x2)"
+    return f"""{_logreg_chain_sql(iterations, lr)},
+scored AS (
+  SELECT y, round(1.0 / (1.0 + exp(-{z})) + 1e-9, 6) AS p
+  FROM f
+),
+bybin AS (
+  SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         round(avg(p) + 1e-9, 6) AS confidence,
+         round(avg(y) + 1e-9, 6) AS accuracy
+  FROM scored GROUP BY 1
+),
+g AS (
+  SELECT *, round(abs(accuracy - confidence) + 1e-9, 6) AS gap FROM bybin
+),
+e AS (SELECT round(sum(n * gap) / sum(n) + 1e-9, 6) AS ece FROM g)
+SELECT CAST(bin AS INT) AS bin, n, confidence, accuracy, gap, e.ece
+FROM g CROSS JOIN e
+"""
+
+
+_REGISTRY.update({"inv_x_calibration": (q_x_calibration, _calibration_oracle_sql())})
 
 
 def q_x_ols_regression(spark: SparkSession, sf: str) -> DataFrame:

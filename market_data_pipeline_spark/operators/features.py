@@ -717,3 +717,73 @@ def neyman_allocation(
             .alias("n_alloc"),
         )
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str] | tuple[str, ...],
+    bins: int = 10,
+    iterations: int = 5,
+    lr: float = 2.0,
+) -> DataFrame:
+    """Classifier calibration: train the logistic quality filter
+    (``train_logistic``), score every row with the FINAL quantized
+    coefficients, bucket predictions into ``bins`` equal-width confidence
+    bins, and report per-bin confidence vs observed accuracy plus the
+    expected calibration error ECE = Σ (n_b/N)·|acc_b − conf_b| — the
+    reliability diagram + the one-number summary every model-based
+    curation gate should publish before its scores are trusted as
+    probabilities.
+
+    Determinism: scores are quantized to 6 dp BEFORE bucketing (the raw
+    sigmoid differs across engines in the last ulp; the bucket edge
+    arithmetic on the quantized value is then a shared IEEE expression),
+    and the ECE is computed from the ROUNDED per-bin aggregates. One
+    extra scan over the (already checkpointed) feature frame beyond
+    training; the reliability table is O(bins).
+    """
+    d = len(feature_cols)
+    model = train_logistic(df, label_col, feature_cols, iterations=iterations, lr=lr)
+    last = model.orderBy(F.col("step").desc()).first()
+    z = F.lit(float(last["b0"]))
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(float(last[f"b{j + 1}"])) * F.col(c)
+    p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-9), 6)
+    scored = df.select(
+        F.col(label_col).cast("double").alias("__y"), p6.alias("__p")
+    )
+    by_bin = (
+        scored.select(
+            F.least(
+                F.lit(bins - 1), F.floor(F.col("__p") * bins).cast("int")
+            ).alias("bin"),
+            "__y",
+            "__p",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__p") + F.lit(1e-9), 6).alias("confidence"),
+            F.round(F.avg("__y") + F.lit(1e-9), 6).alias("accuracy"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("accuracy") - F.col("confidence")) + F.lit(1e-9), 6)
+        )
+    )
+    ece = by_bin.agg(
+        F.round(
+            F.sum(F.col("n") * F.col("gap")) / F.sum("n") + F.lit(1e-9), 6
+        ).alias("ece")
+    )
+    return (
+        by_bin.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            "confidence",
+            "accuracy",
+            "gap",
+            "ece",
+        )
+    )

@@ -581,3 +581,24 @@ def test_neyman_allocation_hand_computed(spark):
     got2 = {r.g: r.n_alloc for r in neyman_allocation(df, "g", "x", budget=101).collect()}
     assert got2 == {"a": 76, "b": 25, "c": 0}
     assert sum(got2.values()) == 101
+
+
+def test_calibration_report_perfectly_calibrated_and_ece(spark):
+    """A separable dataset where the trained model predicts confidently:
+    bins partition all rows, n sums to the corpus, ECE equals the
+    n-weighted mean gap recomputed from the report itself, and every
+    confidence/accuracy lies in [0,1]."""
+    from market_data_pipeline_spark.operators.features import calibration_report
+
+    rows = [(1.0, 1.0, 0.9) for _ in range(40)] + [(0.0, 0.0, 0.1) for _ in range(40)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = calibration_report(df, "y", ["x1", "x2"], bins=10, iterations=5, lr=2.0).collect()
+    assert sum(r.n for r in out) == 80
+    for r in out:
+        assert 0.0 <= r.confidence <= 1.0 and 0.0 <= r.accuracy <= 1.0
+        assert r.gap == round(abs(r.accuracy - r.confidence) + 1e-9, 6)
+    ece = round(sum(r.n * r.gap for r in out) / sum(r.n for r in out) + 1e-9, 6)
+    assert all(r.ece == ece for r in out)
+    # the two pure classes land in different bins with matching accuracy
+    by_acc = {r.accuracy for r in out}
+    assert 1.0 in by_acc and 0.0 in by_acc
