@@ -9522,6 +9522,40 @@ FROM r
 _REGISTRY.update({"inv_x_neyman_alloc": (q_x_neyman_alloc, SQL_X_NEYMAN)})
 
 
+def q_q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration (quality.gini_concentration): per order
+    priority, how concentrated order value is across orders — the
+    inequality profile behind 'is this source dominated by a few
+    records'. Rank-weighted sums decimal-exact; ties need no tiebreak
+    (Σ i·x is invariant under permuting equal values)."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    return quality.gini_concentration(o, "o_orderpriority", "price_c")
+
+
+SQL_Q_GINI = """
+WITH q AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+),
+r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS i FROM q),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_raw, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS s, CAST(sum(i * x) AS DOUBLE) AS s1
+  FROM r GROUP BY 1
+)
+SELECT g AS o_orderpriority, n_raw AS n,
+       round(((2.0 * s1) / (n * s)) - ((n + 1.0) / n) + 1e-9, 6) AS gini
+FROM s
+"""
+
+
+_REGISTRY.update({"inv_q_gini": (q_q_gini, SQL_Q_GINI)})
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (continued): broadcast-Bloom decontamination audit — the 100 TB
 # decontamination plan (eval shingles → bloom_filter_agg → broadcast →

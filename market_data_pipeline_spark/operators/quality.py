@@ -933,3 +933,39 @@ def referential_integrity(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def gini_concentration(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group Gini coefficient over an integer-valued column: with the
+    group's values sorted ascending, G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n —
+    the concentration profile (0 = perfectly even, →1 = one row holds
+    everything) that tells a curation pipeline whether a source's volume
+    is dominated by a few records.
+
+    Plan: one group-partitioned ranking window + one map-side-combined
+    aggregate. Ties need no tiebreak: swapping equal values changes ranks
+    but not Σ i·x (same x both sides), so the statistic is deterministic
+    under any row_number order. The rank-weighted sums stay in
+    decimal(38,0) (exact in any partition order); the closing formula is
+    a fixed IEEE expression the oracle replays.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("bigint")
+    ranked = df.select(group_col, x.alias("__x")).withColumn(
+        "__i", F.row_number().over(Window.partitionBy(group_col).orderBy("__x"))
+    )
+    d38 = lambda e: e.cast("decimal(38,0)")  # noqa: E731
+    g = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("__x"))).alias("__s"),
+        F.sum(d38(F.col("__i") * F.col("__x"))).alias("__s1"),
+    )
+    n = F.col("n").cast("double")
+    s, s1 = F.col("__s").cast("double"), F.col("__s1").cast("double")
+    gini = ((F.lit(2.0) * s1) / (n * s)) - ((n + F.lit(1.0)) / n)
+    return g.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(gini + F.lit(1e-9), 6).alias("gini"),
+    )

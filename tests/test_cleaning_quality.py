@@ -373,3 +373,20 @@ def test_referential_integrity_flags_orphans(spark):
     r = out[0]
     assert (r.child_key, r.parent_key) == ("child.fk", "parent.pk")
     assert (r.n_rows, r.n_null_keys, r.n_orphans, r.ok) == (4, 1, 1, False)
+
+
+def test_gini_concentration_hand_computed(spark):
+    """Uniform values -> Gini 0; one row holding everything -> (n-1)/n;
+    [1,2,3,4] -> 2*(1+4+9+16)/(4*10) - 5/4 = 0.25."""
+    from market_data_pipeline_spark.operators.quality import gini_concentration
+
+    rows = (
+        [("even", 5) for _ in range(4)]
+        + [("one", 0), ("one", 0), ("one", 0), ("one", 100)]
+        + [("mix", 1), ("mix", 2), ("mix", 3), ("mix", 4)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r.g: r.gini for r in gini_concentration(df, "g", "x").collect()}
+    assert got["even"] == round(0.0 + 1e-9, 6)
+    assert got["one"] == round(3.0 / 4.0 + 1e-9, 6)
+    assert got["mix"] == round(0.25 + 1e-9, 6)
