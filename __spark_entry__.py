@@ -4218,6 +4218,36 @@ FROM c JOIN sz s USING (cohort_day)
 """
 
 
+def q_e_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity burstiness (behavior.activity_burstiness): Fano
+    factor of daily event counts — the regularity feature that separates
+    steady users from bots and campaign spikes. Integer daily counts make
+    the dispersion moments exact; the division is one pinned expression."""
+    from market_data_pipeline_spark.operators import behavior
+
+    return behavior.activity_burstiness(spark, sf)
+
+
+SQL_E_BURSTINESS = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) AS DOUBLE) AS k,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c * c) AS DOUBLE) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT user_id, n_days, n_events,
+       round((s1 / k) + 1e-9, 6) AS mean_daily,
+       round((((s2 / k) - ((s1 / k) * (s1 / k))) / (s1 / k)) + 1e-9, 6) AS fano,
+       (((s2 / k) - ((s1 / k) * (s1 / k))) / (s1 / k)) > CAST(1.5 AS DOUBLE) AS is_bursty
+FROM g
+"""
+
+
 def q_e_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """Single-touch conversion attribution (behavior.touch_attribution):
     first-touch and last-touch credit per event type for every purchase,
@@ -4275,6 +4305,7 @@ _REGISTRY.update(
         "inv_e_transitions": (q_e_transitions, SQL_E_TRANSITIONS),
         "inv_e_attribution": (q_e_attribution, SQL_E_ATTRIBUTION),
         "inv_e_cohort_ltv": (q_e_cohort_ltv, SQL_E_COHORT_LTV),
+        "inv_e_burstiness": (q_e_burstiness, SQL_E_BURSTINESS),
         "inv_w_twap": (q_w_twap, SQL_W_TWAP),
         "inv_a_mom_growth": (q_a_mom_growth, SQL_A_MOM),
         "inv_s_bars_weekly": (q_s_bars_weekly, SQL_BARS_WEEKLY),

@@ -259,3 +259,41 @@ def sessionize(
     if value_col is not None and value_col in events.columns:
         aggs.append(F.round(F.sum(value_col), 4).alias("total_value"))
     return labeled.groupBy(user_col, "session_seq").agg(*aggs)
+
+
+def activity_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity burstiness: the Fano factor (index of dispersion)
+    of DAILY event counts — variance/mean of a user's per-day activity.
+    Poisson-regular users sit near 1, bursty accounts (bots, scrapers,
+    campaign spikes) run high, metronomic schedulers run low — the
+    behavioral-regularity feature abuse pipelines threshold on.
+
+    Daily counts are integers, so the dispersion moments are EXACT
+    (decimal power sums, any partition order) and the closing division is
+    one fixed IEEE expression — full value oracle. Two map-side-combined
+    aggregates: (user, day) counts, then per-user moments.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("bigint")
+    d38 = lambda e: e.cast("decimal(38,0)")  # noqa: E731
+    g = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(d38(c)).alias("__s1"),
+        F.sum(d38(c * c)).alias("__s2"),
+    )
+    k = F.col("n_days").cast("double")
+    s1, s2 = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    mean = s1 / k
+    var = (s2 / k) - (mean * mean)
+    fano = var / mean
+    return g.select(
+        "user_id",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("__s1").cast("long").alias("n_events"),
+        F.round(mean + F.lit(1e-9), 6).alias("mean_daily"),
+        F.round(fano + F.lit(1e-9), 6).alias("fano"),
+        (fano > F.lit(1.5)).alias("is_bursty"),
+    )

@@ -805,3 +805,33 @@ def test_cohort_ltv_hand_computed(spark, tmp_path):
     assert got[("2024-01-01", 0)] == (r4(10.0), r4(10.0), 2, round(10.0 / 2 + 1e-9, 6))
     assert got[("2024-01-01", 2)] == (r4(20.0), r4(30.0), 2, round(30.0 / 2 + 1e-9, 6))
     assert got[("2024-01-02", 0)] == (r4(5.0), r4(5.0), 1, round(5.0 + 1e-9, 6))
+
+
+def test_activity_burstiness_hand_computed(spark, tmp_path):
+    """Steady user (2,2,2,2 daily) -> fano 0; bursty user (1,7) ->
+    var_pop=9, mean=4, fano=2.25 and flagged."""
+    import datetime as dt
+    import os
+
+    rows = []
+    eid = 0
+    for day in range(4):  # user 1: 2 events/day
+        for _ in range(2):
+            rows.append((1, dt.datetime(2024, 1, 1 + day, 9 + _), eid)); eid += 1
+    for day, cnt in ((0, 1), (1, 7)):  # user 2: 1 then 7
+        for j in range(cnt):
+            rows.append((2, dt.datetime(2024, 1, 1 + day, 8 + j), eid)); eid += 1
+    df = spark.createDataFrame(
+        [(u, t, "view", 1.0, i) for u, t, i in rows],
+        "user_id long, ts timestamp, event_type string, value double, event_id long",
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    from market_data_pipeline_spark.operators.behavior import activity_burstiness
+
+    got = {r.user_id: r for r in activity_burstiness(spark, str(tmp_path)).collect()}
+    assert (got[1].n_days, got[1].n_events, got[1].fano, got[1].is_bursty) == (
+        4, 8, round(0.0 + 1e-9, 6), False,
+    )
+    assert (got[2].n_days, got[2].n_events) == (2, 8)
+    assert got[2].fano == round(2.25 + 1e-9, 6) and got[2].is_bursty
