@@ -6036,9 +6036,21 @@ _THIS_ROUND = _MAX_FILE_ROUND + 1
 # set these lead; everything else keeps registration order behind them.
 _WINDOW_PRIORITY_PREFIXES = ("inv_q", "inv_st_", "inv_d_", "inv_sim_")
 
-# Explicit head of the window: the round-2 evidence queries for the
-# formerly rows-only family (verdict #7) must land driver rows THIS round.
+# Explicit head of the window. Round 6 (r5 verdict task #1): the 24 names
+# whose only green evidence is the judge's local verify run must land
+# DRIVER rows this round — they outrank this round's brand-new queries
+# (which carry fresh full-gate evidence of their own). The old round-2
+# rows-only names stay listed; they are green now, so the pending filter
+# drops them for free.
 _WINDOW_LEAD_NAMES = (
+    "inv_a_decile_backtest", "inv_a_ic_momentum", "inv_asof_nearest",
+    "inv_er_customer_pairs", "inv_er_editdist_pairs", "inv_er_entities",
+    "inv_g_hits", "inv_g_kcore", "inv_g_modularity", "inv_g_pagerank_seeded",
+    "inv_m_adpcm_roundtrip", "inv_m_gif_roundtrip", "inv_s_versioned_changes",
+    "inv_t_lexical_diversity", "inv_t_nb_confusion", "inv_t_zipf_fit",
+    "inv_w_acf", "inv_w_liquidity", "inv_w_mfi", "inv_w_obv",
+    "inv_w_rolling_corr", "inv_x_quality_logreg", "inv_x_rank_normalize",
+    "inv_x_temperature_mix",
     "inv_m_media_features",
     "inv_d_simhash_stats",
     "inv_v_kmeans_stats",
