@@ -4218,6 +4218,29 @@ FROM c JOIN sz s USING (cohort_day)
 """
 
 
+def q_e_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top 3-step user journeys (behavior.top_paths): corpus-wide trigram
+    counts over time-ordered event streams, top 20 — the journey view
+    first-order transitions can't express."""
+    from market_data_pipeline_spark.operators import behavior
+
+    return behavior.top_paths(spark, sf, k=20)
+
+
+SQL_E_TOP_PATHS = """
+WITH o AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+  FROM events
+)
+SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step1, step2, step3 LIMIT 20
+"""
+
+
 def q_e_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user activity burstiness (behavior.activity_burstiness): Fano
     factor of daily event counts — the regularity feature that separates
@@ -4306,6 +4329,7 @@ _REGISTRY.update(
         "inv_e_attribution": (q_e_attribution, SQL_E_ATTRIBUTION),
         "inv_e_cohort_ltv": (q_e_cohort_ltv, SQL_E_COHORT_LTV),
         "inv_e_burstiness": (q_e_burstiness, SQL_E_BURSTINESS),
+        "inv_e_top_paths": (q_e_top_paths, SQL_E_TOP_PATHS),
         "inv_w_twap": (q_w_twap, SQL_W_TWAP),
         "inv_a_mom_growth": (q_a_mom_growth, SQL_A_MOM),
         "inv_s_bars_weekly": (q_s_bars_weekly, SQL_BARS_WEEKLY),

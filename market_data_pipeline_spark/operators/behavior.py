@@ -297,3 +297,36 @@ def activity_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fano + F.lit(1e-9), 6).alias("fano"),
         (fano > F.lit(1.5)).alias("is_bursty"),
     )
+
+
+def top_paths(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Most-travelled 3-step event journeys: for every position in a
+    user's time-ordered stream, the (step1 → step2 → step3) trigram,
+    counted corpus-wide and ranked — the journey-analysis extension of
+    ``event_transitions`` (first-order Markov counts can't see that
+    view→click→purchase dwarfs view→click→view even when the pairwise
+    edges agree).
+
+    One window exchange on user_id (two leads share the sort); the count
+    shuffle is O(|event types|³)-bounded. Deterministic: event_id
+    tiebreaks equal timestamps, ties in count break lexicographically.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__t1", F.lead("event_type", 1).over(w))
+        .withColumn("__t2", F.lead("event_type", 2).over(w))
+        .filter(F.col("__t2").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("__t1").alias("step2"),
+            F.col("__t2").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(k)
+    )

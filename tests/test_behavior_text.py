@@ -835,3 +835,32 @@ def test_activity_burstiness_hand_computed(spark, tmp_path):
     )
     assert (got[2].n_days, got[2].n_events) == (2, 8)
     assert got[2].fano == round(2.25 + 1e-9, 6) and got[2].is_bursty
+
+
+def test_top_paths_hand_computed(spark, tmp_path):
+    """Two users walking view→click→purchase and one walking
+    view→click→view: trigram counts are 2 and 1, order deterministic."""
+    import datetime as dt
+    import os
+
+    seqs = {
+        1: ["view", "click", "purchase"],
+        2: ["view", "click", "purchase"],
+        3: ["view", "click", "view"],
+    }
+    rows, eid = [], 0
+    for u, seq in seqs.items():
+        for j, t in enumerate(seq):
+            rows.append((u, dt.datetime(2024, 1, 1, 9, j), t, 1.0, eid)); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, event_id long"
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    from market_data_pipeline_spark.operators.behavior import top_paths
+
+    got = [(r.step1, r.step2, r.step3, r.n) for r in top_paths(spark, str(tmp_path)).collect()]
+    assert got == [
+        ("view", "click", "purchase", 2),
+        ("view", "click", "view", 1),
+    ]
