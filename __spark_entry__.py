@@ -6060,25 +6060,19 @@ _THIS_ROUND = _MAX_FILE_ROUND + 1
 # set these lead; everything else keeps registration order behind them.
 _WINDOW_PRIORITY_PREFIXES = ("inv_q", "inv_st_", "inv_d_", "inv_sim_")
 
-# Explicit head of the window. Round 6 (r5 verdict task #1): the 24 names
-# whose only green evidence is the judge's local verify run must land
-# DRIVER rows this round — they outrank this round's brand-new queries
-# (which carry fresh full-gate evidence of their own). The old round-2
-# rows-only names stay listed; they are green now, so the pending filter
-# drops them for free.
+# Explicit head of the window. Round 7 (r6 verdict task #1): the 18
+# round-6 additions whose only green evidence is the judge's local verify
+# run (J6) must land DRIVER rows this round — they outrank this round's
+# brand-new queries (which carry fresh full-gate evidence of their own).
+# The round-6 lead names all landed D6 rows, so the pending filter drops
+# them for free; they are replaced rather than appended.
 _WINDOW_LEAD_NAMES = (
-    "inv_a_decile_backtest", "inv_a_ic_momentum", "inv_asof_nearest",
-    "inv_er_customer_pairs", "inv_er_editdist_pairs", "inv_er_entities",
-    "inv_g_hits", "inv_g_kcore", "inv_g_modularity", "inv_g_pagerank_seeded",
-    "inv_m_adpcm_roundtrip", "inv_m_gif_roundtrip", "inv_s_versioned_changes",
-    "inv_t_lexical_diversity", "inv_t_nb_confusion", "inv_t_zipf_fit",
-    "inv_w_acf", "inv_w_liquidity", "inv_w_mfi", "inv_w_obv",
-    "inv_w_rolling_corr", "inv_x_quality_logreg", "inv_x_rank_normalize",
-    "inv_x_temperature_mix",
-    "inv_m_media_features",
-    "inv_d_simhash_stats",
-    "inv_v_kmeans_stats",
-    "inv_x_pack_stats",
+    "inv_e_top_paths", "inv_g_assoc_rules", "inv_g_link_prediction",
+    "inv_s_versioned_diff", "inv_t_bm25_ndcg", "inv_t_bm25_topk",
+    "inv_t_maxmatch_encode", "inv_t_unigram_encode", "inv_t_unigram_lm",
+    "inv_w_cusum", "inv_w_holt_forecast", "inv_w_seasonal_decomp",
+    "inv_w_theil_sen", "inv_x_calibration", "inv_x_host_quota",
+    "inv_x_neyman_alloc", "inv_x_ols_regression", "inv_x_robust_anomaly",
 )
 
 # Modified-since-green: queries whose implementation or oracle changed in a
@@ -6143,6 +6137,20 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # r6: merge_upsert gained atomic CDC deletes (key-envelope now
         # spans both halves) — the merge query's green row predates it
         "inv_s_versioned_merge",
+    ),
+    # round 7: greens whose implementation changed in r7 after their last
+    # driver row — (a) cusum_alarms' fold sort gained the deterministic
+    # event_id tiebreak (r6 ADVICE: equal-ts events could be folded in
+    # value order while the streaming twin processes them in event_id
+    # order — the equivalence test now passes tiebreak_col); (b) the
+    # iterative graph loops (pagerank + HITS and their consumers) moved
+    # under graph._loop_shuffle (data-derived shuffle width, AQE off
+    # inside the loop window) — values are quantized-identical by
+    # construction but the plans changed materially.
+    7: (
+        "inv_st_cusum",
+        "inv_g_pagerank", "inv_g_pagerank_seeded", "inv_g_hits",
+        "inv_t_textrank",
     ),
 }
 
@@ -10559,3 +10567,375 @@ FROM dcg d LEFT JOIN idcg i USING (query_id)
 
 
 _REGISTRY.update({"inv_t_bm25_ndcg": (q_t_bm25_ndcg, SQL_T_BM25_NDCG)})
+
+
+# ---------------------------------------------------------------------------
+# Round 7: hybrid retrieval fusion (r6 verdict task 4) — reciprocal-rank
+# fusion of the lexical (BM25) and semantic (embedding-ANN) legs, both of
+# which already exist as green queries. RRF needs only the RANKS, so the
+# incommensurable scores fuse without calibration; the companion nDCG query
+# grades all three rankings against a blended lexical+semantic relevance
+# (each leg sees one facet of it — the argument FOR hybrid retrieval).
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_legs(spark: SparkSession, sf: str):
+    """The two rankings every hybrid query fuses: BM25 top-10 (query =
+    first four tokens of docs 0-4) and ANN top-10 over the shared id
+    space (query = those docs' embeddings)."""
+    d = _docs(spark, sf)
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 4)).alias("qtext"),
+    )
+    lex = text.bm25_topk(d, queries, k=10).select("query_id", "doc_id", "rk")
+    e = load_table(spark, sf, "embeddings")
+    qv = e.filter(F.col("vec_id") < 5)
+    sem = similarity.ann_topk(e, qv, k=10, n_planes=8).select(
+        "query_id", F.col("corpus_id").alias("doc_id"), "rk"
+    )
+    return d, queries, e, qv, lex, sem
+
+
+def q_t_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (text.rrf_fuse): the
+    BM25 and ANN top-10 lists fused with k=60, re-ranked per query."""
+    _, _, _, _, lex, sem = _hybrid_legs(spark, sf)
+    return text.rrf_fuse(lex, sem, k_const=60, topk=10)
+
+
+_ANN10_CHAIN = f"""e10 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b10 AS (SELECT vec_id, v, {_lsh_bucket_sql(8)} AS lsh_bucket FROM e10),
+q10 AS (SELECT vec_id AS query_id, v AS qv, lsh_bucket FROM b10 WHERE vec_id < 5),
+semscored AS (
+  SELECT query_id, c.vec_id AS doc_id,
+    round(list_dot_product(qv, c.v)
+          / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)), 0), 6) AS cos_sim
+  FROM b10 c JOIN q10 USING (lsh_bucket)
+  WHERE query_id <> c.vec_id
+),
+sem AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rk
+    FROM semscored
+  ) WHERE rk <= 10
+)"""
+
+_RRF_FUSED_CTE = """fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         round((CASE WHEN l.rk IS NOT NULL THEN 1.0 / (60.0 + l.rk) ELSE 0.0 END)
+             + (CASE WHEN s.rk IS NOT NULL THEN 1.0 / (60.0 + s.rk) ELSE 0.0 END)
+             + 1e-9, 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+rrf AS (
+  SELECT query_id, doc_id, rrf_score, rk FROM (
+    SELECT query_id, doc_id, rrf_score,
+           row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk
+    FROM fused
+  ) WHERE rk <= 10
+)"""
+
+SQL_T_HYBRID_RRF = f"""
+WITH {_BM25_CHAIN},
+lex AS (SELECT query_id, doc_id, rk FROM ranked WHERE rk <= 10),
+{_ANN10_CHAIN},
+{_RRF_FUSED_CTE}
+SELECT query_id, doc_id, rrf_score, CAST(rk AS INT) AS rk FROM rrf
+"""
+
+
+def q_t_hybrid_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """Fusion quality self-grading: nDCG@10 of each leg AND the fused
+    ranking against a BLENDED relevance — shared distinct query terms
+    (the lexical facet) plus a banded embedding-cosine judgment (the
+    semantic facet: 2 if cos ≥ 0.5, 1 if ≥ 0.25). A leg that returns no
+    results for a query scores 0 (LEFT joins — queries are never dropped
+    because one leg's LSH bucket was empty).
+
+    Honesty note on what the numbers can show HERE: the testdata's
+    embeddings are generated independently of the document text, so the
+    semantic leg is (by construction) uninformative about any relevance
+    that correlates with the text — measured across blends, fusion never
+    out-scores the lexical leg on this corpus and cannot be expected to.
+    What IS corpus-independent, and what the pytest pins, is the RRF
+    mixture property: the fused ranking scores at least as well as the
+    WEAKER leg (and carries members of both legs). On a real corpus where
+    text and embeddings describe the same documents, the same query
+    grades whether fusion dominates — this entry is the measurement
+    instrument, demonstrated on data where the answer is knowably 'the
+    legs are independent'."""
+    d, queries, e, qv, lex, sem = _hybrid_legs(spark, sf)
+    fused = text.rrf_fuse(lex, sem, k_const=60, topk=10)
+    qt = (
+        queries.select(
+            "query_id", F.explode(text.tokens(F.col("qtext"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dt = (
+        d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    lexrel = (
+        qt.join(dt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__lex"))
+    )
+    qe = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    cos = F.round(similarity.cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    semrel = (
+        ce.crossJoin(F.broadcast(qe))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(cos >= 0.5, F.lit(2))
+            .when(cos >= 0.25, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__band"),
+        )
+        .filter(F.col("__band") > 0)
+    )
+    rel = (
+        lexrel.join(semrel, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(F.col("__lex"), F.lit(0))
+                + F.coalesce(F.col("__band"), F.lit(0))
+            ).cast("long").alias("rel"),
+        )
+    )
+    n_lex = text.retrieval_ndcg(lex, rel, k=10).withColumnRenamed("ndcg", "ndcg_lex")
+    n_sem = text.retrieval_ndcg(sem, rel, k=10).withColumnRenamed("ndcg", "ndcg_sem")
+    n_rrf = text.retrieval_ndcg(fused, rel, k=10).withColumnRenamed("ndcg", "ndcg_rrf")
+    return (
+        n_lex.join(n_sem, "query_id", "left")
+        .join(n_rrf, "query_id", "left")
+        .select(
+            "query_id",
+            "ndcg_lex",
+            F.coalesce("ndcg_sem", F.lit(0.0)).alias("ndcg_sem"),
+            F.coalesce("ndcg_rrf", F.lit(0.0)).alias("ndcg_rrf"),
+        )
+    )
+
+
+def _hybrid_ndcg_leg_sql(res: str, p: str) -> str:
+    """dcg/idcg CTE pair for one ranking CTE ``res`` against the shared
+    blended-relevance CTEs (hrel/ideal) — mirrors text.retrieval_ndcg's
+    quantization exactly (9 dp per-rank gain, 6 dp ratio)."""
+    return f"""{p}dcg AS (
+  SELECT r.query_id,
+         sum(round(coalesce(v.rel, 0) / log2(r.rk + 1.0) + 1e-12, 9)) AS dcg
+  FROM {res} r LEFT JOIN hrel v
+    ON v.query_id = r.query_id AND v.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+{p}ndcg AS (
+  SELECT d.query_id,
+         round(coalesce(d.dcg / nullif(i.idcg, 0), 0) + 1e-9, 6) AS ndcg
+  FROM {p}dcg d LEFT JOIN idcg i USING (query_id)
+)"""
+
+
+SQL_T_HYBRID_NDCG = f"""
+WITH {_BM25_CHAIN},
+lex AS (SELECT query_id, doc_id, rk FROM ranked WHERE rk <= 10),
+{_ANN10_CHAIN},
+{_RRF_FUSED_CTE},
+dtoks AS (SELECT DISTINCT doc_id, term FROM toks),
+lexrel AS (
+  SELECT q.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS lex
+  FROM qterms q JOIN dtoks d ON d.term = q.term
+  GROUP BY q.query_id, d.doc_id
+),
+semrel AS (
+  SELECT query_id, c.vec_id AS doc_id,
+         CAST(CASE
+           WHEN round(list_dot_product(qv, c.v)
+                / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)), 0), 6) >= 0.5 THEN 2
+           WHEN round(list_dot_product(qv, c.v)
+                / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)), 0), 6) >= 0.25 THEN 1
+           ELSE 0 END AS BIGINT) AS band
+  FROM e10 c CROSS JOIN q10
+  WHERE CASE
+           WHEN round(list_dot_product(qv, c.v)
+                / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)), 0), 6) >= 0.25 THEN 1
+           ELSE 0 END = 1
+),
+hrel AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         CAST(coalesce(l.lex, 0) + coalesce(s.band, 0) AS BIGINT) AS rel
+  FROM lexrel l FULL OUTER JOIN semrel s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS irk
+  FROM hrel WHERE rel > 0
+),
+idcg AS (
+  SELECT query_id, sum(round(rel / log2(irk + 1.0) + 1e-12, 9)) AS idcg
+  FROM ideal WHERE irk <= 10 GROUP BY query_id
+),
+{_hybrid_ndcg_leg_sql("lex", "l")},
+{_hybrid_ndcg_leg_sql("sem", "s")},
+{_hybrid_ndcg_leg_sql("rrf", "r")}
+SELECT l.query_id, l.ndcg AS ndcg_lex,
+       coalesce(s.ndcg, 0.0) AS ndcg_sem,
+       coalesce(r.ndcg, 0.0) AS ndcg_rrf
+FROM lndcg l
+LEFT JOIN sndcg s USING (query_id)
+LEFT JOIN rndcg r USING (query_id)
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_t_hybrid_rrf": (q_t_hybrid_rrf, SQL_T_HYBRID_RRF),
+        "inv_t_hybrid_ndcg": (q_t_hybrid_ndcg, SQL_T_HYBRID_NDCG),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: incremental curation over the versioned change feed (r6 verdict
+# task 6) — the 100 TB operational shape: the store is a committed table
+# version, the new batch arrives as an append, and read_changes plans ONLY
+# the appended files off the manifest diff (the prior corpus is never
+# re-scanned to DISCOVER the batch — it participates only as the dedup
+# reference, and the pytest pins the planned input files to v1's).
+# ---------------------------------------------------------------------------
+
+
+def q_d_incremental_versioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Versioned incremental dedup admission: v0 = the committed store
+    (doc_id % 4 != 0), v1 = the appended new batch (doc_id % 4 == 0);
+    the batch is consumed via the manifest change feed and admitted with
+    dedup.incremental_dedup against the v0 snapshot (exact md5 anti-join
+    + cross-corpus-only MinHash-LSH; store×store pairs never recompute)."""
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), f"mdp_vincr_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
+    path = f"{base}/t"
+    tf.append(spark, path, d.filter(F.col("doc_id") % 4 != 0))  # v0: store
+    tf.append(spark, path, d.filter(F.col("doc_id") % 4 == 0))  # v1: batch
+    new = tf.read_changes(spark, path, from_version=0)
+    store = tf.read(spark, path, version=0)
+    return dedup.incremental_dedup(new, store, threshold=0.05)
+
+
+SQL_D_INCREMENTAL_VERSIONED = f"""
+WITH {_SHINGLE_SQL},
+{_minhash_sig_sql()},
+{_band_sql()},
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[\\s\\v]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+  FROM buckets n JOIN buckets s
+    ON n.band = s.band AND n.bucket = s.bucket
+  WHERE n.doc_id % 4 = 0 AND s.doc_id % 4 <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.new_id, c.store_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.store_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near_rejected AS (
+  SELECT DISTINCT cm.new_id FROM common cm
+  JOIN sizes sa ON sa.doc_id = cm.new_id
+  JOIN sizes sb ON sb.doc_id = cm.store_id
+  WHERE cm.n_common / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE) >= 0.05
+)
+SELECT n.doc_id, n.fingerprint
+FROM fp n
+WHERE n.doc_id % 4 = 0
+  AND n.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 4 <> 0)
+  AND n.doc_id NOT IN (SELECT new_id FROM near_rejected)
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_d_incremental_versioned": (
+            q_d_incremental_versioned,
+            SQL_D_INCREMENTAL_VERSIONED,
+        )
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: streaming heavy hitters (r6 verdict task 7) — the count-min-
+# backed trending-items twin of inv_q_cms_heavy_hitters. The counter table
+# is maintained by the exactly-once foreachBatch CMS store (CMS is a
+# LINEAR sketch: per-batch counter deltas sum to the batch-scan counters,
+# so the stream's final store equals the batch sketch exactly — pinned by
+# test_streaming_cms_maintenance_is_exact_across_batches); the heavy-hitter
+# read is the shared quality.cms_estimate_join, so the streaming twin's
+# output — and therefore its oracle — is the batch query's verbatim.
+# ---------------------------------------------------------------------------
+
+
+def q_st_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.streaming import txn
+
+    tune_existing(spark)
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mdp_sthh_{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
+    ev = streaming_jobs.stream_events(spark, sf)
+    q = streaming_jobs.streaming_cms_maintenance(
+        ev.select("user_id"),
+        f"{base}/store",
+        f"{base}/ckpt",
+        key_col="user_id",
+        width=1024,
+        depth=4,
+    )
+    q.awaitTermination()
+    counters = txn.read_versioned(spark, f"{base}/store")
+    e = load_table(spark, sf, "events")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return quality.cms_estimate_join(
+        counters, exact, "user_id", width=1024, depth=4, min_count=50
+    )
+
+
+_REGISTRY.update({"inv_st_heavy_hitters": (q_st_heavy_hitters, _cms_sql())})

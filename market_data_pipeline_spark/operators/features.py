@@ -743,7 +743,6 @@ def calibration_report(
     extra scan over the (already checkpointed) feature frame beyond
     training; the reliability table is O(bins).
     """
-    d = len(feature_cols)
     model = train_logistic(df, label_col, feature_cols, iterations=iterations, lr=lr)
     last = model.orderBy(F.col("step").desc()).first()
     z = F.lit(float(last["b0"]))

@@ -38,6 +38,9 @@ Scale design, per operator:
 
 from __future__ import annotations
 
+import math
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,6 +50,46 @@ from market_data_pipeline_spark.sources.tables import load_table
 # exact .5 decimal-rounding boundary off it identically on both engines
 # (see __spark_entry__.SQL_W8 for the convention's origin).
 _EPS = 1e-13
+
+# Target per-task row volume inside iterative loops (see _loop_shuffle).
+_LOOP_ROWS_PER_TASK = 300_000
+
+
+@contextmanager
+def _loop_shuffle(spark: SparkSession, n_rows: int):
+    """Pin an iterative loop's shuffle width to its data volume.
+
+    An iterative graph loop executes dozens of tiny shuffle stages; under
+    AQE each stage materializes as its own scheduler job, and at the
+    session-wide shuffle width each stage launches mostly-empty tasks.
+    Measured (r7, sf0.1 pagerank): ~60% of wall time was fixed per-job /
+    per-task scheduling overhead — 7.1 s at the 32-partition session
+    width vs 3.7 s with the loop width pinned to the data. The width is
+    DERIVED, not constant: ceil(edge_rows / 300k) rows per task, so at
+    100× the same loop plans ~100× the partitions — the rule is
+    scale-free, never a small-cluster constant baked into the operator.
+
+    AQE is disabled inside the window because per-stage re-planning is
+    pure overhead here: stage sizes are known up front (the loop re-runs
+    the same two exchanges on the same frames every round) and the keys
+    are hash-uniform node ids. Trade-off: AQE skew-join splitting is off
+    inside the loop, so a pathological hub key stays in one task — the
+    per-basket / fan-out caps upstream bound that, and callers with
+    unbounded hub skew should salt before looping. Both confs are
+    restored on exit; every job the loop triggers (eager checkpoints and
+    the closing checkpoint) executes inside the window, so the caller's
+    downstream plan still runs under the session's own settings.
+    """
+    p = max(1, math.ceil(n_rows / _LOOP_ROWS_PER_TASK))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def _ordered_pairs(array_col: str, pair):
@@ -545,6 +588,25 @@ def pagerank(
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    m = sym.count()  # sizes the loop's shuffle width (one cheap job on
+    # the checkpointed RDD); also the contribution-row volume per round
+    spark = edges.sparkSession
+    with _loop_shuffle(spark, m):
+        return _pagerank_loop(spark, sym, m, iterations, damping, seeds)
+
+
+def _pagerank_loop(
+    spark: SparkSession,
+    sym: DataFrame,
+    m: int,
+    iterations: int,
+    damping: float,
+    seeds: DataFrame | None,
+) -> DataFrame:
+    """The loop body of ``pagerank``, executed under ``_loop_shuffle``.
+    The returned frame is eagerly checkpointed INSIDE the window so every
+    job the loop submits runs at the data-derived width; the caller's
+    downstream plan consumes a materialized RDD."""
     outdeg = (
         sym.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -631,7 +693,10 @@ def pagerank(
             )
         if (it + 1) % _CADENCE == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    # materialize the tail segment inside the _loop_shuffle window (the
+    # caller's downstream plan then starts from a checkpointed RDD under
+    # the session's own confs)
+    return ranks.localCheckpoint(eager=True)
 
 
 def kcore(
@@ -741,6 +806,23 @@ def hits_bipartite(
         .select("__b", F.explode("__arr").alias("__i"))
         .localCheckpoint(eager=True)
     )
+    ne = edges.count()  # sizes the loop's shuffle width (cheap job on
+    # the checkpointed RDD; also the per-half-step join volume)
+    spark = items.sparkSession
+    with _loop_shuffle(spark, ne):
+        return _hits_loop(spark, items, edges, item_col, iterations)
+
+
+def _hits_loop(
+    spark: SparkSession,
+    items: DataFrame,
+    edges: DataFrame,
+    item_col: str,
+    iterations: int,
+) -> DataFrame:
+    """The loop body of ``hits_bipartite`` under ``_loop_shuffle`` — the
+    same width discipline as ``_pagerank_loop``; the returned auth frame
+    is checkpointed inside the window."""
     baskets = edges.select("__b").distinct()
     nb = baskets.count()
     if nb == 0:
@@ -793,4 +875,6 @@ def hits_bipartite(
             .agg(F.round(F.sum("__a") + F.lit(_EPS), 10).alias("__h"))
             .localCheckpoint(eager=True)
         )
-    return auth.select(F.col("__i").alias("item"), F.col("__a").alias("auth"))
+    return auth.select(
+        F.col("__i").alias("item"), F.col("__a").alias("auth")
+    ).localCheckpoint(eager=True)

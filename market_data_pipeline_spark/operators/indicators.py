@@ -858,6 +858,7 @@ def cusum_alarms(
     col: str = "close",
     symbol_col: str = "symbol",
     time_col: str = "d",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection per symbol (Page 1954): on
     standardized values z_t = (x_t − mean)/std, accumulate
@@ -875,9 +876,19 @@ def cusum_alarms(
     on both engines BEFORE the fold (raw stddev differs across engines in
     the last ulp; quantized inputs make the fold engine-exact). ``k`` and
     ``h`` default to binary-exact doubles so the literals can't drift.
+
+    ``tiebreak_col``: deterministic tie order for series whose time key is
+    not unique per symbol (event data with duplicate timestamps). Without
+    it the struct sort breaks equal-``time_col`` ties by VALUE, while a
+    stream replay processes them in arrival-id order — pass the id column
+    (e.g. ``event_id``) so the fold and the stream agree on every input
+    (r6 ADVICE). Bar tables with unique (symbol, time) are unaffected.
     """
+    key_fields = [F.col(time_col).alias("t")]
+    if tiebreak_col is not None:
+        key_fields.append(F.col(tiebreak_col).alias("tb"))
     arr = F.array_sort(
-        F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(col).alias("y")))
+        F.collect_list(F.struct(*key_fields, F.col(col).alias("y")))
     )
     series = df.groupBy(symbol_col).agg(
         arr.alias("__arr"),

@@ -514,11 +514,36 @@ def cms_heavy_hitters(
     """
     counters = cms_counters(df, key_col, width=width, depth=depth)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_count"))
-    probes = exact.select(
+    return cms_estimate_join(
+        counters, exact, key_col, width=width, depth=depth, min_count=min_count
+    )
+
+
+def cms_estimate_join(
+    counters: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    min_count: int = 100,
+) -> DataFrame:
+    """Estimate candidate counts against a prebuilt CMS counter table —
+    the read side of the sketch, shared by the batch scan
+    (``cms_heavy_hitters``) and the streaming twin (whose counters arrive
+    from the stateful running aggregation; the bucket counts are plain
+    sums, so a stream's final emission IS the batch counter table).
+    ``candidates``: (key, exact_count). Same no-false-negative contract;
+    the counter table is O(width·depth) and broadcasts."""
+    probes = candidates.select(
         key_col,
         "exact_count",
         _cms_probes(F.col(key_col), width, depth).alias("rb"),
-    ).select(key_col, "exact_count", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    ).select(
+        key_col,
+        "exact_count",
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+    )
     est = (
         probes.join(F.broadcast(counters), ["row", "bucket"])
         .groupBy(key_col, "exact_count")

@@ -1494,18 +1494,29 @@ def unigram_apply(
     n_unigram_tokens) — the trainer's round trip, counting only admitted
     words (pattern + ≤ 12 chars, the training filter, applied
     consistently). Per-word token counts are computed ONCE on the vocab
-    table and joined to the corpus — the corpus never runs the DP."""
+    table and joined to the corpus — the corpus never runs the DP.
+
+    Join volume (r6 verdict task 3): the exploded corpus pre-aggregates
+    to (doc, word, cnt) BEFORE joining the per-word DP table, so the
+    word-keyed join carries distinct doc-word pairs instead of token
+    occurrences (2-5× fewer rows on natural text; the partial aggregate
+    combines map-side, below the shuffle). The encode total is then
+    Σ cnt·ntok — identical arithmetic, integer-exact."""
     wt = unigram_word_tokens(words, pieces)
     occ = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike(pattern) & (F.length("word") <= _UNI_N))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     agg = (
         occ.join(wt, "word")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("__ntok").cast("long").alias("n_unigram_tokens"),
+            F.sum("__cnt").cast("long").alias("n_words"),
+            F.sum(F.col("__cnt") * F.col("__ntok")).cast("long").alias(
+                "n_unigram_tokens"
+            ),
         )
     )
     return df.select(id_col).join(agg, id_col, "left").select(
@@ -1737,23 +1748,34 @@ def maxmatch_apply(
     (doc_id, n_words, n_wp_tokens, n_unk_words) — admitted words only
     (the shared training filter), token counts summed over non-UNK
     words; UNK words counted separately (the coverage diagnostic a
-    tokenizer rollout watches)."""
+    tokenizer rollout watches).
+
+    Same join-volume shape as ``unigram_apply`` (r6 verdict task 3): the
+    exploded corpus pre-aggregates to (doc, word, cnt) before the
+    word-keyed join, so the join carries distinct doc-word pairs rather
+    than token occurrences; totals are Σ cnt·ntok — integer-exact."""
     wt = maxmatch_word_tokens(words, pieces)
     occ = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike(pattern) & (F.length("word") <= _UNI_N))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     agg = (
         occ.join(wt, "word")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum(F.when(~F.col("unk"), F.col("ntok")).otherwise(F.lit(0)))
+            F.sum("__cnt").cast("long").alias("n_words"),
+            F.sum(
+                F.when(~F.col("unk"), F.col("ntok") * F.col("__cnt")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("long")
             .alias("n_wp_tokens"),
-            F.sum(F.when(F.col("unk"), 1).otherwise(0)).cast("long").alias(
-                "n_unk_words"
-            ),
+            F.sum(F.when(F.col("unk"), F.col("__cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_unk_words"),
         )
     )
     return df.select(id_col).join(agg, id_col, "left").select(
@@ -1830,4 +1852,55 @@ def retrieval_ndcg(
                 6,
             ).alias("ndcg"),
         )
+    )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k_const: int = 60,
+    topk: int = 10,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+    public) of two per-query rankings: score(q, d) = Σ_legs 1/(k + rank)
+    over the legs where (q, d) appears, re-ranked per query. THE standard
+    hybrid-retrieval combiner: a lexical leg (BM25) sees exact term
+    matches, a semantic leg (embedding ANN) sees paraphrase — RRF needs
+    only the RANKS, so incommensurable scores (BM25 sums vs cosines)
+    fuse without calibration, and k≈60 damps leg disagreement.
+
+    Scale shape: one full-outer join of two already-top-k frames (both
+    O(queries · k) rows — the legs did the heavy lifting), then one
+    WindowGroupLimit re-rank. No corpus-sized input anywhere.
+
+    Determinism: each leg contributes one IEEE division 1/(k + rank) of
+    integer-valued doubles (identical on both engines); the two-term sum
+    has a fixed order (lexical + semantic); the fused score is quantized
+    at 6 dp with the shared nudge; ties break (score desc, id asc).
+    """
+    from pyspark.sql import Window
+
+    lex = lexical.select(qid_col, id_col, F.col(rank_col).alias("__rl"))
+    sem = semantic.select(qid_col, id_col, F.col(rank_col).alias("__rs"))
+    kf = F.lit(float(k_const))
+    leg = lambda c: F.when(  # noqa: E731 — tiny local shaper
+        c.isNotNull(), F.lit(1.0) / (kf + c.cast("double"))
+    ).otherwise(F.lit(0.0))
+    fused = lex.join(sem, [qid_col, id_col], "full_outer").select(
+        qid_col,
+        id_col,
+        F.round(
+            leg(F.col("__rl")) + leg(F.col("__rs")) + F.lit(1e-9), 6
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(qid_col, id_col, "rrf_score", "rk")
     )

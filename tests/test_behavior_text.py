@@ -864,3 +864,62 @@ def test_top_paths_hand_computed(spark, tmp_path):
         ("view", "click", "purchase", 2),
         ("view", "click", "view", 1),
     ]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF of two tiny rankings, every fused score hand-derived:
+    d2 appears in both legs (1/62 + 1/61 = 0.032522), d1 only lexical at
+    rank 1 (1/61 = 0.016393), d3 only semantic at rank 2 (1/62 =
+    0.016129) — fused order d2, d1, d3. Equal scores break by doc_id:
+    d4 (sem rank 1) and d5 (lex rank 1) both score 1/61, d4 first."""
+    from market_data_pipeline_spark.operators.text import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 50, 1)],
+        "query_id long, doc_id long, rk int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2), (2, 40, 1)],
+        "query_id long, doc_id long, rk int",
+    )
+    got = [
+        (r.query_id, r.doc_id, r.rrf_score, r.rk)
+        for r in rrf_fuse(lex, sem, k_const=60, topk=10)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+    s61 = round(1.0 / 61.0 + 1e-9, 6)
+    s62 = round(1.0 / 62.0 + 1e-9, 6)
+    s_both = round(1.0 / 62.0 + 1.0 / 61.0 + 1e-9, 6)
+    assert got == [
+        (1, 20, s_both, 1),
+        (1, 10, s61, 2),
+        (1, 30, s62, 3),
+        (2, 40, s61, 1),  # tie with doc 50: doc_id ascending
+        (2, 50, s61, 2),
+    ]
+
+
+def test_hybrid_rrf_mixture_properties(spark):
+    """Corpus-independent RRF properties pinned at sf0.001: the fused
+    top-10 contains members of BOTH legs, and the fused nDCG is at least
+    the WEAKER leg's for every query (the mixture bound). The stronger
+    'fusion beats the best leg' claim is knowably false on this corpus —
+    its embeddings are generated independently of the text (see the
+    q_t_hybrid_ndcg docstring) — so it is deliberately NOT asserted."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    _, _, _, _, lex, sem = entrymod._hybrid_legs(spark, sf)
+    from market_data_pipeline_spark.operators.text import rrf_fuse
+
+    fused = rrf_fuse(lex, sem, k_const=60, topk=10)
+    lex_set = {(r.query_id, r.doc_id) for r in lex.collect()}
+    sem_set = {(r.query_id, r.doc_id) for r in sem.collect()}
+    fus_set = {(r.query_id, r.doc_id) for r in fused.collect()}
+    assert fus_set & lex_set and fus_set & sem_set
+    rows = entrymod.queries()["inv_t_hybrid_ndcg"](spark, sf).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.ndcg_rrf <= 1.0
+        assert r.ndcg_rrf >= min(r.ndcg_lex, r.ndcg_sem) - 1e-9

@@ -1225,11 +1225,37 @@ def test_streaming_cusum_equals_batch_fold(spark):
         .select(
             F.col("user_id").alias("symbol"),
             F.col("ts").alias("d"),
+            F.col("event_id"),
             F.col("value").alias("close"),
         )
     )
+    # tiebreak_col=event_id: the stream replays equal-ts events in
+    # (ts, event_id) order; the batch fold must sort the same way or the
+    # two recursions diverge on duplicate timestamps (r6 ADVICE).
     want = {
         r.symbol: (r.n_obs, r.alarms_up, r.alarms_down)
-        for r in cusum_alarms(ev, k=0.5, h=4.0).collect()
+        for r in cusum_alarms(ev, k=0.5, h=4.0, tiebreak_col="event_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_heavy_hitters_equals_batch_sketch(spark):
+    """The streaming CMS heavy-hitters query's output equals the batch
+    sketch query's exactly: CMS is linear, so the exactly-once per-batch
+    counter merges sum to the batch-scan counters, and the shared
+    estimate join reads identical sketches — replay-equals-batch for the
+    whole pipeline, not just the counter table."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    got = {
+        r.user_id: (r.cms_estimate, r.exact_count, r.never_undercounts)
+        for r in qs["inv_st_heavy_hitters"](spark, sf).collect()
+    }
+    want = {
+        r.user_id: (r.cms_estimate, r.exact_count, r.never_undercounts)
+        for r in qs["inv_q_cms_heavy_hitters"](spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+    assert all(v[2] for v in got.values())  # no-false-negative property

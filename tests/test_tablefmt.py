@@ -964,3 +964,29 @@ def test_snapshot_diff_matches_dict_reference(spark, data, tmp_path_factory):
         elif state[k] != base[k]:
             want[k] = ("update", state[k])
     assert got == want
+
+
+def test_incremental_versioned_plans_only_new_files(spark, tmp_path):
+    """The change-feed consumption contract of inv_d_incremental_versioned:
+    after v0 (store) and v1 (new batch), read_changes(from_version=0) must
+    PLAN only the files v1 added — the prior corpus is never re-scanned to
+    discover the batch (the 100 TB operational requirement). Pinned via
+    the planned input files against the manifest diff."""
+    path = str(tmp_path / "t")
+    store = spark.createDataFrame(
+        [(i, f"store doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"new doc {i}") for i in range(5)], "doc_id long, text string"
+    )
+    tf.append(spark, path, store)  # v0
+    tf.append(spark, path, batch)  # v1
+    v0_files = set(tf._manifest(spark, path, 0)["files"])
+    v1_files = set(tf._manifest(spark, path, 1)["files"])
+    added = v1_files - v0_files
+    assert added, "v1 must add files"
+    new = tf.read_changes(spark, path, from_version=0)
+    planned = {f.split("/")[-1] for f in new.inputFiles()}
+    assert planned == {f.split("/")[-1] for f in added}
+    # and the feed carries exactly the batch rows
+    assert sorted(r.doc_id for r in new.collect()) == [100, 101, 102, 103, 104]
