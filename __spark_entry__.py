@@ -10939,3 +10939,128 @@ def q_st_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _REGISTRY.update({"inv_st_heavy_hitters": (q_st_heavy_hitters, _cms_sql())})
+
+
+def q_st_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming distinct-count sketches: the exactly-once HLL store
+    (streaming_hll_maintenance — per-batch DataSketches HLLs merged by
+    register-maximum union, order-insensitive so the final store equals
+    the one-shot batch sketch) answers per-event-type distinct users with
+    NO rescan of history. Graded like the batch sketch_rollup: exact
+    distinct alongside, within-5%-tolerance as a pinned boolean (the
+    sketch estimate itself is DataSketches-internal and not
+    SQL-reproducible; the accuracy contract is)."""
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.streaming import txn
+
+    tune_existing(spark)
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"mdp_sthll_{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
+    ev = streaming_jobs.stream_events(spark, sf)
+    q = streaming_jobs.streaming_hll_maintenance(
+        ev.select("event_type", "user_id"),
+        f"{base}/store",
+        f"{base}/ckpt",
+        key_col="event_type",
+        distinct_col="user_id",
+    )
+    q.awaitTermination()
+    sketches = txn.read_versioned(spark, f"{base}/store")
+    e = load_table(spark, sf, "events")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sketches.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("__est")
+        )
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("__est") - F.col("exact_distinct"))
+                <= F.lit(0.05) * F.col("exact_distinct")
+            ).alias("within_tol"),
+        )
+    )
+
+
+SQL_ST_HLL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
+_REGISTRY.update({"inv_st_hll_distinct": (q_st_hll_distinct, SQL_ST_HLL)})
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (continued): pseudo-relevance feedback — RM3-style query
+# expansion over the shared BM25 index (text.bm25_prf_topk). Pass 1's top
+# feedback docs contribute their highest-TF unseen terms; pass 2 rescores
+# with the expanded term set. The index is built once; pass 2 is one more
+# posting-list join, never a corpus re-scan.
+# ---------------------------------------------------------------------------
+
+
+def q_t_bm25_prf(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 4)).alias("qtext"),
+    )
+    return text.bm25_prf_topk(d, queries, k=10, fb_k=3, expand_m=3)
+
+
+SQL_T_BM25_PRF = f"""
+WITH {_BM25_CHAIN},
+fb AS (SELECT query_id, doc_id FROM ranked WHERE rk <= 3),
+expw AS (
+  SELECT f.query_id, t.term, sum(t.tf) AS w
+  FROM fb f
+  JOIN tf t ON t.doc_id = f.doc_id
+  LEFT JOIN qterms q ON q.query_id = f.query_id AND q.term = t.term
+  WHERE q.term IS NULL
+  GROUP BY 1, 2
+),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term) AS erk
+    FROM expw
+  ) WHERE erk <= 3
+),
+qterms2 AS (
+  SELECT query_id, term FROM qterms
+  UNION
+  SELECT query_id, term FROM exp
+),
+contrib2 AS (
+  SELECT qt.query_id, tf.doc_id,
+         i.idf * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM qterms2 qt
+  JOIN tf ON tf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf i ON i.term = qt.term
+  CROSS JOIN stats s
+),
+scored2 AS (
+  SELECT query_id, doc_id, round(sum(c) + 1e-9, 6) AS score
+  FROM contrib2 GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+  FROM scored2
+) WHERE rk <= 10
+"""
+
+
+_REGISTRY.update({"inv_t_bm25_prf": (q_t_bm25_prf, SQL_T_BM25_PRF)})

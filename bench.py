@@ -89,6 +89,17 @@ HEADLINE = [
     # measurement, which is the honest cost of the streaming surface).
     "inv_g_link_prediction",
     "inv_st_cusum",
+    # round 7: the two most expensive new queries (gate rule) — the
+    # versioned-change-feed incremental dedup (table build + manifest-
+    # planned batch + cross-corpus LSH per measurement) and the hybrid-
+    # retrieval nDCG grading, whose plan CONTAINS the BM25 leg, the ANN
+    # leg, and the RRF fusion as subplans (inv_t_hybrid_rrf regressions
+    # surface here without double-measuring the shared legs).
+    "inv_d_incremental_versioned",
+    "inv_t_hybrid_ndcg",
+    # and the round's closing retrieval entry: BM25 with pseudo-relevance
+    # feedback — two scoring passes over one shared inverted index.
+    "inv_t_bm25_prf",
 ]
 
 RUNS_PER_QUERY = 3

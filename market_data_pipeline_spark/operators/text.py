@@ -1489,6 +1489,7 @@ def unigram_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     pattern: str = "^[a-z]+$",
+    pre_aggregate: bool = False,
 ) -> DataFrame:
     """Encode documents with a trained unigram LM: (doc_id, n_words,
     n_unigram_tokens) — the trainer's round trip, counting only admitted
@@ -1496,29 +1497,41 @@ def unigram_apply(
     consistently). Per-word token counts are computed ONCE on the vocab
     table and joined to the corpus — the corpus never runs the DP.
 
-    Join volume (r6 verdict task 3): the exploded corpus pre-aggregates
-    to (doc, word, cnt) BEFORE joining the per-word DP table, so the
-    word-keyed join carries distinct doc-word pairs instead of token
-    occurrences (2-5× fewer rows on natural text; the partial aggregate
-    combines map-side, below the shuffle). The encode total is then
-    Σ cnt·ntok — identical arithmetic, integer-exact."""
+    ``pre_aggregate`` (r6 verdict task 3, MEASURED r7): when True the
+    exploded corpus collapses to (doc, word, cnt) before the word-keyed
+    join, so the join carries distinct doc-word pairs instead of token
+    occurrences and the total is Σ cnt·ntok (identical arithmetic).
+    That wins only when documents repeat words heavily (natural Zipfian
+    text: 2-5× fewer join rows); on this corpus distinct pairs ≈
+    occurrences, so the extra shuffle is pure cost — interleaved A/B at
+    sf0.1: occurrence join 1.61 s vs pre-agg 2.05 s — hence default
+    False. Flip it for long natural-language documents."""
     wt = unigram_word_tokens(words, pieces)
     occ = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike(pattern) & (F.length("word") <= _UNI_N))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    agg = (
-        occ.join(wt, "word")
-        .groupBy(id_col)
-        .agg(
-            F.sum("__cnt").cast("long").alias("n_words"),
-            F.sum(F.col("__cnt") * F.col("__ntok")).cast("long").alias(
-                "n_unigram_tokens"
-            ),
+    if pre_aggregate:
+        pairs = occ.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("__cnt"))
+        agg = (
+            pairs.join(wt, "word")
+            .groupBy(id_col)
+            .agg(
+                F.sum("__cnt").cast("long").alias("n_words"),
+                F.sum(F.col("__cnt") * F.col("__ntok")).cast("long").alias(
+                    "n_unigram_tokens"
+                ),
+            )
         )
-    )
+    else:
+        agg = (
+            occ.join(wt, "word")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("__ntok").cast("long").alias("n_unigram_tokens"),
+            )
+        )
     return df.select(id_col).join(agg, id_col, "left").select(
         id_col,
         F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
@@ -1566,8 +1579,21 @@ def bm25_topk(
     query length), and the summed score is re-quantized the same way —
     the shared cross-engine discipline, so ranks and the oracle's agree
     exactly; ties break (score desc, doc_id asc)."""
-    from pyspark.sql import Window
+    tf, dl, idf = _bm25_index(df, text_col, id_col)
+    qterms = (
+        queries.select(
+            F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return _bm25_rank(qterms, tf, dl, idf, k, k1, b, qid_col, id_col)
 
+
+def _bm25_index(df: DataFrame, text_col: str, id_col: str):
+    """The corpus-side BM25 frames — (tf, dl, idf-with-avgdl) — built once
+    and shared by every scoring pass (single-shot and PRF expansion reuse
+    the SAME index; the corpus is tokenized once per plan subtree)."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
@@ -1592,13 +1618,25 @@ def bm25_topk(
             6,
         ).alias("idf"),
     )
-    qterms = (
-        queries.select(
-            F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    return tf, dl, idf
+
+
+def _bm25_rank(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dl: DataFrame,
+    idf: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    qid_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Score a (query, term) set against a prebuilt BM25 index and keep
+    the per-query top-k (WindowGroupLimit) — the read side of the
+    inverted index, shared by bm25_topk and the PRF second pass."""
+    from pyspark.sql import Window
+
     contrib = (
         qterms.join(tf, "term")
         .join(dl, id_col)
@@ -1629,6 +1667,63 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select(qid_col, id_col, "score", "rk")
     )
+
+
+def bm25_prf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_k: int = 3,
+    expand_m: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (Rocchio/RM3-style query
+    expansion — Lavrenko & Croft 2001, public): pass 1 retrieves top
+    ``fb_k`` docs per query, their ``expand_m`` highest-TF terms NOT in
+    the original query join the term set, pass 2 rescores with the
+    expanded set — the standard zero-shot recall booster (a 4-token
+    query can't name every phrasing of its topic; its top documents
+    can).
+
+    Scale shape: the corpus-side index (tf/dl/idf) is built ONCE and
+    both passes read it — pass 2 costs one more posting-list join over
+    |q|+m terms, never a corpus re-scan; the feedback/expansion frames
+    are O(queries·fb_k) and O(queries·m). Expansion weight ties break
+    (tf-sum desc, term asc) so the chosen terms — and therefore pass-2
+    scores — are engine-exact; both passes share bm25_topk's
+    quantization discipline."""
+    from pyspark.sql import Window
+
+    tf, dl, idf = _bm25_index(df, text_col, id_col)
+    qterms = (
+        queries.select(
+            F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    fb = _bm25_rank(qterms, tf, dl, idf, fb_k, k1, b, qid_col, id_col).select(
+        qid_col, id_col
+    )
+    expw = (
+        fb.join(tf, id_col)
+        .groupBy(qid_col, "term")
+        .agg(F.sum("tf").alias("__w"))
+        .join(qterms, [qid_col, "term"], "left_anti")
+    )
+    ew = Window.partitionBy(qid_col).orderBy(F.col("__w").desc(), F.col("term"))
+    expansion = (
+        expw.withColumn("__rk", F.row_number().over(ew))
+        .filter(F.col("__rk") <= expand_m)
+        .select(qid_col, "term")
+    )
+    qterms2 = qterms.unionByName(expansion).distinct()
+    return _bm25_rank(qterms2, tf, dl, idf, k, k1, b, qid_col, id_col)
 
 
 def maxmatch_word_tokens(words: DataFrame, pieces: DataFrame) -> DataFrame:
@@ -1750,32 +1845,26 @@ def maxmatch_apply(
     words; UNK words counted separately (the coverage diagnostic a
     tokenizer rollout watches).
 
-    Same join-volume shape as ``unigram_apply`` (r6 verdict task 3): the
-    exploded corpus pre-aggregates to (doc, word, cnt) before the
-    word-keyed join, so the join carries distinct doc-word pairs rather
-    than token occurrences; totals are Σ cnt·ntok — integer-exact."""
+    Same join-volume trade as ``unigram_apply`` (see its docstring): the
+    optional (doc, word, cnt) pre-aggregation wins only on word-repeating
+    natural text, so the default stays the occurrence join the A/B
+    measured faster on this corpus."""
     wt = maxmatch_word_tokens(words, pieces)
     occ = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike(pattern) & (F.length("word") <= _UNI_N))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     agg = (
         occ.join(wt, "word")
         .groupBy(id_col)
         .agg(
-            F.sum("__cnt").cast("long").alias("n_words"),
-            F.sum(
-                F.when(~F.col("unk"), F.col("ntok") * F.col("__cnt")).otherwise(
-                    F.lit(0)
-                )
-            )
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.when(~F.col("unk"), F.col("ntok")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_wp_tokens"),
-            F.sum(F.when(F.col("unk"), F.col("__cnt")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("n_unk_words"),
+            F.sum(F.when(F.col("unk"), 1).otherwise(0)).cast("long").alias(
+                "n_unk_words"
+            ),
         )
     )
     return df.select(id_col).join(agg, id_col, "left").select(

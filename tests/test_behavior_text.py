@@ -923,3 +923,55 @@ def test_hybrid_rrf_mixture_properties(spark):
     for r in rows:
         assert 0.0 <= r.ndcg_rrf <= 1.0
         assert r.ndcg_rrf >= min(r.ndcg_lex, r.ndcg_sem) - 1e-9
+
+
+def test_unigram_apply_pre_aggregate_equals_default(spark):
+    """The (doc, word, cnt) pre-aggregation knob is a pure plan-shape
+    trade (see unigram_apply's measured A/B note): both shapes must emit
+    identical counts."""
+    import __spark_entry__ as entrymod
+    from market_data_pipeline_spark.operators import text
+
+    sf = "/root/testdata/sf0.001"
+    d = entrymod._docs(spark, sf)
+    train = entrymod._uni_words(spark, sf)
+    p = text.unigram_train(train, em_iters=entrymod._UNI_EM_ITERS)
+    base = {
+        r.doc_id: (r.n_words, r.n_unigram_tokens)
+        for r in text.unigram_apply(d, train, p).collect()
+    }
+    pre = {
+        r.doc_id: (r.n_words, r.n_unigram_tokens)
+        for r in text.unigram_apply(d, train, p, pre_aggregate=True).collect()
+    }
+    assert base == pre and len(base) > 0
+
+
+def test_bm25_prf_zero_expansion_is_identity(spark):
+    """expand_m=0 must reduce PRF to plain BM25 exactly (the two share
+    one index and one scoring helper — the degenerate identity pins the
+    refactor), and with expansion the term set only GROWS, so every
+    original query term still contributes."""
+    import __spark_entry__ as entrymod
+    from market_data_pipeline_spark.operators import text
+
+    sf = "/root/testdata/sf0.001"
+    d = entrymod._docs(spark, sf)
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 4)).alias("qtext"),
+    )
+    plain = {
+        (r.query_id, r.doc_id): (r.score, r.rk)
+        for r in text.bm25_topk(d, queries, k=10).collect()
+    }
+    prf0 = {
+        (r.query_id, r.doc_id): (r.score, r.rk)
+        for r in text.bm25_prf_topk(d, queries, k=10, fb_k=3, expand_m=0).collect()
+    }
+    assert plain == prf0 and len(plain) > 0
+    # with expansion, pass-2 scores dominate pass-1 for docs that match
+    # expansion terms; the result must still carry 10 rows per query
+    prf = text.bm25_prf_topk(d, queries, k=10, fb_k=3, expand_m=3)
+    per_q = {r.query_id for r in prf.collect()}
+    assert per_q == {0, 1, 2, 3, 4}

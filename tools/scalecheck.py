@@ -74,6 +74,15 @@ QUERIES = [
                                 # must stay vocabulary-bound
     "inv_t_pmi_collocations",   # two vocab-keyed count shuffles + a
                                 # vocab-sized join — growth must track scan
+    "inv_g_link_prediction",    # capped wedge enumeration + edge anti-join:
+                                # K× baskets densify the graph — THE hub-
+                                # growth risk; the wedge cap must hold it
+    "inv_t_bm25_topk",          # inverted-index join: K× clones multiply
+                                # the query terms' posting lists — candidate
+                                # volume must track posting mass, not pairs
+    "inv_g_assoc_rules",        # support-pruned itemset counts over K×
+                                # baskets: the prune keeps the rule table
+                                # catalog-bound while counts grow
 ]
 
 # Output-quadratic on the all-clones replica: the RESULT SET itself grows
@@ -199,6 +208,19 @@ def _render(results: dict) -> str:
         "phases a 1000-executor cluster absorbs by adding executors. No",
         "super-linear phase remains; no fix needed beyond the replica-layout",
         "correction above.",
+        "",
+        "## Round-7 retrieval/graph rows",
+        "",
+        "`inv_g_link_prediction` measures 8.09× at 10× and 15.52× at 100× —",
+        "the wedge cap SATURATES: the replica densifies the co-purchase",
+        "graph (fixed part catalog, K× baskets), degrees exceed the",
+        "256-neighbor cap between 10× and 100×, and per-node wedge fan-out",
+        "stops growing (Σ min(deg,256)² is flat once saturated), so the",
+        "10×→100× step adds only scan-bound work. Exactly the hub-growth",
+        "bound the cap exists to provide. `inv_t_bm25_topk` (1.39× / 3.55×)",
+        "is posting-list-bound as designed: candidate volume tracks the",
+        "query terms' posting mass, never pairs. `inv_g_assoc_rules` 2.71×",
+        "at 10× — support pruning keeps the rule table catalog-bound.",
         "",
         "## Adversarial hot bucket (round-4 cap)",
         "",
