@@ -9801,6 +9801,56 @@ FROM rec r JOIN m ON r.symbol = m.symbol AND r.t = m.n
 _REGISTRY.update({"inv_w_cusum": (q_w_cusum, _cusum_sql())})
 
 
+def q_w_kalman(spark: SparkSession, sf: str) -> DataFrame:
+    """1-D local-level Kalman filter (indicators.kalman_level): per-symbol
+    final filtered level, converged gain, and innovation RMSE — the
+    adaptive-gain smoother the fixed-weight EMA family approximates.
+    Codegen'd F.aggregate fold with quantized 4-component state;
+    recursive-CTE oracle."""
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    return indicators.kalman_level(b, q=0.0625, r=1.0)
+
+
+def _kalman_sql(q: float = 0.0625, r: float = 1.0) -> str:
+    pp = f"round(r.p + {q!r} + 1e-13, 10)"
+    k = f"round({pp} / ({pp} + {r!r}) + 1e-13, 10)"
+    return f"""
+WITH RECURSIVE {BARS_SQL},
+numbered AS (
+  SELECT symbol, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn
+  FROM bars
+),
+cnt AS (
+  SELECT symbol, count(*) AS n FROM numbered GROUP BY symbol
+  HAVING count(*) >= 2
+),
+rec AS (
+  SELECT b.symbol, 1 AS t,
+         round(b.close + 1e-13, 10) AS x,
+         round({r!r} + 1e-13, 10) AS p,
+         CAST(0 AS DOUBLE) AS k,
+         CAST(0 AS DOUBLE) AS si
+  FROM numbered b JOIN cnt ON cnt.symbol = b.symbol
+  WHERE b.rn = 1
+  UNION ALL
+  SELECT r.symbol, r.t + 1,
+         round(r.x + {k} * (s.close - r.x) + 1e-13, 10),
+         round((1.0 - {k}) * {pp} + 1e-13, 10),
+         {k},
+         round(r.si + (s.close - r.x) * (s.close - r.x) + 1e-13, 10)
+  FROM rec r JOIN numbered s ON s.symbol = r.symbol AND s.rn = r.t + 1
+)
+SELECT r.symbol, CAST(c.n AS BIGINT) AS n_obs,
+       r.x AS kf_level, r.k AS kf_gain,
+       round(sqrt(r.si / (c.n - 1)) + 1e-9, 6) AS innov_rmse
+FROM rec r JOIN cnt c ON r.symbol = c.symbol AND r.t = c.n
+"""
+
+
+_REGISTRY.update({"inv_w_kalman": (q_w_kalman, _kalman_sql())})
+
+
 def q_w_seasonal_decomp(spark: SparkSession, sf: str) -> DataFrame:
     """Additive seasonal decomposition (indicators.seasonal_decompose):
     per-symbol centered 7-row trend, weekly-phase seasonal effect

@@ -851,6 +851,83 @@ def holt_forecast(
     )
 
 
+def kalman_level(
+    df: DataFrame,
+    q: float = 0.0625,
+    r: float = 1.0,
+    col: str = "close",
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+) -> DataFrame:
+    """1-D local-level Kalman filter per symbol (Kalman 1960; the
+    random-walk-plus-noise state-space model, Durbin & Koopman §2):
+    predict P⁻ = P + Q; gain K = P⁻/(P⁻ + R); update
+    x = x + K·(z − x), P = (1−K)·P⁻. The adaptive smoother the EMA
+    family approximates with a FIXED weight — here the weight (gain)
+    converges from observation noise, so early observations correct
+    faster. Output per symbol: final filtered level, converged gain, and
+    innovation RMSE (the model-fit diagnostic — a series the random-walk
+    model fits poorly shows inflated innovations).
+
+    Same execution contract as ``holt_forecast``/``cusum_alarms``: the
+    ordered series folds through a codegen'd F.aggregate, every state
+    component quantized to 10 dp per step, so a recursive-CTE oracle
+    replays the recursion exactly. ``q``/``r`` default to binary-exact
+    doubles. Init: x₁ = z₁, P₁ = R (the diffuse-ish convention that
+    keeps the fold literal-only); symbols need ≥ 2 observations for a
+    defined innovation RMSE and are filtered like holt's trend init.
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(time_col).alias("t"), F.col(col).alias("y")))
+    )
+    series = (
+        df.groupBy(symbol_col).agg(arr.alias("__arr")).filter(F.size("__arr") >= 2)
+    )
+    eps = F.lit(1e-13)
+    ql, rl = F.lit(float(q)), F.lit(float(r))
+    y1 = F.col("__arr")[0]["y"]
+    init = F.struct(
+        F.round(y1 + eps, 10).alias("x"),
+        F.round(rl + eps, 10).alias("p"),
+        F.lit(0.0).alias("k"),
+        F.lit(0.0).alias("si"),
+    )
+    rest = F.slice(
+        F.col("__arr"), 2, F.greatest(F.size("__arr") - 1, F.lit(0))
+    )
+
+    def step(acc, e):
+        # pp and k are inlined everywhere they appear (no let-binding in
+        # expressions); the oracle inlines the identical trees, so both
+        # engines evaluate the same quantized sub-results
+        pp = F.round(acc["p"] + ql + eps, 10)
+        k = F.round(pp / (pp + rl) + eps, 10)
+        return F.struct(
+            F.round(acc["x"] + k * (e["y"] - acc["x"]) + eps, 10).alias("x"),
+            F.round((F.lit(1.0) - k) * pp + eps, 10).alias("p"),
+            k.alias("k"),
+            F.round(
+                acc["si"] + (e["y"] - acc["x"]) * (e["y"] - acc["x"]) + eps, 10
+            ).alias("si"),
+        )
+
+    state = F.aggregate("__rest", init, step)
+    out = series.withColumn("__rest", rest).select(
+        F.col(symbol_col),
+        F.size("__arr").cast("long").alias("n_obs"),
+        state.alias("__st"),
+    )
+    return out.select(
+        symbol_col,
+        "n_obs",
+        F.col("__st")["x"].alias("kf_level"),
+        F.col("__st")["k"].alias("kf_gain"),
+        F.round(
+            F.sqrt(F.col("__st")["si"] / (F.col("n_obs") - 1)) + F.lit(1e-9), 6
+        ).alias("innov_rmse"),
+    )
+
+
 def cusum_alarms(
     df: DataFrame,
     k: float = 0.5,

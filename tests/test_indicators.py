@@ -515,3 +515,50 @@ def test_theil_sen_robust_to_one_outlier(spark):
     assert r.slope == 2.0
     # intercept is median(y - 2t) over epoch-day t: 5 - 2*t0 for clean rows
     assert r.intercept == round(5.0 - 2.0 * t0 + 1e-9, 6)
+
+
+def test_kalman_level_tracks_step_python_replica(spark):
+    """The local-level Kalman filter converges its gain and tracks a level
+    step faster than its final-gain EMA equivalent would suggest early
+    on; every output matches a pure-Python replay of the quantized
+    recursion, and a noiseless constant series filters to the constant."""
+    import math
+
+    from market_data_pipeline_spark.operators.indicators import kalman_level
+
+    stepped = [10.0] * 6 + [14.0] * 6
+    const = [7.0] * 8
+    rows = [("S", i, v) for i, v in enumerate(stepped)] + [
+        ("C", i, v) for i, v in enumerate(const)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, d int, close double")
+    got = {r.symbol: r for r in kalman_level(df, q=0.0625, r=1.0).collect()}
+
+    def replay(series, q=0.0625, r=1.0):
+        x = round(series[0] + 1e-13, 10)
+        p = round(r + 1e-13, 10)
+        k = 0.0
+        si = 0.0
+        for y in series[1:]:
+            pp = round(p + q + 1e-13, 10)
+            k = round(pp / (pp + r) + 1e-13, 10)
+            nx = round(x + k * (y - x) + 1e-13, 10)
+            p = round((1.0 - k) * pp + 1e-13, 10)
+            si = round(si + (y - x) * (y - x) + 1e-13, 10)
+            x = nx
+        n = len(series)
+        return x, k, round(math.sqrt(si / (n - 1)) + 1e-9, 6)
+
+    for sym, series in (("S", stepped), ("C", const)):
+        x, k, rmse = replay(series)
+        assert got[sym].kf_level == x
+        assert got[sym].kf_gain == k
+        assert got[sym].innov_rmse == rmse
+    # constant series: level IS the constant, innovations are zero
+    assert got["C"].kf_level == 7.0 and got["C"].innov_rmse == 0.0
+    # the step is mostly absorbed after 6 post-step observations: residual
+    # error ~ 4·(1−k*)^6 ≈ 0.9 at k* ≈ 0.222
+    assert 13.0 < got["S"].kf_level < 14.0
+    # steady-state gain for q=1/16, r=1: k* solves k = (p+q)/(p+q+1) with
+    # p = (1-k)(p+q) -> k* ~ 0.2215; the fold must have converged there
+    assert abs(got["S"].kf_gain - 0.2215) < 0.01
