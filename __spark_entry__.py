@@ -11114,3 +11114,86 @@ SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
 
 
 _REGISTRY.update({"inv_t_bm25_prf": (q_t_bm25_prf, SQL_T_BM25_PRF)})
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (continued): two cheap curation diagnostics — per-document
+# character entropy (the quality gate between length heuristics and LM
+# scoring: low = repetition, high = base64/binary junk) and per-source
+# unigram-KL drift from the corpus distribution (the mixture-health check
+# before reweighting sources).
+# ---------------------------------------------------------------------------
+
+
+def q_t_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    return text.char_entropy(_docs(spark, sf))
+
+
+SQL_T_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '(?s).')) AS ch
+  FROM documents
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars
+  FROM counts GROUP BY 1
+),
+pd AS (
+  SELECT c2.doc_id, max(t.n_chars) AS n_chars,
+         max(t.n_distinct_chars) AS n_distinct_chars,
+         round(0.0 - sum((c2.c / CAST(t.n_chars AS DOUBLE))
+                         * log2(c2.c / CAST(t.n_chars AS DOUBLE)))
+               + 1e-9, 6) AS char_entropy
+  FROM counts c2 JOIN totals t USING (doc_id) GROUP BY c2.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(pd.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+       coalesce(pd.char_entropy, 0.0) AS char_entropy
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_t_domain_kl(spark: SparkSession, sf: str) -> DataFrame:
+    return text.domain_kl(_docs(spark, sf))
+
+
+SQL_T_DOMAIN_KL = f"""
+WITH wt AS (
+  SELECT src, word AS w FROM (
+    SELECT source AS src, unnest(string_split({_NORM_SQL}, ' ')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+cs AS (SELECT src, w, count(*) AS c_s FROM wt GROUP BY 1, 2),
+cw AS (SELECT w, count(*) AS c_all FROM wt GROUP BY 1),
+ns AS (SELECT src, count(*) AS n_s FROM wt GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_all) AS BIGINT) AS n
+  FROM cw
+),
+grid AS (
+  SELECT ns.src, cw.w, cw.c_all, ns.n_s, cs.c_s, tot.v, tot.n
+  FROM cw CROSS JOIN ns
+  LEFT JOIN cs ON cs.src = ns.src AND cs.w = cw.w
+  CROSS JOIN tot
+)
+SELECT src AS source,
+       CAST(max(n_s) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_seen,
+       round(sum(((coalesce(c_s, 0) + 1) / CAST(n_s + v AS DOUBLE))
+                 * log2(((coalesce(c_s, 0) + 1) / CAST(n_s + v AS DOUBLE))
+                        / ((c_all + 1) / CAST(n + v AS DOUBLE))))
+             + 1e-9, 6) AS kl_bits
+FROM grid GROUP BY src
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_t_char_entropy": (q_t_char_entropy, SQL_T_CHAR_ENTROPY),
+        "inv_t_domain_kl": (q_t_domain_kl, SQL_T_DOMAIN_KL),
+    }
+)

@@ -498,6 +498,111 @@ def bigram_lm_scores(
     )
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (bits):
+    H = −Σ_c p_c·log2(p_c) over lower-cased characters — the cheap
+    quality gate between length heuristics and LM scoring: very LOW
+    entropy flags repetition/boilerplate (one character dominating),
+    very HIGH flags base64/binary junk (near-uniform over a wide
+    alphabet). Output: (doc_id, n_chars, n_distinct_chars, char_entropy),
+    empty documents scoring 0 over 0 chars.
+
+    Scale shape: one explode to characters (linear in corpus bytes), one
+    (doc, char)-keyed count with map-side combine (≤ alphabet-size rows
+    per doc), one per-doc reduce. Entropy sums raw per-character terms
+    and rounds once at 6 dp — the ``bigram_lm_scores`` discipline (engine
+    log ulp differences are orders of magnitude below the quantum)."""
+    ch = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '(?s).', 0)")
+        ).alias("ch"),
+    )
+    counts = ch.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    per_doc = (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.max("n_distinct_chars").alias("n_distinct_chars"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("n_chars"))
+                    * F.log2(F.col("c") / F.col("n_chars"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("n_distinct_chars", F.lit(0)).cast("long").alias(
+            "n_distinct_chars"
+        ),
+        F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"),
+    )
+
+
+def domain_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source KL divergence (bits) of the slice's unigram distribution
+    from the whole-corpus distribution, add-1 smoothed over the corpus
+    vocabulary: KL(P_s‖Q) = Σ_w P_s(w)·log2(P_s(w)/Q(w)) with
+    P_s(w) = (c_s(w)+1)/(N_s+V), Q(w) = (c(w)+1)/(N+V) — the domain-drift
+    / mixture-health diagnostic a curation pipeline reads before
+    reweighting sources (a slice whose language diverges from the corpus
+    gets inspected before it gets upsampled).
+
+    Scale shape: two vocabulary-sized count tables (map-side combined),
+    the per-source grid is sources × vocab via a BROADCAST of the tiny
+    per-source totals (never a corpus-sized cross join), corpus scalars
+    ride one 1-row broadcast. The KL sum follows the
+    ``bigram_lm_scores`` raw-term discipline, rounded once at 6 dp."""
+    w = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    cs = w.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c_s"))
+    cw = w.groupBy("w").agg(F.count(F.lit(1)).alias("c_all"))
+    ns = w.groupBy("src").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = cw.agg(
+        F.count(F.lit(1)).alias("__v"), F.sum("c_all").alias("__n")
+    )
+    p = (F.coalesce(F.col("c_s"), F.lit(0)) + 1) / (F.col("n_s") + F.col("__v"))
+    q = (F.col("c_all") + 1) / (F.col("__n") + F.col("__v"))
+    grid = (
+        cw.crossJoin(F.broadcast(ns))
+        .join(cs, ["src", "w"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        grid.groupBy("src")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c_s").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_seen"),
+            F.round(F.sum(p * F.log2(p / q)) + F.lit(1e-9), 6).alias("kl_bits"),
+        )
+        .select(F.col("src").alias("source"), "n_tokens", "vocab_seen", "kl_bits")
+    )
+
+
 def threshold_sweep(
     df: DataFrame,
     score_col: str = "quality_score",

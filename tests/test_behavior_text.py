@@ -975,3 +975,60 @@ def test_bm25_prf_zero_expansion_is_identity(spark):
     prf = text.bm25_prf_topk(d, queries, k=10, fb_k=3, expand_m=3)
     per_q = {r.query_id for r in prf.collect()}
     assert per_q == {0, 1, 2, 3, 4}
+
+
+def test_char_entropy_hand_computed(spark):
+    """Closed-form entropies: 'aabb' = 1 bit, 'abcd' = 2 bits, 'aaaa' = 0;
+    case folds ('AaBb' ≡ 'aabb'); empty text scores 0 over 0 chars."""
+    from market_data_pipeline_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, "AaBb"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert (got[1].n_chars, got[1].n_distinct_chars, got[1].char_entropy) == (4, 2, 1.0)
+    assert (got[2].n_chars, got[2].char_entropy) == (4, 2.0)
+    assert (got[3].n_distinct_chars, got[3].char_entropy) == (1, 0.0)
+    assert got[4].char_entropy == 1.0  # lower-cased first
+    assert (got[5].n_chars, got[5].char_entropy) == (0, 0.0)
+
+
+def test_domain_kl_matches_python_replica_and_zero_for_identical(spark):
+    """KL of each source against the corpus matches an add-1-smoothed
+    pure-Python replica exactly, and every slice that differs from the
+    corpus mixture scores strictly positive. (No ordering claim between
+    the slices: each source pulls the corpus distribution toward itself,
+    so a heavily-weighted 'divergent' slice can sit CLOSER to the mixture
+    than a balanced one — that asymmetry is the point of measuring
+    against the corpus rather than against the other slice.)"""
+    import math
+    from collections import Counter
+
+    from market_data_pipeline_spark.operators.text import domain_kl
+
+    rows = [
+        (1, "balanced", "alpha beta gamma delta"),
+        (2, "balanced", "alpha beta gamma delta"),
+        (3, "skewed", "alpha alpha alpha alpha"),
+        (4, "skewed", "epsilon epsilon epsilon epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in domain_kl(df).collect()}
+
+    toks = [(s, w) for _, s, t in rows for w in t.split()]
+    c_all = Counter(w for _, w in toks)
+    v, n = len(c_all), len(toks)
+    for src in ("balanced", "skewed"):
+        c_s = Counter(w for s, w in toks if s == src)
+        n_s = sum(c_s.values())
+        kl = sum(
+            ((c_s.get(w, 0) + 1) / (n_s + v))
+            * math.log2(
+                ((c_s.get(w, 0) + 1) / (n_s + v)) / ((c_all[w] + 1) / (n + v))
+            )
+            for w in c_all
+        )
+        assert got[src].kl_bits == round(kl + 1e-9, 6)
+        assert got[src].n_tokens == n_s
+    assert got["skewed"].kl_bits > 0 and got["balanced"].kl_bits > 0
