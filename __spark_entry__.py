@@ -11197,3 +11197,93 @@ _REGISTRY.update(
         "inv_t_domain_kl": (q_t_domain_kl, SQL_T_DOMAIN_KL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (continued): top principal component of the embedding cloud by
+# distributed power iteration (similarity.pca_power) — per-vector signed
+# projection on the dominant direction plus its variance estimate. The
+# driver-side state is O(dim) per round (the k-means-centroid collect
+# class); the oracle replays every round as a chained MATERIALIZED CTE
+# generating the SAME left-to-right dot chains, so the fit is bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_v_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pca_power(e, iterations=8)
+
+
+def _pca_sql(iterations: int = 8, dim: int = 64) -> str:
+    def chain(vec: str, lst: str) -> str:
+        acc = f"({vec}[1]*{lst}[1])"
+        for i in range(2, dim + 1):
+            acc = f"({acc} + {vec}[{i}]*{lst}[{i}])"
+        return acc
+
+    def chain_cols(prefix: str) -> str:
+        acc = f"({prefix}1*{prefix}1)"
+        for i in range(2, dim + 1):
+            acc = f"({acc} + {prefix}{i}*{prefix}{i})"
+        return acc
+
+    mu_list = ", ".join(
+        f"round(avg(v[{i}]) + 1e-13, 10)" for i in range(1, dim + 1)
+    )
+    w0_list = ", ".join(["0.125"] * dim)
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"mu AS MATERIALIZED (SELECT [{mu_list}] AS m FROM e),",
+        f"w0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS nrm, [{w0_list}] AS w),",
+    ]
+    for k in range(1, iterations + 1):
+        sv_cols = ", ".join(
+            f"sum(s*v[{i}]) AS sv{i}" for i in range(1, dim + 1)
+        )
+        u_cols = ", ".join(
+            f"round((a.sv{i} - m.m[{i}]*a.ss) + 1e-13, 8) AS u{i}"
+            for i in range(1, dim + 1)
+        )
+        w_list = ", ".join(
+            f"round(u{i} / nrm + 1e-13, 10)" for i in range(1, dim + 1)
+        )
+        parts.append(
+            f"""s{k} AS (
+  SELECT v, round({chain('v', 'w.w')} - {chain('m.m', 'w.w')} + 1e-13, 10) AS s
+  FROM e CROSS JOIN w{k - 1} w CROSS JOIN mu m
+),
+a{k} AS MATERIALIZED (
+  SELECT count(*) AS n, sum(s) AS ss, {sv_cols} FROM s{k}
+),
+u{k} AS MATERIALIZED (
+  SELECT a.n AS n, {u_cols} FROM a{k} a CROSS JOIN mu m
+),
+n{k} AS MATERIALIZED (
+  SELECT n, round(sqrt({chain_cols('u')}) + 1e-13, 10) AS nrm, * FROM u{k}
+),
+w{k} AS MATERIALIZED (
+  SELECT n, nrm, [{w_list}] AS w FROM n{k}
+),"""
+        )
+    first_nz = ", ".join(
+        f"CASE WHEN abs(w[{i}]) > 1e-6 THEN w[{i}] END"
+        for i in range(1, dim + 1)
+    )
+    parts.append(
+        f"""sgn AS MATERIALIZED (
+  SELECT n, nrm, w,
+         CASE WHEN coalesce({first_nz}) < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM w{iterations}
+),
+wf AS MATERIALIZED (
+  SELECT n, nrm, list_transform(w, x -> x * sg) AS w FROM sgn
+)
+SELECT e.vec_id,
+       round({chain('e.v', 'f.w')} - {chain('m.m', 'f.w')} + 1e-9, 6) AS pc1,
+       round(f.nrm / f.n + 1e-9, 6) AS pc1_var
+FROM e CROSS JOIN wf f CROSS JOIN mu m"""
+    )
+    return "\n".join(parts)
+
+
+_REGISTRY.update({"inv_v_pca_power": (q_v_pca_power, _pca_sql())})

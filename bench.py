@@ -100,6 +100,10 @@ HEADLINE = [
     # and the round's closing retrieval entry: BM25 with pseudo-relevance
     # feedback — two scoring passes over one shared inverted index.
     "inv_t_bm25_prf",
+    # plus the embedding-PCA power iteration (8 one-row-reduce rounds —
+    # the round's most expensive new query after its codegen-reuse and
+    # loop-conf fixes; gate rule).
+    "inv_v_pca_power",
 ]
 
 RUNS_PER_QUERY = 3

@@ -878,3 +878,132 @@ def ann_recall(
             F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def pca_power(
+    df: DataFrame,
+    iterations: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed power
+    iteration (Mises & Pollaczek-Geiringer 1929; the PCA workhorse at
+    corpus scale): per round, w ← normalize(Σ_v s·(v−μ)) with
+    s = (v−μ)·w — one aggregation pass over the vectors per iteration,
+    O(dim) driver-side state (the k-means-centroid class of collect).
+    Output: (vec_id, pc1) — every vector's signed projection on the
+    dominant direction (the 1-D "semantic spread" axis curation uses for
+    diversity binning and outlier trimming) — plus the constant
+    ``pc1_var`` column, the component's variance estimate λ/n.
+
+    Determinism (the quantized-Lloyd's discipline, component-wise):
+    μ is the 10-dp-rounded per-dimension mean; each round's score s is a
+    FIXED left-to-right 64-term dot chain rounded at 10 dp; the update
+    u_i = Σ s·v_i − μ_i·Σ s rounds at 8 dp (three orders above float
+    row-sum drift); the normalized w rounds at 10 dp per component; the
+    sign is pinned by forcing the first |component| > 1e-6 positive.
+    Every downstream value then depends only on quantized inputs, so a
+    chained-CTE SQL unrolling generating the SAME left-to-right chains
+    reproduces the fit bit-for-bit.
+
+    Init w₀ = (1/8, …, 1/8) (binary-exact, generically non-orthogonal to
+    the top component); fixed ``iterations`` rounds pin the semantics
+    like pagerank's. Scale shape: each round re-scans the vector table
+    (no corpus-sized materialization) and reduces to one 130-value row —
+    map-side combined; at 100 TB this is ``iterations`` embarrassingly
+    parallel scans.
+    """
+    import math
+
+    eps = 1e-13
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    e = df.select(F.col(id_col), v.alias("__v"))
+    mu_row = e.agg(
+        *[
+            F.round(F.avg(F.col("__v")[i]) + F.lit(eps), 10).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    mu = [float(mu_row[i]) for i in range(dim)]
+    w = [0.125] * dim
+    lam = 0.0
+    n = None
+
+    def py_dot(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, dim):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    # w and the (constant) mean·w dot ride as DATA on a broadcast 1-row
+    # frame, NOT as literals: the per-iteration expressions are then
+    # byte-identical across rounds, so whole-stage codegen compiles ONCE
+    # for the whole loop (literal-embedded w forced a fresh generated
+    # class per round — measured ~6 s of the 8.7 s sf0.1 wall). The fold
+    # from 0.0 equals the oracle's left-to-right chain bit-for-bit
+    # (0.0 + x == x in IEEE, then identical association order).
+    def score(col_w: str, dmw_col: str, nudge: float, dp: int):
+        return F.round(
+            F.aggregate(
+                F.zip_with("__v", col_w, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.col(dmw_col)
+            + F.lit(nudge),
+            dp,
+        )
+
+    def w_frame(weights, dmw):
+        return spark.createDataFrame(
+            [(weights, float(dmw))], "w array<double>, dmw double"
+        )
+
+    agg_exprs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__s").alias("__ss"),
+        *[F.sum(F.col("__s") * F.col("__v")[i]).alias(f"u{i}") for i in range(dim)],
+    ]
+    # every iteration reduces to ONE 130-value row, so the final-agg
+    # shuffle width is 1 at ANY corpus size (the partial agg runs at scan
+    # parallelism regardless); the loop-conf window also drops AQE's
+    # per-stage job materialization — 2 scheduler jobs per round -> 1.
+    from market_data_pipeline_spark.operators.graph import _loop_shuffle
+
+    with _loop_shuffle(spark, 1):
+        for _ in range(iterations):
+            wf = w_frame(w, py_dot(mu, w))
+            row = (
+                e.crossJoin(F.broadcast(wf))
+                .select(score("w", "dmw", eps, 10).alias("__s"), "__v")
+                .agg(*agg_exprs)
+                .first()
+            )
+            n = int(row["__n"])
+            ss = float(row["__ss"])
+            u = [
+                round((float(row[f"u{i}"]) - mu[i] * ss) + eps, 8)
+                for i in range(dim)
+            ]
+            nrm = round(math.sqrt(py_dot(u, u)) + eps, 10)
+            if nrm == 0.0:
+                break  # degenerate cloud: keep the previous direction
+            lam = nrm
+            w = [round(u[i] / nrm + eps, 10) for i in range(dim)]
+    # pin the sign: first meaningfully-nonzero component positive
+    for i in range(dim):
+        if abs(w[i]) > 1e-6:
+            if w[i] < 0:
+                w = [-x for x in w]
+            break
+    var = round(lam / n + 1e-9, 6) if n else 0.0
+    return (
+        e.crossJoin(F.broadcast(w_frame(w, py_dot(mu, w))))
+        .select(
+            F.col(id_col),
+            score("w", "dmw", 1e-9, 6).alias("pc1"),
+            F.lit(var).alias("pc1_var"),
+        )
+    )

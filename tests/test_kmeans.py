@@ -59,3 +59,33 @@ def test_kmeans_assignments_are_deterministic(spark, sf_dir):
     a1, _, _ = similarity.kmeans_fit(e, k=4, max_iter=3)
     a2, _, _ = similarity.kmeans_fit(e, k=4, max_iter=3)
     assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """A cloud stretched along a planted unit direction: the power
+    iteration's projections must correlate ~1 (up to the pinned sign)
+    with the planted coordinate, and the variance estimate must match
+    numpy's top covariance eigenvalue."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.similarity import pca_power
+
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=64)
+    d /= np.linalg.norm(d)
+    a = rng.normal(scale=5.0, size=300)  # dominant coordinate
+    noise = rng.normal(scale=0.3, size=(300, 64))
+    x = a[:, None] * d[None, :] + noise
+    rows = [(i, [float(v) for v in x[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = pca_power(df, iterations=8).orderBy("vec_id").collect()
+    proj = np.array([r.pc1 for r in got])
+    corr = abs(np.corrcoef(proj, a)[0, 1])
+    assert corr > 0.995
+
+    c = np.cov((x - x.mean(axis=0)).T, bias=True)  # /n covariance
+    top = float(np.linalg.eigvalsh(c)[-1])
+    var = got[0].pc1_var
+    assert all(r.pc1_var == var for r in got)  # constant column
+    assert abs(var - top) / top < 0.02  # 8 rounds converge within 2%

@@ -378,8 +378,8 @@ def test_every_registered_query_plan_is_scale_clean(spark):
             )
     # 14 inv_st_ streaming queries (incl. the round-6 streaming CUSUM and
     # the round-7 CMS heavy hitters + HLL distinct) + the iterative
-    # kmeans_fit loop execute on build and are skipped
-    assert audited > 140 and skipped <= 15
+    # kmeans_fit and pca_power loops execute on build and are skipped
+    assert audited > 140 and skipped <= 16
 
 
 def test_ema_bucket_count_derives_from_parallelism(spark, sf_dir):
