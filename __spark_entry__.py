@@ -11287,3 +11287,51 @@ FROM e CROSS JOIN wf f CROSS JOIN mu m"""
 
 
 _REGISTRY.update({"inv_v_pca_power": (q_v_pca_power, _pca_sql())})
+
+
+def q_v_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-distance embedding outliers (similarity.embedding_outliers):
+    per-vector distance to the quantized mean, modified z-score via
+    median/MAD (the robust discipline of inv_x_robust_anomaly), and the
+    3.5-cutoff flag — the vector-cleaning pass before clustering/ANN."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.embedding_outliers(e, cutoff=3.5)
+
+
+def _embedding_outliers_sql(dim: int = 64, cutoff: float = 3.5) -> str:
+    sq = "((v[1]-m.m[1])*(v[1]-m.m[1]))"
+    for i in range(2, dim + 1):
+        sq = f"({sq} + (v[{i}]-m.m[{i}])*(v[{i}]-m.m[{i}]))"
+    mu_list = ", ".join(
+        f"round(avg(v[{i}]) + 1e-13, 10)" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mu AS MATERIALIZED (SELECT [{mu_list}] AS m FROM e),
+d AS MATERIALIZED (
+  SELECT vec_id, round(sqrt({sq}) + 1e-9, 6) AS dist
+  FROM e CROSS JOIN mu m
+),
+st AS MATERIALIZED (SELECT quantile_cont(dist, 0.5) AS med FROM d),
+md AS MATERIALIZED (
+  SELECT quantile_cont(abs(d.dist - st.med), 0.5) AS mad
+  FROM d CROSS JOIN st
+)
+SELECT d.vec_id, d.dist,
+       round(CASE WHEN md.mad > 0
+                  THEN 0.6745 * (d.dist - st.med) / md.mad
+                  ELSE 0.0 END + 1e-9, 6) AS mod_z,
+       (md.mad > 0 AND abs(0.6745 * (d.dist - st.med) / md.mad) > {cutoff!r})
+         AS is_outlier
+FROM d CROSS JOIN st CROSS JOIN md
+"""
+
+
+_REGISTRY.update(
+    {
+        "inv_v_embedding_outliers": (
+            q_v_embedding_outliers,
+            _embedding_outliers_sql(),
+        )
+    }
+)

@@ -1007,3 +1007,70 @@ def pca_power(
             F.lit(var).alias("pc1_var"),
         )
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    cutoff: float = 3.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Centroid-distance outlier flags for an embedding table: per vector
+    the Euclidean distance to the (quantized) mean vector, its modified
+    z-score 0.6745·(r − median_r)/MAD_r, and the Iglewicz–Hoaglin
+    ``cutoff`` flag — the stock vector-cleaning pass before clustering /
+    ANN indexing (corrupt or mislabeled embeddings sit far off the
+    cloud; median/MAD won't let one wild vector hide itself the way a
+    mean/std gate would).
+
+    Scale shape: one mean reduce, one distance scan (mean rides a 1-row
+    broadcast), two holistic percentile passes (the ``mad_outliers``
+    discipline — Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    exact interpolation semantics), one flagging scan. Distances are
+    rounded at 6 dp BEFORE the quantiles, so both engines interpolate
+    identical inputs; MAD = 0 (over half the vectors equidistant)
+    defines no z-score and reports 0/false by convention."""
+    eps = 1e-13
+    v = F.col(vec_col).cast("array<double>")
+    e = df.select(F.col(id_col), v.alias("__v"))
+    dim = len(e.select("__v").first()["__v"])
+    mu = e.agg(
+        F.array(
+            *[
+                F.round(F.avg(F.col("__v")[i]) + F.lit(eps), 10)
+                for i in range(dim)
+            ]
+        ).alias("__m")
+    )
+    d = e.crossJoin(F.broadcast(mu)).select(
+        F.col(id_col),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("__v", "__m", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("dist"),
+    )
+    med = d.agg(F.expr("percentile(dist, 0.5)").alias("__med"))
+    mad = (
+        d.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("dist") - F.col("__med")).alias("__ad"), "__med")
+        .groupBy("__med")
+        .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    )
+    z = F.lit(0.6745) * (F.col("dist") - F.col("__med")) / F.col("__mad")
+    return d.crossJoin(F.broadcast(mad)).select(
+        F.col(id_col),
+        "dist",
+        F.round(
+            F.when(F.col("__mad") > 0, z).otherwise(F.lit(0.0)) + F.lit(1e-9), 6
+        ).alias("mod_z"),
+        (
+            (F.col("__mad") > 0) & (F.abs(z) > F.lit(float(cutoff)))
+        ).alias("is_outlier"),
+    )

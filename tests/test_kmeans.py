@@ -89,3 +89,29 @@ def test_pca_power_recovers_planted_direction(spark):
     var = got[0].pc1_var
     assert all(r.pc1_var == var for r in got)  # constant column
     assert abs(var - top) / top < 0.02  # 8 rounds converge within 2%
+
+
+def test_embedding_outliers_flags_planted_far_vector(spark):
+    """A tight cloud plus one vector 100 units away: only the planted
+    vector is flagged, its modified z-score dominates, and an
+    over-half-identical (MAD=0) cloud flags nothing by convention."""
+    import numpy as np
+
+    from market_data_pipeline_spark.operators.similarity import embedding_outliers
+
+    rng = np.random.default_rng(11)
+    cloud = rng.normal(scale=0.5, size=(50, 8))
+    far = np.full(8, 100.0 / (8**0.5))
+    rows = [(i, [float(x) for x in cloud[i]]) for i in range(50)]
+    rows.append((99, [float(x) for x in far]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in embedding_outliers(df).collect()}
+    assert got[99].is_outlier and got[99].mod_z > 3.5
+    assert sum(1 for r in got.values() if r.is_outlier) == 1
+    assert got[99].dist > max(r.dist for i, r in got.items() if i != 99) * 10
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    got0 = embedding_outliers(same).collect()
+    assert all(not r.is_outlier and r.mod_z == 0.0 for r in got0)  # MAD = 0
