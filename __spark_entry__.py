@@ -6151,6 +6151,11 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         "inv_st_cusum",
         "inv_g_pagerank", "inv_g_pagerank_seeded", "inv_g_hits",
         "inv_t_textrank",
+        # r7: cms_heavy_hitters' estimate join factored into the shared
+        # cms_estimate_join helper (now also the streaming twin's read
+        # side) — the plan is value-identical but the impl changed after
+        # the r3 green row
+        "inv_q_cms_heavy_hitters",
     ),
 }
 
