@@ -6157,6 +6157,21 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # the r3 green row
         "inv_q_cms_heavy_hitters",
     ),
+    # round 8: greens whose implementation changed in r8 after their last
+    # driver row — (a) the versioned-store temp dirs dropped their pid tag
+    # (r7 ADVICE: pid-tagged dirs orphaned the previous run's store every
+    # invocation; the fixed per-sf path is rmtree'd at each run's start),
+    # touching every query that builds a throwaway store; (b)
+    # embedding_outliers gained an explicit ``dim`` parameter + empty-input
+    # guard (the sf wrappers now pass dim=64, skipping the inference job)
+    # and pca_power gained the empty-input guard ahead of its loop.
+    8: (
+        "inv_s_versioned_scan", "inv_s_versioned_merge",
+        "inv_s_versioned_changes", "inv_s_versioned_diff",
+        "inv_d_incremental_versioned", "inv_st_heavy_hitters",
+        "inv_st_hll_distinct",
+        "inv_v_embedding_outliers", "inv_v_pca_power",
+    ),
 }
 
 # How many already-green queries are re-admitted into each round's window as a
@@ -6166,7 +6181,12 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
 # the r4 window, the remaining 21 early in r5); from round 5 the pending set
 # no longer fills the window, so K rises to 5 and the stalest-first green
 # tail consumes the spare slots — every green row ends ≤2 rounds stale.
-_GREEN_RESAMPLE_K = 2 if _THIS_ROUND <= 4 else 5
+# Round 8 exception (r7 verdict task #2): 66 names' newest driver evidence
+# dates to r1–r2 — more than the window's spare slots — so the stalest-first
+# green tail IS this round's regression resample (a strictly stronger one:
+# it re-checks the oldest evidence instead of a uniform draw). K drops to 0
+# for the round to hand those 5 slots to the tail; back to 5 from round 9.
+_GREEN_RESAMPLE_K = 2 if _THIS_ROUND <= 4 else (0 if _THIS_ROUND == 8 else 5)
 
 
 def _green_resample(green: list[str], rnd: int, k: int) -> list[str]:
@@ -7356,8 +7376,10 @@ def q_s_versioned_scan(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf).select("doc_id", "lang", "source", "n_chars")
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     base = os.path.join(
-        tempfile.gettempdir(), f"mdp_versioned_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"mdp_versioned_{tag}"
     )
+    # fixed per-sf path (no pid tag) — next run's rmtree is the cleanup;
+    # the returned frame reads the store lazily (r7 ADVICE)
     shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild per run
     path = f"{base}/t"
     tf.append(spark, path, d.filter(F.col("doc_id") % 2 == 0))
@@ -7418,7 +7440,7 @@ def q_s_versioned_merge(spark: SparkSession, sf: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     base = os.path.join(
-        tempfile.gettempdir(), f"mdp_versioned_merge_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"mdp_versioned_merge_{tag}"
     )
     shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild per run
     path = f"{base}/t"
@@ -10040,7 +10062,7 @@ def q_s_versioned_changes(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     base = os.path.join(
-        tempfile.gettempdir(), f"mdp_vchanges_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"mdp_vchanges_{tag}"
     )
     shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild per run
     path = f"{base}/t"
@@ -10517,7 +10539,7 @@ def q_s_versioned_diff(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
     base_dir = os.path.join(
-        tempfile.gettempdir(), f"mdp_vdiff_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"mdp_vdiff_{tag}"
     )
     shutil.rmtree(base_dir, ignore_errors=True)  # deterministic rebuild
     path = f"{base_dir}/t"
@@ -10894,9 +10916,12 @@ def q_d_incremental_versioned(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _docs(spark, sf).select("doc_id", "text")
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
-    base = os.path.join(
-        tempfile.gettempdir(), f"mdp_vincr_{tag}_{os.getpid()}"
-    )
+    # Fixed per-sf path (NOT pid-tagged): the returned frame reads the store
+    # lazily, so the dir must outlive this call — a pid tag would orphan the
+    # previous process's dir on every bench/pytest invocation (r7 ADVICE);
+    # the rmtree at the next run's start is the cleanup. Queries here run
+    # sequentially per process contract, so the fixed path cannot race.
+    base = os.path.join(tempfile.gettempdir(), f"mdp_vincr_{tag}")
     shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
     path = f"{base}/t"
     tf.append(spark, path, d.filter(F.col("doc_id") % 4 != 0))  # v0: store
@@ -10973,7 +10998,9 @@ def q_st_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 
     tune_existing(spark)
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
-    base = os.path.join(tempfile.gettempdir(), f"mdp_sthh_{tag}_{os.getpid()}")
+    # fixed per-sf path, rmtree'd here, NOT pid-tagged — see
+    # q_d_incremental_versioned for the lifetime rationale (r7 ADVICE)
+    base = os.path.join(tempfile.gettempdir(), f"mdp_sthh_{tag}")
     shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
     ev = streaming_jobs.stream_events(spark, sf)
     q = streaming_jobs.streaming_cms_maintenance(
@@ -11013,7 +11040,9 @@ def q_st_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
     tune_existing(spark)
     tag = os.path.basename(os.path.normpath(sf)) or "sf"
-    base = os.path.join(tempfile.gettempdir(), f"mdp_sthll_{tag}_{os.getpid()}")
+    # fixed per-sf path, rmtree'd here, NOT pid-tagged — see
+    # q_d_incremental_versioned for the lifetime rationale (r7 ADVICE)
+    base = os.path.join(tempfile.gettempdir(), f"mdp_sthll_{tag}")
     shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
     ev = streaming_jobs.stream_events(spark, sf)
     q = streaming_jobs.streaming_hll_maintenance(
@@ -11300,7 +11329,7 @@ def q_v_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
     median/MAD (the robust discipline of inv_x_robust_anomaly), and the
     3.5-cutoff flag — the vector-cleaning pass before clustering/ANN."""
     e = load_table(spark, sf, "embeddings")
-    return similarity.embedding_outliers(e, cutoff=3.5)
+    return similarity.embedding_outliers(e, cutoff=3.5, dim=64)
 
 
 def _embedding_outliers_sql(dim: int = 64, cutoff: float = 3.5) -> str:

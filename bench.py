@@ -158,19 +158,34 @@ def main() -> None:
         lambda: entrymod.entry(spark).write.format("noop").mode("overwrite").save()
     )
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "spread": spreads,
+            "sf": sf,
+        }
     )
+    # The JSON line must be the FINAL stdout output (round-7 postmortem: the
+    # streaming queries' StateStore maintenance thread logged a shutdown WARN
+    # *after* the JSON line, and the driver's merged-output tail capture
+    # pushed the medians out of its window — BENCH_r07.json lost its payload).
+    # So: stop any still-active streams, silence the JVM logger, and stop the
+    # session BEFORE printing; nothing can write to the merged stream after.
+    for q in spark.streams.active:
+        q.stop()
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    # Sidecar with the same payload, committed to git, so per-query medians
+    # survive any future output-capture quirk regardless of what the driver
+    # manages to parse from stdout.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    with open(sidecar, "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
+    sys.stdout.flush()
     sys.exit(_gate(timings, sf))
 
 

@@ -79,6 +79,15 @@ def _loop_shuffle(spark: SparkSession, n_rows: int):
     restored on exit; every job the loop triggers (eager checkpoints and
     the closing checkpoint) executes inside the window, so the caller's
     downstream plan still runs under the session's own settings.
+
+    SESSION-GLOBAL side effect: the two confs are SparkSession-wide, so
+    any query or streaming micro-batch another thread plans on the SAME
+    session during the window silently runs at the pinned width with AQE
+    off (plans already running are unaffected — confs bind at planning).
+    This repo executes queries sequentially so the window is private;
+    library callers that share a session across threads should hand the
+    loop a cloned session (``spark.newSession()`` shares the SparkContext
+    but isolates SQL confs) or serialize around the loop.
     """
     p = max(1, math.ceil(n_rows / _LOOP_ROWS_PER_TASK))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -577,6 +586,10 @@ def pagerank(
     across partitionings and engines, hence the exact chained-CTE DuckDB
     oracle. Symmetrized edges mean no dangling nodes: every node in the
     frame has out-degree ≥ 1, so no rank mass leaks.
+
+    Runs its loop under ``_loop_shuffle``, which pins session-wide SQL
+    confs (shuffle width, AQE) for the duration — see that docstring for
+    the concurrency caveat when sharing a session across threads.
     """
     # checkpoint the symmetrized edges once: they feed the degree frame and
     # the adjacency build, and the degree frame in turn feeds the rank
@@ -794,7 +807,11 @@ def hits_bipartite(
     Returns (item, auth) for every item that SURVIVES the per-basket cap:
     baskets are truncated to their `max_basket` lexically-first items, so
     items sliced off every basket they appear in are absent from the
-    output entirely (documented fan-out bound, not a bug)."""
+    output entirely (documented fan-out bound, not a bug).
+
+    Runs its loop under ``_loop_shuffle``, which pins session-wide SQL
+    confs (shuffle width, AQE) for the duration — see that docstring for
+    the concurrency caveat when sharing a session across threads."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     edges = (

@@ -913,6 +913,16 @@ def pca_power(
     (no corpus-sized materialization) and reduces to one 130-value row —
     map-side combined; at 100 TB this is ``iterations`` embarrassingly
     parallel scans.
+
+    Scale bound on the cross-engine parity claim: the 8-dp rounding of
+    the update u_i absorbs accumulation-order drift of the raw
+    distributed sums Σs and Σs·v_i, but that drift grows ~O(√rows·ulp)
+    while the 5e-9 half-quantum is fixed. Measured safe at sf0.1/sf1
+    (drift ≤1e-11); at corpus sizes ≳1e9 rows, re-verify the margin or
+    widen the u rounding to 7 dp (the fit changes, the determinism
+    contract does not). Requires every vector to carry ≥``dim``
+    components (short vectors null the mean and poison the fit — the
+    caller owns schema hygiene); an EMPTY input returns an empty frame.
     """
     import math
 
@@ -926,6 +936,11 @@ def pca_power(
             for i in range(dim)
         ]
     ).first()
+    if mu_row is None or mu_row[0] is None:
+        # empty input (agg-of-nothing yields nulls): no cloud, no component
+        return spark.createDataFrame(
+            [], f"{id_col} string, pc1 double, pc1_var double"
+        )
     mu = [float(mu_row[i]) for i in range(dim)]
     w = [0.125] * dim
     lam = 0.0
@@ -1014,6 +1029,7 @@ def embedding_outliers(
     cutoff: float = 3.5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Centroid-distance outlier flags for an embedding table: per vector
     the Euclidean distance to the (quantized) mean vector, its modified
@@ -1029,11 +1045,23 @@ def embedding_outliers(
     exact interpolation semantics), one flagging scan. Distances are
     rounded at 6 dp BEFORE the quantiles, so both engines interpolate
     identical inputs; MAD = 0 (over half the vectors equidistant)
-    defines no z-score and reports 0/false by convention."""
+    defines no z-score and reports 0/false by convention.
+
+    ``dim`` defaults to inferring from the first row (one extra driver
+    job); pass it explicitly in pipelines that know their schema, and on
+    an EMPTY input (where inference is impossible) an empty frame is
+    returned rather than a TypeError."""
     eps = 1e-13
     v = F.col(vec_col).cast("array<double>")
     e = df.select(F.col(id_col), v.alias("__v"))
-    dim = len(e.select("__v").first()["__v"])
+    if dim is None:
+        head = e.select("__v").first()
+        if head is None or head["__v"] is None:
+            return df.sparkSession.createDataFrame(
+                [],
+                f"{id_col} string, dist double, mod_z double, is_outlier boolean",
+            )
+        dim = len(head["__v"])
     mu = e.agg(
         F.array(
             *[

@@ -2098,3 +2098,176 @@ def rrf_fuse(
         .filter(F.col("rk") <= topk)
         .select(qid_col, id_col, "rrf_score", "rk")
     )
+
+
+def ql_dirichlet_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001 — public; the standard language-model
+    alternative to BM25): rank documents by log p(q|d) under
+    p(t|d) = (tf + mu*p(t|C)) / (dl + mu), p(t|C) = cf_t / |C|.
+
+    Scored in the rank-equivalent sum-decomposed form (the one every LM
+    retrieval system actually computes, because it is posting-list
+    bound):
+
+        score(q, d) = sum_{t in q AND d} ln(1 + tf*|C| / (mu*cf_t))
+                      + |q_V| * ln(mu / (dl + mu))
+
+    The dropped sum_t ln p(t|C) term is constant per query, so per-query
+    rankings are unchanged. Candidates are documents sharing >= 1 query
+    term with the corpus (the inverted-index contract, same as
+    ``bm25_topk``); out-of-vocabulary query terms (cf = 0) are excluded
+    from |q_V| — in the full formula they contribute -inf to EVERY
+    document equally. Reads the SAME shared index frames as BM25
+    (``_bm25_index``'s tf/dl; idf is never referenced so Catalyst never
+    computes it), which is what makes a lexical+semantic+LM three-leg
+    fusion cost one corpus tokenization, not three.
+
+    Scale shape: cf is one term-keyed re-aggregation of the tf posting
+    lists (map-side combined); |C| rides a broadcast 1-row total; the
+    candidate join is posting-list bound, never all-pairs; per-query
+    top-k compiles to WindowGroupLimit.
+
+    Determinism: per-(doc, term) contributions and the per-doc length
+    prior are quantized at 6 dp (+1e-9 nudge); the per-(query, doc) sum
+    spans only matched query terms (bounded by query length) and is
+    re-quantized at 6 dp; all operands reach the log in double with a
+    pinned op order, so the chained-CTE oracle reproduces every score
+    exactly. Ties break (score desc, doc_id asc)."""
+    tf, dl, _ = _bm25_index(df, text_col, id_col)
+    qterms = (
+        queries.select(
+            F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return _ql_rank(qterms, tf, dl, k, mu, qid_col, id_col)
+
+
+def _ql_rank(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dl: DataFrame,
+    k: int,
+    mu: float,
+    qid_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Score a (query, term) set against the shared tf/dl index under
+    Dirichlet-smoothed query likelihood and keep the per-query top-k —
+    the LM twin of ``_bm25_rank`` over the same posting lists."""
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    tot = dl.agg(F.sum("dl").cast("long").alias("__T"))
+    contrib = (
+        qterms.join(tf, "term")
+        .join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + F.col("tf").cast("double")
+                    * F.col("__T")
+                    / (F.lit(mu) * F.col("cf"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("__c"),
+        )
+    )
+    dlt = dl.select(
+        F.col(id_col),
+        F.round(
+            F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))) + F.lit(1e-9), 6
+        ).alias("__dlt"),
+    )
+    nq = (
+        qterms.join(cf, "term")
+        .groupBy(qid_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__nq"))
+    )
+    scored = (
+        contrib.groupBy(qid_col, id_col)
+        .agg(F.sum("__c").alias("__s"))
+        .join(dlt, id_col)
+        .join(nq, qid_col)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(
+                F.col("__s") + F.col("__nq") * F.col("__dlt") + F.lit(1e-9), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid_col, id_col, "score", "rk")
+    )
+
+
+def rrf_fuse_many(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 10,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query rankings (Cormack, Clarke &
+    Büttcher 2009 generalizes verbatim): score(q, d) = Σ_legs
+    1/(k + rank_leg) over the legs where (q, d) appears. The N-leg form
+    of ``rrf_fuse`` — that two-leg entry keeps its own body so its green
+    plan is untouched; three-plus-leg hybrids (lexical + semantic + LM)
+    come here.
+
+    Scale shape: N−1 full-outer joins of already-top-k frames (every
+    input is O(queries·topk) rows); Spark's list-key join coalesces the
+    key columns per step, so the chain stays two columns wide plus one
+    rank column per leg. Determinism: each leg contributes 1/(k + rank)
+    of integer-valued doubles; the sum order is the caller's leg order
+    (left-to-right, matching the oracle's chained additions); quantized
+    at 6 dp with the shared nudge; ties break (score desc, id asc)."""
+    if not rankings:
+        raise ValueError("rrf_fuse_many needs at least one ranking")
+    legs = [
+        r.select(qid_col, id_col, F.col(rank_col).alias(f"__r{i}"))
+        for i, r in enumerate(rankings)
+    ]
+    joined = legs[0]
+    for nxt in legs[1:]:
+        joined = joined.join(nxt, [qid_col, id_col], "full_outer")
+    kf = F.lit(float(k_const))
+    term = lambda i: F.when(  # noqa: E731 — tiny local shaper
+        F.col(f"__r{i}").isNotNull(),
+        F.lit(1.0) / (kf + F.col(f"__r{i}").cast("double")),
+    ).otherwise(F.lit(0.0))
+    total = term(0)
+    for i in range(1, len(legs)):
+        total = total + term(i)
+    fused = joined.select(
+        qid_col,
+        id_col,
+        F.round(total + F.lit(1e-9), 6).alias("rrf_score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(qid_col, id_col, "rrf_score", "rk")
+    )
