@@ -1032,3 +1032,140 @@ def test_domain_kl_matches_python_replica_and_zero_for_identical(spark):
         assert got[src].kl_bits == round(kl + 1e-9, 6)
         assert got[src].n_tokens == n_s
     assert got["skewed"].kl_bits > 0 and got["balanced"].kl_bits > 0
+
+
+def test_ql_dirichlet_hand_computed(spark):
+    """Dirichlet QL on a two-doc corpus, every score hand-derived with
+    the operator's own quantization steps (mu=10 keeps numbers visible):
+    corpus 'apple banana apple' / 'banana cherry' -> T=5, cf(apple)=2,
+    cf(banana)=2; query 'apple banana' matches both docs, nq=2."""
+    import math
+
+    from market_data_pipeline_spark.operators.text import ql_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple banana")], "query_id long, qtext string"
+    )
+    mu = 10.0
+    c = lambda tf, cf: round(math.log(1.0 + tf * 5 / (mu * cf)) + 1e-9, 6)
+    dlt = lambda dl: round(math.log(mu / (dl + mu)) + 1e-9, 6)
+    want_d1 = round(c(2, 2) + c(1, 2) + 2 * dlt(3) + 1e-9, 6)
+    want_d2 = round(c(1, 2) + 2 * dlt(2) + 1e-9, 6)
+    got = [
+        (r.query_id, r.doc_id, r.score, r.rk)
+        for r in ql_dirichlet_topk(docs, queries, k=10, mu=mu)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == [(100, 1, want_d1, 1), (100, 2, want_d2, 2)]
+    # the matched-gain term dominates the shorter-doc prior here: the doc
+    # with both query terms (and the higher tf) outranks the shorter one
+    assert want_d1 > want_d2
+
+
+def test_ql_dirichlet_oov_terms_drop_from_nq(spark):
+    """A query term absent from the corpus (cf=0) contributes -inf to
+    every document in the full formula, so it is excluded from both the
+    candidate join and the |q_V| count: 'apple zzz' scores exactly like
+    'apple' alone."""
+    from market_data_pipeline_spark.operators.text import ql_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    q_oov = spark.createDataFrame(
+        [(100, "apple zzz")], "query_id long, qtext string"
+    )
+    q_clean = spark.createDataFrame(
+        [(100, "apple")], "query_id long, qtext string"
+    )
+    got_oov = [
+        (r.doc_id, r.score, r.rk)
+        for r in ql_dirichlet_topk(docs, q_oov, k=10, mu=10.0).orderBy("rk").collect()
+    ]
+    got_clean = [
+        (r.doc_id, r.score, r.rk)
+        for r in ql_dirichlet_topk(docs, q_clean, k=10, mu=10.0).orderBy("rk").collect()
+    ]
+    assert got_oov == got_clean
+
+
+def test_rrf_fuse_many_two_legs_equals_rrf_fuse(spark):
+    """The N-leg generalization must reproduce the two-leg entry
+    verbatim on the same inputs (same joins, same sum order)."""
+    from market_data_pipeline_spark.operators.text import rrf_fuse, rrf_fuse_many
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 50, 1)],
+        "query_id long, doc_id long, rk int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2), (2, 40, 1)],
+        "query_id long, doc_id long, rk int",
+    )
+    two = sorted(
+        (r.query_id, r.doc_id, r.rrf_score, r.rk)
+        for r in rrf_fuse(lex, sem, k_const=60, topk=10).collect()
+    )
+    many = sorted(
+        (r.query_id, r.doc_id, r.rrf_score, r.rk)
+        for r in rrf_fuse_many([lex, sem], k_const=60, topk=10).collect()
+    )
+    assert two == many
+
+
+def test_rrf_fuse_many_three_legs_hand_computed(spark):
+    """Three tiny rankings: d1 in all three legs (1/61+1/62+1/61), d2 in
+    legs 1+3 only, d3 in leg 2 only — fused order and scores exact."""
+    from market_data_pipeline_spark.operators.text import rrf_fuse_many
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 30, 1)], "query_id long, doc_id long, rk int"
+    )
+    c = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rk int"
+    )
+    got = [
+        (r.doc_id, r.rrf_score, r.rk)
+        for r in rrf_fuse_many([a, b, c], k_const=60, topk=10)
+        .orderBy("rk")
+        .collect()
+    ]
+    s_all = round(1.0 / 61.0 + 1.0 / 62.0 + 1.0 / 61.0 + 1e-9, 6)
+    s_13 = round(1.0 / 62.0 + 0.0 + 1.0 / 62.0 + 1e-9, 6)
+    s_2 = round(1.0 / 61.0 + 1e-9, 6)
+    assert got == [(10, s_all, 1), (20, s_13, 2), (30, s_2, 3)]
+
+
+def test_hybrid_rrf3_mixture_properties(spark):
+    """Three-leg RRF at sf0.001: the fused top-10 carries members of all
+    three legs, and the fused nDCG is at least the WEAKEST leg's for
+    every query (the mixture bound — the only bound this corpus's
+    independent embeddings support, see test_hybrid_rrf_mixture_
+    properties)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    _, _, _, _, lex, sem, ql = entrymod._hybrid_legs3(spark, sf)
+    from market_data_pipeline_spark.operators.text import rrf_fuse_many
+
+    fused = rrf_fuse_many([lex, sem, ql], k_const=60, topk=10)
+    lex_set = {(r.query_id, r.doc_id) for r in lex.collect()}
+    sem_set = {(r.query_id, r.doc_id) for r in sem.collect()}
+    ql_set = {(r.query_id, r.doc_id) for r in ql.collect()}
+    fus_set = {(r.query_id, r.doc_id) for r in fused.collect()}
+    assert fus_set & lex_set and fus_set & sem_set and fus_set & ql_set
+    rows = entrymod.queries()["inv_t_hybrid_ndcg3"](spark, sf).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.ndcg_rrf3 <= 1.0
+        assert 0.0 <= r.ndcg_ql <= 1.0
+        assert r.ndcg_rrf3 >= min(r.ndcg_lex, r.ndcg_sem, r.ndcg_ql) - 1e-9
