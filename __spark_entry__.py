@@ -11612,3 +11612,113 @@ LEFT JOIN fndcg f USING (query_id)
 
 
 _REGISTRY.update({"inv_t_hybrid_ndcg3": (q_t_hybrid_ndcg3, SQL_T_HYBRID_NDCG3)})
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the full CDC lifecycle in dedup admission (r7 verdict task 5) —
+# inv_d_incremental_versioned covered growth (appends via the change feed);
+# this entry covers the other two verbs. A merge commit UPDATES some docs
+# and INSERTS the new batch, a delete commit removes others; snapshot_diff
+# classifies every key, and dedup.cdc_admission evicts deleted/updated docs
+# from the admission reference BEFORE any signature work (their LSH bands
+# are never built), then re-admits the incoming side against the survivors.
+# The 100 TB shape: the prior corpus is the keyed-diff join's other side —
+# never re-fingerprinted, never re-banded.
+# ---------------------------------------------------------------------------
+
+
+def q_d_cdc_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """Versioned insert→update→delete lifecycle: v0 commits the store
+    (doc_id % 4 != 0); one merge commit updates doc_id % 8 == 1 (text
+    prefixed 'upd ') and inserts doc_id % 4 == 0; a delete commit drops
+    doc_id % 8 == 5. snapshot_diff(v0 → head) feeds cdc_admission."""
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.sources import tablefmt as tf
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    # fixed per-sf path, rmtree'd here — see q_d_incremental_versioned
+    base = os.path.join(tempfile.gettempdir(), f"mdp_cdc_{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
+    path = f"{base}/t"
+    tf.append(spark, path, d.filter(F.col("doc_id") % 4 != 0))  # v0: store
+    updates = d.filter(F.col("doc_id") % 8 == 1).withColumn(
+        "text", F.concat(F.lit("upd "), F.col("text"))
+    )
+    inserts = d.filter(F.col("doc_id") % 4 == 0)
+    tf.merge_upsert(
+        spark, path, updates.unionByName(inserts), keys=["doc_id"]
+    )  # v1: update + insert in one commit
+    tf.delete_where(spark, path, "doc_id % 8 = 5")  # v2: delete
+    changes = tf.snapshot_diff(spark, path, ["doc_id"], from_version=0)
+    store = tf.read(spark, path, version=0)
+    return dedup.cdc_admission(changes, store, threshold=0.05)
+
+
+# The oracle replays the lifecycle arithmetic directly over `documents`:
+# incoming = inserts (raw text) + updates ('upd ' || text); the effective
+# store = v0 minus updated minus deleted keys. One shingle chain over the
+# tagged union corpus feeds the same 12-hash/4-band LSH as the Spark side.
+SQL_D_CDC_ADMISSION = f"""
+WITH cdocs AS (
+  SELECT doc_id, text, 'in' AS side FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 'upd ' || text, 'in' FROM documents WHERE doc_id % 8 = 1
+  UNION ALL
+  SELECT doc_id, text, 'st' FROM documents
+  WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 1 AND doc_id % 8 <> 5
+),
+norm AS (SELECT doc_id, side, {_NORM_SQL} AS nt FROM cdocs),
+toks AS (SELECT doc_id, side, string_split(nt, ' ') AS t FROM norm),
+sh AS (
+  SELECT doc_id, side,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, side,
+         {", ".join(f"min(md5('{k}|' || shingle)) AS mh_{k}" for k in range(12))}
+  FROM sh GROUP BY doc_id, side
+),
+buckets AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, side, %d AS band, md5(concat_ws('|', %s)) AS bucket FROM sig"
+      % (b, ", ".join(f"mh_{b * 3 + r}" for r in range(3)))
+      for b in range(4)
+  )}
+),
+fp AS (SELECT doc_id, side, md5(nt) AS fingerprint FROM norm),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+  FROM buckets n JOIN buckets s
+    ON n.band = s.band AND n.bucket = s.bucket
+  WHERE n.side = 'in' AND s.side = 'st'
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.new_id, c.store_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.store_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near_rejected AS (
+  SELECT DISTINCT cm.new_id FROM common cm
+  JOIN sizes sa ON sa.doc_id = cm.new_id
+  JOIN sizes sb ON sb.doc_id = cm.store_id
+  WHERE cm.n_common / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE) >= 0.05
+)
+SELECT n.doc_id, n.fingerprint,
+       CASE WHEN n.doc_id % 4 = 0 THEN 'insert' ELSE 'update' END AS change_type
+FROM fp n
+WHERE n.side = 'in'
+  AND n.fingerprint NOT IN (SELECT fingerprint FROM fp WHERE side = 'st')
+  AND n.doc_id NOT IN (SELECT new_id FROM near_rejected)
+"""
+
+
+_REGISTRY.update({"inv_d_cdc_admission": (q_d_cdc_admission, SQL_D_CDC_ADMISSION)})

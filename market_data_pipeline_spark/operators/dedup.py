@@ -1479,3 +1479,62 @@ def split_leakage(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def cdc_admission(
+    changes: DataFrame,
+    store_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    change_col: str = "_change_type",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Dedup admission over a FULL CDC batch (insert/update/delete — the
+    shape ``tablefmt.snapshot_diff`` emits), closing the lifecycle that
+    ``incremental_dedup`` opens with appends:
+
+    - a DELETED doc is EVICTED from the admission reference: its
+      fingerprint and LSH bands stop blocking future admissions (an
+      incoming doc identical to a deleted one is admitted);
+    - an UPDATED doc evicts its OLD fingerprint/signatures and its NEW
+      text re-enters admission like an insert (it can be re-admitted
+      under the new fingerprint, or rejected if the new text now
+      collides with a surviving store doc);
+    - an INSERT is checked against the surviving store, as before.
+
+    Plan shape: eviction is ONE anti-join on the store frame BEFORE any
+    signature work, so evicted docs' MinHash signatures and LSH bands
+    are never even computed — at 100 TB the admission reference shrinks
+    at plan time instead of carrying tombstone state. Everything
+    downstream is ``incremental_dedup`` verbatim (exact md5 anti-join +
+    strictly cross-corpus banded LSH + exact-Jaccard verification), so
+    the two entry points cannot drift. Batch-internal duplicates keep
+    ``incremental_dedup``'s contract: admission is vs the store; run a
+    batch-local dedup pass separately if the feed can self-collide.
+
+    Returns (id, fingerprint, change_type) for every ADMITTED insert /
+    update. Store convergence (incremental maintenance ≡ from-scratch
+    rebuild over the head snapshot) is pinned by
+    test_cdc_admission_lifecycle_converges.
+    """
+    evicted = changes.filter(
+        F.col(change_col).isin("delete", "update")
+    ).select(id_col)
+    effective = store_df.join(evicted, id_col, "left_anti")
+    incoming = changes.filter(F.col(change_col).isin("insert", "update"))
+    admitted = incremental_dedup(
+        incoming.select(id_col, text_col),
+        effective,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        threshold,
+    )
+    return admitted.join(
+        incoming.select(id_col, F.col(change_col).alias("change_type")), id_col
+    ).select(id_col, "fingerprint", "change_type")

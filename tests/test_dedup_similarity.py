@@ -730,3 +730,81 @@ def test_containment_join_quote_detection_and_bruteforce(spark):
         if c >= 0.9:
             want[(a, b)] = (n, round(c + 1e-12, 6))
     assert got == want
+
+
+def test_cdc_admission_lifecycle_converges(spark, tmp_path):
+    """Insert→update→delete lifecycle against a real versioned table,
+    pinning all three CDC verbs' admission semantics AND convergence:
+
+    v0 store: A, B, C (mutually dissimilar). One merge commit updates B
+    (new text) and inserts D (fresh), E (exact clone of live A), F
+    (exact clone of C); one delete commit drops C. Expected:
+    - E REJECTED: its twin A is still live in the store;
+    - F ADMITTED: its twin C was deleted, so C's fingerprint/bands are
+      evicted and no longer block (the eviction proof);
+    - B ADMITTED under its NEW fingerprint (old B evicted by the
+      update), and that fingerprint differs from old B's;
+    - D ADMITTED (plain insert).
+    Convergence: surviving store ∪ admitted == dedup_exact_keep_first
+    over the HEAD snapshot (the from-scratch rebuild) — doc-ids AND
+    fingerprints."""
+    import os
+
+    from market_data_pipeline_spark.operators import dedup
+    from market_data_pipeline_spark.operators.text import normalized
+    from market_data_pipeline_spark.sources import tablefmt as tf
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "t")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ta = "alpha beta gamma delta"
+    tb_old = "epsilon zeta eta theta"
+    tb_new = "sigma tau upsilon phi"
+    tc = "iota kappa lambda mu"
+    td = "nu xi omicron pi"
+    tf.append(spark, path, mk([(1, ta), (2, tb_old), (3, tc)]))  # v0
+    tf.merge_upsert(
+        spark,
+        path,
+        mk([(2, tb_new), (4, td), (5, ta), (6, tc)]),
+        keys=["doc_id"],
+    )  # v1: update B, insert D + clones E(of A), F(of C)
+    tf.delete_where(spark, path, "doc_id = 3")  # v2: delete C
+
+    changes = tf.snapshot_diff(spark, path, ["doc_id"], from_version=0)
+    got_changes = {
+        r.doc_id: r._change_type for r in changes.collect()
+    }
+    assert got_changes == {
+        2: "update", 3: "delete", 4: "insert", 5: "insert", 6: "insert"
+    }
+
+    store = tf.read(spark, path, version=0)
+    admitted = dedup.cdc_admission(changes, store, threshold=0.05)
+    rows = {r.doc_id: (r.fingerprint, r.change_type) for r in admitted.collect()}
+    assert set(rows) == {2, 4, 6}  # E (5) rejected, F (6) admitted
+    assert rows[2][1] == "update" and rows[4][1] == "insert"
+    fp_b_old = store.filter(F.col("doc_id") == 2).select(
+        F.md5(normalized(F.col("text"))).alias("fp")
+    ).first()["fp"]
+    assert rows[2][0] != fp_b_old  # re-admitted under the NEW fingerprint
+
+    # convergence with a from-scratch rebuild over the head snapshot:
+    # survivors (store minus evicted) + admitted == exact-keep-first(head)
+    evicted = changes.filter(
+        F.col("_change_type").isin("delete", "update")
+    ).select("doc_id")
+    survivors = store.join(evicted, "doc_id", "left_anti").select(
+        "doc_id", F.md5(normalized(F.col("text"))).alias("fingerprint")
+    )
+    maintained = {
+        (r.doc_id, r.fingerprint)
+        for r in survivors.unionByName(
+            admitted.select("doc_id", "fingerprint")
+        ).collect()
+    }
+    rebuilt = {
+        (r.doc_id, r.fingerprint)
+        for r in dedup.dedup_exact_keep_first(tf.read(spark, path)).collect()
+    }
+    assert maintained == rebuilt
