@@ -99,6 +99,50 @@ QUERIES = [
 # from K ≥ 100 sweeps; the bound is pinned in SCALECHECK.md like simhash.
 _OUTPUT_QUADRATIC = {"inv_d_jaccard_prefix", "inv_d_containment"}
 
+# Deep-key mode (--deep, r7 verdict task 6): the wide replicas above grow
+# the KEY COUNT at constant per-key depth, which never stresses the
+# collect_list + F.aggregate fold family — their risk axis is per-key
+# SERIES LENGTH (one symbol's whole ordered series becomes a single array
+# in one task). The deep replica keeps the key set and replicates events
+# K× with timestamps shifted a full span per copy: same symbols, K× the
+# days, so every per-symbol array grows K×.
+DEEP_QUERIES = [
+    "inv_w_kalman",         # F.aggregate fold over the per-symbol series
+    "inv_w_cusum",          # two-sided CUSUM fold, same shape
+    "inv_w_holt_forecast",  # Holt double-exponential fold, same shape
+    "inv_w2_ema_macd",      # the Arrow applyInPandas recursion — per-key
+                            # group size is ALSO its depth axis
+]
+
+
+def build_deep_replica(spark, k: int, out_dir: str) -> None:
+    """Same keys, K× per-key depth: events replicated with ts shifted one
+    full span per copy (fresh event_ids keep uniqueness); every other
+    table copies through unchanged."""
+    os.makedirs(out_dir, exist_ok=True)
+    e = load_table(spark, BASE, "events")
+    span_row = e.agg(
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).alias("d")
+    ).first()
+    span = int(span_row["d"])
+    spine = spark.range(k).select(F.col("id").alias("__copy"))
+    rep = (
+        e.crossJoin(spine)
+        .withColumn("ts", F.expr(f"timestampadd(DAY, __copy * {span}, ts)"))
+        .withColumn(
+            "event_id",
+            (F.col("event_id") + F.col("__copy") * F.lit(1_000_000_000)).cast("long"),
+        )
+        .drop("__copy")
+    )
+    rep.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(BASE, f"{name}.parquet"), dst)
+
 
 def build_replica(spark, k: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -151,7 +195,9 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 def _render(results: dict) -> str:
     lines = ["# SCALECHECK — measured cost growth at synthetic scale", ""]
-    for k_str in sorted(results, key=int):
+    wide = [k for k in results if not k.startswith("deep:")]
+    deep = [k for k in results if k.startswith("deep:")]
+    for k_str in sorted(wide, key=int):
         k = int(k_str)
         rows = results[k_str]
         lines += [
@@ -163,6 +209,29 @@ def _render(results: dict) -> str:
             f"dedup stress where every doc shares all MinHash bands with its {k - 1} clones.",
             "",
             f"| query | sf0.1 (s) | {k}× (s) | growth vs {k}× data |",
+            "|---|---|---|---|",
+        ]
+        for name, t1, tk, ratio in rows:
+            verdict = (
+                "sub-linear" if ratio < k else ("~linear" if ratio < 1.5 * k else "SUPER-LINEAR")
+            )
+            lines.append(f"| {name} | {t1} | {tk} | {ratio}× — {verdict} |")
+        lines.append("")
+    for k_str in sorted(deep, key=lambda s: int(s.split(":")[1])):
+        k = int(k_str.split(":")[1])
+        rows = results[k_str]
+        lines += [
+            f"## deep-key {k}× replica (per-key series depth)",
+            "",
+            "Data: sf0.1 events replicated with timestamps shifted one full",
+            f"span per copy — SAME 1.5k symbols, {k}× the days, so every",
+            f"per-symbol series (and the collect_list array each F.aggregate",
+            "fold materializes, and each Arrow applyInPandas group) grows",
+            f"{k}×. This is the axis the wide replicas never stress; the",
+            "fold family's documented bound is per-key array size, measured",
+            "here.",
+            "",
+            f"| query | sf0.1 (s) | deep {k}× (s) | growth vs {k}× depth |",
             "|---|---|---|---|",
         ]
         for name, t1, tk, ratio in rows:
@@ -260,18 +329,21 @@ def main() -> None:
     import json
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    deep = "--deep" in sys.argv
     k = int(args[0]) if args else 10
-    queries = args[1:] if len(args) > 1 else QUERIES
-    out_dir = os.path.join(REPO, ".scalecheck", f"x{k}")
+    queries = args[1:] if len(args) > 1 else (DEEP_QUERIES if deep else QUERIES)
+    out_dir = os.path.join(
+        REPO, ".scalecheck", f"deep{k}" if deep else f"x{k}"
+    )
     spark = get_spark("scalecheck")
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(out_dir, "events.parquet")
     ):
-        print(f"building {k}x replica at {out_dir} ...", file=sys.stderr)
-        build_replica(spark, k, out_dir)
+        print(f"building {'deep ' if deep else ''}{k}x replica at {out_dir} ...", file=sys.stderr)
+        (build_deep_replica if deep else build_replica)(spark, k, out_dir)
 
     rows = []
-    if k >= 100:
+    if not deep and k >= 100:
         skipped = [q for q in queries if q in _OUTPUT_QUADRATIC]
         queries = [q for q in queries if q not in _OUTPUT_QUADRATIC]
         for q in skipped:
@@ -290,10 +362,11 @@ def main() -> None:
     if os.path.exists(store):
         with open(store) as fh:
             results = json.load(fh)
-    existing = {r[0]: r for r in results.get(str(k), [])}
+    key = f"deep:{k}" if deep else str(k)
+    existing = {r[0]: r for r in results.get(key, [])}
     for r in rows:
         existing[r[0]] = list(r)
-    results[str(k)] = [existing[n] for n in sorted(existing)]
+    results[key] = [existing[n] for n in sorted(existing)]
     os.makedirs(os.path.dirname(store), exist_ok=True)
     with open(store, "w") as fh:
         json.dump(results, fh, indent=1)
