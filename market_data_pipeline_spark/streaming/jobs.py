@@ -28,13 +28,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers never infer); pathGlobFilter scopes the directory scan to the
     events table. The ts normalization (ns-long → µs, or NTZ → session-zone
     timestamp) mirrors sources.load_table."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):
+        # multi-file table (the real-lake layout, e.g. the scalecheck
+        # replicas): stream the directory itself — a pathGlobFilter of
+        # 'events.parquet' would match no LEAF file inside it and the
+        # stream would silently be empty
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        # single-file testdata layout: scope the directory scan to the
+        # events table by file name
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = batch.schema["ts"].dataType.typeName()
     if ts_type == "long":
         return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -91,6 +91,20 @@ QUERIES = [
                                 # one plan — every stage top-k-bounded
     "inv_d_incremental_versioned",  # change-feed dedup admission: batch-
                                 # sized work against a K× store reference
+    "inv_w_kalman",             # per-symbol fold on the WIDE axis too (K×
+                                # symbols, same depth — the deep replica
+                                # covers the other axis)
+    "inv_t_char_entropy",       # one explode + two keyed aggs — scan-bound
+    "inv_t_domain_kl",          # per-source unigram KL: vocab-keyed joins
+    "inv_v_embedding_outliers", # mean reduce + distance scan + 2 quantile
+                                # passes — scan-bound, O(1) driver state
+    "inv_st_heavy_hitters",     # streaming CMS maintenance + estimate join:
+                                # availableNow replay over K× events
+    "inv_t_ql_dirichlet",       # LM leg over the shared inverted index:
+                                # posting-mass-bound like bm25
+    "inv_t_hybrid_rrf3",        # three top-k legs + two coalescing joins
+    "inv_d_cdc_admission",      # full CDC lifecycle admission: eviction
+                                # anti-join + batch-vs-store LSH
 ]
 
 # Output-quadratic on the all-clones replica: the RESULT SET itself grows
@@ -304,6 +318,34 @@ def _render(results: dict) -> str:
         "`inv_d_incremental_versioned` 1.76× (batch-sized admission work",
         "against a 10× store reference), `inv_t_bm25_prf` 2.09× (two",
         "posting-mass-bound passes over one index).",
+        "",
+        "## Round-8 rows",
+        "",
+        "100× for the round-7 heavies (r7 verdict task 7):",
+        "`inv_v_pca_power` 1.18× — as predicted, ~flat: eight one-row",
+        "reduces, growth is the scan and the scan parallelizes.",
+        "`inv_t_hybrid_ndcg` 3.19× — every stage top-k-bounded; the",
+        "growth is the two legs' corpus passes. `inv_t_bm25_prf` 6.82× —",
+        "posting-mass-bound; the all-clones replica multiplies every",
+        "query term's posting list 100×, so ~7× wall for 100× posting",
+        "mass is the index doing its job. `inv_d_incremental_versioned`",
+        "8.78× — the admission batch is 100× bigger AND the store",
+        "reference is 100× bigger; both sides stay banded (no pair",
+        "blowup: 100×/100× input at 8.8× wall).",
+        "",
+        "10× for the round-7/8 additions: kalman 1.43× (wide axis; the",
+        "deep-key table above covers the depth axis), char_entropy 1.29×,",
+        "domain_kl 0.89×, embedding_outliers 0.83× (both still",
+        "overhead-dominated at this size), st_heavy_hitters 2.25×",
+        "(availableNow replay + CMS merge — linear sketch, batch-sized",
+        "work), ql_dirichlet 0.95× (posting-mass-bound like bm25),",
+        "hybrid_rrf3 1.38× (three top-k legs + coalescing joins),",
+        "cdc_admission 1.31× (eviction anti-join + batch-vs-store LSH).",
+        "",
+        "Streaming-source note: stream_events now streams the events",
+        "directory directly when the table is multi-file (the replica /",
+        "real-lake layout) — the old pathGlobFilter matched no leaf file",
+        "inside a directory table and the stream was silently empty.",
         "",
         "## Adversarial hot bucket (round-4 cap)",
         "",
