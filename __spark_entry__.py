@@ -6175,6 +6175,10 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # _hybrid_rel helper (pure code motion, plan-identical) so the
         # three-leg grade reuses it
         "inv_t_hybrid_ndcg",
+        # (d) HITS's loop width re-tuned to 100k rows/task (measured A/B;
+        # values are quantization-identical by construction but the plan
+        # changed materially)
+        "inv_g_hits",
     ),
 }
 

@@ -347,6 +347,20 @@ def _render(results: dict) -> str:
         "real-lake layout) — the old pathGlobFilter matched no leaf file",
         "inside a directory table and the stream was silently empty.",
         "",
+        "HITS cadence/width sweep (r7 verdict task 3): checkpoint cadence",
+        "1 is the floor — every-2nd-round checkpointing measured +45% and",
+        "every-4th +160% at sf0.1 (the doubled lineage re-plans the whole",
+        "half-step subtree), so the 5-iteration loop keeps one checkpoint",
+        "per round. Width: HITS's two skinny (key,double) half-steps",
+        "prefer 100k rows/task over the 300k default — order-independent",
+        "fresh-JVM A/B: −33% at sf0.1 (3.24 vs 4.82 s), −20% at 100×",
+        "(129–138 vs 162–166 s cold) — while pagerank's wider adjacency",
+        "join prefers 300k (100k measured +25%); _loop_shuffle now takes",
+        "a per-operator rows_per_task. The 100× absolute improved 120.8 →",
+        "110.7 s in-harness; the remaining constant is the 5-iteration",
+        "floor: 10 skinny join+agg passes over 57M edges plus 4 eager",
+        "O(baskets) checkpoint materializations, all width-linear.",
+        "",
         "## Adversarial hot bucket (round-4 cap)",
         "",
         "The replica stress above collapses exact clones before the LSH",
