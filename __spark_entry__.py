@@ -11726,3 +11726,105 @@ WHERE n.side = 'in'
 
 
 _REGISTRY.update({"inv_d_cdc_admission": (q_d_cdc_admission, SQL_D_CDC_ADMISSION)})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): per-document cross-entropy under the trained unigram
+# LM — the model-based quality gate between the cheap heuristics (length /
+# stopword / char-entropy) and a neural scorer (the CCNet "lm_score"
+# signal). The Viterbi DP runs once on the O(vocab) word table; the corpus
+# pays one tokenize + one word-keyed join; OOV-character words are counted
+# but not scored (the _UNI_NEG floor is "infinite surprise", not signal).
+# ---------------------------------------------------------------------------
+
+
+def q_t_unigram_ppl(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    train = _uni_words(spark, sf)
+    p = text.unigram_train(train, em_iters=_UNI_EM_ITERS)
+    all_words = text.word_counts(d).filter(F.length("word") <= 12)
+    return text.unigram_doc_nll(d, all_words, p)
+
+
+def _unigram_ppl_sql(em: int = _UNI_EM_ITERS) -> str:
+    NEG = "-1000000000.0"
+    N, P = 12, 3
+    return f"""
+WITH RECURSIVE
+{_unigram_sql_chain(em)},
+pallw AS MATERIALIZED (
+  SELECT DISTINCT word FROM toksu
+  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= {N}
+),
+pcand AS MATERIALIZED (
+  SELECT w.word, CAST(s.range AS INT) AS s, CAST(j.range AS INT) AS j,
+         substr(w.word, CAST(s.range AS INT), CAST(j.range AS INT)) AS pc
+  FROM pallw w, range(1, {N + 1}) s, range(1, {P + 1}) j
+  WHERE s.range + j.range - 1 <= length(w.word)
+),
+pgrid AS MATERIALIZED (
+  SELECT c.word, c.s + c.j - 1 AS e,
+    max(CASE WHEN c.j = 1 THEN coalesce(p.lp, {NEG}) END) AS el1,
+    max(CASE WHEN c.j = 2 THEN coalesce(p.lp, {NEG}) END) AS el2,
+    max(CASE WHEN c.j = 3 THEN coalesce(p.lp, {NEG}) END) AS el3
+  FROM pcand c LEFT JOIN up{em} p ON p.piece = c.pc
+  GROUP BY c.word, c.s + c.j - 1
+),
+pfwd AS (
+  SELECT word, 1 AS i, [0.0]::DOUBLE[] AS barr, []::INT[] AS bparr FROM pallw
+  UNION ALL
+  SELECT word, i + 1,
+         list_append(barr, greatest(t1, t2, t3)),
+         list_append(bparr, CASE WHEN greatest(t1, t2, t3) = t3 THEN 3
+                                 WHEN greatest(t1, t2, t3) = t2 THEN 2
+                                 ELSE 1 END)
+  FROM (
+    SELECT f.word, f.i, f.barr, f.bparr,
+           f.barr[f.i] + coalesce(g.el1, {NEG}) AS t1,
+           CASE WHEN f.i >= 2 THEN f.barr[f.i - 1] + coalesce(g.el2, {NEG})
+                ELSE -1e18 END AS t2,
+           CASE WHEN f.i >= 3 THEN f.barr[f.i - 2] + coalesce(g.el3, {NEG})
+                ELSE -1e18 END AS t3
+    FROM pfwd f LEFT JOIN pgrid g ON g.word = f.word AND g.e = f.i
+    WHERE f.i <= {N}
+  )
+),
+pbt AS (
+  SELECT word, bparr, CAST(length(word) AS INT) AS pos, []::VARCHAR[] AS pcs
+  FROM pfwd WHERE i = {N + 1}
+  UNION ALL
+  SELECT word, bparr, pos - bparr[pos],
+         list_append(pcs, substr(word, pos - bparr[pos] + 1, bparr[pos]))
+  FROM pbt WHERE pos > 0
+),
+uwlp AS MATERIALIZED (
+  SELECT t.word, CAST(count(*) AS BIGINT) AS ntok,
+         round(sum(coalesce(p.lp, {NEG})) + 1e-13, 8) AS lp
+  FROM (SELECT word, unnest(pcs) AS piece FROM pbt WHERE pos = 0) t
+  LEFT JOIN up{em} p ON p.piece = t.piece
+  GROUP BY t.word
+),
+pocc AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= {N}
+),
+pdoc AS (
+  SELECT o.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(count(*) FILTER (WHERE w.lp > -100000000.0) AS BIGINT) AS n_scored,
+         CAST(coalesce(sum(w.ntok) FILTER (WHERE w.lp > -100000000.0), 0) AS BIGINT) AS n_tokens,
+         round(coalesce(sum(w.lp) FILTER (WHERE w.lp > -100000000.0), 0.0) + 1e-13, 8) AS lpsum
+  FROM pocc o JOIN uwlp w USING (word) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_scored, 0) AS n_scored,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN round(-p.lpsum / p.n_tokens + 1e-9, 6) ELSE 0.0 END AS nll_per_token
+FROM documents d LEFT JOIN pdoc p USING (doc_id)
+"""
+
+
+_REGISTRY.update({"inv_t_unigram_ppl": (q_t_unigram_ppl, _unigram_ppl_sql())})

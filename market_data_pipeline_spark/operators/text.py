@@ -2271,3 +2271,89 @@ def rrf_fuse_many(
         .filter(F.col("rk") <= topk)
         .select(qid_col, id_col, "rrf_score", "rk")
     )
+
+
+def unigram_doc_nll(
+    df: DataFrame,
+    words: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Per-document cross-entropy under a trained unigram LM — THE
+    model-based quality gate between the cheap heuristics (length /
+    stopword ratios, char entropy) and a neural scorer: a document whose
+    best-segmentation log-likelihood per token is far from the corpus
+    norm is boilerplate, gibberish, or another language (Zhai's LM
+    lineage; CCNet and its descendants ship exactly this signal as
+    "lm_score"). Returns (doc_id, n_words, n_scored, n_tokens,
+    nll_per_token):
+
+    - ``n_words``  — admitted occurrences (pattern + ≤12 chars, the
+      training filter applied consistently);
+    - ``n_scored`` — occurrences of COVERED words: best path uses only
+      in-vocab pieces (an out-of-vocab character scores the _UNI_NEG
+      floor, which is "infinite surprise", not information — excluded
+      rather than allowed to swamp the mean);
+    - ``n_tokens`` — unigram tokens across scored occurrences;
+    - ``nll_per_token`` — −Σ lp / Σ tokens in nats (perplexity is
+      exp(·), a display transform left to the caller: cross-engine exp
+      parity is not worth pinning for a monotone rescale).
+
+    Scale shape: the Viterbi DP runs ONCE on the O(vocab) word table
+    (the ``unigram_apply`` discipline); the corpus pays one tokenize +
+    one word-keyed join; per-word log-probs quantize at 8 dp before the
+    doc-level sum so the chained-CTE oracle replays every value."""
+    seg = _unigram_viterbi(
+        words.filter(F.length("word") <= _UNI_N).select("word", "cnt"), pieces
+    )
+    wlp = (
+        seg.select("word", "__ntok", F.explode("__pieces").alias("piece"))
+        .join(F.broadcast(pieces.select("piece", "lp")), "piece", "left")
+        .groupBy("word", "__ntok")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("lp"), F.lit(_UNI_NEG))) + F.lit(1e-13), 8
+            ).alias("__lp")
+        )
+    )
+    occ = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word").rlike(pattern) & (F.length("word") <= _UNI_N))
+    cov = F.col("__lp") > F.lit(-1e8)
+    agg = (
+        occ.join(wlp, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.when(cov, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_scored"),
+            F.coalesce(F.sum(F.when(cov, F.col("__ntok"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            # quantize the doc-level SUM too (not just its 8-dp terms):
+            # a ~65-term sum drifts ~1e-12 with order, and the /n_tokens
+            # quotient can land exactly on a .5e-6 round-6 boundary
+            # (sf0.1 doc 2477 measured) — an 8-dp re-round (drift ≪ the
+            # 5e-9 half-quantum) makes the quotient engine-identical
+            F.round(
+                F.coalesce(F.sum(F.when(cov, F.col("__lp"))), F.lit(0.0))
+                + F.lit(1e-13),
+                8,
+            ).alias("__lpsum"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.round(-F.col("__lpsum") / F.col("n_tokens") + F.lit(1e-9), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("nll_per_token"),
+    )

@@ -1169,3 +1169,36 @@ def test_hybrid_rrf3_mixture_properties(spark):
         assert 0.0 <= r.ndcg_rrf3 <= 1.0
         assert 0.0 <= r.ndcg_ql <= 1.0
         assert r.ndcg_rrf3 >= min(r.ndcg_lex, r.ndcg_sem, r.ndcg_ql) - 1e-9
+
+
+def test_unigram_doc_nll_hand_computed(spark):
+    """Cross-entropy under a hand-built piece table: 'ab' segments as the
+    single piece [ab] (ln .25 beats ln .5 + ln .25), 'a' as [a]; 'zq'
+    has no vocab pieces so it counts as admitted but NOT scored (the
+    OOV floor is excluded from the mean, not averaged in)."""
+    import math
+
+    from market_data_pipeline_spark.operators.text import unigram_doc_nll, word_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab a"), (2, "ab zq")], "doc_id long, text string"
+    )
+    q10 = lambda x: round(x + 1e-13, 10)
+    pieces = spark.createDataFrame(
+        [("a", q10(math.log(0.5))), ("b", q10(math.log(0.25))),
+         ("ab", q10(math.log(0.25)))],
+        "piece string, lp double",
+    )
+    words = word_counts(docs)
+    got = {
+        r.doc_id: (r.n_words, r.n_scored, r.n_tokens, r.nll_per_token)
+        for r in unigram_doc_nll(docs, words, pieces).collect()
+    }
+    lp_ab = round(q10(math.log(0.25)) + 1e-13, 8)
+    lp_a = round(q10(math.log(0.5)) + 1e-13, 8)
+    want1 = round(-(lp_ab + lp_a) / 2 + 1e-9, 6)
+    want2 = round(-lp_ab / 1 + 1e-9, 6)
+    assert got == {1: (2, 2, 2, want1), 2: (2, 1, 1, want2)}
+    # the OOV-heavy doc is MORE surprising per scored token here, and a
+    # doc with zero scored words would report 0.0 by convention
+    assert want2 > want1
