@@ -11828,3 +11828,48 @@ FROM documents d LEFT JOIN pdoc p USING (doc_id)
 
 
 _REGISTRY.update({"inv_t_unigram_ppl": (q_t_unigram_ppl, _unigram_ppl_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): label-propagation communities — the near-linear
+# partition PRODUCER beside the structural graph outputs (components =
+# connectivity, k-core = density, modularity = a partition score). All
+# compared values are integer counts and labels, so cross-engine parity is
+# structural; the fixed 5-round budget pins the synchronous update exactly
+# like pagerank's iteration count.
+# ---------------------------------------------------------------------------
+
+
+def q_g_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import graph
+
+    tune_existing(spark)
+    return graph.label_propagation(
+        graph.copurchase_edges(spark, sf), iterations=5
+    )
+
+
+def _label_prop_sql(iterations: int = 5) -> str:
+    steps = []
+    prev = "lp0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""lp{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT v.node, v.lbl,
+           row_number() OVER (PARTITION BY v.node ORDER BY v.c DESC, v.lbl) AS rn
+    FROM (SELECT sym.d AS node, l.lbl, count(*) AS c
+          FROM sym JOIN {prev} l ON sym.s = l.node GROUP BY 1, 2) v
+  ) WHERE rn = 1)"""
+        )
+        prev = f"lp{i}"
+    return f"""
+WITH {_SQL_G_EDGES},
+sym AS (SELECT src AS s, dst AS d FROM e UNION ALL SELECT dst AS s, src AS d FROM e),
+lp0 AS (SELECT DISTINCT s AS node, s AS lbl FROM sym),
+{','.join(steps)}
+SELECT node, lbl AS community FROM {prev}
+"""
+
+
+_REGISTRY.update({"inv_g_label_prop": (q_g_label_prop, _label_prop_sql())})

@@ -908,3 +908,64 @@ def _hits_loop(
     return auth.select(
         F.col("__i").alias("item"), F.col("__a").alias("auth")
     ).localCheckpoint(eager=True)
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007 — public) over the undirected graph: every node starts
+    as its own label; each round it adopts its neighbors' MAJORITY
+    label, ties broken by the smallest label id. Returns
+    (node, community) after a FIXED ``iterations`` rounds — the fixed
+    budget pins semantics exactly like pagerank's (free-running LPA can
+    oscillate on bipartite-ish structure; a pinned round count makes the
+    result a pure function of the graph on any engine).
+
+    The near-linear community baseline that complements the structural
+    outputs (components = connectivity, k-core = density, modularity =
+    a partition SCORE): LPA actually PRODUCES the partition, with no
+    resolution parameter and no floats — every compared value is an
+    integer count or label, so cross-engine parity is structural, not
+    quantized.
+
+    Plan shape per round: one src-keyed join of the symmetrized edges
+    against the label frame, one (dst, label) count with map-side
+    combine, one per-node argmax as a groupBy ``min(struct(-count,
+    label))`` — map-side combinable, NO window over the node universe.
+    Runs under ``_loop_shuffle`` (see its docstring for the conf
+    caveat) with one eager checkpoint per round, the pagerank lineage
+    discipline. A node's own label does not vote (pure neighbor
+    majority, the textbook form); isolated nodes never appear in the
+    edge frame and are out of scope, as in pagerank."""
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    m = sym.count()
+    spark = edges.sparkSession
+    with _loop_shuffle(spark, m):
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(iterations):
+            votes = (
+                sym.join(labels, sym["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("__n"), "lbl")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            labels = (
+                votes.groupBy(F.col("__n").alias("node"))
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("__c")).alias("nc"), F.col("lbl").alias("l")
+                        )
+                    ).alias("__m")
+                )
+                .select("node", F.col("__m.l").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+        return labels.select("node", F.col("lbl").alias("community"))

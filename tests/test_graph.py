@@ -602,3 +602,36 @@ def test_calibration_report_perfectly_calibrated_and_ece(spark):
     # the two pure classes land in different bins with matching accuracy
     by_acc = {r.accuracy for r in out}
     assert 1.0 in by_acc and 0.0 in by_acc
+
+
+def test_label_propagation_hand_computed(spark):
+    """Barbell graph (two triangles joined by one bridge edge): the
+    expected labels come from a 10-line pure-python replay of the SAME
+    rule (synchronous neighbor majority, ties to the smallest label) —
+    the operator must match it round for round, and the two triangle
+    cores must land in different communities."""
+    from market_data_pipeline_spark.operators.graph import label_propagation
+
+    raw = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(5):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for v in nbrs:
+                counts[lbl[v]] = counts.get(lbl[v], 0) + 1
+            new[n] = min(counts, key=lambda c: (-counts[c], c))
+        lbl = new
+
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=5).collect()
+    }
+    assert got == lbl
+    assert len({got[n] for n in (1, 2)} & {got[n] for n in (5, 6)}) == 0
