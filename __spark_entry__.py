@@ -11268,19 +11268,47 @@ def q_v_pca_power(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pca_power(e, iterations=8)
 
 
-def _pca_sql(iterations: int = 8, dim: int = 64) -> str:
-    def chain(vec: str, lst: str) -> str:
-        acc = f"({vec}[1]*{lst}[1])"
-        for i in range(2, dim + 1):
-            acc = f"({acc} + {vec}[{i}]*{lst}[{i}])"
-        return acc
+def _pca_chain(vec: str, lst: str, dim: int = 64) -> str:
+    acc = f"({vec}[1]*{lst}[1])"
+    for i in range(2, dim + 1):
+        acc = f"({acc} + {vec}[{i}]*{lst}[{i}])"
+    return acc
 
-    def chain_cols(prefix: str) -> str:
-        acc = f"({prefix}1*{prefix}1)"
-        for i in range(2, dim + 1):
-            acc = f"({acc} + {prefix}{i}*{prefix}{i})"
-        return acc
 
+def _pca_chain_cols(prefix: str, dim: int = 64) -> str:
+    acc = f"({prefix}1*{prefix}1)"
+    for i in range(2, dim + 1):
+        acc = f"({acc} + {prefix}{i}*{prefix}{i})"
+    return acc
+
+
+def _pca_chain_mixed(prefix: str, lst: str, dim: int = 64) -> str:
+    acc = f"({prefix}1*{lst}[1])"
+    for i in range(2, dim + 1):
+        acc = f"({acc} + {prefix}{i}*{lst}[{i}])"
+    return acc
+
+
+def _pca_sign_cte(src: str, out: str, dim: int = 64) -> str:
+    first_nz = ", ".join(
+        f"CASE WHEN abs(w[{i}]) > 1e-6 THEN w[{i}] END"
+        for i in range(1, dim + 1)
+    )
+    return f"""{out}sgn AS MATERIALIZED (
+  SELECT n, nrm, w,
+         CASE WHEN coalesce({first_nz}) < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM {src}
+),
+{out} AS MATERIALIZED (
+  SELECT n, nrm, list_transform(w, x -> x * sg) AS w FROM {out}sgn
+)"""
+
+
+def _pca1_parts(iterations: int = 8, dim: int = 64) -> list[str]:
+    """CTE parts for the pc1 power-iteration chain, through the
+    sign-pinned final weight table ``wf`` — shared by the pc1 oracle and
+    the deflated-pc2 oracle (which consumes wf as its w1)."""
+    chain = lambda a, b: _pca_chain(a, b, dim)  # noqa: E731
     mu_list = ", ".join(
         f"round(avg(v[{i}]) + 1e-13, 10)" for i in range(1, dim + 1)
     )
@@ -11313,30 +11341,24 @@ u{k} AS MATERIALIZED (
   SELECT a.n AS n, {u_cols} FROM a{k} a CROSS JOIN mu m
 ),
 n{k} AS MATERIALIZED (
-  SELECT n, round(sqrt({chain_cols('u')}) + 1e-13, 10) AS nrm, * FROM u{k}
+  SELECT n, round(sqrt({_pca_chain_cols('u', dim)}) + 1e-13, 10) AS nrm, * FROM u{k}
 ),
 w{k} AS MATERIALIZED (
   SELECT n, nrm, [{w_list}] AS w FROM n{k}
 ),"""
         )
-    first_nz = ", ".join(
-        f"CASE WHEN abs(w[{i}]) > 1e-6 THEN w[{i}] END"
-        for i in range(1, dim + 1)
-    )
-    parts.append(
-        f"""sgn AS MATERIALIZED (
-  SELECT n, nrm, w,
-         CASE WHEN coalesce({first_nz}) < 0 THEN -1.0 ELSE 1.0 END AS sg
-  FROM w{iterations}
-),
-wf AS MATERIALIZED (
-  SELECT n, nrm, list_transform(w, x -> x * sg) AS w FROM sgn
-)
+    parts.append(_pca_sign_cte(f"w{iterations}", "wf", dim))
+    return parts
+
+
+def _pca_sql(iterations: int = 8, dim: int = 64) -> str:
+    chain = lambda a, b: _pca_chain(a, b, dim)  # noqa: E731
+    parts = _pca1_parts(iterations, dim)
+    parts[-1] += f"""
 SELECT e.vec_id,
        round({chain('e.v', 'f.w')} - {chain('m.m', 'f.w')} + 1e-9, 6) AS pc1,
        round(f.nrm / f.n + 1e-9, 6) AS pc1_var
 FROM e CROSS JOIN wf f CROSS JOIN mu m"""
-    )
     return "\n".join(parts)
 
 
@@ -11873,3 +11895,90 @@ SELECT node, lbl AS community FROM {prev}
 
 
 _REGISTRY.update({"inv_g_label_prop": (q_g_label_prop, _label_prop_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): top-2 PCA by Hotelling deflation — the 2-D embedding
+# map (diversity binning, drift plots, cluster sanity). The pc2 power
+# iteration runs on the cloud with pc1 projected out; every deflation term
+# is a quantized scalar or an O(dim) driver correction, so the chained-CTE
+# oracle replays both fits bit-for-bit (see similarity._power_rounds).
+# ---------------------------------------------------------------------------
+
+
+def q_v_pca2(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return similarity.pca_top2(e, iterations=8)
+
+
+def _pca2_sql(iterations: int = 8, dim: int = 64) -> str:
+    chain = lambda a, b: _pca_chain(a, b, dim)  # noqa: E731
+    parts = _pca1_parts(iterations, dim)
+    parts[-1] += ","
+    w0_list = ", ".join(["0.125"] * dim)
+    parts.append(
+        f"v0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS nrm, [{w0_list}] AS w),"
+    )
+    for k in range(1, iterations + 1):
+        sv_cols = ", ".join(
+            f"sum(s*v[{i}]) AS sv{i}" for i in range(1, dim + 1)
+        )
+        u_cols = ", ".join(
+            f"round((a.sv{i} - m.m[{i}]*a.ss) - a.su*f.w[{i}] + 1e-13, 8) AS u{i}"
+            for i in range(1, dim + 1)
+        )
+        o_cols = ", ".join(
+            f"round(a.u{i} - a.d*f.w[{i}] + 1e-13, 8) AS u{i}"
+            for i in range(1, dim + 1)
+        )
+        u_fwd = ", ".join(f"a.u{i} AS u{i}" for i in range(1, dim + 1))
+        w_list = ", ".join(
+            f"round(u{i} / nrm + 1e-13, 10)" for i in range(1, dim + 1)
+        )
+        parts.append(
+            f"""c2_{k} AS MATERIALIZED (
+  SELECT round({chain('f.w', 'w.w')} + 1e-13, 10) AS c1
+  FROM wf f CROSS JOIN v{k - 1} w
+),
+t2_{k} AS (
+  SELECT v,
+         round({chain('v', 'w.w')} - {chain('m.m', 'w.w')} + 1e-13, 10) AS t,
+         round({chain('v', 'f.w')} - {chain('m.m', 'f.w')} + 1e-13, 10) AS u1
+  FROM e CROSS JOIN v{k - 1} w CROSS JOIN wf f CROSS JOIN mu m
+),
+s2_{k} AS (
+  SELECT v, u1, round(t - u1*c.c1 + 1e-13, 10) AS s
+  FROM t2_{k} CROSS JOIN c2_{k} c
+),
+a2_{k} AS MATERIALIZED (
+  SELECT count(*) AS n, sum(s) AS ss, sum(s*u1) AS su, {sv_cols} FROM s2_{k}
+),
+u2_{k} AS MATERIALIZED (
+  SELECT a.n AS n, {u_cols} FROM a2_{k} a CROSS JOIN mu m CROSS JOIN wf f
+),
+d2_{k} AS MATERIALIZED (
+  SELECT a.n AS n, round({_pca_chain_mixed('a.u', 'f.w', dim)} + 1e-13, 10) AS d, {u_fwd}
+  FROM u2_{k} a CROSS JOIN wf f
+),
+o2_{k} AS MATERIALIZED (
+  SELECT a.n AS n, {o_cols} FROM d2_{k} a CROSS JOIN wf f
+),
+n2_{k} AS MATERIALIZED (
+  SELECT n, round(sqrt({_pca_chain_cols('u', dim)}) + 1e-13, 10) AS nrm, * FROM o2_{k}
+),
+v{k} AS MATERIALIZED (
+  SELECT n, nrm, [{w_list}] AS w FROM n2_{k}
+),"""
+        )
+    parts.append(_pca_sign_cte(f"v{iterations}", "vf", dim))
+    parts[-1] += f"""
+SELECT e.vec_id,
+       round({chain('e.v', 'f.w')} - {chain('m.m', 'f.w')} + 1e-9, 6) AS pc1,
+       round({chain('e.v', 'g.w')} - {chain('m.m', 'g.w')} + 1e-9, 6) AS pc2,
+       round(f.nrm / f.n + 1e-9, 6) AS pc1_var,
+       round(g.nrm / g.n + 1e-9, 6) AS pc2_var
+FROM e CROSS JOIN wf f CROSS JOIN vf g CROSS JOIN mu m"""
+    return "\n".join(parts)
+
+
+_REGISTRY.update({"inv_v_pca2": (q_v_pca2, _pca2_sql())})

@@ -942,85 +942,213 @@ def pca_power(
             [], f"{id_col} string, pc1 double, pc1_var double"
         )
     mu = [float(mu_row[i]) for i in range(dim)]
+    from market_data_pipeline_spark.operators.graph import _loop_shuffle
+
+    with _loop_shuffle(spark, 1):
+        w, lam, n = _power_rounds(spark, e, mu, dim, iterations)
+    var = round(lam / n + 1e-9, 6) if n else 0.0
+    return (
+        e.crossJoin(F.broadcast(_pca_w_frame(spark, w, _py_dot(mu, w, dim))))
+        .select(
+            F.col(id_col),
+            _pca_score("w", "dmw", 1e-9, 6).alias("pc1"),
+            F.lit(var).alias("pc1_var"),
+        )
+    )
+
+
+def _py_dot(a, b, dim: int) -> float:
+    """Driver-side left-to-right dot chain — the SAME association order
+    as the oracle's SQL chain and the F.aggregate fold from 0.0."""
+    acc = a[0] * b[0]
+    for i in range(1, dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+# w and the (constant) mean·w dot ride as DATA on a broadcast 1-row
+# frame, NOT as literals: the per-iteration expressions are then
+# byte-identical across rounds, so whole-stage codegen compiles ONCE
+# for the whole loop (literal-embedded w forced a fresh generated
+# class per round — measured ~6 s of the 8.7 s sf0.1 wall). The fold
+# from 0.0 equals the oracle's left-to-right chain bit-for-bit
+# (0.0 + x == x in IEEE, then identical association order).
+def _pca_score(col_w: str, dmw_col: str, nudge: float, dp: int):
+    return F.round(
+        F.aggregate(
+            F.zip_with("__v", col_w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        - F.col(dmw_col)
+        + F.lit(nudge),
+        dp,
+    )
+
+
+def _pca_w_frame(spark, weights, dmw):
+    return spark.createDataFrame(
+        [(weights, float(dmw))], "w array<double>, dmw double"
+    )
+
+
+def _power_rounds(spark, e, mu, dim, iterations, w1=None):
+    """One power-iteration fit over the centered cloud: returns the
+    sign-pinned unit direction, its norm estimate λ, and the row count.
+
+    With ``w1`` (a prior unit component): DEFLATED iteration — scores
+    and updates act on v′ = (v−μ) − ((v−μ)·w1)·w1, i.e. the cloud with
+    the first component projected out, so the fit converges to the
+    SECOND principal direction. The deflation never materializes v′:
+    per row s = t − u1·(w1·w) from two quantized dot folds, and the
+    driver update subtracts Σs·u1 along w1, then re-orthogonalizes the
+    (quantized) update against w1 — every extra term is a scalar or an
+    O(dim) driver correction, so the per-round plan stays one scan +
+    one 131-value reduce. The w1=None path is expression-identical to
+    the original pca_power loop (same broadcast frame, same fold)."""
+    import math
+
+    eps = 1e-13
     w = [0.125] * dim
     lam = 0.0
     n = None
+    deflate = w1 is not None
+    if deflate:
+        dm1 = _py_dot(mu, w1, dim)
 
-    def py_dot(a, b):
-        acc = a[0] * b[0]
-        for i in range(1, dim):
-            acc = acc + a[i] * b[i]
-        return acc
-
-    # w and the (constant) mean·w dot ride as DATA on a broadcast 1-row
-    # frame, NOT as literals: the per-iteration expressions are then
-    # byte-identical across rounds, so whole-stage codegen compiles ONCE
-    # for the whole loop (literal-embedded w forced a fresh generated
-    # class per round — measured ~6 s of the 8.7 s sf0.1 wall). The fold
-    # from 0.0 equals the oracle's left-to-right chain bit-for-bit
-    # (0.0 + x == x in IEEE, then identical association order).
-    def score(col_w: str, dmw_col: str, nudge: float, dp: int):
-        return F.round(
-            F.aggregate(
-                F.zip_with("__v", col_w, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        def w_frame2(weights, dmw, c1):
+            return spark.createDataFrame(
+                [(weights, float(dmw), list(w1), float(dm1), float(c1))],
+                "w array<double>, dmw double, w1 array<double>, dm1 double, c1 double",
             )
-            - F.col(dmw_col)
-            + F.lit(nudge),
-            dp,
-        )
-
-    def w_frame(weights, dmw):
-        return spark.createDataFrame(
-            [(weights, float(dmw))], "w array<double>, dmw double"
-        )
 
     agg_exprs = [
         F.count(F.lit(1)).alias("__n"),
         F.sum("__s").alias("__ss"),
         *[F.sum(F.col("__s") * F.col("__v")[i]).alias(f"u{i}") for i in range(dim)],
     ]
+    if deflate:
+        agg_exprs.append(F.sum(F.col("__s") * F.col("__u1")).alias("__su"))
     # every iteration reduces to ONE 130-value row, so the final-agg
     # shuffle width is 1 at ANY corpus size (the partial agg runs at scan
     # parallelism regardless); the loop-conf window also drops AQE's
     # per-stage job materialization — 2 scheduler jobs per round -> 1.
-    from market_data_pipeline_spark.operators.graph import _loop_shuffle
-
-    with _loop_shuffle(spark, 1):
-        for _ in range(iterations):
-            wf = w_frame(w, py_dot(mu, w))
-            row = (
-                e.crossJoin(F.broadcast(wf))
-                .select(score("w", "dmw", eps, 10).alias("__s"), "__v")
-                .agg(*agg_exprs)
-                .first()
+    for _ in range(iterations):
+        if deflate:
+            c1 = round(_py_dot(w1, w, dim) + eps, 10)
+            wf = w_frame2(w, _py_dot(mu, w, dim), c1)
+            scored = e.crossJoin(F.broadcast(wf)).select(
+                "__v",
+                _pca_score("w1", "dm1", eps, 10).alias("__u1"),
+                F.round(
+                    _pca_score("w", "dmw", eps, 10)
+                    - _pca_score("w1", "dm1", eps, 10) * F.col("c1")
+                    + F.lit(eps),
+                    10,
+                ).alias("__s"),
             )
-            n = int(row["__n"])
-            ss = float(row["__ss"])
+        else:
+            wf = _pca_w_frame(spark, w, _py_dot(mu, w, dim))
+            scored = e.crossJoin(F.broadcast(wf)).select(
+                _pca_score("w", "dmw", eps, 10).alias("__s"), "__v"
+            )
+        row = scored.agg(*agg_exprs).first()
+        n = int(row["__n"])
+        ss = float(row["__ss"])
+        if deflate:
+            su = float(row["__su"])
+            u = [
+                round(
+                    (float(row[f"u{i}"]) - mu[i] * ss) - su * w1[i] + eps, 8
+                )
+                for i in range(dim)
+            ]
+            d = round(_py_dot(u, w1, dim) + eps, 10)
+            u = [round(u[i] - d * w1[i] + eps, 8) for i in range(dim)]
+        else:
             u = [
                 round((float(row[f"u{i}"]) - mu[i] * ss) + eps, 8)
                 for i in range(dim)
             ]
-            nrm = round(math.sqrt(py_dot(u, u)) + eps, 10)
-            if nrm == 0.0:
-                break  # degenerate cloud: keep the previous direction
-            lam = nrm
-            w = [round(u[i] / nrm + eps, 10) for i in range(dim)]
+        nrm = round(math.sqrt(_py_dot(u, u, dim)) + eps, 10)
+        if nrm == 0.0:
+            break  # degenerate cloud: keep the previous direction
+        lam = nrm
+        w = [round(u[i] / nrm + eps, 10) for i in range(dim)]
     # pin the sign: first meaningfully-nonzero component positive
     for i in range(dim):
         if abs(w[i]) > 1e-6:
             if w[i] < 0:
                 w = [-x for x in w]
             break
-    var = round(lam / n + 1e-9, 6) if n else 0.0
-    return (
-        e.crossJoin(F.broadcast(w_frame(w, py_dot(mu, w))))
-        .select(
-            F.col(id_col),
-            score("w", "dmw", 1e-9, 6).alias("pc1"),
-            F.lit(var).alias("pc1_var"),
+    return w, lam, n
+
+
+def pca_top2(
+    df: DataFrame,
+    iterations: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top TWO principal components by power iteration with Hotelling
+    deflation (Hotelling 1933; the standard second-component recipe):
+    pc1 fits exactly as ``pca_power``, then a second power iteration
+    runs on the cloud with pc1 projected out (see ``_power_rounds``) —
+    the 2-D embedding map curation uses for diversity binning, drift
+    plots, and cluster sanity checks. Output: (vec_id, pc1, pc2,
+    pc1_var, pc2_var) — both signed projections of (v−μ) plus each
+    component's variance estimate λ/n.
+
+    Scale shape: 2·``iterations`` embarrassingly parallel scans, each
+    reducing to one ≤131-value row; O(dim) driver state; weights ride
+    broadcast frames so codegen compiles once per loop (the pca_power
+    lesson). Determinism: the same quantized-chain discipline as
+    ``pca_power`` extended to the deflation terms (every scalar the
+    update touches is 10-dp or 8-dp quantized before reuse), so the
+    chained-CTE oracle replays both fits bit-for-bit; pca_power's
+    docstring scale bound applies unchanged."""
+    eps = 1e-13
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    e = df.select(F.col(id_col), v.alias("__v"))
+    mu_row = e.agg(
+        *[
+            F.round(F.avg(F.col("__v")[i]) + F.lit(eps), 10).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    if mu_row is None or mu_row[0] is None:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} string, pc1 double, pc2 double, "
+            "pc1_var double, pc2_var double",
         )
+    mu = [float(mu_row[i]) for i in range(dim)]
+    from market_data_pipeline_spark.operators.graph import _loop_shuffle
+
+    with _loop_shuffle(spark, 1):
+        w1, lam1, n = _power_rounds(spark, e, mu, dim, iterations)
+        w2, lam2, _ = _power_rounds(spark, e, mu, dim, iterations, w1=w1)
+    var1 = round(lam1 / n + 1e-9, 6) if n else 0.0
+    var2 = round(lam2 / n + 1e-9, 6) if n else 0.0
+    proj = spark.createDataFrame(
+        [
+            (
+                list(w1),
+                float(_py_dot(mu, w1, dim)),
+                list(w2),
+                float(_py_dot(mu, w2, dim)),
+            )
+        ],
+        "wa array<double>, dma double, wb array<double>, dmb double",
+    )
+    return e.crossJoin(F.broadcast(proj)).select(
+        F.col(id_col),
+        _pca_score("wa", "dma", 1e-9, 6).alias("pc1"),
+        _pca_score("wb", "dmb", 1e-9, 6).alias("pc2"),
+        F.lit(var1).alias("pc1_var"),
+        F.lit(var2).alias("pc2_var"),
     )
 
 

@@ -115,3 +115,32 @@ def test_embedding_outliers_flags_planted_far_vector(spark):
     )
     got0 = embedding_outliers(same).collect()
     assert all(not r.is_outlier and r.mod_z == 0.0 for r in got0)  # MAD = 0
+
+
+def test_pca_top2_recovers_planted_axes(spark):
+    """Planted 2-factor cloud in 4-D: variance 5 along axis 0, variance 1
+    along axis 1, zero elsewhere. The deflated second component must
+    recover the SECOND axis: pc1 tracks x (sign-pinned positive), pc2
+    tracks y, and the two projection vectors are uncorrelated over the
+    data (empirical orthogonality of the fitted directions)."""
+    from market_data_pipeline_spark.operators.similarity import pca_top2
+
+    pts = [(i, [float(x), float(y), 0.0, 0.0]) for i, (x, y) in enumerate(
+        [(x, y) for x in (-3, -1, 1, 3) for y in (-1, 1)]
+    )]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in pca_top2(df, iterations=8, dim=4).collect()}
+    assert len(rows) == 8
+    # the sign pin is deterministic but latches whichever component first
+    # exceeds its 1e-6 floor (deflation residue can hand pc2 a global
+    # flip) — compare up to one global sign per component
+    s1 = 1.0 if rows[0].pc1 * -3 > 0 else -1.0
+    s2 = 1.0 if rows[0].pc2 * -1 > 0 else -1.0
+    for i, (x, y) in enumerate([(x, y) for x in (-3, -1, 1, 3) for y in (-1, 1)]):
+        assert abs(s1 * rows[i].pc1 - x) < 1e-3, (i, rows[i].pc1, x)
+        assert abs(s2 * rows[i].pc2 - y) < 1e-2, (i, rows[i].pc2, y)
+    r0 = next(iter(rows.values()))
+    assert r0.pc1_var > r0.pc2_var > 0
+    # empirical orthogonality: the two projections are uncorrelated
+    dot = sum(r.pc1 * r.pc2 for r in rows.values())
+    assert abs(dot) < 1e-4
