@@ -104,6 +104,21 @@ HEADLINE = [
     # the round's most expensive new query after its codegen-reuse and
     # loop-conf fixes; gate rule).
     "inv_v_pca_power",
+    # round 8 (gate rule, warm min-of-2 measured): the three-leg hybrid
+    # nDCG grade (its plan CONTAINS the BM25, ANN, and QL legs plus the
+    # rrf3 fusion — the r7 hybrid_ndcg precedent, so inv_t_ql_dirichlet /
+    # inv_t_hybrid_rrf3 regressions surface here without double-measuring
+    # the shared legs), the CDC-lifecycle dedup admission (table build +
+    # merge + delete + keyed diff + admission per measurement), the
+    # unigram-LM document cross-entropy (full-vocab Viterbi + corpus
+    # join), label-propagation communities (5-round integer loop), and
+    # top-2 PCA (two power-iteration fits; pca_power stays above so a
+    # pca2 regression localizes to the deflation half).
+    "inv_t_hybrid_ndcg3",
+    "inv_d_cdc_admission",
+    "inv_t_unigram_ppl",
+    "inv_g_label_prop",
+    "inv_v_pca2",
 ]
 
 RUNS_PER_QUERY = 3
