@@ -11982,3 +11982,127 @@ FROM e CROSS JOIN wf f CROSS JOIN vf g CROSS JOIN mu m"""
 
 
 _REGISTRY.update({"inv_v_pca2": (q_v_pca2, _pca2_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): RAKE keyword extraction — the fourth keyword lens
+# beside frequency (top_ngrams), discrimination (tfidf), and centrality
+# (textrank), and the only one that surfaces MULTI-WORD terms without a
+# parser. Phrase segmentation is a per-doc running stopword count; all
+# downstream aggregations are word/phrase-keyed with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+def q_t_rake(spark: SparkSession, sf: str) -> DataFrame:
+    return text.rake_keywords(_docs(spark, sf), k=30, max_len=4)
+
+
+def _rake_sql(k: int = 30, max_len: int = 4) -> str:
+    sw = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+rt AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+ridx AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t), 0) + 1)) AS i FROM rt
+),
+rtok AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[i] AS w FROM ridx WHERE t[i] <> ''
+),
+rseg AS (
+  SELECT doc_id, pos, w, w IN ({sw}) AS stop,
+         sum(CASE WHEN w IN ({sw}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM rtok
+),
+rphr AS (
+  SELECT doc_id, seg,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen,
+         list(w ORDER BY pos) AS words
+  FROM rseg WHERE NOT stop
+  GROUP BY doc_id, seg
+  HAVING count(*) <= {max_len}
+),
+rws AS (
+  SELECT w,
+         round(CAST(sum(plen) AS BIGINT) / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS wscore
+  FROM (SELECT unnest(words) AS w, plen FROM rphr)
+  GROUP BY w
+),
+rps AS (
+  SELECT p.doc_id, p.seg, p.phrase, round(sum(s.wscore) + 1e-9, 6) AS pscore
+  FROM (SELECT doc_id, seg, phrase, unnest(words) AS w FROM rphr) p
+  JOIN rws s ON s.w = p.w
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, max(pscore) AS score
+FROM rps GROUP BY phrase ORDER BY score DESC, phrase LIMIT {k}
+"""
+
+
+_REGISTRY.update({"inv_t_rake": (q_t_rake, _rake_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): Markov stationary distribution over the event-type
+# chain — the long-run equilibrium complement to event_transitions (one
+# step) and top_paths (pattern mining). The corpus pays one user-windowed
+# lead pass; the chain itself is a bounded MODEL (O(|types|²)), so the π
+# power iteration runs driver-side on the collected matrix with 10-dp
+# in-loop quantization (the pagerank discipline at model scale).
+# ---------------------------------------------------------------------------
+
+
+def q_e_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import behavior
+
+    tune_existing(spark)
+    return behavior.markov_stationary(spark, sf, iterations=8)
+
+
+def _markov_sql(iterations: int = 8) -> str:
+    steps = []
+    prev = "mpi0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""mpi{i} AS MATERIALIZED (
+  SELECT m.to_type AS s, round(sum(q.pi * m.p) + 1e-13, 10) AS pi
+  FROM mpm m JOIN {prev} q ON q.s = m.from_type GROUP BY m.to_type)"""
+        )
+        prev = f"mpi{i}"
+    return f"""
+WITH mseq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+mtr AS (
+  SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM mseq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+msrc0 AS (SELECT DISTINCT from_type AS t FROM mtr),
+mkept AS (SELECT * FROM mtr WHERE to_type IN (SELECT t FROM msrc0)),
+-- states = sources that KEEP >=1 edge (a source whose every target is
+-- terminal-only drops out, mirroring the operator's pmat-derived set)
+msrc AS (SELECT DISTINCT from_type AS t FROM mkept),
+mtot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM mkept GROUP BY 1),
+mpm AS (
+  SELECT k.from_type, k.to_type,
+         round(CAST(k.n AS DOUBLE) / t.tot + 1e-13, 10) AS p
+  FROM mkept k JOIN mtot t USING (from_type)
+),
+mpi0 AS (
+  SELECT t AS s, round(1.0 / (SELECT count(*) FROM msrc) + 1e-13, 10) AS pi
+  FROM msrc
+),
+{','.join(steps)}
+SELECT c.t AS event_type,
+       coalesce(f.pi, 0.0) AS stationary_prob,
+       t.tot AS n_out
+FROM msrc c
+LEFT JOIN {prev} f ON f.s = c.t
+JOIN mtot t ON t.from_type = c.t
+"""
+
+
+_REGISTRY.update({"inv_e_markov_stationary": (q_e_markov_stationary, _markov_sql())})

@@ -2357,3 +2357,96 @@ def unigram_doc_nll(
         .otherwise(F.lit(0.0))
         .alias("nll_per_token"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    k: int = 30,
+    max_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 —
+    public): candidate phrases are maximal stopword-free token runs
+    (capped at ``max_len`` words, the classic junk guard); each word
+    scores degree/frequency over the phrase co-occurrence graph (degree
+    = Σ length of phrases containing the word — co-members + itself);
+    a phrase scores the sum of its member word scores. Returns the
+    corpus top-``k`` distinct phrases as (phrase, n_occurrences,
+    score) — the fourth keyword lens beside frequency (top_ngrams),
+    discrimination (tfidf), and graph centrality (textrank): RAKE is
+    the only one that surfaces multi-word terms without a parser.
+
+    Plan shape: one tokenize + posexplode, phrase segmentation as a
+    per-doc running stopword count (a (doc, pos) window — bounded by
+    document length, never corpus-wide), then three keyed aggregations
+    (phrase build, word stats, phrase score). All shuffles carry
+    (doc, phrase) or word keys with map-side combine.
+
+    Determinism: word scores are integer-ratio doubles rounded at 6 dp
+    before the phrase sum; the phrase sum (≤ ``max_len`` quantized
+    terms) re-rounds at 6 dp; top-k ties break (score desc, phrase
+    asc, the count is a dependent column)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
+    ).filter(F.col("__w") != "")
+    sw = [F.lit(s) for s in STOPWORDS]
+    toks = toks.withColumn("__stop", F.col("__w").isin(*sw))
+    seg = Window.partitionBy(id_col).orderBy("__pos")
+    toks = toks.withColumn(
+        "__seg",
+        F.sum(F.col("__stop").cast("int")).over(seg),
+    )
+    phrases = (
+        toks.filter(~F.col("__stop"))
+        .groupBy(F.col(id_col), F.col("__seg"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__w")))
+            ).alias("__parr")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__seg"),
+            F.transform("__parr", lambda s: s["__w"]).alias("__words"),
+        )
+        .filter(F.size("__words") <= max_len)
+        .withColumn("__plen", F.size("__words"))
+    )
+    wstats = (
+        phrases.select(F.explode("__words").alias("word"), "__plen")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("__freq"),
+            F.sum("__plen").alias("__deg"),
+        )
+        .select(
+            "word",
+            F.round(
+                F.col("__deg") / F.col("__freq").cast("double") + F.lit(1e-9), 6
+            ).alias("__wscore"),
+        )
+    )
+    scored = (
+        phrases.select(
+            F.col(id_col),
+            F.col("__seg"),
+            F.concat_ws(" ", "__words").alias("phrase"),
+            F.explode("__words").alias("word"),
+        )
+        .join(wstats, "word")
+        .groupBy(F.col(id_col), F.col("__seg"), "phrase")
+        .agg(F.round(F.sum("__wscore") + F.lit(1e-9), 6).alias("__pscore"))
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("__pscore").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(k)
+    )

@@ -1202,3 +1202,105 @@ def test_unigram_doc_nll_hand_computed(spark):
     # the OOV-heavy doc is MORE surprising per scored token here, and a
     # doc with zero scored words would report 0.0 by convention
     assert want2 > want1
+
+
+def test_rake_keywords_hand_computed(spark):
+    """RAKE on two tiny docs, every score hand-derived: phrases split on
+    the stopword 'the'; word score = degree/frequency (degree = summed
+    length of containing phrases); phrase score = member sum. 'data'
+    appears in two phrases of lengths 4 and 2 -> 6/2 = 3.0."""
+    from market_data_pipeline_spark.operators.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "good data pipelines need the best data"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.phrase, r.n_occurrences, r.score)
+        for r in rake_keywords(docs, k=30, max_len=4).collect()
+    ]
+    assert got == [
+        # good 4/1 + data 6/2 + pipelines 4/1 + need 4/1 = 15
+        ("good data pipelines need", 1, 15.0),
+        ("best data", 1, 5.0),   # best 2/1 + data 3
+        ("alpha beta", 1, 4.0),  # 2 + 2
+    ]
+
+
+def test_rake_keywords_max_len_cap(spark):
+    """A stopword-free run longer than max_len is dropped entirely (the
+    classic junk guard), not truncated."""
+    from market_data_pipeline_spark.operators.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "six seven")],
+        "doc_id long, text string",
+    )
+    got = [(r.phrase, r.score) for r in rake_keywords(docs, k=30, max_len=4).collect()]
+    assert got == [("six seven", 4.0)]
+
+
+def test_markov_stationary_hand_computed(spark, tmp_path):
+    """Two-state chain with asymmetric transitions, expected values from
+    a pure-python replay of the SAME quantized update: counts A->A 1,
+    A->B 2, B->A 1 give P(A->A)=1/3, P(A->B)=2/3, P(B->A)=1."""
+    import datetime as dt
+    import os
+
+    rows, eid = [], 0
+    for u, seq in {1: ["A", "A", "B", "A"], 2: ["A", "B"]}.items():
+        for j, t in enumerate(seq):
+            rows.append((u, dt.datetime(2024, 1, 1, 9, j), t, 1.0, eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, event_id long"
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    from market_data_pipeline_spark.operators.behavior import markov_stationary
+
+    p = {
+        ("A", "A"): round(1.0 / 3 + 1e-13, 10),
+        ("A", "B"): round(2.0 / 3 + 1e-13, 10),
+        ("B", "A"): round(1.0 / 1 + 1e-13, 10),
+    }
+    states = ["A", "B"]
+    pi = {s: round(0.5 + 1e-13, 10) for s in states}
+    for _ in range(8):
+        pi = {
+            b: round(sum(pi[a] * p.get((a, b), 0.0) for a in states) + 1e-13, 10)
+            for b in states
+        }
+    got = {
+        r.event_type: (r.stationary_prob, r.n_out)
+        for r in markov_stationary(spark, str(tmp_path), iterations=8).collect()
+    }
+    assert got == {"A": (pi["A"], 3), "B": (pi["B"], 1)}
+    # the chain spends more long-run time in A (it receives all of B's
+    # mass plus a third of its own)
+    assert got["A"][0] > got["B"][0]
+
+
+def test_markov_stationary_terminal_only_type_excluded(spark, tmp_path):
+    """A type that only ever ENDS streams (never a source) is excluded
+    from the chain, and the surviving rows renormalize: u: A,B,END —
+    END has no outgoing edge, so the kept chain is A<->B only."""
+    import datetime as dt
+    import os
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9, 0), "A", 1.0, 0),
+        (1, dt.datetime(2024, 1, 1, 9, 1), "B", 1.0, 1),
+        (1, dt.datetime(2024, 1, 1, 9, 2), "END", 1.0, 2),
+        (2, dt.datetime(2024, 1, 1, 9, 0), "B", 1.0, 3),
+        (2, dt.datetime(2024, 1, 1, 9, 1), "A", 1.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, event_id long"
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    from market_data_pipeline_spark.operators.behavior import markov_stationary
+
+    got = {r.event_type for r in markov_stationary(spark, str(tmp_path)).collect()}
+    assert got == {"A", "B"}
