@@ -12106,3 +12106,53 @@ JOIN mtot t ON t.from_type = c.t
 
 
 _REGISTRY.update({"inv_e_markov_stationary": (q_e_markov_stationary, _markov_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): out-of-fold target encoding — the leakage-safe
+# categorical encoder (Micci-Barreca 2001) every tabular training pipeline
+# ships: a row's category encodes as the OTHER folds' target mean in that
+# category, shrunk toward the global prior. Two bounded aggregations + one
+# broadcast join back; the corpus is touched once.
+# ---------------------------------------------------------------------------
+
+
+def q_x_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from market_data_pipeline_spark.operators import features
+
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    return features.target_encode(
+        d, "lang", "n_chars", key="doc_id", k=5, smoothing=20.0
+    )
+
+
+SQL_X_TARGET_ENCODE = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         (doc_id * 2246822519) % 5 AS fold
+  FROM documents
+),
+g AS (
+  SELECT round(CAST(sum(n_chars) AS DOUBLE) / count(*) + 1e-13, 10) AS g FROM d
+),
+c AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sc,
+         CAST(count(*) AS BIGINT) AS cc
+  FROM d GROUP BY lang
+),
+cf AS (
+  SELECT lang, fold, CAST(sum(n_chars) AS BIGINT) AS sf,
+         CAST(count(*) AS BIGINT) AS cfn
+  FROM d GROUP BY lang, fold
+)
+SELECT d.doc_id, d.lang AS cat, d.fold,
+       round(((c.sc - cf.sf) + 20.0 * g.g)
+             / ((c.cc - cf.cfn) + 20.0) + 1e-9, 6) AS te
+FROM d
+JOIN cf ON cf.lang = d.lang AND cf.fold = d.fold
+JOIN c ON c.lang = d.lang
+CROSS JOIN g
+"""
+
+
+_REGISTRY.update({"inv_x_target_encode": (q_x_target_encode, SQL_X_TARGET_ENCODE)})

@@ -786,3 +786,67 @@ def calibration_report(
             "ece",
         )
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    key: str,
+    k: int = 5,
+    smoothing: float = 20.0,
+    out_col: str = "te",
+) -> DataFrame:
+    """Out-of-fold target encoding (Micci-Barreca 2001, the standard
+    leakage-safe categorical encoder): each row's category is encoded
+    by the target mean of the OTHER folds' rows in that category,
+    shrunk toward the global mean by ``smoothing`` pseudo-counts —
+
+        te = ((S_cat − S_cat,fold) + m·ḡ) / ((C_cat − C_cat,fold) + m)
+
+    so a row never sees its own fold's targets (the leakage a naive
+    category-mean join commits) and rare categories collapse to the
+    prior instead of memorizing noise. Folds come from
+    :func:`assign_fold` (engine-portable Knuth multiplicative hash).
+
+    Scale shape: two map-side-combinable aggregations (category, and
+    category×fold — both O(categories·k) outputs), the global mean as
+    a broadcast 1-row frame, then one broadcast-sized join back to the
+    rows; the data-sized frame is touched once. Determinism: with an
+    integer target every sum is exact; the global mean quantizes at
+    10 dp, the encoding at 6 dp with pinned operation order.
+
+    Returns (key, cat, fold, te)."""
+    d = assign_fold(df.select(key, cat_col, target_col), key, k)
+    g = d.agg(
+        F.round(
+            F.sum(target_col).cast("double") / F.count(F.lit(1))
+            + F.lit(1e-13),
+            10,
+        ).alias("__g")
+    )
+    cat = d.groupBy(cat_col).agg(
+        F.sum(target_col).cast("long").alias("__sc"),
+        F.count(F.lit(1)).cast("long").alias("__cc"),
+    )
+    catfold = d.groupBy(cat_col, "fold").agg(
+        F.sum(target_col).cast("long").alias("__sf"),
+        F.count(F.lit(1)).cast("long").alias("__cf"),
+    )
+    m = F.lit(float(smoothing))
+    return (
+        d.join(F.broadcast(catfold), [cat_col, "fold"])
+        .join(F.broadcast(cat), cat_col)
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col(key),
+            F.col(cat_col).alias("cat"),
+            F.col("fold"),
+            F.round(
+                ((F.col("__sc") - F.col("__sf")) + m * F.col("__g"))
+                / ((F.col("__cc") - F.col("__cf")) + m)
+                + F.lit(1e-9),
+                6,
+            ).alias(out_col),
+        )
+    )

@@ -390,3 +390,44 @@ def test_gini_concentration_hand_computed(spark):
     assert got["even"] == round(0.0 + 1e-9, 6)
     assert got["one"] == round(3.0 / 4.0 + 1e-9, 6)
     assert got["mix"] == round(0.25 + 1e-9, 6)
+
+
+def test_target_encode_out_of_fold(spark):
+    """Leakage-safe target encoding on a hand-built frame: expected
+    values replayed in pure python with the operator's own fold hash and
+    smoothing arithmetic; a category seen in one fold only encodes as
+    the pure prior for its own rows (numerator/denominator reduce to
+    m*g / m)."""
+    from market_data_pipeline_spark.operators.features import target_encode
+
+    rows = [
+        (1, "x", 10), (2, "x", 20), (3, "x", 30),
+        (4, "y", 100), (5, "y", 200),
+        (6, "z", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    k, m = 2, 4.0
+    fold = lambda i: (i * 2246822519) % k
+    g = round(sum(r[2] for r in rows) / len(rows) + 1e-13, 10)
+    sc = {}
+    scf = {}
+    for i, c, t in rows:
+        sc.setdefault(c, [0, 0])
+        sc[c][0] += t; sc[c][1] += 1
+        scf.setdefault((c, fold(i)), [0, 0])
+        scf[(c, fold(i))][0] += t; scf[(c, fold(i))][1] += 1
+    want = {}
+    for i, c, t in rows:
+        sf, cf = scf[(c, fold(i))]
+        s, n = sc[c]
+        want[i] = round(((s - sf) + m * g) / ((n - cf) + m) + 1e-9, 6)
+    got = {
+        r.doc_id: (r.cat, r.fold, r.te)
+        for r in target_encode(df, "lang", "n_chars", key="doc_id", k=k, smoothing=m).collect()
+    }
+    assert {i: v[2] for i, v in got.items()} == want
+    for i, c, t in rows:
+        assert got[i][0] == c and got[i][1] == fold(i)
+    # the single-member category's row must encode as the pure prior
+    solo = [i for i, c, t in rows if c == "z"][0]
+    assert got[solo][2] == round((0 + m * g) / (0 + m) + 1e-9, 6)
