@@ -12156,3 +12156,122 @@ CROSS JOIN g
 
 
 _REGISTRY.update({"inv_x_target_encode": (q_x_target_encode, SQL_X_TARGET_ENCODE)})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): streaming binned-quantile store — the VALUE-
+# distribution member of the exactly-once sketch-store family (CMS =
+# frequency, HLL = cardinality, histogram = quantiles). Equi-width counts
+# are a linear sketch, so the stream's final store equals the one-shot
+# batch histogram exactly; any quantile reads O(bins) rows with no rescan,
+# and the estimate is graded against the exact percentile with the
+# 2-bin-width tolerance the construction guarantees.
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 256
+_HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_st_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_spark.streaming import txn
+
+    tune_existing(spark)
+    tag = os.path.basename(os.path.normpath(sf)) or "sf"
+    # fixed per-sf path, rmtree'd here — see q_d_incremental_versioned
+    base = os.path.join(tempfile.gettempdir(), f"mdp_sthist_{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
+    e = load_table(spark, sf, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    ev = streaming_jobs.stream_events(spark, sf)
+    q = streaming_jobs.streaming_histogram_maintenance(
+        ev.select("value"),
+        f"{base}/store",
+        f"{base}/ckpt",
+        value_col="value",
+        lo=lo,
+        hi=hi,
+        bins=_HIST_BINS,
+    )
+    q.awaitTermination()
+    counters = txn.read_versioned(spark, f"{base}/store")
+    est = streaming_jobs.histogram_quantiles(
+        counters, lo, hi, _HIST_BINS, qs=_HIST_QS
+    )
+    exact_row = e.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q_!r})") + F.lit(1e-9), 6).alias(
+                f"ex{i}"
+            )
+            for i, q_ in enumerate(_HIST_QS)
+        ]
+    )
+    exact = exact_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q_)).alias("q"),
+                        F.col(f"ex{i}").alias("exact_value"),
+                    )
+                    for i, q_ in enumerate(_HIST_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact_value")
+    w = (hi - lo) / _HIST_BINS
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.col("est").alias("est_value"),
+            "exact_value",
+            (F.abs(F.col("est") - F.col("exact_value")) <= F.lit(2 * w)).alias(
+                "within_tol"
+            ),
+        )
+    )
+
+
+def _st_quantile_sql(bins: int = _HIST_BINS) -> str:
+    exacts = " UNION ALL ".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS q, "
+        f"round((SELECT quantile_cont(value, {q!r}) FROM events) + 1e-9, 6) AS exact_value"
+        for q in _HIST_QS
+    )
+    return f"""
+WITH hb AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+hh AS (
+  SELECT least(greatest(CAST(floor((value - hb.lo) / ((hb.hi - hb.lo) / {bins})) AS BIGINT), 0), {bins - 1}) AS bin,
+         count(*) AS cnt
+  FROM events, hb WHERE value IS NOT NULL GROUP BY 1
+),
+hcum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hh
+),
+hn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hh),
+hq AS (SELECT CAST(unnest([{', '.join(repr(q) for q in _HIST_QS)}]) AS DOUBLE) AS q),
+hpick AS (
+  SELECT q, min(bin) AS bin
+  FROM hq, hn, hcum WHERE cum >= ceil(q * hn.n)
+  GROUP BY q
+),
+hest AS (
+  SELECT p.q,
+         round(hb.lo + p.bin * ((hb.hi - hb.lo) / {bins}) + 1e-9, 6) AS est_value
+  FROM hpick p CROSS JOIN hb
+),
+hex AS ({exacts})
+SELECT e.q, e.est_value, x.exact_value,
+       abs(e.est_value - x.exact_value) <= 2 * ((hb.hi - hb.lo) / {bins}) AS within_tol
+FROM hest e JOIN hex x USING (q) CROSS JOIN hb
+"""
+
+
+_REGISTRY.update({"inv_st_quantile_bins": (q_st_quantile_bins, _st_quantile_sql())})

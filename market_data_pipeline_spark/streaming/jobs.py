@@ -720,3 +720,101 @@ def streaming_latest_state_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def histogram_counters(df: DataFrame, value_col: str, lo: float, hi: float, bins: int) -> DataFrame:
+    """Equi-width histogram counters over ``value_col``: bin = clamp(
+    floor((v − lo)/w), 0, bins−1) with w = (hi − lo)/bins — one
+    map-side-combined aggregation into ≤ ``bins`` cells. Shared by the
+    batch build and the streaming delta so the two can never drift."""
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def streaming_histogram_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Incremental equi-width histogram maintenance — the streaming
+    quantile store. Histogram counts are a LINEAR sketch (counts of a
+    union are the sums of the counts), so batch-wise maintenance is
+    EXACT: after any number of batches the store equals the one-shot
+    batch histogram, and any quantile reads O(bins) rows with no rescan
+    of history. Estimate error is bounded by the bin width — the
+    classic fixed-memory accuracy trade (vs CMS's frequency and HLL's
+    cardinality guarantees; this is the VALUE-distribution member of
+    the sketch-store family).
+
+    ``lo``/``hi`` pin the bin edges for the STORE's lifetime (merging
+    histograms with different edges is meaningless) — derive them from
+    table stats (manifest min/max) or a prior profiling pass; values
+    outside clamp into the edge bins, so a drifting tail degrades
+    accuracy at the edges instead of corrupting the store. Same
+    exactly-once foreachBatch scaffold as the CMS/HLL stores."""
+    return _sketch_maintenance(
+        stream_df,
+        store_path,
+        checkpoint,
+        delta_fn=lambda b: histogram_counters(b, value_col, lo, hi, bins),
+        merge_keys=["bin"],
+        merge_exprs=lambda: [F.sum("cnt").alias("cnt")],
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def histogram_quantiles(
+    counters: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from a binned-histogram counter table: for each
+    q, the LEFT EDGE of the first bin whose cumulative count reaches
+    ceil(q·N) — the type-1 quantile at bin resolution. One window over
+    ≤ ``bins`` rows (bounded model state, never data) then a ≤|qs|-row
+    cross join. |est − true quantile| < 2·binwidth by construction (the
+    order statistic lies inside the chosen bin; an interpolating exact
+    quantile can cross at most one edge)."""
+    from pyspark.sql import Window
+
+    spark = counters.sparkSession
+    w = (hi - lo) / bins
+    cum = counters.select(
+        "bin",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cum"),
+    )
+    tot = counters.agg(F.sum("cnt").alias("__n"))
+    qf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        qf.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("__cum") >= F.ceil(F.col("q") * F.col("__n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            "q",
+            F.round(F.lit(lo) + F.col("__bin") * F.lit(w) + F.lit(1e-9), 6).alias(
+                "est"
+            ),
+        )
+    )

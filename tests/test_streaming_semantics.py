@@ -1259,3 +1259,52 @@ def test_streaming_heavy_hitters_equals_batch_sketch(spark):
     }
     assert got == want and len(got) > 0
     assert all(v[2] for v in got.values())  # no-false-negative property
+
+
+def test_streaming_histogram_maintenance_is_exact_across_batches(spark, tmp_path):
+    """Histogram counts are a linear sketch: bin counts merged batch-by-
+    batch equal the one-shot batch histogram over the union — and the
+    quantile read side picks the hand-computable bin edges."""
+    from market_data_pipeline_spark.streaming import jobs, txn
+
+    src = str(tmp_path / "hv_src")
+    store = str(tmp_path / "h_store")
+    ckpt = str(tmp_path / "h_ckpt")
+    schema = "value double"
+
+    def write(vals):
+        spark.createDataFrame([(float(v),) for v in vals], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.streaming_histogram_maintenance(
+            stream, store, ckpt, value_col="value", lo=0.0, hi=10.0, bins=10
+        )
+        q.awaitTermination()
+
+    b1 = [0.5, 1.5, 1.6, 9.9, 10.0, -3.0]   # -3 clamps to bin 0, 10.0 to bin 9
+    b2 = [1.7, 5.5, 5.6, 5.7]
+    write(b1)
+    run_once()
+    write(b2)
+    run_once()
+
+    got = {r.bin: r.cnt for r in txn.read_versioned(spark, store).collect()}
+    want_df = jobs.histogram_counters(
+        spark.createDataFrame([(float(v),) for v in b1 + b2], schema),
+        "value", 0.0, 10.0, 10,
+    )
+    want = {r.bin: r.cnt for r in want_df.collect()}
+    assert got == want == {0: 2, 1: 3, 5: 3, 9: 2}
+
+    est = {
+        r.q: r.est
+        for r in jobs.histogram_quantiles(
+            txn.read_versioned(spark, store), 0.0, 10.0, 10, qs=(0.5, 0.9)
+        ).collect()
+    }
+    # N=10: ceil(.5*10)=5 -> cum reaches 5 in bin 1 (2+3); ceil(.9*10)=9
+    # -> bin 5 (2+3+3=8) is short, bin 9 reaches 10
+    assert est == {0.5: 1.0, 0.9: 9.0}
