@@ -12275,3 +12275,90 @@ FROM hest e JOIN hex x USING (q) CROSS JOIN hb
 
 
 _REGISTRY.update({"inv_st_quantile_bins": (q_st_quantile_bins, _st_quantile_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): Hurst exponent by rescaled-range analysis — the
+# long-memory regime diagnostic (H≈0.5 random walk, >0.5 persistent, <0.5
+# mean-reverting) the indicator chain lacked. Chunked R/S over the
+# first-difference series at three window sizes; H = a constant-weighted
+# sum of ln RS(n) (fixed design -> fixed OLS weights, no per-symbol
+# regression machinery).
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (4, 8, 16)
+
+
+def q_w_hurst(spark: SparkSession, sf: str) -> DataFrame:
+    b = _bars(spark, sf).select("symbol", "d", "close")
+    return indicators.hurst_exponent(b, sizes=_HURST_SIZES)
+
+
+def _hurst_sql(sizes: tuple = _HURST_SIZES) -> str:
+    import math
+
+    lns = [math.log(n) for n in sizes]
+    mean_ln = sum(lns) / len(lns)
+    denom = sum((v - mean_ln) ** 2 for v in lns)
+    coef = [(v - mean_ln) / denom for v in lns]
+    slope = " + ".join(f"{coef[i]!r} * y{i}" for i in range(len(sizes)))
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN n = {n} THEN y END) AS y{i}" for i, n in enumerate(sizes)
+    )
+    return f"""
+WITH {BARS_SQL},
+hx0 AS (
+  SELECT symbol, d,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY d) AS x
+  FROM bars
+),
+hx AS (
+  SELECT symbol, x, row_number() OVER (PARTITION BY symbol ORDER BY d) AS rn
+  FROM hx0 WHERE x IS NOT NULL
+),
+hm AS (SELECT symbol, CAST(count(*) AS BIGINT) AS m FROM hx GROUP BY symbol),
+hch AS (
+  SELECT h.symbol, h.x, h.rn, s.n,
+         CAST(floor((h.rn - 1) / s.n) AS BIGINT) AS chunk
+  FROM hx h
+  JOIN hm ON hm.symbol = h.symbol
+  CROSS JOIN (SELECT unnest([{', '.join(str(n) for n in sizes)}]) AS n) s
+  WHERE floor((h.rn - 1) / s.n) < floor(hm.m / s.n)
+),
+hst AS (
+  SELECT symbol, n, chunk, x,
+         round(avg(x) OVER (PARTITION BY symbol, n, chunk) + 1e-13, 10) AS mean,
+         sum(x) OVER (PARTITION BY symbol, n, chunk ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (PARTITION BY symbol, n, chunk ORDER BY rn) AS k
+  FROM hch
+),
+hz AS (
+  SELECT symbol, n, chunk, x, mean, cum - k * mean AS z FROM hst
+),
+hrs AS (
+  SELECT symbol, n, chunk, max(z) - min(z) AS r,
+         round(sqrt(sum((x - mean) * (x - mean)) / n) + 1e-13, 10) AS s
+  FROM hz GROUP BY symbol, n, chunk
+),
+hrs2 AS (
+  SELECT symbol, n, round(r / s + 1e-9, 8) AS rs FROM hrs WHERE s > 0
+),
+hrsn AS (
+  SELECT symbol, n, round(avg(rs) + 1e-9, 8) AS rsn
+  FROM hrs2 GROUP BY symbol, n
+),
+hy AS (
+  SELECT symbol, n, round(ln(rsn) + 1e-13, 10) AS y FROM hrsn WHERE rsn > 0
+),
+hp AS (
+  SELECT symbol, count(*) AS k,
+         {pivots}
+  FROM hy GROUP BY symbol
+)
+SELECT symbol, round({slope} + 1e-9, 6) AS hurst
+FROM hp WHERE k = {len(sizes)}
+"""
+
+
+_REGISTRY.update({"inv_w_hurst": (q_w_hurst, _hurst_sql())})

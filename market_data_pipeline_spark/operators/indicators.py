@@ -1151,3 +1151,115 @@ def theil_sen_trend(
             F.round(F.col("__icpt") + F.lit(1e-9), 6).alias("intercept"),
         )
     )
+
+
+def hurst_exponent(
+    bars: DataFrame,
+    sizes: tuple = (4, 8, 16),
+    symbol_col: str = "symbol",
+    time_col: str = "d",
+    close_col: str = "close",
+) -> DataFrame:
+    """Hurst exponent per symbol by rescaled-range (R/S) analysis
+    (Hurst 1951; Mandelbrot & Wallis 1969 — public): H ≈ 0.5 for a
+    random walk, > 0.5 trending/persistent, < 0.5 mean-reverting — the
+    long-memory diagnostic behind regime filters and volatility-model
+    choice. Per window size n: the first-difference series splits into
+    ⌊M/n⌋ full chunks; each chunk's rescaled range is (max−min of the
+    cumulative deviations from the chunk mean) / (population std);
+    RS(n) averages the chunks; H is the OLS slope of ln RS(n) on ln n.
+    With FIXED ``sizes`` the slope is a constant-weighted sum
+    Σ c_i·ln RS(n_i) (the OLS weights depend only on the ln n design),
+    so no per-symbol regression machinery is needed.
+
+    Scale shape: one symbol window (lag + row_number), one explode over
+    |sizes| (a small constant), then (symbol, n, chunk)-keyed window +
+    aggregation passes — co-partitioned with the indicator chain's
+    symbol exchange; chunk state is O(n) ≤ max(sizes). Symbols lacking
+    a full largest-size chunk (or with any degenerate RS ≤ 0) drop.
+
+    Determinism: chunk means quantize at 10 dp; cumulative deviations
+    are ORDERED prefix sums (engine-identical); stds round at 10 dp,
+    per-chunk R/S at 8 dp, RS(n) at 8 dp, ln at 10 dp; the final H is
+    a fixed-order 3-term constant dot rounded at 6 dp — the standard
+    chained-quantization contract, mirrored by the oracle."""
+    import math
+
+    from pyspark.sql import Window
+
+    w_sym = Window.partitionBy(symbol_col).orderBy(time_col)
+    x = (
+        bars.select(symbol_col, time_col, close_col)
+        .withColumn("__x", F.col(close_col) - F.lag(close_col).over(w_sym))
+        .filter(F.col("__x").isNotNull())
+        .withColumn("__rn", F.row_number().over(w_sym))
+    )
+    m_tot = x.groupBy(symbol_col).agg(F.count(F.lit(1)).alias("__m"))
+    sz = F.explode(F.array(*[F.lit(int(n)) for n in sizes])).alias("n")
+    ch = (
+        x.join(m_tot, symbol_col)
+        .select(symbol_col, "__x", "__rn", "__m", sz)
+        .withColumn("__chunk", F.floor((F.col("__rn") - 1) / F.col("n")))
+        .filter(F.col("__chunk") < F.floor(F.col("__m") / F.col("n")))
+    )
+    w_chunk = Window.partitionBy(symbol_col, "n", "__chunk")
+    w_cum = w_chunk.orderBy("__rn")
+    ch = (
+        ch.withColumn(
+            "__mean", F.round(F.avg("__x").over(w_chunk) + F.lit(1e-13), 10)
+        )
+        .withColumn(
+            "__cum",
+            F.sum("__x").over(w_cum.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__k", F.row_number().over(w_cum))
+        .withColumn("__z", F.col("__cum") - F.col("__k") * F.col("__mean"))
+    )
+    rs = (
+        ch.groupBy(symbol_col, "n", "__chunk")
+        .agg(
+            (F.max("__z") - F.min("__z")).alias("__r"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("__x") - F.col("__mean"))
+                        * (F.col("__x") - F.col("__mean"))
+                    )
+                    / F.first("n")
+                )
+                + F.lit(1e-13),
+                10,
+            ).alias("__s"),
+        )
+        .filter(F.col("__s") > 0)
+        .select(
+            symbol_col,
+            "n",
+            F.round(F.col("__r") / F.col("__s") + F.lit(1e-9), 8).alias("__rs"),
+        )
+    )
+    rsn = rs.groupBy(symbol_col, "n").agg(
+        F.round(F.avg("__rs") + F.lit(1e-9), 8).alias("__rsn")
+    )
+    y = rsn.filter(F.col("__rsn") > 0).withColumn(
+        "__y", F.round(F.log("__rsn") + F.lit(1e-13), 10)
+    )
+    lns = [math.log(n) for n in sizes]
+    mean_ln = sum(lns) / len(lns)
+    denom = sum((v - mean_ln) ** 2 for v in lns)
+    coef = [(v - mean_ln) / denom for v in lns]
+    pv = y.groupBy(symbol_col).agg(
+        F.count(F.lit(1)).alias("__k"),
+        *[
+            F.max(F.when(F.col("n") == int(n), F.col("__y"))).alias(f"__y{i}")
+            for i, n in enumerate(sizes)
+        ],
+    ).filter(F.col("__k") == len(sizes))
+    h = None
+    for i in range(len(sizes)):
+        term = F.lit(coef[i]) * F.col(f"__y{i}")
+        h = term if h is None else h + term
+    return pv.select(
+        F.col(symbol_col),
+        F.round(h + F.lit(1e-9), 6).alias("hurst"),
+    )

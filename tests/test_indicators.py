@@ -562,3 +562,59 @@ def test_kalman_level_tracks_step_python_replica(spark):
     # steady-state gain for q=1/16, r=1: k* solves k = (p+q)/(p+q+1) with
     # p = (1-k)(p+q) -> k* ~ 0.2215; the fold must have converged there
     assert abs(got["S"].kf_gain - 0.2215) < 0.01
+
+
+def test_hurst_exponent_replay_and_alternating_floor(spark):
+    """Two 33-bar series: symbol 'alt' alternates +1/-1 diffs — every
+    chunk at every size has R=1, S=1, so RS(n) is flat and H is exactly
+    0 (maximal mean reversion); symbol 'rw' follows a fixed pseudo-random
+    +/-1 walk whose H must match a pure-python replay of the operator's
+    own quantized R/S pipeline."""
+    import datetime as dt
+    import math
+
+    from market_data_pipeline_spark.operators.indicators import hurst_exponent
+
+    diffs = {
+        "alt": [1, -1] * 16,
+        "rw": [1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1,
+               -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1],
+    }
+    rows = []
+    for sym, xs in diffs.items():
+        close = 100.0
+        rows.append((sym, dt.date(2024, 1, 1), close))
+        for j, x in enumerate(xs):
+            close += x
+            rows.append((sym, dt.date(2024, 1, 1) + dt.timedelta(days=j + 1), close))
+    df = spark.createDataFrame(rows, "symbol string, d date, close double")
+
+    sizes = (4, 8, 16)
+
+    def replay(xs):
+        ys = {}
+        for n in sizes:
+            rss = []
+            for c in range(len(xs) // n):
+                chunk = xs[c * n:(c + 1) * n]
+                mean = round(sum(chunk) / n + 1e-13, 10)
+                cum, zs = 0.0, []
+                for k, x in enumerate(chunk, start=1):
+                    cum += x
+                    zs.append(cum - k * mean)
+                r = max(zs) - min(zs)
+                s = round(math.sqrt(sum((x - mean) ** 2 for x in chunk) / n) + 1e-13, 10)
+                if s > 0:
+                    rss.append(round(r / s + 1e-9, 8))
+            rsn = round(sum(rss) / len(rss) + 1e-9, 8)
+            ys[n] = round(math.log(rsn) + 1e-13, 10)
+        lns = [math.log(n) for n in sizes]
+        ml = sum(lns) / len(lns)
+        den = sum((v - ml) ** 2 for v in lns)
+        co = [(v - ml) / den for v in lns]
+        h = co[0] * ys[4] + co[1] * ys[8] + co[2] * ys[16]
+        return round(h + 1e-9, 6)
+
+    got = {r.symbol: r.hurst for r in hurst_exponent(df, sizes=sizes).collect()}
+    assert got["alt"] == 0.0
+    assert got["rw"] == replay([float(x) for x in diffs["rw"]])
