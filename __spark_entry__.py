@@ -6179,6 +6179,12 @@ _REVERIFY_BY_ROUND: dict[int, tuple[str, ...]] = {
         # values are quantization-identical by construction but the plan
         # changed materially)
         "inv_g_hits",
+        # NOT staged: streaming.stream_events gained a directory-layout
+        # branch (scalecheck replicas stream multi-file tables); at the
+        # driver's single-file testdata layout os.path.isdir is False and
+        # the taken branch is byte-identical to the previous code, so the
+        # streaming greens' evidence is not stale — the new branch is
+        # pytest- and SCALECHECK-covered instead.
     ),
 }
 
