@@ -295,11 +295,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
 
 
 def _global_window_lines(plan: str) -> list[str]:
-    """Physical-plan lines whose node is an UNPARTITIONED Window: with no
-    partition spec the node prints `Window [exprs], [order]` (two
-    top-level bracket groups) for ordered windows or just `Window [exprs]`
-    (one group) for whole-frame unordered windows — both funnel every
-    input row through one task; partitioned windows print three groups."""
+    """Physical-plan lines whose node is an UNPARTITIONED Window. Printed
+    forms: `Window [exprs]` (one group — unpartitioned, unordered),
+    `Window [exprs], [order ASC/DESC]` (two groups — unpartitioned,
+    ordered), `Window [exprs], [partition]` (two groups — PARTITIONED
+    whole-frame window, fine at scale: r8's hurst chunk-mean), and
+    `Window [exprs], [partition], [order]` (three groups). Only the
+    first two funnel every row through one task; a two-group line is
+    unpartitioned exactly when its second group is an ORDER spec
+    (contains ASC/DESC sort directions)."""
     import re
 
     out = []
@@ -318,7 +322,10 @@ def _global_window_lines(plan: str) -> list[str]:
                 if depth == 0:
                     groups.append(cur)
                     cur = ""
-        if len(groups) <= 2:
+        if len(groups) == 1 or (
+            len(groups) == 2
+            and (" ASC" in groups[1] or " DESC" in groups[1])
+        ):
             out.append(line.strip())
     return out
 
@@ -376,10 +383,12 @@ def test_every_registered_query_plan_is_scale_clean(spark):
                 f"{name}: unpartitioned Window (single-partition stage): "
                 f"{glines[0][:120]}"
             )
-    # 14 inv_st_ streaming queries (incl. the round-6 streaming CUSUM and
-    # the round-7 CMS heavy hitters + HLL distinct) + the iterative
-    # kmeans_fit and pca_power loops execute on build and are skipped
-    assert audited > 140 and skipped <= 16
+    # the inv_st_ streaming queries (incl. the round-7 CMS heavy hitters +
+    # HLL distinct and the round-8 binned-quantile store) + the iterative
+    # kmeans_fit loop execute on build and are skipped; the bound tracks
+    # the streaming-family count loosely so a legitimate new stream entry
+    # doesn't false-alarm, while a mass-skip regression still would
+    assert audited > 140 and skipped <= 20
 
 
 def test_ema_bucket_count_derives_from_parallelism(spark, sf_dir):
