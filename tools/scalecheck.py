@@ -105,6 +105,13 @@ QUERIES = [
     "inv_t_hybrid_rrf3",        # three top-k legs + two coalescing joins
     "inv_d_cdc_admission",      # full CDC lifecycle admission: eviction
                                 # anti-join + batch-vs-store LSH
+    "inv_t_rake",               # phrase runs + word-degree scoring —
+                                # per-doc windows, scan-bound
+    "inv_e_markov_stationary",  # one windowed lead pass + O(types^2) model
+    "inv_x_target_encode",      # two bounded aggs + broadcast join back
+    "inv_st_quantile_bins",     # streaming histogram store: linear-sketch
+                                # merges, availableNow replay
+    "inv_w_hurst",              # chunked R/S windows, symbol-partitioned
 ]
 
 # Output-quadratic on the all-clones replica: the RESULT SET itself grows
@@ -341,6 +348,9 @@ def _render(results: dict) -> str:
         "work), ql_dirichlet 0.95× (posting-mass-bound like bm25),",
         "hybrid_rrf3 1.38× (three top-k legs + coalescing joins),",
         "cdc_admission 1.31× (eviction anti-join + batch-vs-store LSH).",
+        "Later round-8 entries, same sweep: rake 1.05×, markov_stationary",
+        "1.40×, target_encode 1.11×, st_quantile_bins 1.62×, hurst 1.85×",
+        "— all overhead-dominated at this size.",
         "",
         "Streaming-source note: stream_events now streams the events",
         "directory directly when the table is multi-file (the replica /",
