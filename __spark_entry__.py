@@ -12368,3 +12368,61 @@ FROM hp WHERE k = {len(sizes)}
 
 
 _REGISTRY.update({"inv_w_hurst": (q_w_hurst, _hurst_sql())})
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (continued): Gopher-style repetition signals — the within-doc
+# repetition filters (Rae et al. 2021 §A1.1) that catch the template-farm
+# failure mode a length-normal, vocabulary-normal document passes every
+# other cheap gate with. All doc-keyed n-gram counts; nothing corpus-global.
+# ---------------------------------------------------------------------------
+
+
+def q_t_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    return text.repetition_signals(_docs(spark, sf))
+
+
+SQL_T_REPETITION = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+tk AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM n
+),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM tk),
+rb2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+         i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM base
+),
+rb3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+         i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM base
+),
+rg2 AS (
+  SELECT doc_id, max(c) AS max2, CAST(sum(c) AS BIGINT) AS tot2
+  FROM (SELECT doc_id, g, count(*) AS c FROM rb2 GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+rg3 AS (
+  SELECT doc_id, max(c) AS max3, CAST(sum(c) AS BIGINT) AS tot3,
+         CAST(count(*) AS BIGINT) AS dist3
+  FROM (SELECT doc_id, g, count(*) AS c FROM rb3 GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CASE WHEN coalesce(g2.tot2, 0) > 0
+            THEN round(CAST(g2.max2 AS DOUBLE) / g2.tot2 + 1e-9, 6)
+            ELSE 0.0 END AS top_bigram_share,
+       CASE WHEN coalesce(g3.tot3, 0) > 0
+            THEN round(CAST(g3.max3 AS DOUBLE) / g3.tot3 + 1e-9, 6)
+            ELSE 0.0 END AS top_trigram_share,
+       CASE WHEN coalesce(g3.tot3, 0) > 0
+            THEN round(1.0 - CAST(g3.dist3 AS DOUBLE) / g3.tot3 + 1e-9, 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM base b
+LEFT JOIN rg2 g2 USING (doc_id)
+LEFT JOIN rg3 g3 USING (doc_id)
+"""
+
+
+_REGISTRY.update({"inv_t_repetition": (q_t_repetition, SQL_T_REPETITION)})

@@ -2450,3 +2450,91 @@ def rake_keywords(
         .orderBy(F.col("score").desc(), "phrase")
         .limit(k)
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 — public; the famous "repetition filters" every web-scale
+    curation pipeline applies before anything model-based): per document,
+
+    - ``top_bigram_share`` / ``top_trigram_share`` — the fraction of
+      n-gram slots occupied by the single most frequent bi-/tri-gram
+      (a looping template pins these near 1);
+    - ``dup_trigram_frac`` — 1 − distinct/total trigram slots (bulk
+      copy-paste raises this even when no single n-gram dominates).
+
+    Complements the cheap scalar heuristics (length/stopword ratios,
+    char entropy) and the LM score (``unigram_doc_nll``): repetition is
+    the failure mode a LENGTH-normal, vocabulary-normal template farm
+    passes both of those with.
+
+    Plan shape: one tokenize, n-gram slots expanded per row by an array
+    ``transform`` (inside codegen, no join), two (doc, gram) counts with
+    map-side combine, per-doc maxima — all doc-keyed; nothing corpus-
+    global anywhere. Ratios are integer/integer divisions rounded at
+    6 dp; documents with fewer than 3 tokens report 0 by convention."""
+    t = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), t.alias("__t")).withColumn(
+        "__n", F.size(F.filter("__t", lambda x: x != ""))
+    )
+    d = d.withColumn("__tc", F.filter("__t", lambda x: x != ""))
+
+    def grams(n: int):
+        return F.transform(
+            F.slice("__tc", 1, F.greatest(F.size("__tc") - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(
+                " ", *[F.element_at("__tc", i + F.lit(j + 1)) for j in range(n)]
+            ),
+        )
+
+    g2 = (
+        d.select(id_col, F.explode(grams(2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("__max2"),
+            F.sum("c").alias("__tot2"),
+        )
+    )
+    g3 = (
+        d.select(id_col, F.explode(grams(3)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("__max3"),
+            F.sum("c").alias("__tot3"),
+            F.count(F.lit(1)).alias("__dist3"),
+        )
+    )
+    share = lambda mx, tot: F.when(  # noqa: E731
+        F.coalesce(tot, F.lit(0)) > 0,
+        F.round(mx.cast("double") / tot + F.lit(1e-9), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select(id_col, F.col("__n").cast("long").alias("n_tokens"))
+        .join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            share(F.col("__max2"), F.col("__tot2")).alias("top_bigram_share"),
+            share(F.col("__max3"), F.col("__tot3")).alias("top_trigram_share"),
+            F.when(
+                F.coalesce(F.col("__tot3"), F.lit(0)) > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("__dist3").cast("double") / F.col("__tot3")
+                    + F.lit(1e-9),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_trigram_frac"),
+        )
+    )

@@ -1304,3 +1304,42 @@ def test_markov_stationary_terminal_only_type_excluded(spark, tmp_path):
 
     got = {r.event_type for r in markov_stationary(spark, str(tmp_path)).collect()}
     assert got == {"A", "B"}
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Three hand-graded docs: a looping template ('spam ham' * 4) pins
+    top_bigram_share at its slot ceiling, a no-repeat doc scores the
+    uniform floor, and a 2-token doc has trigram stats 0 by convention."""
+    from market_data_pipeline_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),
+            (2, "one two three four five"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.top_bigram_share, r.top_trigram_share, r.dup_trigram_frac
+        )
+        for r in repetition_signals(docs).collect()
+    }
+    # doc 1: 8 tokens, 7 bigram slots: 'spam ham' x4 -> 4/7; 6 trigram
+    # slots: 'spam ham spam' x3 -> 3/6; distinct trigrams 2 -> dup 4/6
+    assert got[1] == (
+        8,
+        round(4 / 7 + 1e-9, 6),
+        round(3 / 6 + 1e-9, 6),
+        round(1 - 2 / 6 + 1e-9, 6),
+    )
+    # doc 2: every n-gram unique -> shares are 1/slots, dup 0
+    assert got[2] == (
+        5,
+        round(1 / 4 + 1e-9, 6),
+        round(1 / 3 + 1e-9, 6),
+        0.0,
+    )
+    # doc 3: one bigram slot, zero trigram slots
+    assert got[3] == (2, 1.0, 0.0, 0.0)
