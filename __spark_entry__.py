@@ -12375,14 +12375,17 @@ _REGISTRY.update({"inv_w_hurst": (q_w_hurst, _hurst_sql())})
 # repetition filters (Rae et al. 2021 §A1.1) that catch the template-farm
 # failure mode a length-normal, vocabulary-normal document passes every
 # other cheap gate with. All doc-keyed n-gram counts; nothing corpus-global.
+# Registered under its OWN name: the round-2 inv_t_repetition (token-level
+# dup-bigram fraction + top TOKEN share, add_repetition_stats) stays as-is;
+# this entry adds the n-gram SLOT-share members of the Gopher set.
 # ---------------------------------------------------------------------------
 
 
-def q_t_repetition(spark: SparkSession, sf: str) -> DataFrame:
+def q_t_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_signals(_docs(spark, sf))
 
 
-SQL_T_REPETITION = f"""
+SQL_T_GOPHER_REPETITION = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
 tk AS (
   SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM n
@@ -12425,4 +12428,6 @@ LEFT JOIN rg3 g3 USING (doc_id)
 """
 
 
-_REGISTRY.update({"inv_t_repetition": (q_t_repetition, SQL_T_REPETITION)})
+_REGISTRY.update(
+    {"inv_t_gopher_repetition": (q_t_gopher_repetition, SQL_T_GOPHER_REPETITION)}
+)
