@@ -12431,3 +12431,21 @@ LEFT JOIN rg3 g3 USING (doc_id)
 _REGISTRY.update(
     {"inv_t_gopher_repetition": (q_t_gopher_repetition, SQL_T_GOPHER_REPETITION)}
 )
+
+
+# ---------------------------------------------------------------------------
+# Registry integrity pin. _REGISTRY.update() is a plain dict update, so a
+# re-used name silently REPLACES an existing query — exactly the r8 slip
+# where the new Gopher entry briefly clobbered the round-2
+# inv_t_repetition (caught only because the registry count stayed flat).
+# Pin the expected size at the bottom of the file: every added query bumps
+# it by one, and a collision trips this assert at import instead of
+# surfacing rounds later as vanished driver history.
+# ---------------------------------------------------------------------------
+
+_EXPECTED_REGISTRY_SIZE = 298
+assert len(_REGISTRY) == _EXPECTED_REGISTRY_SIZE, (
+    f"registry has {len(_REGISTRY)} entries, expected "
+    f"{_EXPECTED_REGISTRY_SIZE}: a name collision swallowed a query "
+    "(or bump the pin along with the new registration)"
+)
