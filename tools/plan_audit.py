@@ -110,6 +110,11 @@ DEFAULT = [
     "inv_v_pca2",
     "inv_t_rake",
     "inv_e_markov_stationary",
+    "inv_x_target_encode",
+    "inv_w_hurst",
+    "inv_t_gopher_repetition",
+    # inv_st_quantile_bins is streaming (executes its store build on plan
+    # construction) — covered by the streaming suite, not audited here
 ]
 
 
