@@ -173,6 +173,15 @@ def main() -> None:
         lambda: entrymod.entry(spark).write.format("noop").mode("overwrite").save()
     )
     total = round(sum(timings.values()), 3)
+    # Full payload (with the per-query spread block) goes to the committed
+    # sidecar; the PRINTED line is the compact driver-contract subset.
+    # Round-8 postmortem: the printed line grew to 2,243 chars while the
+    # driver's merged-output tail window is 2,000 — the line's HEAD was
+    # truncated and BENCH_r08.json parsed null. The driver contract needs
+    # {"metric", "value", "unit", "queries", "sf"}; "spread" is bench-local
+    # diagnostics, so it is the block that stays sidecar-only (~1.0 kB
+    # saved, keeping the line comfortably inside the window as the
+    # headline grows).
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -180,6 +189,15 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "spread": spreads,
+            "sf": sf,
+        }
+    )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
             "sf": sf,
         }
     )
@@ -199,7 +217,13 @@ def main() -> None:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
     with open(sidecar, "w") as fh:
         fh.write(payload + "\n")
-    print(payload)
+    # The per-query dict must stay complete (driver contract: entries are
+    # never removed or renamed), so if the headline ever grows the line past
+    # ~1.9 kB the fix is to shorten NOTHING here but to re-negotiate the
+    # window — warn loudly on stderr instead of printing a mutilated line.
+    if len(line) > 1900:
+        print(f"WARNING: bench JSON line {len(line)} chars nears the 2000-char tail window", file=sys.stderr)
+    print(line)
     sys.stdout.flush()
     sys.exit(_gate(timings, sf))
 
