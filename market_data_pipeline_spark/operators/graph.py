@@ -54,6 +54,18 @@ _EPS = 1e-13
 # Target per-task row volume inside iterative loops (see _loop_shuffle).
 _LOOP_ROWS_PER_TASK = 300_000
 
+# Iterative loops whose per-round join carries a node-keyed state frame
+# (labels, ranks) may broadcast that frame instead of shuffling the
+# edge-sized side every round — but ONLY when the node universe is small
+# enough to ship: ~50 MB of unsafe rows at two longs per node. Above the
+# bound the loop keeps the shuffle path, so the choice is data-derived,
+# never a small-cluster constant (guide §3.1: pick the strategy
+# deliberately; the state frame is counted, not estimated). Overridable
+# via SPARK_GRAFT_LOOP_BCAST_NODES for cluster-memory tuning.
+_LOOP_BCAST_MAX_NODES = int(
+    __import__("os").environ.get("SPARK_GRAFT_LOOP_BCAST_NODES", 1_000_000)
+)
+
 
 @contextmanager
 def _loop_shuffle(spark: SparkSession, n_rows: int, rows_per_task: int | None = None):
@@ -688,9 +700,17 @@ def _pagerank_loop(
     # values are bit-identical either way because each round's input is
     # the quantized expression, not a floating accumulation.
     _CADENCE = 3
+    # Rank frame = node universe: when countably small (n is already on
+    # the driver), broadcast it so the per-round join becomes a hash
+    # probe of the pre-partitioned adjacency — no shuffle, no per-round
+    # sort of the edge-sized side. Interleaved r9 A/B at sf0.1 (2.39 M
+    # symmetrized edges, identical rank hashes): loop 5.1/4.8 s shuffle
+    # vs 3.8/3.4 s broadcast. Above the bound the shuffle path stands.
+    bcast = n <= _LOOP_BCAST_MAX_NODES
     for it in range(iterations):
+        r = ranks.withColumnRenamed("node", "src")
         contribs = adj.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            F.broadcast(r) if bcast else r, "src"
         ).select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
         summed = contribs.groupBy("node").agg(F.sum("c").alias("__s"))
         if tele_frame is None:
@@ -840,7 +860,7 @@ def hits_bipartite(
     # (129-138 vs 162-166 s cold), order-independent; pagerank's wider
     # adjacency join prefers the default (see _loop_shuffle docstring).
     with _loop_shuffle(spark, ne, rows_per_task=100_000):
-        return _hits_loop(spark, items, edges, item_col, iterations)
+        return _hits_loop(spark, items, edges, item_col, iterations, ne)
 
 
 def _hits_loop(
@@ -849,6 +869,7 @@ def _hits_loop(
     edges: DataFrame,
     item_col: str,
     iterations: int,
+    ne: int,
 ) -> DataFrame:
     """The loop body of ``hits_bipartite`` under ``_loop_shuffle`` — the
     same width discipline as ``_pagerank_loop``; the returned auth frame
@@ -883,10 +904,20 @@ def _hits_loop(
             F.round(F.col("__raw") / F.col("__tot") + F.lit(_EPS), 10).alias(out),
         )
 
+    # Both half-step joins carry a bounded score frame against the
+    # edge-sized side: broadcast it when countably small so the edges are
+    # never shuffled inside the loop (guide §3.1). Hubs gate on the exact
+    # basket count nb; the lazy auth frame gates on the edge count ne —
+    # a free conservative upper bound on the item universe (every item
+    # appears on ≥1 edge), so no extra counting job. Interleaved r9 A/B
+    # at sf0.1 (identical auth hashes): loop 5.5/6.0 s shuffle vs
+    # 4.5/3.7 s broadcast. Above the bound the shuffle path stands.
+    b_hub = nb <= _LOOP_BCAST_MAX_NODES
+    b_auth = ne <= _LOOP_BCAST_MAX_NODES
     auth = None
     for it in range(iterations):
         araw = (
-            edges.join(hubs, "__b")
+            edges.join(F.broadcast(hubs) if b_hub else hubs, "__b")
             .groupBy("__i")
             .agg(F.sum("__h").alias("__raw"))
         )
@@ -900,7 +931,7 @@ def _hits_loop(
         # plan size stays O(1) per round (the job also pipelines both
         # half-steps' exchanges — the job-count discipline pagerank uses)
         hubs = (
-            edges.join(auth, "__i")
+            edges.join(F.broadcast(auth) if b_auth else auth, "__i")
             .groupBy("__b")
             .agg(F.round(F.sum("__a") + F.lit(_EPS), 10).alias("__h"))
             .localCheckpoint(eager=True)
@@ -950,9 +981,19 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
             .withColumn("lbl", F.col("node"))
             .localCheckpoint(eager=True)
         )
+        # The label frame is the node universe: when it is small enough
+        # to ship (counted once — it never grows), broadcasting it turns
+        # every round's join into a map-side hash probe and the
+        # edge-sized sym frame is never shuffled again. Interleaved r9
+        # A/B at sf0.1 (2.39 M symmetrized edges, 3-variant loop, same
+        # result hash): broadcast 4.6/3.8 s vs shuffle-join 16.6/6.9 s;
+        # pre-partitioning sym by src measured NO win (13.8/16.1 s), so
+        # the fallback keeps the original shape.
+        bcast = labels.count() <= _LOOP_BCAST_MAX_NODES
         for _ in range(iterations):
+            lhs = F.broadcast(labels) if bcast else labels
             votes = (
-                sym.join(labels, sym["src"] == labels["node"])
+                sym.join(lhs, sym["src"] == labels["node"])
                 .groupBy(F.col("dst").alias("__n"), "lbl")
                 .agg(F.count(F.lit(1)).alias("__c"))
             )

@@ -947,13 +947,10 @@ def pca_power(
     with _loop_shuffle(spark, 1):
         w, lam, n = _power_rounds(spark, e, mu, dim, iterations)
     var = round(lam / n + 1e-9, 6) if n else 0.0
-    return (
-        e.crossJoin(F.broadcast(_pca_w_frame(spark, w, _py_dot(mu, w, dim))))
-        .select(
-            F.col(id_col),
-            _pca_score("w", "dmw", 1e-9, 6).alias("pc1"),
-            F.lit(var).alias("pc1_var"),
-        )
+    return _pca_lit(e, w=w, dmw=_py_dot(mu, w, dim)).select(
+        F.col(id_col),
+        _pca_score("w", "dmw", 1e-9, 6).alias("pc1"),
+        F.lit(var).alias("pc1_var"),
     )
 
 
@@ -966,13 +963,33 @@ def _py_dot(a, b, dim: int) -> float:
     return acc
 
 
-# w and the (constant) mean·w dot ride as DATA on a broadcast 1-row
-# frame, NOT as literals: the per-iteration expressions are then
-# byte-identical across rounds, so whole-stage codegen compiles ONCE
-# for the whole loop (literal-embedded w forced a fresh generated
-# class per round — measured ~6 s of the 8.7 s sf0.1 wall). The fold
-# from 0.0 equals the oracle's left-to-right chain bit-for-bit
-# (0.0 + x == x in IEEE, then identical association order).
+# The per-round weight vector rides as ONE array literal column (and the
+# scalars as plain literals), NOT as a broadcast 1-row frame. Measured
+# r9 (interleaved A/B at sf0.1, warm JVM): ANY broadcast join — even a
+# count-only crossJoin with the 1-row weight frame — costs ~0.40-0.45 s
+# per action on this box (broadcast build + torrent + cleanup per
+# .first()), while the literal-column path runs the identical fold at
+# ~0.16-0.25 s/round. The r7 fear that literal weights force a fresh
+# codegen class per round does not apply to an ARRAY literal: constant
+# folding collapses F.array(lit…) into a single Literal(ArrayData) that
+# codegen references as an object, so the generated source stays
+# byte-identical across rounds (only embedded scalar literals like dmw
+# change, a compile measured in the noise). The fold from 0.0 equals
+# the oracle's left-to-right chain bit-for-bit (0.0 + x == x in IEEE,
+# then identical association order).
+def _pca_lit(df: DataFrame, **cols) -> DataFrame:
+    """Attach per-round loop constants as literal columns: list values
+    become one array literal (a codegen reference object), floats plain
+    literals — the join-free carrier for the power-iteration loops."""
+    out = df
+    for name, val in cols.items():
+        if isinstance(val, (list, tuple)):
+            out = out.withColumn(name, F.array(*[F.lit(float(x)) for x in val]))
+        else:
+            out = out.withColumn(name, F.lit(float(val)))
+    return out
+
+
 def _pca_score(col_w: str, dmw_col: str, nudge: float, dp: int):
     return F.round(
         F.aggregate(
@@ -983,12 +1000,6 @@ def _pca_score(col_w: str, dmw_col: str, nudge: float, dp: int):
         - F.col(dmw_col)
         + F.lit(nudge),
         dp,
-    )
-
-
-def _pca_w_frame(spark, weights, dmw):
-    return spark.createDataFrame(
-        [(weights, float(dmw))], "w array<double>, dmw double"
     )
 
 
@@ -1015,13 +1026,6 @@ def _power_rounds(spark, e, mu, dim, iterations, w1=None):
     deflate = w1 is not None
     if deflate:
         dm1 = _py_dot(mu, w1, dim)
-
-        def w_frame2(weights, dmw, c1):
-            return spark.createDataFrame(
-                [(weights, float(dmw), list(w1), float(dm1), float(c1))],
-                "w array<double>, dmw double, w1 array<double>, dm1 double, c1 double",
-            )
-
     agg_exprs = [
         F.count(F.lit(1)).alias("__n"),
         F.sum("__s").alias("__ss"),
@@ -1033,24 +1037,28 @@ def _power_rounds(spark, e, mu, dim, iterations, w1=None):
     # shuffle width is 1 at ANY corpus size (the partial agg runs at scan
     # parallelism regardless); the loop-conf window also drops AQE's
     # per-stage job materialization — 2 scheduler jobs per round -> 1.
+    # Column objects are hoisted out of the loop so every round reuses the
+    # SAME expression ids — with the literal-array carrier the per-round
+    # plans then share one codegen class (see _pca_lit's comment).
+    if deflate:
+        u1_col = _pca_score("w1", "dm1", eps, 10).alias("__u1")
+        s_defl = F.round(
+            _pca_score("w", "dmw", eps, 10)
+            - _pca_score("w1", "dm1", eps, 10) * F.col("c1")
+            + F.lit(eps),
+            10,
+        ).alias("__s")
+    else:
+        s_col = _pca_score("w", "dmw", eps, 10).alias("__s")
     for _ in range(iterations):
         if deflate:
             c1 = round(_py_dot(w1, w, dim) + eps, 10)
-            wf = w_frame2(w, _py_dot(mu, w, dim), c1)
-            scored = e.crossJoin(F.broadcast(wf)).select(
-                "__v",
-                _pca_score("w1", "dm1", eps, 10).alias("__u1"),
-                F.round(
-                    _pca_score("w", "dmw", eps, 10)
-                    - _pca_score("w1", "dm1", eps, 10) * F.col("c1")
-                    + F.lit(eps),
-                    10,
-                ).alias("__s"),
-            )
+            scored = _pca_lit(
+                e, w=w, dmw=_py_dot(mu, w, dim), w1=list(w1), dm1=dm1, c1=c1
+            ).select("__v", u1_col, s_defl)
         else:
-            wf = _pca_w_frame(spark, w, _py_dot(mu, w, dim))
-            scored = e.crossJoin(F.broadcast(wf)).select(
-                _pca_score("w", "dmw", eps, 10).alias("__s"), "__v"
+            scored = _pca_lit(e, w=w, dmw=_py_dot(mu, w, dim)).select(
+                s_col, "__v"
             )
         row = scored.agg(*agg_exprs).first()
         n = int(row["__n"])
@@ -1132,18 +1140,13 @@ def pca_top2(
         w2, lam2, _ = _power_rounds(spark, e, mu, dim, iterations, w1=w1)
     var1 = round(lam1 / n + 1e-9, 6) if n else 0.0
     var2 = round(lam2 / n + 1e-9, 6) if n else 0.0
-    proj = spark.createDataFrame(
-        [
-            (
-                list(w1),
-                float(_py_dot(mu, w1, dim)),
-                list(w2),
-                float(_py_dot(mu, w2, dim)),
-            )
-        ],
-        "wa array<double>, dma double, wb array<double>, dmb double",
-    )
-    return e.crossJoin(F.broadcast(proj)).select(
+    return _pca_lit(
+        e,
+        wa=list(w1),
+        dma=_py_dot(mu, w1, dim),
+        wb=list(w2),
+        dmb=_py_dot(mu, w2, dim),
+    ).select(
         F.col(id_col),
         _pca_score("wa", "dma", 1e-9, 6).alias("pc1"),
         _pca_score("wb", "dmb", 1e-9, 6).alias("pc2"),
