@@ -10670,33 +10670,62 @@ _REGISTRY.update({"inv_t_bm25_ndcg": (q_t_bm25_ndcg, SQL_T_BM25_NDCG)})
 # ---------------------------------------------------------------------------
 
 
-def _hybrid_legs(spark: SparkSession, sf: str):
+def _hybrid_legs(spark: SparkSession, sf: str, index=None):
     """The two rankings every hybrid query fuses: BM25 top-10 (query =
     first four tokens of docs 0-4) and ANN top-10 over the shared id
-    space (query = those docs' embeddings)."""
+    space (query = those docs' embeddings).
+
+    r9 plan-truncation discipline: every hybrid consumer references each
+    leg (and the index under it) several times — the fused ranking AND
+    the per-leg grade — and Catalyst shares no subplans across DataFrame
+    reuse, so the lazy form re-executed each leg's whole subtree per
+    reference (inv_t_hybrid_ndcg carried 218 plan-time Exchange
+    mentions). The legs are therefore MATERIALIZED (eager
+    localCheckpoint): each is an O(queries·k) top-k frame — 50 rows here
+    — so the checkpoint is the cheapest frame in the query, and every
+    downstream join reads the tiny RDD. Leg values are unchanged.
+    ``index`` optionally shares one materialized (tf, dl, idf) triple
+    with further legs (see _hybrid_legs3)."""
     d = _docs(spark, sf)
     queries = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 4)).alias("qtext"),
     )
-    lex = text.bm25_topk(d, queries, k=10).select("query_id", "doc_id", "rk")
+    if index is None:
+        index = text._bm25_index(d, "text", "doc_id", materialize=True)
+    lex = (
+        text.bm25_topk(d, queries, k=10, index=index)
+        .select("query_id", "doc_id", "rk")
+        .localCheckpoint(eager=True)
+    )
     e = load_table(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") < 5)
-    sem = similarity.ann_topk(e, qv, k=10, n_planes=8).select(
-        "query_id", F.col("corpus_id").alias("doc_id"), "rk"
+    sem = (
+        similarity.ann_topk(e, qv, k=10, n_planes=8)
+        .select("query_id", F.col("corpus_id").alias("doc_id"), "rk")
+        .localCheckpoint(eager=True)
     )
-    return d, queries, e, qv, lex, sem
+    return d, queries, e, qv, lex, sem, index
 
 
 def _hybrid_rel(
-    d: DataFrame, queries: DataFrame, e: DataFrame, qv: DataFrame
+    d: DataFrame,
+    queries: DataFrame,
+    e: DataFrame,
+    qv: DataFrame,
+    dtoks: DataFrame | None = None,
 ) -> DataFrame:
     """The blended lexical+semantic relevance every hybrid nDCG grade
     shares: shared distinct query terms (the lexical facet) plus a
     banded embedding-cosine judgment (the semantic facet: 2 if cos ≥
     0.5, 1 if ≥ 0.25), summed per (query, doc). Extracted verbatim from
     q_t_hybrid_ndcg in r8 so the three-leg grade reuses it — the plan
-    is unchanged (pure code motion)."""
+    is unchanged (pure code motion).
+
+    ``dtoks`` optionally injects the distinct (doc_id, term) pairs — the
+    hybrid entries pass the MATERIALIZED index's tf keys (identical set
+    by construction: tf is the per-(doc, term) count), saving one corpus
+    tokenization."""
     qt = (
         queries.select(
             "query_id", F.explode(text.tokens(F.col("qtext"))).alias("term")
@@ -10708,7 +10737,7 @@ def _hybrid_rel(
         d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
-    )
+    ) if dtoks is None else dtoks.select("doc_id", "term")
     lexrel = (
         qt.join(dt, "term")
         .groupBy("query_id", "doc_id")
@@ -10752,7 +10781,7 @@ def _hybrid_rel(
 def q_t_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (text.rrf_fuse): the
     BM25 and ANN top-10 lists fused with k=60, re-ranked per query."""
-    _, _, _, _, lex, sem = _hybrid_legs(spark, sf)
+    _, _, _, _, lex, sem, _ = _hybrid_legs(spark, sf)
     return text.rrf_fuse(lex, sem, k_const=60, topk=10)
 
 
@@ -10820,9 +10849,13 @@ def q_t_hybrid_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     grades whether fusion dominates — this entry is the measurement
     instrument, demonstrated on data where the answer is knowably 'the
     legs are independent'."""
-    d, queries, e, qv, lex, sem = _hybrid_legs(spark, sf)
+    d, queries, e, qv, lex, sem, idx = _hybrid_legs(spark, sf)
     fused = text.rrf_fuse(lex, sem, k_const=60, topk=10)
-    rel = _hybrid_rel(d, queries, e, qv)
+    # rel is read by every per-leg grade below: materialize it once (a
+    # few hundred (query, doc, rel) rows) instead of re-deriving the
+    # tokenize-join-crossJoin subtree per grade; dtoks rides the
+    # materialized index's tf keys (identical distinct set).
+    rel = _hybrid_rel(d, queries, e, qv, dtoks=idx[0]).localCheckpoint(eager=True)
     n_lex = text.retrieval_ndcg(lex, rel, k=10).withColumnRenamed("ndcg", "ndcg_lex")
     n_sem = text.retrieval_ndcg(sem, rel, k=10).withColumnRenamed("ndcg", "ndcg_sem")
     n_rrf = text.retrieval_ndcg(fused, rel, k=10).withColumnRenamed("ndcg", "ndcg_rrf")
@@ -11493,18 +11526,20 @@ def _hybrid_legs3(spark: SparkSession, sf: str):
     """The three rankings of the full hybrid: BM25, embedding-ANN, and
     Dirichlet QL — the QL leg reads the same corpus tokenization subtree
     as the BM25 leg (one shared inverted index per plan)."""
-    d, queries, e, qv, lex, sem = _hybrid_legs(spark, sf)
-    ql = text.ql_dirichlet_topk(d, queries, k=10, mu=_QL_MU).select(
-        "query_id", "doc_id", "rk"
+    d, queries, e, qv, lex, sem, idx = _hybrid_legs(spark, sf)
+    ql = (
+        text.ql_dirichlet_topk(d, queries, k=10, mu=_QL_MU, index=idx)
+        .select("query_id", "doc_id", "rk")
+        .localCheckpoint(eager=True)
     )
-    return d, queries, e, qv, lex, sem, ql
+    return d, queries, e, qv, lex, sem, ql, idx
 
 
 def q_t_hybrid_rrf3(spark: SparkSession, sf: str) -> DataFrame:
     """Three-leg hybrid retrieval (text.rrf_fuse_many): BM25 + ANN + QL
     top-10 lists fused by reciprocal rank with k=60, re-ranked per query.
     Leg order (lex, sem, ql) pins the fused sum's addition order."""
-    _, _, _, _, lex, sem, ql = _hybrid_legs3(spark, sf)
+    _, _, _, _, lex, sem, ql, _ = _hybrid_legs3(spark, sf)
     return text.rrf_fuse_many([lex, sem, ql], k_const=60, topk=10)
 
 
@@ -11562,9 +11597,11 @@ def q_t_hybrid_ndcg3(spark: SparkSession, sf: str) -> DataFrame:
     informative here — the grade shows three-leg fusion holding up when
     two legs agree and one dissents, the regime RRF's k=60 damping is
     designed for."""
-    d, queries, e, qv, lex, sem, ql = _hybrid_legs3(spark, sf)
+    d, queries, e, qv, lex, sem, ql, idx = _hybrid_legs3(spark, sf)
     fused = text.rrf_fuse_many([lex, sem, ql], k_const=60, topk=10)
-    rel = _hybrid_rel(d, queries, e, qv)
+    # same rel-materialization rationale as q_t_hybrid_ndcg (4 grades
+    # read it); dtoks rides the shared index's tf keys.
+    rel = _hybrid_rel(d, queries, e, qv, dtoks=idx[0]).localCheckpoint(eager=True)
     n_lex = text.retrieval_ndcg(lex, rel, k=10).withColumnRenamed("ndcg", "ndcg_lex")
     n_sem = text.retrieval_ndcg(sem, rel, k=10).withColumnRenamed("ndcg", "ndcg_sem")
     n_ql = text.retrieval_ndcg(ql, rel, k=10).withColumnRenamed("ndcg", "ndcg_ql")

@@ -1656,6 +1656,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
+    index=None,
 ) -> DataFrame:
     """BM25 top-k retrieval (Robertson/Spärck Jones, public): for each
     query, the k best documents under the Okapi BM25 ranking —
@@ -1683,8 +1684,13 @@ def bm25_topk(
     per-(query, doc) sums span only the matched query terms (bounded by
     query length), and the summed score is re-quantized the same way —
     the shared cross-engine discipline, so ranks and the oracle's agree
-    exactly; ties break (score desc, doc_id asc)."""
-    tf, dl, idf = _bm25_index(df, text_col, id_col)
+    exactly; ties break (score desc, doc_id asc).
+
+    ``index`` optionally injects a prebuilt (tf, dl, idf) triple from
+    ``_bm25_index`` so several retrieval legs share ONE (possibly
+    materialized) index instead of re-deriving it per leg; scores are
+    identical either way."""
+    tf, dl, idf = index if index is not None else _bm25_index(df, text_col, id_col)
     qterms = (
         queries.select(
             F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
@@ -1695,15 +1701,31 @@ def bm25_topk(
     return _bm25_rank(qterms, tf, dl, idf, k, k1, b, qid_col, id_col)
 
 
-def _bm25_index(df: DataFrame, text_col: str, id_col: str):
+def _bm25_index(df: DataFrame, text_col: str, id_col: str, materialize: bool = False):
     """The corpus-side BM25 frames — (tf, dl, idf-with-avgdl) — built once
     and shared by every scoring pass (single-shot and PRF expansion reuse
-    the SAME index; the corpus is tokenized once per plan subtree)."""
+    the SAME index; the corpus is tokenized once per plan subtree).
+
+    ``materialize=True`` eagerly localCheckpoints tf and dl and derives
+    idf FROM the checkpointed tf (then checkpoints it too), so a plan
+    that references the index frames k times pays ONE corpus
+    tokenization instead of k — Catalyst shares no common subplans
+    across DataFrame reuse, so without this every leg of a hybrid
+    retrieval re-derives the whole index (r9 measured: the three-leg
+    nDCG grade carried 362 plan-time Exchange mentions, most of them
+    index re-derivations). The 100 TB shape is the classic index-once /
+    score-many split: the materialized postings are O(corpus tokens),
+    the same bytes every inverted-index build pays, and the checkpoint
+    spills MEMORY_AND_DISK. Default False keeps single-pass callers
+    (plain bm25_topk) fully lazy."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
+        dl = dl.localCheckpoint(eager=True)
     stats = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
         F.broadcast(
             dl.agg(F.round(F.avg("dl") + F.lit(1e-9), 6).alias("__avgdl"))
@@ -1723,6 +1745,8 @@ def _bm25_index(df: DataFrame, text_col: str, id_col: str):
             6,
         ).alias("idf"),
     )
+    if materialize:
+        idf = idf.localCheckpoint(eager=True)
     return tf, dl, idf
 
 
@@ -1801,10 +1825,15 @@ def bm25_prf_topk(
     are O(queries·fb_k) and O(queries·m). Expansion weight ties break
     (tf-sum desc, term asc) so the chosen terms — and therefore pass-2
     scores — are engine-exact; both passes share bm25_topk's
-    quantization discipline."""
+    quantization discipline.
+
+    The index frames are referenced THREE times here (feedback pass,
+    expansion weights, final pass), so they are built MATERIALIZED —
+    one corpus tokenization per call instead of three (Catalyst shares
+    no subplans across DataFrame reuse; scores are unchanged)."""
     from pyspark.sql import Window
 
-    tf, dl, idf = _bm25_index(df, text_col, id_col)
+    tf, dl, idf = _bm25_index(df, text_col, id_col, materialize=True)
     qterms = (
         queries.select(
             F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
@@ -2109,6 +2138,7 @@ def ql_dirichlet_topk(
     id_col: str = "doc_id",
     qid_col: str = "query_id",
     qtext_col: str = "qtext",
+    index=None,
 ) -> DataFrame:
     """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     Lafferty, SIGIR 2001 — public; the standard language-model
@@ -2142,8 +2172,12 @@ def ql_dirichlet_topk(
     spans only matched query terms (bounded by query length) and is
     re-quantized at 6 dp; all operands reach the log in double with a
     pinned op order, so the chained-CTE oracle reproduces every score
-    exactly. Ties break (score desc, doc_id asc)."""
-    tf, dl, _ = _bm25_index(df, text_col, id_col)
+    exactly. Ties break (score desc, doc_id asc).
+
+    ``index`` optionally injects a prebuilt (tf, dl, idf) triple (idf is
+    ignored — Catalyst never computes unreferenced frames) so the LM leg
+    shares the lexical leg's materialized index; scores are identical."""
+    tf, dl, _ = index if index is not None else _bm25_index(df, text_col, id_col)
     qterms = (
         queries.select(
             F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")

@@ -910,7 +910,7 @@ def test_hybrid_rrf_mixture_properties(spark):
     import __spark_entry__ as entrymod
 
     sf = "/root/testdata/sf0.001"
-    _, _, _, _, lex, sem = entrymod._hybrid_legs(spark, sf)
+    _, _, _, _, lex, sem, _ = entrymod._hybrid_legs(spark, sf)
     from market_data_pipeline_spark.operators.text import rrf_fuse
 
     fused = rrf_fuse(lex, sem, k_const=60, topk=10)
@@ -1154,7 +1154,7 @@ def test_hybrid_rrf3_mixture_properties(spark):
     import __spark_entry__ as entrymod
 
     sf = "/root/testdata/sf0.001"
-    _, _, _, _, lex, sem, ql = entrymod._hybrid_legs3(spark, sf)
+    _, _, _, _, lex, sem, ql, _ = entrymod._hybrid_legs3(spark, sf)
     from market_data_pipeline_spark.operators.text import rrf_fuse_many
 
     fused = rrf_fuse_many([lex, sem, ql], k_const=60, topk=10)
