@@ -293,17 +293,32 @@ def _schema_reader(spark: SparkSession, man: dict):
     return spark.read.schema(T.StructType.fromJson(sj))
 
 
-def _write_data(spark: SparkSession, path: str, df: DataFrame) -> tuple[list[str], dict]:
+def _write_data(
+    spark: SparkSession, path: str, df: DataFrame, sized: bool = True
+) -> tuple[list[str], dict]:
     """Write df's parquet files into a writer-unique data directory and
     return (manifest-relative file list, their stats). The directory is
     unique per writer: two racers computing the same next version must
     never share (and overwrite) one directory — manifests reference
     explicit paths, so the name needn't match the version that finally
-    wins the commit race."""
+    wins the commit race.
+
+    ``sized=True`` (default) inserts a REBALANCE hint so AQE coalesces
+    the write into advisory-partition-size files instead of one file per
+    upstream partition. Without it every commit inherits the upstream
+    partitioning — the r9 bench's CDC lifecycle committed 157 tiny files
+    across 3 commits for a few MB of data, and every downstream
+    versioned read re-paid per-file open cost (guide §6: aim for
+    128 MB - 1 GB output files; AQE sizing keeps this scale-adaptive —
+    the same code emits ~advisory-sized files at 100 TB). Ops that
+    ESTABLISH a layout (cluster's Z-order range partitioning, compact's
+    explicit coalesce) pass sized=False: a rebalance shuffle would
+    destroy the row-to-file clustering they just computed."""
     import uuid
 
     data_rel = f"{_DATA}/c-{uuid.uuid4().hex[:12]}"
-    df.write.mode("overwrite").parquet(f"{path}/{data_rel}")
+    out = df.hint("rebalance") if sized else df
+    out.write.mode("overwrite").parquet(f"{path}/{data_rel}")
     new_files = [f"{data_rel}/{p}" for p in _list_parts(spark, f"{path}/{data_rel}")]
     return new_files, _collect_stats(spark, path, new_files)
 
@@ -789,7 +804,8 @@ def compact(spark: SparkSession, path: str, target_partitions: int = 1) -> int:
     # serializable like delete/merge: compaction's file list is a rewrite
     # of the head it READ — a rebase onto a newer head (what _commit's
     # append loop does) would silently erase a concurrent append's rows
-    return _replace_files(spark, path, head, [], snapshot, "compact")
+    # sized=False: target_partitions IS the explicit file-count choice
+    return _replace_files(spark, path, head, [], snapshot, "compact", sized=False)
 
 
 def _replace_files(
@@ -803,6 +819,7 @@ def _replace_files(
     parent_man: dict | None = None,
     txn: int | None = None,
     txn_app: str | None = None,
+    sized: bool = True,
 ) -> int:
     """Commit a snapshot that KEEPS ``untouched`` files as-is (metadata
     carry-over, their stats copied from the parent manifest) and replaces
@@ -816,7 +833,7 @@ def _replace_files(
     new_files: list[str] = []
     new_stats: dict = {}
     if new_df is not None:
-        new_files, new_stats = _write_data(spark, path, new_df)
+        new_files, new_stats = _write_data(spark, path, new_df, sized=sized)
     if parent_man is None:
         parent_man = _manifest(spark, path, expected_head)
     parent_stats = parent_man.get("stats", {})
@@ -1031,7 +1048,8 @@ def cluster(
     )
     # serializable, same reasoning as compact(): the rewrite replaces the
     # file list of the head it read, so a concurrent commit must conflict
-    return _replace_files(spark, path, head, [], clustered, "cluster")
+    # sized=False: a rebalance shuffle would undo the Z-order layout
+    return _replace_files(spark, path, head, [], clustered, "cluster", sized=False)
 
 
 # generation files `_txns-<uuid>.json` (the bare legacy `_txns.json` is

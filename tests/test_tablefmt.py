@@ -313,10 +313,19 @@ def test_cluster_zorder_enables_multi_column_skipping(spark, tmp_path):
         )
         .repartition(8)
     )
-    tf.append(spark, path, df)
+    # sized writes (r9) coalesce small commits to one advisory-sized file;
+    # this fixture needs a MULTI-file random layout to demonstrate skipping,
+    # so shrink the advisory size for the append only
+    adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    try:
+        tf.append(spark, path, df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
     pred = "x >= 100 AND x < 200 AND y >= 100 AND y < 200"
     kept0, skipped0 = tf.pruned_files(spark, path, pred)
-    assert len(kept0) == 8 and skipped0 == []  # random layout: no skipping
+    # random layout: nothing skippable, several files planned
+    assert len(kept0) >= 4 and skipped0 == []
     before = {tuple(r) for r in tf.scan(spark, path, pred).collect()}
     tf.cluster(spark, path, ["x", "y"], target_partitions=8)
     kept1, skipped1 = tf.pruned_files(spark, path, pred)
