@@ -1527,7 +1527,18 @@ def unigram_train(
     across engines and partitionings — the exact chained-CTE DuckDB
     oracle replays it round for round. Scale: corpus cost is the ONE
     word_counts pass upstream; the loop is O(vocab) per round with
-    lineage cut per round (localCheckpoint), like bpe_train."""
+    lineage cut per round (localCheckpoint), like bpe_train.
+
+    r9: the per-round normalizer is an UNPARTITIONED window sum over the
+    piece-count frame instead of the old agg + broadcast-crossJoin pair —
+    one stage instead of three per round. The windowed frame is bounded
+    by the ALPHABET, not the corpus (Σ_{j≤_UNI_P} 26^j = 18 278 pieces
+    max — the same closed-domain argument that lets _unigram_viterbi
+    statically broadcast the piece table), so the single-partition stage
+    is scale-safe; same-JVM A/B: 3.6 → 2.6 s per train, trajectory
+    hash-identical."""
+    from pyspark.sql import Window
+
     w = (
         words.filter(F.length(word_col) <= _UNI_N)
         .select(F.col(word_col).alias("word"), F.col(count_col).cast("long").alias("cnt"))
@@ -1546,35 +1557,27 @@ def unigram_train(
         )
         .select(F.expr("substr(word, __s, __j)").alias("piece"), "cnt")
     )
-    seeds = cand.groupBy("piece").agg(F.sum("cnt").alias("__c"))
-    tot = seeds.agg(F.sum("__c").alias("__tot"))
-    pieces = (
-        seeds.crossJoin(F.broadcast(tot))
-        .select(
-            "piece",
-            F.round(F.col("__c") / F.col("__tot") + F.lit(1e-13), 10).alias("prob"),
-        )
-        .withColumn("lp", F.round(F.log("prob") + F.lit(1e-13), 10))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(em_iters):
-        seg = _unigram_viterbi(w, pieces)
-        counts = (
-            seg.select(F.explode("__pieces").alias("piece"), "cnt")
-            .groupBy("piece")
-            .agg(F.sum("cnt").alias("__c"))
-        )
-        tot = counts.agg(F.sum("__c").alias("__tot"))
-        pieces = (
-            counts.crossJoin(F.broadcast(tot))
-            .select(
+
+    def _renorm(counts: DataFrame) -> DataFrame:
+        # share-of-total over the alphabet-bounded piece frame; arithmetic
+        # identical to the old agg+crossJoin form (Σ__c is the same long)
+        tot = F.sum("__c").over(Window.partitionBy())
+        return (
+            counts.select(
                 "piece",
-                F.round(F.col("__c") / F.col("__tot") + F.lit(1e-13), 10).alias(
-                    "prob"
-                ),
+                F.round(F.col("__c") / tot + F.lit(1e-13), 10).alias("prob"),
             )
             .withColumn("lp", F.round(F.log("prob") + F.lit(1e-13), 10))
             .localCheckpoint(eager=True)
+        )
+
+    pieces = _renorm(cand.groupBy("piece").agg(F.sum("cnt").alias("__c")))
+    for _ in range(em_iters):
+        seg = _unigram_viterbi(w, pieces)
+        pieces = _renorm(
+            seg.select(F.explode("__pieces").alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("__c"))
         )
     return pieces
 

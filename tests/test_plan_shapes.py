@@ -365,6 +365,14 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         "inv_a14_run_summary",  # share-of-total over O(statuses) aggregate
         "inv_x_temperature_mix",  # share-of-total over O(languages) agg
         "inv_x_neyman_alloc",  # largest-remainder rank over O(strata) agg
+        # unigram-LM trainer renormalizer (r9): share-of-total over the
+        # piece-count frame, bounded by the ALPHABET (Σ_{j≤3} 26^j =
+        # 18 278 pieces max regardless of corpus size — the same closed-
+        # domain argument that statically broadcasts the piece table)
+        "inv_t_unigram_lm",
+        "inv_t_unigram_encode",
+        "inv_t_maxmatch_encode",
+        "inv_t_unigram_ppl",
     }
     skipped = 0
     audited = 0
