@@ -10670,10 +10670,13 @@ _REGISTRY.update({"inv_t_bm25_ndcg": (q_t_bm25_ndcg, SQL_T_BM25_NDCG)})
 # ---------------------------------------------------------------------------
 
 
-def _hybrid_legs(spark: SparkSession, sf: str, index=None):
-    """The two rankings every hybrid query fuses: BM25 top-10 (query =
-    first four tokens of docs 0-4) and ANN top-10 over the shared id
-    space (query = those docs' embeddings).
+def _hybrid_parts(
+    spark: SparkSession, sf: str, want_ql: bool = False, want_rel: bool = False
+) -> dict:
+    """Everything the hybrid-retrieval family shares, materialized with
+    OVERLAPPED jobs: BM25 top-10 (query = first four tokens of docs 0-4),
+    ANN top-10 over the shared id space, optionally the Dirichlet-QL leg
+    and the blended relevance frame.
 
     r9 plan-truncation discipline: every hybrid consumer references each
     leg (and the index under it) several times — the fused ranking AND
@@ -10683,29 +10686,79 @@ def _hybrid_legs(spark: SparkSession, sf: str, index=None):
     mentions). The legs are therefore MATERIALIZED (eager
     localCheckpoint): each is an O(queries·k) top-k frame — 50 rows here
     — so the checkpoint is the cheapest frame in the query, and every
-    downstream join reads the tiny RDD. Leg values are unchanged.
-    ``index`` optionally shares one materialized (tf, dl, idf) triple
-    with further legs (see _hybrid_legs3)."""
+    downstream join reads the tiny RDD.
+
+    r9, second pass (guide §2.6 — overlap independent jobs): the eager
+    materializations form a shallow DAG — the ANN leg never touches the
+    inverted index, and lex / ql / rel are mutually independent once the
+    index exists — but running them from one driver thread serialized
+    ~48 small AQE stages. A 2-then-3-way ThreadPoolExecutor submits them
+    concurrently so later jobs back-fill the tail of earlier ones
+    (FIFO scheduling). Same-JVM A/B on inv_t_hybrid_ndcg3: sequential
+    6.0-8.3 s → overlapped 3.9-4.3 s, hash-identical. Leg values are
+    unchanged (each job is the same plan, only submission overlaps)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     d = _docs(spark, sf)
     queries = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 4)).alias("qtext"),
     )
-    if index is None:
-        index = text._bm25_index(d, "text", "doc_id", materialize=True)
-    lex = (
-        text.bm25_topk(d, queries, k=10, index=index)
-        .select("query_id", "doc_id", "rk")
-        .localCheckpoint(eager=True)
-    )
     e = load_table(spark, sf, "embeddings")
     qv = e.filter(F.col("vec_id") < 5)
-    sem = (
-        similarity.ann_topk(e, qv, k=10, n_planes=8)
-        .select("query_id", F.col("corpus_id").alias("doc_id"), "rk")
-        .localCheckpoint(eager=True)
-    )
-    return d, queries, e, qv, lex, sem, index
+
+    def mk_sem():
+        return (
+            similarity.ann_topk(e, qv, k=10, n_planes=8)
+            .select("query_id", F.col("corpus_id").alias("doc_id"), "rk")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_sem = pool.submit(mk_sem)
+        index = text._bm25_index(d, "text", "doc_id", materialize=True)
+
+        def mk_lex():
+            return (
+                text.bm25_topk(d, queries, k=10, index=index)
+                .select("query_id", "doc_id", "rk")
+                .localCheckpoint(eager=True)
+            )
+
+        def mk_ql():
+            return (
+                text.ql_dirichlet_topk(d, queries, k=10, mu=_QL_MU, index=index)
+                .select("query_id", "doc_id", "rk")
+                .localCheckpoint(eager=True)
+            )
+
+        def mk_rel():
+            return _hybrid_rel(d, queries, e, qv, dtoks=index[0]).localCheckpoint(
+                eager=True
+            )
+
+        f_lex = pool.submit(mk_lex)
+        f_ql = pool.submit(mk_ql) if want_ql else None
+        f_rel = pool.submit(mk_rel) if want_rel else None
+        parts = {
+            "d": d,
+            "queries": queries,
+            "e": e,
+            "qv": qv,
+            "index": index,
+            "lex": f_lex.result(),
+            "sem": f_sem.result(),
+            "ql": f_ql.result() if f_ql is not None else None,
+            "rel": f_rel.result() if f_rel is not None else None,
+        }
+    return parts
+
+
+def _hybrid_legs(spark: SparkSession, sf: str):
+    """Tuple view of _hybrid_parts for the two-leg consumers (and the
+    behavior tests): (d, queries, e, qv, lex, sem, index)."""
+    p = _hybrid_parts(spark, sf)
+    return p["d"], p["queries"], p["e"], p["qv"], p["lex"], p["sem"], p["index"]
 
 
 def _hybrid_rel(
@@ -10849,13 +10902,13 @@ def q_t_hybrid_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     grades whether fusion dominates — this entry is the measurement
     instrument, demonstrated on data where the answer is knowably 'the
     legs are independent'."""
-    d, queries, e, qv, lex, sem, idx = _hybrid_legs(spark, sf)
-    fused = text.rrf_fuse(lex, sem, k_const=60, topk=10)
     # rel is read by every per-leg grade below: materialize it once (a
     # few hundred (query, doc, rel) rows) instead of re-deriving the
-    # tokenize-join-crossJoin subtree per grade; dtoks rides the
-    # materialized index's tf keys (identical distinct set).
-    rel = _hybrid_rel(d, queries, e, qv, dtoks=idx[0]).localCheckpoint(eager=True)
+    # tokenize-join-crossJoin subtree per grade; built in _hybrid_parts'
+    # thread pool so it overlaps the leg jobs (guide §2.6).
+    p = _hybrid_parts(spark, sf, want_rel=True)
+    lex, sem, rel = p["lex"], p["sem"], p["rel"]
+    fused = text.rrf_fuse(lex, sem, k_const=60, topk=10)
     n_lex = text.retrieval_ndcg(lex, rel, k=10).withColumnRenamed("ndcg", "ndcg_lex")
     n_sem = text.retrieval_ndcg(sem, rel, k=10).withColumnRenamed("ndcg", "ndcg_sem")
     n_rrf = text.retrieval_ndcg(fused, rel, k=10).withColumnRenamed("ndcg", "ndcg_rrf")
@@ -11524,15 +11577,13 @@ _REGISTRY.update({"inv_t_ql_dirichlet": (q_t_ql_dirichlet, SQL_T_QL_DIRICHLET)})
 
 def _hybrid_legs3(spark: SparkSession, sf: str):
     """The three rankings of the full hybrid: BM25, embedding-ANN, and
-    Dirichlet QL — the QL leg reads the same corpus tokenization subtree
-    as the BM25 leg (one shared inverted index per plan)."""
-    d, queries, e, qv, lex, sem, idx = _hybrid_legs(spark, sf)
-    ql = (
-        text.ql_dirichlet_topk(d, queries, k=10, mu=_QL_MU, index=idx)
-        .select("query_id", "doc_id", "rk")
-        .localCheckpoint(eager=True)
+    Dirichlet QL — the QL leg reads the same materialized inverted index
+    as the BM25 leg, and the three leg jobs overlap (_hybrid_parts)."""
+    p = _hybrid_parts(spark, sf, want_ql=True)
+    return (
+        p["d"], p["queries"], p["e"], p["qv"],
+        p["lex"], p["sem"], p["ql"], p["index"],
     )
-    return d, queries, e, qv, lex, sem, ql, idx
 
 
 def q_t_hybrid_rrf3(spark: SparkSession, sf: str) -> DataFrame:
@@ -11597,11 +11648,11 @@ def q_t_hybrid_ndcg3(spark: SparkSession, sf: str) -> DataFrame:
     informative here — the grade shows three-leg fusion holding up when
     two legs agree and one dissents, the regime RRF's k=60 damping is
     designed for."""
-    d, queries, e, qv, lex, sem, ql, idx = _hybrid_legs3(spark, sf)
-    fused = text.rrf_fuse_many([lex, sem, ql], k_const=60, topk=10)
     # same rel-materialization rationale as q_t_hybrid_ndcg (4 grades
-    # read it); dtoks rides the shared index's tf keys.
-    rel = _hybrid_rel(d, queries, e, qv, dtoks=idx[0]).localCheckpoint(eager=True)
+    # read it); rel/ql/lex jobs overlap in _hybrid_parts' pool (§2.6).
+    p = _hybrid_parts(spark, sf, want_ql=True, want_rel=True)
+    lex, sem, ql, rel = p["lex"], p["sem"], p["ql"], p["rel"]
+    fused = text.rrf_fuse_many([lex, sem, ql], k_const=60, topk=10)
     n_lex = text.retrieval_ndcg(lex, rel, k=10).withColumnRenamed("ndcg", "ndcg_lex")
     n_sem = text.retrieval_ndcg(sem, rel, k=10).withColumnRenamed("ndcg", "ndcg_sem")
     n_ql = text.retrieval_ndcg(ql, rel, k=10).withColumnRenamed("ndcg", "ndcg_ql")
