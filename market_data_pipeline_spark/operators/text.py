@@ -51,17 +51,25 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     stopword_ratio counts occurrences of a fixed stopword list among tokens;
     score = weighted combination clipped to [0, 1].
+
+    r9 (guide §1.3/§4 — make the hot expression cheap, not just fused):
+    stop_hits is ONE ``regexp_count`` over a word-boundary alternation
+    instead of a per-stopword regexp_replace/length-delta sum. The two are
+    exactly equal (each \\b-delimited span matches exactly one stopword, so
+    the alternation's match count is the per-word occurrence sum — verified
+    0 differing rows over the corpus), but the old form was a 10-regex-pass
+    tree that downstream FILTERS duplicate wholesale when Catalyst pushes a
+    ``quality_score >= x`` predicate through the projection (the curated /
+    semantic capstones paid ~4 copies = 40 regex passes/row: filtered-frame
+    noop 2.1-2.3 s vs 0.2 s unfiltered). With the single-pass form the same
+    filtered frame is 0.6 s — same values, same oracle.
     """
     norm = normalized(F.col(text_col))
     n_tok = F.size(tokens(F.col(text_col)))
     punct = F.length(F.regexp_replace(norm, r"[^.,;:!?]", ""))
-    stop_hits = sum(
-        (
-            (F.length(norm) - F.length(F.regexp_replace(norm, f"\\b{w}\\b", "")))
-            / len(w)
-        ).cast("long")
-        for w in STOPWORDS
-    )
+    stop_hits = F.regexp_count(
+        norm, F.lit(r"\b(" + "|".join(STOPWORDS) + r")\b")
+    ).cast("long")
     df = (
         df.withColumn("punct_ratio", F.round(punct / F.greatest(F.length(norm), F.lit(1)).cast("double"), 6))
         .withColumn("stopword_hits", stop_hits)
