@@ -11051,8 +11051,12 @@ def q_d_incremental_versioned(spark: SparkSession, sf: str) -> DataFrame:
     # Fixed per-sf path (NOT pid-tagged): the returned frame reads the store
     # lazily, so the dir must outlive this call — a pid tag would orphan the
     # previous process's dir on every bench/pytest invocation (r7 ADVICE);
-    # the rmtree at the next run's start is the cleanup. Queries here run
-    # sequentially per process contract, so the fixed path cannot race.
+    # the rmtree at the next run's start is the cleanup. SINGLE-PROCESS
+    # contract (r8 ADVICE): nothing enforces cross-process exclusion, so a
+    # bench and a pytest run sharing one sf would rmtree each other's store
+    # mid-lazy-read — run one driver per testdata dir at a time (the house
+    # invocation discipline: bench.py is always run ALONE; see
+    # .claude/skills/verify).
     base = os.path.join(tempfile.gettempdir(), f"mdp_vincr_{tag}")
     shutil.rmtree(base, ignore_errors=True)  # deterministic rebuild
     path = f"{base}/t"

@@ -343,9 +343,14 @@ def markov_stationary(
     Chain construction: transition counts from ``event_transitions``;
     STATES are the types with outgoing transitions, edges into
     terminal-only types are dropped and each row renormalized over the
-    kept edges so the matrix is stochastic (documented bound: a type
-    that only ever ends streams is excluded). π starts uniform and
-    takes ``iterations`` quantized power steps.
+    kept edges so the matrix is row-stochastic OVER KEPT EDGES
+    (documented bound: a type that only ever ends streams is excluded).
+    Second-order drops are NOT iterated: if a source's kept edges all
+    target dropped states, that row leaks probability mass each step and
+    ``stationary_prob`` need not sum to ~1 — the SQL oracle replays the
+    same single-pass drop, so parity holds; callers needing a closed
+    chain should iterate the drop to a fixpoint upstream. π starts
+    uniform and takes ``iterations`` quantized power steps.
 
     Scale shape: the corpus pays ONE user-windowed lead pass (inside
     event_transitions); everything after is O(|types|²) — a bounded

@@ -880,6 +880,19 @@ def ann_recall(
     )
 
 
+def _empty_schema(df: DataFrame, id_col: str, rest_ddl: str):
+    """Schema for the empty-input fast paths: the id field carries the
+    INPUT frame's type for that column (vec_id is long in the stock
+    tables; a hardcoded string diverged from the non-empty path and broke
+    downstream unions on empty inputs — r8 ADVICE)."""
+    from pyspark.sql import types as T
+
+    rest = T._parse_datatype_string(f"struct<{rest_ddl}>").fields
+    return T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType), *rest]
+    )
+
+
 def pca_power(
     df: DataFrame,
     iterations: int = 8,
@@ -937,9 +950,10 @@ def pca_power(
         ]
     ).first()
     if mu_row is None or mu_row[0] is None:
-        # empty input (agg-of-nothing yields nulls): no cloud, no component
+        # empty input (agg-of-nothing yields nulls): no cloud, no component;
+        # the id field keeps the INPUT's type so empty-path unions line up
         return spark.createDataFrame(
-            [], f"{id_col} string, pc1 double, pc1_var double"
+            [], _empty_schema(df, id_col, "pc1 double, pc1_var double")
         )
     mu = [float(mu_row[i]) for i in range(dim)]
     from market_data_pipeline_spark.operators.graph import _loop_shuffle
@@ -1129,8 +1143,9 @@ def pca_top2(
     if mu_row is None or mu_row[0] is None:
         return spark.createDataFrame(
             [],
-            f"{id_col} string, pc1 double, pc2 double, "
-            "pc1_var double, pc2_var double",
+            _empty_schema(
+                df, id_col, "pc1 double, pc2 double, pc1_var double, pc2_var double"
+            ),
         )
     mu = [float(mu_row[i]) for i in range(dim)]
     from market_data_pipeline_spark.operators.graph import _loop_shuffle
@@ -1190,7 +1205,9 @@ def embedding_outliers(
         if head is None or head["__v"] is None:
             return df.sparkSession.createDataFrame(
                 [],
-                f"{id_col} string, dist double, mod_z double, is_outlier boolean",
+                _empty_schema(
+                    df, id_col, "dist double, mod_z double, is_outlier boolean"
+                ),
             )
         dim = len(head["__v"])
     mu = e.agg(

@@ -2521,7 +2521,10 @@ def repetition_signals(
     ``transform`` (inside codegen, no join), two (doc, gram) counts with
     map-side combine, per-doc maxima — all doc-keyed; nothing corpus-
     global anywhere. Ratios are integer/integer divisions rounded at
-    6 dp; documents with fewer than 3 tokens report 0 by convention."""
+    6 dp; a stat whose SLOT COUNT is zero reports 0 by convention (so a
+    2-token doc still gets real bigram stats — its one bigram slot makes
+    top_bigram_share 1.0 — while its trigram stats are 0; only a 0/1-token
+    doc reports 0 across the board). Pinned by the pytest fixture."""
     t = tokens(F.col(text_col))
     d = df.select(F.col(id_col), t.alias("__t")).withColumn(
         "__n", F.size(F.filter("__t", lambda x: x != ""))

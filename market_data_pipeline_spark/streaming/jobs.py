@@ -726,7 +726,15 @@ def histogram_counters(df: DataFrame, value_col: str, lo: float, hi: float, bins
     """Equi-width histogram counters over ``value_col``: bin = clamp(
     floor((v − lo)/w), 0, bins−1) with w = (hi − lo)/bins — one
     map-side-combined aggregation into ≤ ``bins`` cells. Shared by the
-    batch build and the streaming delta so the two can never drift."""
+    batch build and the streaming delta so the two can never drift.
+
+    NaN values are dropped alongside NULLs (a NaN passed isNotNull but
+    floor(NaN) casts to null and `greatest` skips nulls, silently landing
+    it in bin 0 while a SQL twin errors casting NaN to BIGINT — r8
+    ADVICE); degenerate edges (hi ≤ lo) raise instead of emitting
+    zero-width bins."""
+    if hi <= lo:
+        raise ValueError(f"histogram edges must satisfy lo < hi, got [{lo}, {hi}]")
     w = (hi - lo) / bins
     b = F.least(
         F.greatest(
@@ -736,7 +744,10 @@ def histogram_counters(df: DataFrame, value_col: str, lo: float, hi: float, bins
         F.lit(bins - 1),
     )
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .select(b.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
