@@ -214,9 +214,15 @@ def main() -> None:
     # Sidecar with the same payload, committed to git, so per-query medians
     # survive any future output-capture quirk regardless of what the driver
     # manages to parse from stdout.
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
-    with open(sidecar, "w") as fh:
-        fh.write(payload + "\n")
+    # Only the driver-scale run (sf0.1, where the regression gate engages)
+    # owns the committed sidecar — a cheap sf0.001 invocation (e.g. the
+    # bench-contract pytest) must not clobber the per-round record.
+    if sf == 0.1:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(payload + "\n")
     # The per-query dict must stay complete (driver contract: entries are
     # never removed or renamed), so if the headline ever grows the line past
     # ~1.9 kB the fix is to shorten NOTHING here but to re-negotiate the

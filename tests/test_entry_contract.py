@@ -101,7 +101,15 @@ def test_bench_cli_contract(tmp_path):
 
     assert rec["sf"] == 0.001
     assert set(rec["queries"]) == set(benchmod.HEADLINE) | {"entry_flagship"}
-    assert set(rec["spread"]) == set(rec["queries"])
+    # r9: the printed line is the COMPACT driver-contract subset — the
+    # per-query spread block is sidecar-only (BENCH_SELF.json) after the
+    # r8 postmortem: the full line hit 2,243 chars vs the driver's
+    # 2,000-char merged-output tail window, and BENCH_r08.json parsed
+    # null. Guard both halves of that fix.
+    assert "spread" not in rec
+    assert len(json_lines[0]) < 2000, len(json_lines[0])
+    side = json.load(open(os.path.join(repo, "BENCH_SELF.json")))
+    assert set(side["spread"]) == set(side["queries"])
 
 
 def test_correctness_window_rotation():
