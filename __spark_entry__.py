@@ -10479,14 +10479,18 @@ _REGISTRY.update({"inv_t_bm25_topk": (q_t_bm25_topk, SQL_T_BM25)})
 
 def q_t_maxmatch_encode(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
-    train = _uni_words(spark, sf)
-    p = text.unigram_train(train, em_iters=_UNI_EM_ITERS)
-    all_words = (
+    # shared word-count pass (r9): same derivation as q_t_unigram_ppl —
+    # the trainer's top-k vocabulary is an orderBy+limit over the SAME
+    # admitted word-count frame the encode consumes, so one checkpointed
+    # frame feeds both and the second corpus tokenize pass disappears.
+    wc_all = (
         text.word_counts(d)
         .filter(F.length("word") <= 12)
-        .select("word")
+        .localCheckpoint(eager=True)
     )
-    return text.maxmatch_apply(d, all_words, p)
+    train = wc_all.orderBy(F.desc("cnt"), "word").limit(_UNI_TOP_WORDS)
+    p = text.unigram_train(train, em_iters=_UNI_EM_ITERS)
+    return text.maxmatch_apply(d, wc_all.select("word"), p)
 
 
 def _maxmatch_sql(em: int = _UNI_EM_ITERS) -> str:
@@ -11880,9 +11884,19 @@ _REGISTRY.update({"inv_d_cdc_admission": (q_d_cdc_admission, SQL_D_CDC_ADMISSION
 
 def q_t_unigram_ppl(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
-    train = _uni_words(spark, sf)
+    # ONE corpus word-count pass feeds both the trainer vocabulary and the
+    # scoring vocabulary (r9): all_words ⊇ the top-_UNI_TOP_WORDS training
+    # slice by construction (_uni_words is exactly this frame + orderBy +
+    # limit), so deriving the train input from the CHECKPOINTED all_words
+    # drops a second tokenize+explode+groupBy scan of the corpus. Rows,
+    # ordering tiebreak, and every downstream value are unchanged.
+    all_words = (
+        text.word_counts(d)
+        .filter(F.length("word") <= 12)
+        .localCheckpoint(eager=True)
+    )
+    train = all_words.orderBy(F.desc("cnt"), "word").limit(_UNI_TOP_WORDS)
     p = text.unigram_train(train, em_iters=_UNI_EM_ITERS)
-    all_words = text.word_counts(d).filter(F.length("word") <= 12)
     return text.unigram_doc_nll(d, all_words, p)
 
 

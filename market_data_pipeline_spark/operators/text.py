@@ -1733,10 +1733,22 @@ def _bm25_index(df: DataFrame, text_col: str, id_col: str, materialize: bool = F
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     if materialize:
+        # dl is Σ tf per doc (every token occurrence lands in exactly one
+        # (doc, term) group), so the materialized path derives it from the
+        # CHECKPOINTED tf instead of paying a second corpus tokenize +
+        # explode job — one eager corpus pass, not two. Arithmetic is
+        # identical (count over occurrences = sum of per-term counts; both
+        # long). The lazy path keeps the direct single-level aggregate:
+        # there dl-from-tf would widen the shuffle to (doc, term) pairs.
         tf = tf.localCheckpoint(eager=True)
-        dl = dl.localCheckpoint(eager=True)
+        dl = (
+            tf.groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("dl"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
         F.broadcast(
             dl.agg(F.round(F.avg("dl") + F.lit(1e-9), 6).alias("__avgdl"))

@@ -37,6 +37,12 @@ def get_spark(app_name: str = "market_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # INT64-micros parquet timestamps (not INT96): the modern physical
+        # type, and the one whose footers carry min/max statistics — the
+        # versioned table format reads commit stats from footers (r9), and
+        # INT96 column chunks publish no usable bounds, which would demote
+        # timestamp file-skipping to "never prunes"
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         # single-node: every task is node-local; a nonzero locality wait
@@ -59,4 +65,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # runtime-settable; see get_spark — footer commit stats need INT64
+    # timestamps, INT96 chunks publish no bounds
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

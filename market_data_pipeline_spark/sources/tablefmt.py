@@ -186,18 +186,166 @@ def _stat_json(tag: str, v):
     return v
 
 
+def _local_file(path: str) -> str | None:
+    """Filesystem path for a local(-scheme) URI, or None when the file
+    lives on a remote FS the driver cannot open directly."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    if "://" in path.split("/", 1)[0] or ":" in path.split("/", 1)[0]:
+        return None  # hdfs://, s3a://, ... — not driver-openable
+    return path
+
+
+def _arrow_stat_tag(t) -> str | None:
+    """_stat_tag's domain mapping, applied to the parquet file's own Arrow
+    schema — identical classification for Spark-written files (arrays,
+    maps, binary, structs stay non-statable)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "numeric"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return None
+
+
+def _footer_stat_value(tag: str, v, tz):
+    """Footer stat → the same JSON encoding _stat_json produces from the
+    distributed pass (timestamps formatted as session-timezone wall-clock
+    strings, dates ISO, NaN bounds dropped)."""
+    import datetime as _dt
+    import decimal
+
+    if v is None:
+        return None
+    if tag == "numeric":
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, float) and v != v:
+            return None  # NaN bound: unusable for ordered pruning
+        return v
+    if tag == "date":
+        return v.isoformat()
+    if tag == "timestamp":
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(tz).replace(tzinfo=None)
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return None  # INT96 or exotic physical type: no usable bound
+    return v
+
+
+def _footer_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict | None:
+    """Per-file stats read from the parquet FOOTERS the writer already
+    produced — min/max/null-count per statable column plus row count,
+    byte-identical in encoding to the distributed pass below (same tag
+    domains, same NaN/None conventions, timestamps formatted in the
+    session timezone). This is how production formats get commit stats:
+    O(files) footer reads instead of re-scanning every new byte — at
+    100 TB the difference between a metadata commit and a second full
+    read of the appended data. Returns None when the data is not
+    driver-openable (remote FS) or pyarrow is unavailable; the caller
+    then falls back to the distributed scan. Conservative degradations
+    (a column whose footer carries no min/max — e.g. >4 KB string stats
+    dropped by the writer, INT96 timestamps — or an ambiguous nested
+    path) record None bounds, which the pruning evaluator already treats
+    as "cannot prove", so scan() ≡ read().filter() is unaffected."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    except Exception:
+        return None
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        local = _local_file(f"{path}/{rel}")
+        if local is None:
+            return None
+        try:
+            pf = pq.ParquetFile(local)
+        except Exception:
+            return None
+        md = pf.metadata
+        import pyarrow as pa
+
+        if any(pa.types.is_floating(f.type) for f in pf.schema_arrow):
+            # Parquet writers EXCLUDE NaN from float/double min/max while
+            # Spark orders NaN greatest: a NaN-bearing file would publish
+            # bounds that wrongly prune rows the engine itself matches
+            # (pinned by test_nan_stats_never_prune_matching_rows). The
+            # footer cannot prove NaN-absence, so float-bearing tables
+            # keep the NaN-aware distributed pass.
+            return None
+        tags = {
+            f.name: t
+            for f in pf.schema_arrow
+            if (t := _arrow_stat_tag(f.type)) is not None
+        }
+        # map column-chunk paths once; a path that appears more than once
+        # (a statable column name colliding with a nested leaf path) is
+        # ambiguous — skip it rather than merge unrelated stats
+        paths = [md.row_group(0).column(j).path_in_schema for j in range(md.num_columns)] if md.num_row_groups else []
+        idx = {}
+        for j, p in enumerate(paths):
+            idx[p] = None if p in idx else j
+        entry: dict[str, dict] = {}
+        for name, tag in tags.items():
+            j = idx.get(name)
+            if j is None:
+                continue
+            mins, maxs, nulls = [], [], 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(j).statistics
+                if st is None or st.null_count is None:
+                    nulls = None
+                elif nulls is not None:
+                    nulls += st.null_count
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                else:
+                    mins = maxs = None
+                    break
+            mn = mx = None
+            if mins:  # every row group carried bounds
+                try:
+                    mn = _footer_stat_value(tag, min(mins), tz)
+                    mx = _footer_stat_value(tag, max(maxs), tz)
+                except TypeError:
+                    mn = mx = None  # unorderable mix: no usable bound
+            if mn is None or mx is None:
+                mn = mx = None  # one-sided bounds never prune; drop both
+            entry[name] = {"t": tag, "min": mn, "max": mx, "nulls": nulls}
+        out[rel] = {"rows": int(md.num_rows), "cols": entry}
+    return out
+
+
 def _collect_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict:
-    """One distributed pass over the freshly written files: per-file
-    min/max/nulls per statable column plus row count, keyed by the
-    manifest-relative file path. A real format gets these from the writer
-    for free; re-deriving them costs one scan of only the NEW files per
-    commit and keeps the writer Spark-native."""
+    """Per-file min/max/nulls per statable column plus row count, keyed by
+    the manifest-relative file path. Footer-read first (r9: the writer
+    already computed these — see _footer_stats), with the original
+    distributed pass as the fallback for non-local storage."""
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
     if not rel_files:
         return {}
+    footer = _footer_stats(spark, path, rel_files)
+    if footer is not None:
+        return footer
     sdf = spark.read.parquet(*[f"{path}/{f}" for f in rel_files])
     cols = [(f.name, _stat_tag(f.dataType)) for f in sdf.schema.fields]
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -614,7 +762,8 @@ def _conjunct_may_match(conj: str, file_stats: dict) -> bool:
     m = _NULL_RE.match(conj)
     if m:
         entry = col_entry(m.group(1))
-        if entry is None:
+        if entry is None or entry["nulls"] is None:
+            # unknown null count (footer stats unavailable): cannot prove
             return True
         if m.group(2):  # IS NOT NULL: all-null file has no match
             return entry["nulls"] < rows
