@@ -17,6 +17,15 @@ driver-recorded numbers; this script exits 1 (after printing the JSON line)
 if total > 2x the baseline total or any query > 3x its baseline entry
 plus a 1s absolute noise floor — the 2x perf contract is self-enforcing. Gate only engages at the baseline's
 SF so local sf0.01 iteration never false-alarms.
+
+r10 (r9 verdict task 2 — the r9 driver run tripped the gate on a clean
+tree): both gate checks normalize by the run's own host-slowness factor
+(the clamped MEDIAN time/budget ratio — budgets were pinned on a faster
+box than the one the driver graded on), and any query still over its
+normalized threshold is RE-MEASURED once at the end of the run before
+gating, so a transient interference burst that outlasted its own three
+back-to-back runs gets samples maximally distant from the burst. A
+persistent regression reproduces in the late samples and still exits 1.
 """
 
 import json
@@ -124,13 +133,33 @@ HEADLINE = [
 RUNS_PER_QUERY = 3
 
 
+def _int_env(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, ""))
+    except ValueError:
+        return default
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Test-only knobs (r9 verdict task 1): the bench-CLI FORMAT contract
+    # (one JSON line, complete queries dict, sidecar discipline) does not
+    # need the full 38-entry × 3-run headline, whose honest sf0.001
+    # runtime (~6 min alone) made the pytest subprocess timeout flake
+    # under session load. The contract test subsets to a few queries ×
+    # 1 run; the driver's invocations leave BOTH unset, so the measured
+    # methodology (full headline, min-of-3) is unchanged. A subset run
+    # never writes the sidecar and never engages the regression gate.
+    n_sub = _int_env("SPARK_GRAFT_BENCH_QUERIES", 0)
+    runs = max(1, _int_env("SPARK_GRAFT_BENCH_RUNS", RUNS_PER_QUERY))
+    full_methodology = n_sub <= 0 and runs == RUNS_PER_QUERY
     spark = get_spark("bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    if n_sub > 0:
+        names = names[:n_sub]
     # warm the JVM + file metadata cache once with the cheapest query, and
     # the Arrow/Python UDF workers (long-lived in a real deployment) with a
     # 1-row pandas-UDF round-trip so no query pays one-time startup cost
@@ -154,24 +183,48 @@ def main() -> None:
     # cached between runs (noop sink, no .cache()), so every run re-executes
     # the full distributed plan; min-of-N measures achievable latency
     # rather than scheduler luck, and the spread quantifies that luck.
-    def _measure(run) -> tuple[float, float]:
-        samples = []
-        for _ in range(RUNS_PER_QUERY):
+    def _samples(run, n=runs) -> list[float]:
+        out = []
+        for _ in range(n):
             t0 = time.time()
             run()
-            samples.append(time.time() - t0)
-        return round(min(samples), 3), round(max(samples) - min(samples), 3)
+            out.append(time.time() - t0)
+        return out
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
+    def _run_of(name: str):
+        if name == "entry_flagship":
+            return lambda: entrymod.entry(spark).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        return lambda: qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    all_samples: dict[str, list[float]] = {}
     for name in names:
-        timings[name], spreads[name] = _measure(
-            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        )
+        all_samples[name] = _samples(_run_of(name))
     # the flagship daily path (entry) gets a tracked number too (verdict #8)
-    timings["entry_flagship"], spreads["entry_flagship"] = _measure(
-        lambda: entrymod.entry(spark).write.format("noop").mode("overwrite").save()
-    )
+    all_samples["entry_flagship"] = _samples(_run_of("entry_flagship"))
+
+    def _finalize():
+        t = {n: round(min(s), 3) for n, s in all_samples.items()}
+        sp = {n: round(max(s) - min(s), 3) for n, s in all_samples.items()}
+        return t, sp
+
+    timings, spreads = _finalize()
+    # Suspect re-measure (r9 verdict task 2): min-of-3 back-to-back runs
+    # cannot absorb a host-interference burst that outlasts all three (the
+    # r9 driver run measured the untouched inv_x_curated_corpus at 34 s —
+    # 3.6 s on the same commit an hour later — and the gate false-alarmed).
+    # Any query that would trip the per-query gate gets ONE more full
+    # measurement pass at the END of the run, maximally distant in time
+    # from its own burst; the min over all samples is still an honest
+    # fresh computation of the identical plan (no caching — noop sink).
+    # A PERSISTENT 3x regression reproduces here and still trips.
+    if full_methodology and sf == _baseline_sf():
+        for name in _suspects(timings):
+            all_samples[name] += _samples(_run_of(name))
+        timings, spreads = _finalize()
     total = round(sum(timings.values()), 3)
     # Full payload (with the per-query spread block) goes to the committed
     # sidecar; the PRINTED line is the compact driver-contract subset.
@@ -214,10 +267,13 @@ def main() -> None:
     # Sidecar with the same payload, committed to git, so per-query medians
     # survive any future output-capture quirk regardless of what the driver
     # manages to parse from stdout.
-    # Only the driver-scale run (sf0.1, where the regression gate engages)
-    # owns the committed sidecar — a cheap sf0.001 invocation (e.g. the
-    # bench-contract pytest) must not clobber the per-round record.
-    if sf == 0.1:
+    # Only the driver-scale run (sf0.1 at the full 32-core width, full
+    # methodology) owns the committed sidecar — a cheap sf0.001 invocation
+    # (e.g. the bench-contract pytest) or the driver's reduced-core scaling
+    # run (r9: the 8-core pass clobbered the committed 32-core closing
+    # record) must not overwrite the per-round record.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if sf == 0.1 and full_methodology and cpus in ("", "32"):
         sidecar = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
         )
@@ -231,7 +287,61 @@ def main() -> None:
         print(f"WARNING: bench JSON line {len(line)} chars nears the 2000-char tail window", file=sys.stderr)
     print(line)
     sys.stdout.flush()
-    sys.exit(_gate(timings, sf))
+    sys.exit(_gate(timings, sf) if full_methodology else 0)
+
+
+def _load_baseline() -> dict | None:
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh)
+        return {"queries": dict(base["queries"]), "sf": base["sf"]}
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _baseline_sf() -> float:
+    base = _load_baseline()
+    return base["sf"] if base is not None else -1.0
+
+
+def _norm_factor(timings: dict[str, float], base_q: dict[str, float]) -> float:
+    """Host-slowness factor for THIS run: the median of the per-query
+    time/budget ratios over the tracked intersection, clamped to [1, 4].
+
+    Budgets are pinned on one box; the driver's box has measured
+    plan-identical fixed-cost queries 2-4x slower (r9: TPC-H q1, zero
+    code change, 0.42 -> 1.38 s), so unnormalized thresholds alarm on a
+    clean tree. The MEDIAN over ~38 queries moves only when the whole
+    run is uniformly slow — the signature of a slow host, not of a code
+    change, which lands in individual queries (plans are pinned per
+    query by test_plan_shapes). A broad >4x code regression would saturate
+    the clamp and still trip the total check. Needs >= 8 tracked queries
+    to engage (a subset run gates unnormalized)."""
+    ratios = sorted(
+        timings[n] / base_q[n] for n in timings if n in base_q and base_q[n] > 0
+    )
+    if len(ratios) < 8:
+        return 1.0
+    mid = ratios[len(ratios) // 2]
+    return min(max(mid, 1.0), 4.0)
+
+
+def _suspects(timings: dict[str, float]) -> list[str]:
+    """Queries whose current min would trip the normalized per-query
+    check — the re-measure candidates (and, post re-measure, the trips).
+
+    3x relative + 1s absolute: sub-second baselines are scheduling-
+    noise-bound on a shared box (a single contention spike triples a
+    0.9s query), so the per-query trigger needs an absolute floor —
+    a real regression on any query that matters clears 3x + 1s easily."""
+    base = _load_baseline()
+    if base is None:
+        return []
+    base_q = base["queries"]
+    tracked = {n: timings[n] for n in timings if n in base_q}
+    factor = _norm_factor(tracked, base_q)
+    return [n for n in tracked if tracked[n] > 3.0 * base_q[n] * factor + 1.0]
 
 
 def _gate(timings: dict[str, float], sf: float) -> int:
@@ -241,40 +351,42 @@ def _gate(timings: dict[str, float], sf: float) -> int:
     query names, so adding a newly tracked query can never trip the 2×
     total check asymmetrically. A malformed baseline file disables the
     gate (returns 0) rather than crashing the one-JSON-line contract.
-    """
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
-    try:
-        with open(base_path) as fh:
-            base = json.load(fh)
-        base_q = dict(base["queries"])
-        base_sf = base["sf"]
-    except (OSError, ValueError, KeyError, TypeError):
+
+    r10 (r9 verdict task 2 — the gate false-alarmed on a clean tree in the
+    driver's environment): both checks normalize by the run's own host-
+    slowness factor (_norm_factor). The per-query factor is the clamped
+    median ratio; the total check clamps tighter (2.0) so it stays a live
+    backstop against broad many-query regressions that normalization
+    could otherwise absorb. Transient single-query bursts are handled by
+    measurement, not math: main() re-measures every would-be trip at the
+    end of the run before gating (a pure threshold cannot distinguish a
+    burst that outlasted its three back-to-back runs from a real
+    regression — more, later samples can)."""
+    base = _load_baseline()
+    if base is None:
         return 0
-    if sf != base_sf:
+    if sf != base["sf"]:
         return 0  # gate is calibrated at the baseline SF only
+    base_q = base["queries"]
     rc = 0
-    tracked = [n for n in timings if n in base_q]
-    got_total = sum(timings[n] for n in tracked)
+    tracked = {n: timings[n] for n in timings if n in base_q}
+    factor = _norm_factor(tracked, base_q)
+    got_total = sum(tracked.values())
     want_total = sum(base_q[n] for n in tracked)
-    if want_total > 0 and got_total > 2.0 * want_total:
+    if want_total > 0 and got_total > 2.0 * want_total * min(factor, 2.0):
         print(
             f"BENCH GATE: tracked total {round(got_total, 3)}s > 2x baseline "
-            f"{round(want_total, 3)}s",
+            f"{round(want_total, 3)}s (host factor {round(min(factor, 2.0), 2)})",
             file=sys.stderr,
         )
         rc = 1
-    for name in tracked:
-        # 3x relative + 1s absolute: sub-second baselines are scheduling-
-        # noise-bound on a shared box (a single contention spike triples a
-        # 0.9s query), so the per-query trigger needs an absolute floor —
-        # a real regression on any query that matters clears 3x + 1s easily.
-        if timings[name] > 3.0 * base_q[name] + 1.0:
-            print(
-                f"BENCH GATE: {name} {timings[name]}s > 3x baseline "
-                f"{base_q[name]}s (+1s grace)",
-                file=sys.stderr,
-            )
-            rc = 1
+    for name in _suspects(timings):
+        print(
+            f"BENCH GATE: {name} {timings[name]}s > 3x baseline "
+            f"{base_q[name]}s (x{round(factor, 2)} host factor, +1s grace)",
+            file=sys.stderr,
+        )
+        rc = 1
     return rc
 
 

@@ -33,6 +33,13 @@ predicate shapes prune nothing) and the full predicate is always
 re-applied, so scan() ≡ read().filter(predicate) by construction.
 All paths go through the Hadoop FileSystem API so remote URIs behave like
 local ones.
+
+Physical-format note (r9 ADVICE): sessions built by this repo write
+parquet timestamps as INT64 micros (``outputTimestampType=
+TIMESTAMP_MICROS``) so commit stats can come from footers — INT96 chunks
+publish no usable bounds. A table written partly before that setting
+therefore mixes INT96 and INT64 files; Spark reads both transparently,
+but legacy INT96-only external readers (old Hive/Impala) would not.
 """
 
 from __future__ import annotations
@@ -188,12 +195,15 @@ def _stat_json(tag: str, v):
 
 def _local_file(path: str) -> str | None:
     """Filesystem path for a local(-scheme) URI, or None when the file
-    lives on a remote FS the driver cannot open directly."""
+    lives on a remote FS the driver cannot open directly. The remote
+    check anchors on a real URI scheme (``scheme://``) — a bare colon in
+    the first segment (a legal relative POSIX name like ``data:v2/t``)
+    is NOT a scheme and keeps the footer fast path (r9 ADVICE)."""
     if path.startswith("file:"):
         from urllib.parse import unquote, urlparse
 
         return unquote(urlparse(path).path)
-    if "://" in path.split("/", 1)[0] or ":" in path.split("/", 1)[0]:
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path):
         return None  # hdfs://, s3a://, ... — not driver-openable
     return path
 
@@ -241,6 +251,35 @@ def _footer_stat_value(tag: str, v, tz):
             return v.strftime("%Y-%m-%d %H:%M:%S.%f")
         return None  # INT96 or exotic physical type: no usable bound
     return v
+
+
+def _fold_chunk_stats(chunks) -> tuple[list | None, list | None, int | None]:
+    """Fold one column's per-row-group footer statistics into
+    ``(mins, maxs, null_count)``. Bounds: usable only when EVERY row
+    group carries min/max, else (None, None). Null count: the sum over
+    ALL row groups, or None as soon as ANY group's count is unknown —
+    and, critically, independent of the bounds fold: a group whose
+    min/max were dropped by the writer (>4 KB string values, INT96)
+    still contributes its null count, and the groups AFTER it still
+    accumulate. The r9 shipped form broke out of a shared loop when
+    bounds stopped, recording a PARTIAL null count — if a later group
+    held the file's only nulls, the manifest said nulls=0 and the
+    IS NULL pruning branch dropped a file with matching rows (r9 ADVICE
+    high; pinned by test_footer_partial_null_count_never_prunes)."""
+    mins: list | None = []
+    maxs: list | None = []
+    nulls: int | None = 0
+    for st in chunks:
+        if st is None or st.null_count is None:
+            nulls = None
+        elif nulls is not None:
+            nulls += st.null_count
+        if mins is not None and st is not None and st.has_min_max:
+            mins.append(st.min)
+            maxs.append(st.max)
+        else:
+            mins = maxs = None
+    return mins, maxs, nulls
 
 
 def _footer_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict | None:
@@ -305,21 +344,10 @@ def _footer_stats(spark: SparkSession, path: str, rel_files: list[str]) -> dict 
             j = idx.get(name)
             if j is None:
                 continue
-            mins, maxs, nulls = [], [], 0
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(j).statistics
-                if st is None or st.null_count is None:
-                    nulls = None
-                elif nulls is not None:
-                    nulls += st.null_count
-                if st is not None and st.has_min_max:
-                    mins.append(st.min)
-                    maxs.append(st.max)
-                else:
-                    mins = maxs = None
-                    break
+            chunks = [md.row_group(g).column(j).statistics for g in range(md.num_row_groups)]
+            mins, maxs, nulls = _fold_chunk_stats(chunks)
             mn = mx = None
-            if mins:  # every row group carried bounds
+            if mins is not None and mins:  # every row group carried bounds
                 try:
                     mn = _footer_stat_value(tag, min(mins), tz)
                     mx = _footer_stat_value(tag, max(maxs), tz)

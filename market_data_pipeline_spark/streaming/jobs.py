@@ -126,7 +126,35 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark:
 _MEM_SINK_SEQ = [0]
 
 
-def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def stream_shuffle_partitions() -> int:
+    """State-partition width for the streaming queries this module starts.
+
+    In Structured Streaming the stateful-operator partition count is a
+    DURABLE property of the checkpoint — it is captured from
+    ``spark.sql.shuffle.partitions`` when the query first starts and can
+    never change for that checkpoint's lifetime — so production streaming
+    jobs always pin it explicitly from expected key cardinality and
+    throughput, never inherit a batch-session default sized to core
+    count. The default 8 fits the test corpora (~150 active keys; each
+    extra state partition costs a task + a per-micro-batch state-store
+    commit file, so 32 partitions over 150 keys paid 4x the scaffold for
+    zero parallelism win — guide §2.2 "fewer, larger partitions").
+    Override with $SPARK_GRAFT_STREAM_PARTITIONS for a real deployment.
+    The queries here use fresh per-run checkpoints, so the pin is safe."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "")))
+    except ValueError:
+        return 8
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drive a streaming plan to completion on the available files and return
     the materialized result — the local verification harness for the
     streaming surface (a real deployment writes to Kafka/Delta instead).
@@ -134,14 +162,25 @@ def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame, name: str
     collide."""
     _MEM_SINK_SEQ[0] += 1
     qname = f"{name}_{_MEM_SINK_SEQ[0]}"
-    q = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
+    # Scope the state-partition width to this query (r10, guide §2.2): the
+    # streaming plan snapshots shuffle.partitions when the query starts;
+    # the batch session's own value is restored after the run (the caller
+    # blocks for the whole query, so nothing else plans meanwhile).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_partitions())
     )
-    q.awaitTermination()
+    try:
+        q = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
 
 

@@ -80,20 +80,27 @@ def test_bench_cli_contract(tmp_path):
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    # r10 (r9 verdict task 1): the FORMAT contract — one JSON line, the
+    # right keys, sidecar discipline — does not need the full 38-entry
+    # × 3-run headline, whose honest sf0.001 runtime (~6 min alone) blew
+    # the 600 s subprocess timeout whenever the pytest session loaded the
+    # box (tests_ok=false in the r9 driver gate). Subset to the first 3
+    # headline entries × 1 run via the test-only env knobs; the driver's
+    # own bench invocations leave both unset, so the measured methodology
+    # is untouched. Completeness of the FULL queries dict is asserted
+    # structurally below (names = HEADLINE ∩ queries(), never a literal).
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES="3",
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         capture_output=True,
         text=True,
-        # r9: 420 -> 600. The headline grew 27 (r6, when 420 was pinned)
-        # -> 38 entries, each x3 runs of mostly FIXED cost at sf0.001
-        # (job floors, streaming scaffold, versioned commits) — measured
-        # 373 s alone on the r9 box, which left no headroom for the
-        # pytest session's own idle JVM and flaked twice this round.
-        # This timeout guards the FORMAT contract against hangs, not
-        # performance (the sf0.1 regression gate does that), so it only
-        # needs to cover honest runtime with margin.
-        timeout=600,
+        # guards against hangs, not performance: the subset runs in ~1 min
+        timeout=420,
         env=env,
         cwd=repo,
     )
@@ -103,12 +110,17 @@ def test_bench_cli_contract(tmp_path):
     rec = json.loads(json_lines[0])
     assert rec["metric"] == "headline_queries_total"
     assert rec["unit"] == "sec" and rec["value"] > 0
-    # every HEADLINE entry plus entry_flagship, never hard-coded: the r4
-    # failure mode was a literal count going stale when the headline grew
+    # the subset knob slices the REAL headline list (first 3 + flagship),
+    # never hard-coded names: the r4 failure mode was a literal count
+    # going stale when the headline grew
     import bench as benchmod
 
     assert rec["sf"] == 0.001
-    assert set(rec["queries"]) == set(benchmod.HEADLINE) | {"entry_flagship"}
+    assert set(rec["queries"]) == set(benchmod.HEADLINE[:3]) | {"entry_flagship"}
+    # a full-methodology line must carry every headline entry: assert the
+    # bench derives its name list from HEADLINE ∩ queries() structurally
+    qs = set(entrymod.queries())
+    assert set(benchmod.HEADLINE) <= qs
     # r9: the printed line is the COMPACT driver-contract subset — the
     # per-query spread block is sidecar-only (BENCH_SELF.json) after the
     # r8 postmortem: the full line hit 2,243 chars vs the driver's
@@ -118,6 +130,10 @@ def test_bench_cli_contract(tmp_path):
     assert len(json_lines[0]) < 2000, len(json_lines[0])
     side = json.load(open(os.path.join(repo, "BENCH_SELF.json")))
     assert set(side["spread"]) == set(side["queries"])
+    # the committed sidecar is the driver-scale (sf0.1, 32-core, full-
+    # methodology) record: the subset run above, and any sf/cpu-reduced
+    # run, must never clobber it (r9: the driver's 8-core pass did)
+    assert set(side["queries"]) == set(benchmod.HEADLINE) | {"entry_flagship"}
 
 
 def test_correctness_window_rotation():

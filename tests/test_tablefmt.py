@@ -999,3 +999,65 @@ def test_incremental_versioned_plans_only_new_files(spark, tmp_path):
     assert planned == {f.split("/")[-1] for f in added}
     # and the feed carries exactly the batch rows
     assert sorted(r.doc_id for r in new.collect()) == [100, 101, 102, 103, 104]
+
+
+class _ChunkStub:
+    """Minimal stand-in for a parquet column-chunk Statistics object."""
+
+    def __init__(self, null_count, has_min_max, mn=None, mx=None):
+        self.null_count = null_count
+        self.has_min_max = has_min_max
+        self.min = mn
+        self.max = mx
+
+
+def test_footer_partial_null_count_never_prunes():
+    """r9 ADVICE (high): when a row group's bounds are dropped (>4 KB
+    string values, INT96) the old footer fold broke out of the shared
+    loop and recorded the PARTIAL null count accumulated so far — a file
+    whose only nulls sat in a later group got nulls=0 in the manifest and
+    the IS NULL pruning branch dropped it despite matching rows. The fold
+    must keep accumulating null counts after bounds collection stops."""
+    # group 0: bounds dropped, 0 nulls; group 1: bounds fine, 7 nulls
+    mins, maxs, nulls = tf._fold_chunk_stats(
+        [_ChunkStub(0, False), _ChunkStub(7, True, 1, 9)]
+    )
+    assert (mins, maxs) == (None, None)
+    assert nulls == 7  # the r9 fold reported 0 here -> false IS NULL prune
+    # an UNKNOWN per-group null count poisons the sum to None (evaluator
+    # treats None as "cannot prove"), regardless of where it appears
+    assert tf._fold_chunk_stats(
+        [_ChunkStub(None, True, 1, 2), _ChunkStub(3, True, 1, 2)]
+    )[2] is None
+    assert tf._fold_chunk_stats(
+        [_ChunkStub(2, True, 1, 2), _ChunkStub(None, False)]
+    )[2] is None
+    # a group entirely without stats drops bounds AND poisons nulls
+    assert tf._fold_chunk_stats([None, _ChunkStub(3, True, 1, 2)]) == (
+        None,
+        None,
+        None,
+    )
+    # healthy path: bounds from every group, nulls summed across all
+    assert tf._fold_chunk_stats(
+        [_ChunkStub(1, True, 1, 5), _ChunkStub(2, True, 0, 9)]
+    ) == ([1, 0], [5, 9], 3)
+    # bounds need EVERY group; a later stat-less group kills them but its
+    # successors' null counts still accumulate
+    mins, maxs, nulls = tf._fold_chunk_stats(
+        [_ChunkStub(0, True, 1, 5), _ChunkStub(4, False), _ChunkStub(2, True, 0, 3)]
+    )
+    assert (mins, maxs) == (None, None)
+    assert nulls == 6
+
+
+def test_local_file_scheme_anchored():
+    """A colon in the first path segment is not a URI scheme: a legal
+    relative POSIX name like 'data:v2/t' keeps the driver-side footer
+    fast path, while real remote schemes still fall back (r9 ADVICE)."""
+    assert tf._local_file("hdfs://nn/path/t") is None
+    assert tf._local_file("s3a://bucket/t") is None
+    assert tf._local_file("data:v2/table") == "data:v2/table"
+    assert tf._local_file("weird:name/with/colon") == "weird:name/with/colon"
+    assert tf._local_file("/abs/path/t") == "/abs/path/t"
+    assert tf._local_file("file:/tmp/x%20y") == "/tmp/x y"
