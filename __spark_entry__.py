@@ -10188,7 +10188,9 @@ def q_t_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
     the encode joins the O(vocab) word→ntok artifact, the corpus never
     runs the DP."""
     wc = _uni_words(spark, sf).localCheckpoint(eager=True)
-    p = text.unigram_train(wc, em_iters=_UNI_EM_ITERS)
+    # wc is already an eager checkpoint shared with the encode side, so
+    # the trainer skips its own input materialization (one less eager job)
+    p = text.unigram_train(wc, em_iters=_UNI_EM_ITERS, materialize_input=False)
     return text.unigram_apply(_docs(spark, sf), wc, p)
 
 

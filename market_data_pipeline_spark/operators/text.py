@@ -1516,6 +1516,7 @@ def unigram_train(
     em_iters: int = 2,
     word_col: str = "word",
     count_col: str = "cnt",
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Unigram-LM tokenizer training over a word-count table:
     (piece, prob, lp) — the learned piece distribution after ``em_iters``
@@ -1547,23 +1548,10 @@ def unigram_train(
     hash-identical."""
     from pyspark.sql import Window
 
-    w = (
-        words.filter(F.length(word_col) <= _UNI_N)
-        .select(F.col(word_col).alias("word"), F.col(count_col).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    cand = (
-        w.withColumn("__s", F.explode(F.sequence(F.lit(1), F.length("word"))))
-        .withColumn(
-            "__j",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(F.lit(_UNI_P), F.length("word") - F.col("__s") + 1),
-                )
-            ),
-        )
-        .select(F.expr("substr(word, __s, __j)").alias("piece"), "cnt")
+    from market_data_pipeline_spark.operators.graph import _loop_shuffle
+
+    w = words.filter(F.length(word_col) <= _UNI_N).select(
+        F.col(word_col).alias("word"), F.col(count_col).cast("long").alias("cnt")
     )
 
     def _renorm(counts: DataFrame) -> DataFrame:
@@ -1579,14 +1567,46 @@ def unigram_train(
             .localCheckpoint(eager=True)
         )
 
-    pieces = _renorm(cand.groupBy("piece").agg(F.sum("cnt").alias("__c")))
-    for _ in range(em_iters):
-        seg = _unigram_viterbi(w, pieces)
-        pieces = _renorm(
-            seg.select(F.explode("__pieces").alias("piece"), "cnt")
-            .groupBy("piece")
-            .agg(F.sum("cnt").alias("__c"))
+    if materialize_input:
+        # the word frame is re-read every EM round (each round's Viterbi
+        # joins it), so an unmaterialized input would re-derive its whole
+        # subtree per round. Materialized OUTSIDE the loop window below:
+        # the input subtree may be corpus-sized (word_counts + top-k) and
+        # must plan at the session's width with AQE on. Callers whose
+        # frame is ALREADY an eager checkpoint (q_t_unigram_encode shares
+        # one word-count pass with the scoring side) pass False and skip
+        # this job — one less eager job in a floor-bound loop (r10; same
+        # trajectory either way, the filter/select over a checkpoint is
+        # trivially re-evaluated).
+        w = w.localCheckpoint(eager=True)
+    # every eager job in the EM loop itself moves frames bounded by the
+    # ALPHABET (words ≤ the caller's vocab cap, pieces ≤ Σ_{j≤_UNI_P}
+    # 26^j = 18 278), so the loop runs under the pinned-width/AQE-off
+    # window the graph loops use (r10; the bound is closed-domain, so
+    # width 1 is data-derived, not a local-core constant — see
+    # _loop_shuffle)
+    with _loop_shuffle(words.sparkSession, 1):
+        cand = (
+            w.withColumn("__s", F.explode(F.sequence(F.lit(1), F.length("word"))))
+            .withColumn(
+                "__j",
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(_UNI_P), F.length("word") - F.col("__s") + 1),
+                    )
+                ),
+            )
+            .select(F.expr("substr(word, __s, __j)").alias("piece"), "cnt")
         )
+        pieces = _renorm(cand.groupBy("piece").agg(F.sum("cnt").alias("__c")))
+        for _ in range(em_iters):
+            seg = _unigram_viterbi(w, pieces)
+            pieces = _renorm(
+                seg.select(F.explode("__pieces").alias("piece"), "cnt")
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("__c"))
+            )
     return pieces
 
 
